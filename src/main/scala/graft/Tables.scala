@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lake-table registry over the plain-Parquet lake layout.
+  *
+  * The reference (`/root/reference/`) spreads its data model across
+  * PostgreSQL tables, MongoDB collections and InfluxDB measurements
+  * (SURVEY.md §1.1); here every logical table is a Parquet-backed lake
+  * table read through the vectorized Parquet reader, so Catalyst gets
+  * column pruning + predicate/partition pruning for free.
+  *
+  * Scale stance (100 TB): table paths are directories in production
+  * (date/source partitioned); the testdata ships single files, and
+  * `spark.read.parquet` handles both. No data is ever collected to the
+  * driver here — registration is lazy plan construction only.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should be broadcast in joins. */
+  val smallDims: Set[String] = Set("region", "nation", "supplier", "part")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Register every table as a temp view (schema-on-read catalog,
+    * the Spark analogue of the reference's schema discovery surface —
+    * SURVEY.md §2.1 S8). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

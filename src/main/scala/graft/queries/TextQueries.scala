@@ -1,0 +1,6 @@
+package graft.queries
+
+object TextQueries extends QuerySection {
+  def queries: Map[String, Catalog.Q] = Map()
+  def oracleSql: Map[String, String] = Map()
+}
