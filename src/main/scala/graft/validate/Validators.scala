@@ -1,0 +1,250 @@
+package graft.validate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.scalars._
+import graft.transform.FieldRule
+
+/** Dataset-level validators (SURVEY.md §2.9 V1–V5).
+  *
+  * The reference's validators iterate `List[Dict]` in driver memory and
+  * build per-record error strings (`data_validators.py`). At 100 TB the
+  * distributed shape is: (a) one aggregate pass computing violation
+  * *counts* per rule → a small [[ValidationReport]] on the driver, and
+  * (b) an optional `flag` form that attaches per-row error arrays for
+  * pipelines that filter on validity — never collecting rows.
+  */
+case class ValidationReport(
+    isValid: Boolean,
+    errors: Seq[String],
+    warnings: Seq[String],
+    metrics: Map[String, Any])
+
+trait Validator {
+  def name: String
+  def validate(df: DataFrame): ValidationReport
+}
+
+/** V2 schema validation (`data_validators.py:56-133`): required fields,
+  * type checks (string/integer/float/boolean/datetime/email), numeric
+  * ranges, string length ranges. One aggregate job for the report. */
+case class SchemaValidator(schema: Map[String, FieldRule]) extends Validator {
+  val name = "Schema Validator"
+
+  /** Per-rule violation predicates for columns present in `df`;
+    * missing required columns are reported dataset-level. */
+  private def rulePreds(df: DataFrame): Seq[(String, Column)] = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    schema.toSeq.sortBy(_._1).flatMap { case (f, r) =>
+      types.get(f) match {
+        case None => Nil
+        case Some(dt) =>
+          val c = col(f)
+          val typeViol: Seq[(String, Column)] = r.typ.toSeq.flatMap {
+            case "email" => Seq(s"$f not a valid email" ->
+              (c.isNotNull && !isEmail(c.cast(StringType))))
+            case "datetime" | "date" => dt match {
+              case _: TimestampType | _: DateType => Nil // schema guarantees
+              case _ => Seq(s"$f not a valid datetime" ->
+                (c.isNotNull && !isIsoDate(c.cast(StringType))))
+            }
+            case "string" => if (dt == StringType) Nil
+              else Seq(s"$f expected string" -> c.isNotNull)
+            case "integer" => dt match {
+              case _: IntegerType | _: LongType | _: ShortType | _: ByteType => Nil
+              case _ => Seq(s"$f expected integer" -> c.isNotNull)
+            }
+            case "float" => dt match {
+              case _: NumericType => Nil
+              case _ => Seq(s"$f expected float" -> c.isNotNull)
+            }
+            case "boolean" => if (dt == BooleanType) Nil
+              else Seq(s"$f expected boolean" -> c.isNotNull)
+            case _ => Nil
+          }
+          val rangeViol: Seq[(String, Column)] = dt match {
+            case _: NumericType =>
+              r.min.toSeq.map(m => s"$f below minimum ${FieldRule.num(m)}" ->
+                (c.isNotNull && c < m)) ++
+              r.max.toSeq.map(m => s"$f above maximum ${FieldRule.num(m)}" ->
+                (c.isNotNull && c > m))
+            case _ => Nil
+          }
+          val lenViol: Seq[(String, Column)] = dt match {
+            case StringType =>
+              r.minLength.toSeq.map(m => s"$f length below minimum $m" ->
+                (c.isNotNull && length(c) < m)) ++
+              r.maxLength.toSeq.map(m => s"$f length above maximum $m" ->
+                (c.isNotNull && length(c) > m))
+            case _ => Nil
+          }
+          val reqViol: Seq[(String, Column)] =
+            if (!r.required) Nil
+            else {
+              val empty = if (dt == StringType) c.isNull || c === "" else c.isNull
+              Seq(s"$f missing or empty" -> empty)
+            }
+          reqViol ++ typeViol ++ rangeViol ++ lenViol
+      }
+    }
+  }
+
+  def validate(df: DataFrame): ValidationReport = {
+    val missing = schema.keys.filterNot(df.columns.contains).toSeq.sorted
+      .map(f => s"Missing required field '$f'")
+      .filter(_ => true) // all declared-but-absent fields are reported
+    val preds = rulePreds(df)
+    val aggs = count(lit(1)).as("__total") +:
+      preds.map { case (msg, p) => sum(when(p, 1L).otherwise(0L)).as(msg) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    val errors = missing ++ preds.zipWithIndex.collect {
+      case ((msg, _), i) if !row.isNullAt(i + 1) && row.getLong(i + 1) > 0 =>
+        s"$msg: ${row.getLong(i + 1)} records"
+    }
+    ValidationReport(errors.isEmpty, errors, Nil,
+      Map("total_records" -> total, "validation_errors" -> errors.size))
+  }
+}
+
+/** V3 data-quality validation (`data_validators.py:135-193`): min-records
+  * error; null-percentage, full-row duplicate-percentage and
+  * zero-variance warnings; metrics incl. dtype map. Two jobs: one wide
+  * aggregate + one distinct count. */
+case class QualityValidator(
+    maxNullPercentage: Double = 0.1,
+    maxDuplicatePercentage: Double = 0.05,
+    minRecords: Long = 1L) extends Validator {
+  val name = "Data Quality Validator"
+
+  def validate(df: DataFrame): ValidationReport = {
+    val cols = df.schema.fields
+    if (df.isEmpty)
+      return ValidationReport(isValid = false,
+        Seq("No data provided for validation"), Nil, Map.empty)
+
+    val nullCounts = cols.map(f =>
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"null_${f.name}"))
+    val numeric = cols.filter(f => f.dataType.isInstanceOf[NumericType])
+    val stddevs = numeric.map(f => stddev(col(f.name)).as(s"std_${f.name}"))
+    // full-row duplicate count = n - n_distinct over all columns;
+    // struct() is never NULL so count_distinct sees every row.
+    val aggs = Seq(count(lit(1)).as("__n"),
+      count_distinct(struct(cols.map(f => col(f.name)).toIndexedSeq: _*))
+        .as("__ndist")) ++ nullCounts ++ stddevs
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val nDist = row.getLong(1)
+    val dupCount = n - nDist
+    val dupPct = dupCount.toDouble / n
+
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    val warnings = scala.collection.mutable.Buffer.empty[String]
+    if (n < minRecords)
+      errors += s"Insufficient data: $n records, minimum required: $minRecords"
+    val nullPcts = cols.zipWithIndex.map { case (f, i) =>
+      f.name -> row.getLong(2 + i).toDouble / n
+    }.toMap
+    nullPcts.toSeq.sortBy(_._1).foreach { case (cn, pct) =>
+      if (pct > maxNullPercentage)
+        warnings += f"Column '$cn' has ${pct * 100}%.2f%% null values (threshold: ${maxNullPercentage * 100}%.2f%%)"
+    }
+    if (dupPct > maxDuplicatePercentage)
+      warnings += f"Found ${dupPct * 100}%.2f%% duplicate records (threshold: ${maxDuplicatePercentage * 100}%.2f%%)"
+    numeric.zipWithIndex.foreach { case (f, i) =>
+      val idx = 2 + cols.length + i
+      if (!row.isNullAt(idx) && row.getDouble(idx) == 0.0)
+        warnings += s"Column '${f.name}' has no variance (all values identical)"
+    }
+    ValidationReport(errors.isEmpty, errors.toSeq, warnings.toSeq, Map(
+      "total_records" -> n,
+      "duplicate_count" -> dupCount,
+      "duplicate_percentage" -> dupPct,
+      "null_percentages" -> nullPcts,
+      "data_types" -> cols.map(f => f.name -> f.dataType.simpleString).toMap))
+  }
+}
+
+/** V4 business rules (`data_validators.py:195-268`). */
+sealed trait BusinessRule { def ruleName: String }
+case class RangeRule(ruleName: String, field: String,
+    min: Option[Double] = None, max: Option[Double] = None) extends BusinessRule
+case class RelationshipRule(ruleName: String, field1: String, field2: String,
+    op: String) extends BusinessRule // greater_than | less_than | equal
+case class CustomRule(ruleName: String, violations: DataFrame => Long)
+    extends BusinessRule
+
+case class BusinessRuleValidator(rules: Seq[BusinessRule]) extends Validator {
+  val name = "Business Rule Validator"
+
+  /** Violation predicate for one rule, if expressible as a Column. */
+  def predicate(df: DataFrame, rule: BusinessRule): Option[Column] = rule match {
+    case RangeRule(_, f, mn, mx) if df.columns.contains(f) =>
+      val c = col(f)
+      // reference counts min- and max-violations separately (a record can
+      // violate both only when min>max); predicate form: either side out.
+      val conds = mn.map(m => c < m).toSeq ++ mx.map(m => c > m).toSeq
+      conds.reduceOption(_ || _).map(p => c.isNotNull && p)
+    case RelationshipRule(_, f1, f2, op)
+        if df.columns.contains(f1) && df.columns.contains(f2) =>
+      val (a, b) = (col(f1), col(f2))
+      op match {
+        case "greater_than" => Some(!(a > b))
+        case "less_than"    => Some(!(a < b))
+        case "equal"        => Some(!(a === b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  def validate(df: DataFrame): ValidationReport = {
+    val columnRules = rules.flatMap(r => predicate(df, r).map(r -> _))
+    val errors = scala.collection.mutable.Buffer.empty[String]
+    if (columnRules.nonEmpty) {
+      val aggs = columnRules.map { case (r, p) =>
+        sum(when(p, 1L).otherwise(0L)).as(r.ruleName)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      columnRules.zipWithIndex.foreach { case ((r, _), i) =>
+        val v = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (v > 0) errors += s"Rule '${r.ruleName}': $v violations found"
+      }
+    }
+    rules.foreach {
+      case CustomRule(rn, fn) =>
+        scala.util.Try(fn(df)) match {
+          case scala.util.Success(v) if v > 0 =>
+            errors += s"Rule '$rn': $v custom rule violations"
+          case scala.util.Failure(e) =>
+            errors += s"Rule '$rn': Custom validation failed - ${e.getMessage}"
+          case _ =>
+        }
+      case _ =>
+    }
+    ValidationReport(errors.isEmpty, errors.toSeq, Nil, Map.empty)
+  }
+}
+
+/** V5 validation pipeline (`data_validators.py:270-308`): run all
+  * validators with per-validator failure isolation; roll up a summary. */
+case class ValidationPipeline(validators: Seq[Validator]) {
+  def validate(df: DataFrame): Map[String, ValidationReport] =
+    validators.map { v =>
+      v.name -> (scala.util.Try(v.validate(df)) match {
+        case scala.util.Success(r) => r
+        case scala.util.Failure(e) => ValidationReport(isValid = false,
+          Seq(s"Validator '${v.name}' failed: ${e.getMessage}"), Nil, Map.empty)
+      })
+    }.toMap
+
+  def isValid(results: Map[String, ValidationReport]): Boolean =
+    results.values.forall(_.isValid)
+
+  def summary(results: Map[String, ValidationReport]): Map[String, Any] = Map(
+    "overall_valid" -> isValid(results),
+    "total_errors" -> results.values.map(_.errors.size).sum,
+    "total_warnings" -> results.values.map(_.warnings.size).sum,
+    "validator_results" -> results)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.transform.FieldRule
+import graft.validate._
+
+/** Dataset-level validator semantics (data_validators.py; FIXTURES.md §B). */
+class ValidatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema validator: valid batch passes, violations counted (test_etl_pipeline.py:210-238)") {
+    val schema = Map(
+      "email" -> FieldRule(required = true, typ = Some("email")),
+      "age" -> FieldRule(min = Some(0), max = Some(150)))
+    val good = Seq(("a@b.com", 30L), ("c@d.com", 40L)).toDF("email", "age")
+    assert(SchemaValidator(schema).validate(good).isValid)
+    val bad = Seq(("bad-email", 200L)).toDF("email", "age")
+    val r = SchemaValidator(schema).validate(bad)
+    assert(!r.isValid && r.errors.size == 2)
+    assert(r.metrics("total_records") == 1L)
+  }
+
+  test("schema validator: missing declared column reported") {
+    val r = SchemaValidator(Map("email" -> FieldRule(required = true)))
+      .validate(Seq(Tuple1(1L)).toDF("x"))
+    assert(!r.isValid && r.errors.exists(_.contains("Missing required field 'email'")))
+  }
+
+  test("quality validator: dups + nulls + zero variance warned (test_system_integration.py:228-260)") {
+    val df = Seq(
+      (Some("John"), Some(30L), Some("john@test.com")),
+      (Some("John"), Some(30L), Some("john@test.com")), // exact dup
+      (Some("Jane"), Some(30L), Some("jane@test.com")),
+      (Some("Bob"), Some(30L), Some("bob@test.com")),
+      (None: Option[String], None: Option[Long], None: Option[String])
+    ).toDF("name", "age", "email")
+    val r = QualityValidator().validate(df)
+    assert(r.isValid) // warnings don't invalidate
+    assert(r.metrics("duplicate_count") == 1L)
+    assert(r.warnings.exists(_.contains("duplicate")))
+    assert(r.warnings.exists(_.contains("'name'"))) // 20% nulls > 10%
+    assert(r.warnings.exists(_.contains("no variance"))) // age constant
+  }
+
+  test("quality validator: empty input errors (data_validators.py:150-152)") {
+    val r = QualityValidator().validate(Seq.empty[(String, Long)].toDF("a", "b"))
+    assert(!r.isValid && r.errors == Seq("No data provided for validation"))
+  }
+
+  test("quality validator: min records (data_validators.py:157-160)") {
+    val r = QualityValidator(minRecords = 10)
+      .validate(Seq(("x", 1L)).toDF("a", "b"))
+    assert(!r.isValid && r.errors.head.startsWith("Insufficient data: 1"))
+  }
+
+  test("business rules: range + relationship + custom (data_validators.py:195-268)") {
+    val df = Seq((5.0, 10.0), (20.0, 1.0), (-3.0, 2.0)).toDF("amount", "limit")
+    val v = BusinessRuleValidator(Seq(
+      RangeRule("amount-range", "amount", min = Some(0), max = Some(10)),
+      RelationshipRule("limit-gt-amount", "limit", "amount", "greater_than"),
+      CustomRule("always-ok", _ => 0L),
+      CustomRule("explodes", _ => throw new RuntimeException("nope"))))
+    val r = v.validate(df)
+    assert(!r.isValid)
+    assert(r.errors.exists(_.startsWith("Rule 'amount-range': 2 violations")))
+    assert(r.errors.exists(_.startsWith("Rule 'limit-gt-amount': 1")))
+    assert(r.errors.exists(_.contains("Custom validation failed")))
+    assert(!r.errors.exists(_.contains("always-ok")))
+  }
+
+  test("validation pipeline: isolation + summary (data_validators.py:270-308)") {
+    val df = Seq(("a@b.com", 30L)).toDF("email", "age")
+    val p = ValidationPipeline(Seq(
+      SchemaValidator(Map("email" -> FieldRule(typ = Some("email")))),
+      QualityValidator(),
+      new Validator {
+        val name = "Exploder"
+        def validate(d: org.apache.spark.sql.DataFrame) =
+          throw new RuntimeException("dead")
+      }))
+    val results = p.validate(df)
+    assert(results.size == 3)
+    assert(!p.isValid(results))
+    assert(results("Exploder").errors.head.contains("failed"))
+    val s = p.summary(results)
+    assert(s("overall_valid") == false)
+  }
+}
