@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Lake-table registry over the plain-Parquet lake layout.
   *
@@ -23,10 +25,25 @@ object Tables {
   /** Small dimension tables that should be broadcast in joins. */
   val smallDims: Set[String] = Set("region", "nation", "supplier", "part")
 
+  /** Columns stored as TIMESTAMP(NANOS), which Spark's Parquet reader
+    * rejects (Spark timestamps are µs). Read as long ns + truncate to µs
+    * — the same truncation DuckDB applies, so oracle compares align. */
+  private val nanosColumns: Map[String, Seq[String]] =
+    Map("events" -> Seq("ts"))
+
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val nanos = nanosColumns.getOrElse(name, Nil)
+    if (nanos.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(sfDir, name))
+    nanos.foldLeft(raw) { (d, c) =>
+      if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
+        d.withColumn(c, timestamp_micros(floor(col(c) / 1000).cast("long")))
+      else d
+    }
+  }
 
   /** Register every table as a temp view (schema-on-read catalog,
     * the Spark analogue of the reference's schema discovery surface —

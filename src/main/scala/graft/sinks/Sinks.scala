@@ -1,0 +1,239 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sink layer (SURVEY.md §2.2 K1–K10).
+  *
+  * Plain-Parquet lake (no Delta/Iceberg jars in this environment), so
+  * merge/delete are read-merge-overwrite with a temp-dir swap —
+  * atomicity across readers is documented as a non-goal (SURVEY §7.3);
+  * on a real deployment these become Delta `MERGE`/`DELETE`.
+  *
+  * All writers are partition-parallel `df.write` paths; per-batch
+  * chunking from the reference (`base_loaders.py:74-98`) is subsumed by
+  * partition-level batched writes.
+  */
+object Sinks {
+
+  /** Per-loader statistics registry (K10, `base_loaders.py:438-451`). */
+  final case class LoadResult(target: String, status: String, count: Long,
+    error: Option[String] = None)
+
+  final class LoadStats {
+    private val buf = scala.collection.mutable.Buffer.empty[LoadResult]
+    def record(r: LoadResult): Unit = synchronized { buf += r }
+    def history: Seq[LoadResult] = synchronized { buf.toSeq }
+    def loaded: Long = history.filter(_.status == "success").map(_.count).sum
+    def failed: Long = history.count(_.status == "error")
+    def lastN(n: Int): Seq[LoadResult] = history.takeRight(n)
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      history.map(r => (r.target, r.status, r.count, r.error.getOrElse("")))
+        .toDF("target", "status", "count", "error")
+    }
+  }
+
+  /** K1/K6 — append/replace load to a lake path in the given format
+    * (`base_loaders.py:46-72,281-315`; `if_exists` append|replace). */
+  def load(df: DataFrame, path: String, format: String = "parquet",
+      ifExists: String = "append"): Long = {
+    val mode =
+      if (ifExists == "replace") SaveMode.Overwrite else SaveMode.Append
+    val w = df.write.mode(mode)
+    format match {
+      case "parquet" => w.parquet(path)
+      case "json"    => w.json(path)
+      case "csv"     => w.option("header", "true").csv(path)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported format: $other")
+    }
+    df.count()
+  }
+
+  /** K3 — document-store insert with `created_at` stamping
+    * (`base_loaders.py:124-147`, `mongo_connector.py:80-93`). */
+  def insertWithCreatedAt(df: DataFrame, path: String): Long =
+    load(df.withColumn("created_at", current_timestamp()), path)
+
+  /** K4 — upsert without Delta: full-outer read-merge-overwrite keyed on
+    * `keyField` (`base_loaders.py:149-181`, `mongo_connector.py:132-150`).
+    * Updates win column-wise (`$set` semantics); `updated_at` stamped on
+    * updated rows. Returns (inserted, updated) — computed from the same
+    * join, not extra scans.
+    *
+    * Scale note: the merge is one shuffle join on the key; with a
+    * key-bucketed table layout it degrades gracefully to a co-located
+    * join. The overwrite rewrites the table — exactly what Delta MERGE
+    * does per touched file, minus the transaction log.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keyField: String, stampUpdatedAt: Boolean = true): (Long, Long) = {
+    val exists = Files.exists(Paths.get(path))
+    if (!exists) {
+      updates.write.mode(SaveMode.Overwrite).parquet(path)
+      return (updates.count(), 0L)
+    }
+    val target = spark.read.parquet(path)
+    val merged = mergeFrames(target, updates, keyField, stampUpdatedAt)
+    // count inserts/updates from one marker aggregation over the join
+    val counts = merged.agg(
+      sum(when(col("__is_insert"), 1L).otherwise(0L)),
+      sum(when(col("__is_update"), 1L).otherwise(0L))).head()
+    val out = merged.drop("__is_insert", "__is_update")
+    writeSwap(spark, out, path)
+    (counts.getLong(0), counts.getLong(1))
+  }
+
+  /** The merge plan: full outer on key; update columns take precedence
+    * (`{**existing, **update}` i.e. `$set`). Exposed for SQL-oracle
+    * verification of the merge semantics. */
+  def mergeFrames(target: DataFrame, updates: DataFrame, keyField: String,
+      stampUpdatedAt: Boolean = false): DataFrame = {
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val tKey = col(s"t.$keyField")
+    val uKey = col(s"u.$keyField")
+    val joined = t.join(u, tKey === uKey, "full_outer")
+    val tCols = target.columns.toSet
+    val uCols = updates.columns.toSet
+    val outCols = target.columns ++ updates.columns.filterNot(tCols.contains)
+    val sel = outCols.map {
+      case k if k == keyField => coalesce(uKey, tKey).as(k)
+      case c if tCols.contains(c) && uCols.contains(c) =>
+        when(uKey.isNotNull, col(s"u.$c")).otherwise(col(s"t.$c")).as(c)
+      case c if uCols.contains(c) => col(s"u.$c").as(c)
+      case c => col(s"t.$c").as(c)
+    } :+ tKey.isNull.as("__is_insert") :+
+      (tKey.isNotNull && uKey.isNotNull).as("__is_update")
+    val base = joined.select(sel.toIndexedSeq: _*)
+    if (stampUpdatedAt)
+      base.withColumn("updated_at",
+        when(col("__is_update"), current_timestamp().cast("string"))
+          .otherwise(if (tCols.contains("updated_at")) col("updated_at")
+            else lit(null).cast("string")))
+    else base
+  }
+
+  /** K9 — time-range delete as read-filter-overwrite
+    * (`influx_connector.py:274-291`); on a date-partitioned layout this
+    * becomes partition-overwrite of only the touched partitions. */
+  def deleteTimeRange(spark: SparkSession, path: String, tsCol: String,
+      start: String, stop: String): Long = {
+    val df = spark.read.parquet(path)
+    val keep = df.where(!(col(tsCol) >= lit(start) && col(tsCol) < lit(stop)))
+    val deleted = df.count() - keep.count()
+    writeSwap(spark, keep, path)
+    deleted
+  }
+
+  /** Overwriting a path we are also reading requires materializing away
+    * from it first: write temp dir, swap atomically at the directory
+    * level. */
+  def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + ".__tmp__"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = Paths.get(path)
+    val del = Paths.get(path + ".__old__")
+    if (Files.exists(p)) Files.move(p, del, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(del)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(del).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
+  /** K5 — points load: declared tag columns (stringified) + field
+    * columns + time column; when no field list is given, every numeric
+    * non-tag non-time column becomes a field
+    * (`base_loaders.py:207-256`, `influx_connector.py:82-111`). Output is
+    * long-format partitioned by measurement. */
+  def pointsFrame(df: DataFrame, measurement: String, timeField: String,
+      tagFields: Seq[String], fieldFields: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSeq
+    val fields =
+      if (fieldFields.nonEmpty) fieldFields
+      else numeric.filterNot(tagFields.contains).filterNot(_ == timeField)
+    val tagged = df.select(
+      (col(timeField).as("time") +:
+        lit(measurement).as("measurement") +:
+        tagFields.map(t => col(t).cast("string").as(s"tag_$t"))) ++
+        fields.map(col): _*)
+    graft.sources.Sources.toLong(tagged, "time",
+      "measurement" +: tagFields.map(t => s"tag_$t"), fields)
+  }
+
+  def loadPoints(df: DataFrame, path: String, measurement: String,
+      timeField: String, tagFields: Seq[String],
+      fieldFields: Seq[String] = Nil): Long = {
+    val pts = pointsFrame(df, measurement, timeField, tagFields, fieldFields)
+    pts.write.mode(SaveMode.Append).partitionBy("measurement").parquet(path)
+    pts.count()
+  }
+
+  /** K7 — multi-target load: same data to N sinks with one upstream
+    * computation (`base_loaders.py:326-373` `asyncio.gather`). The
+    * DataFrame is persisted once; targets consume the cached partitions;
+    * per-target failures isolate into the result map. */
+  def multiTarget(df: DataFrame, targets: Seq[(String, DataFrame => Long)],
+      stats: Option[LoadStats] = None): Map[String, LoadResult] = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count() // materialize once
+      targets.map { case (name, sink) =>
+        val r = scala.util.Try(sink(cached)) match {
+          case scala.util.Success(n) => LoadResult(name, "success", n)
+          case scala.util.Failure(e) =>
+            LoadResult(name, "error", 0L, Some(e.getMessage))
+        }
+        stats.foreach(_.record(r))
+        name -> r
+      }.toMap
+    } finally cached.unpersist()
+  }
+
+  /** K8 — content-based routing (`base_loaders.py:395-436`; routing
+    * rules `multi_source_ingestion_dag.py:267-305`): route by source
+    * name — transaction/order→warehouse, event/log→documents,
+    * user/profile→both, everything→archive. One persist, N filtered
+    * writes — the source is scanned once, not once per route. */
+  final case class Route(name: String, predicate: Column,
+    sink: DataFrame => Long)
+
+  def routeAndLoad(df: DataFrame, routes: Seq[Route],
+      stats: Option[LoadStats] = None): Map[String, LoadResult] = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count()
+      routes.map { r =>
+        val res = scala.util.Try(r.sink(cached.where(r.predicate))) match {
+          case scala.util.Success(n) => LoadResult(r.name, "success", n)
+          case scala.util.Failure(e) =>
+            LoadResult(r.name, "error", 0L, Some(e.getMessage))
+        }
+        stats.foreach(_.record(res))
+        r.name -> res
+      }.toMap
+    } finally cached.unpersist()
+  }
+
+  /** The DAG's routing rules (`multi_source_ingestion_dag.py:267-305`)
+    * expressed as predicates over the `_source` metadata column. */
+  def standardRoutes(base: String): Seq[Route] = Seq(
+    Route("financial_data", col("_source").rlike("transaction|order"),
+      d => load(d, s"$base/financial_data")),
+    Route("processed_events", col("_source").rlike("event|log"),
+      d => load(d, s"$base/processed_events")),
+    Route("user_data_wh", col("_source").rlike("user|profile"),
+      d => load(d, s"$base/user_data_wh")),
+    Route("user_data_doc", col("_source").rlike("user|profile"),
+      d => load(d, s"$base/user_data_doc")),
+    Route("archive", lit(true), d => load(d, s"$base/archive")))
+}

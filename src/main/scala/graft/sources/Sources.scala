@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source layer (SURVEY.md §2.1 S1–S8).
+  *
+  * The reference's extractors pull rows one dict at a time over
+  * LIMIT/OFFSET pagination (`base_extractors.py:47-84`) — sequential by
+  * construction. Here every source is a lazy DataFrame whose filters
+  * compile to Catalyst predicates, so pushdown/pruning reach the Parquet
+  * scan and parallelism comes from file splits, not pagination.
+  */
+object Sources {
+
+  /** S1 — table scan with optional raw ANSI `WHERE` pushdown and limit
+    * (`base_extractors.py:47-84`; the reference interpolates the WHERE
+    * string into source SQL — here Spark SQL parses the same predicate
+    * and Catalyst pushes it into the scan). */
+  def table(spark: SparkSession, sfDir: String, name: String,
+      where: Option[String] = None, limit: Option[Int] = None): DataFrame = {
+    val base = graft.Tables.load(spark, sfDir, name)
+    val filtered = where.fold(base)(w => base.where(expr(w)))
+    limit.fold(filtered)(filtered.limit)
+  }
+
+  /** S2 — document-store scan: `filter_dict` equality conjunction
+    * (`mongo_connector.py:95-116`; AND semantics per key). */
+  def collection(spark: SparkSession, sfDir: String, name: String,
+      filterDict: Map[String, Any] = Map.empty,
+      limit: Option[Int] = None): DataFrame = {
+    val base = graft.Tables.load(spark, sfDir, name)
+    val filtered =
+      if (filterDict.isEmpty) base
+      else base.where(filterDict.map { case (k, v) => col(k) === lit(v) }
+        .reduce(_ && _))
+    limit.fold(filtered)(filtered.limit)
+  }
+
+  /** Relative range spec: "-1h"/"-30m"/"-7d" ago, or an ISO timestamp, or
+    * "now()" (`influx_connector.py:142-152` Flux range semantics). */
+  def rangeBound(spec: String, now: Column): Column = {
+    val rel = "^-(\\d+)([smhdw])$".r
+    spec.trim match {
+      case "now()" => now
+      case rel(n, u) =>
+        val unit = u match {
+          case "s" => "SECOND"; case "m" => "MINUTE"; case "h" => "HOUR"
+          case "d" => "DAY"; case "w" => "WEEK"
+        }
+        now - expr(s"INTERVAL $n $unit")
+      case iso => to_timestamp(lit(iso))
+    }
+  }
+
+  /** S3 — time-series range scan: `[start, stop)` on the event-time
+    * column plus optional measurement/field/tag filters
+    * (`influx_connector.py:142-189`). `now` injectable for determinism.
+    * On a time-partitioned lake table the range predicate becomes
+    * partition pruning — the 100 TB path reads only matching partitions. */
+  def timeRange(spark: SparkSession, sfDir: String, name: String,
+      tsCol: String, start: String, stop: String = "now()",
+      filters: Seq[Column] = Nil,
+      now: Column = current_timestamp()): DataFrame = {
+    val base = graft.Tables.load(spark, sfDir, name)
+    val ranged = base.where(col(tsCol) >= rangeBound(start, now) &&
+      col(tsCol) < rangeBound(stop, now))
+    filters.foldLeft(ranged)(_ where _)
+  }
+
+  /** Wide→long reshape: the reference's time-series rows arrive in long
+    * format `(time, field, value, tags…)` (`influx_connector.py:168-185`).
+    * `stack` is a single narrow projection — no shuffle. */
+  def toLong(df: DataFrame, timeCol: String, tagCols: Seq[String],
+      fieldCols: Seq[String]): DataFrame = {
+    val stackArgs = fieldCols.map(f => s"'$f', cast(`$f` as double)")
+      .mkString(", ")
+    df.select((timeCol +: tagCols).map(col) :+
+      expr(s"stack(${fieldCols.size}, $stackArgs) as (field, value)"): _*)
+  }
+
+  /** Long→wide reshape via pivot (one shuffle on the group keys). */
+  def toWide(df: DataFrame, timeCol: String, tagCols: Seq[String],
+      fieldCol: String = "field", valueCol: String = "value"): DataFrame =
+    df.groupBy((timeCol +: tagCols).map(col): _*)
+      .pivot(fieldCol).agg(first(col(valueCol)))
+
+  /** S4/S5 — file scan: csv (header, NaN→null), json (array or object),
+    * jsonl/ndjson, parquet (`base_extractors.py:195-230`,
+    * `common_utils.py:103-138`). */
+  def file(spark: SparkSession, path: String,
+      format: Option[String] = None): DataFrame = {
+    val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
+    fmt match {
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("nanValue", "NaN").option("nullValue", "").csv(path)
+      case "json" => // whole-file JSON array/object, like json.load
+        spark.read.option("multiLine", "true").json(path)
+      case "jsonl" | "ndjson" => spark.read.json(path)
+      case "parquet" => spark.read.parquet(path)
+      case "yaml" | "yml" => yaml(spark, path)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported file type: $other")
+    }
+  }
+
+  /** S5 — YAML dataset (list of flat mappings), parsed driver-side like
+    * the reference's `yaml.safe_load` path (`common_utils.py:130-134`),
+    * then parallelized. YAML is a config-scale format — never 100 TB —
+    * so a driver-side parse of a minimal subset (top-level `- key: value`
+    * lists, scalars only) is the honest scope without adding deps. */
+  def yaml(spark: SparkSession, path: String): DataFrame = {
+    val lines = scala.io.Source.fromFile(path).getLines().toList
+    val records = scala.collection.mutable.Buffer.empty[Map[String, String]]
+    var current = Map.empty[String, String]
+    val item = "^-\\s+(\\w+):\\s*(.*)$".r
+    val field = "^\\s+(\\w+):\\s*(.*)$".r
+    lines.foreach {
+      case item(k, v) =>
+        if (current.nonEmpty) records += current
+        current = Map(k -> stripQuotes(v))
+      case field(k, v) if current.nonEmpty => current += k -> stripQuotes(v)
+      case _ =>
+    }
+    if (current.nonEmpty) records += current
+    val keys = records.flatMap(_.keys).distinct.sorted.toList
+    import spark.implicits._
+    val rows = records.toList.map(r => keys.map(k => r.get(k).orNull))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row(_: _*))),
+      StructType(keys.map(k => StructField(k, StringType, nullable = true))))
+    df
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+      (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** S6 — API payload: a driver-fetched JSON body → DataFrame with
+    * `data`/`results`/`items` envelope unwrapping
+    * (`base_extractors.py:245-275`). The HTTP GET itself is environment
+    * I/O (`java.net.http` in production); this entry point takes the
+    * body so the unwrap logic is testable hermetically. */
+  def apiBody(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("multiLine", "true")
+      .json(spark.createDataset(Seq(body)))
+    val cols = raw.columns.toSet
+    val envelope = Seq("data", "results", "items").find { k =>
+      cols.contains(k) && raw.schema(k).dataType.isInstanceOf[ArrayType]
+    }
+    envelope match {
+      case Some(k) =>
+        raw.select(explode(col(k)).as("__rec")).select(col("__rec.*"))
+      case None => raw
+    }
+  }
+
+  /** S7 — source validation / health probe
+    * (`base_extractors.py:86-94` etc.): connectivity = can we plan and
+    * touch one row. */
+  def validateSource(df: => DataFrame): Boolean =
+    scala.util.Try(df.limit(1).count()).isSuccess
+
+  /** S8 — schema discovery (`postgres_connector.py:127-145`,
+    * `mongo_connector.py:205-212`, `influx_connector.py:229-272`). */
+  def listTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+
+  def tableSchema(df: DataFrame): Seq[(String, String)] =
+    df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+
+  /** Distinct field keys of a long-format measurement table. */
+  def measurementFields(df: DataFrame, fieldCol: String): Seq[String] =
+    df.select(fieldCol).distinct().collect().map(_.getString(0)).toSeq.sorted
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sinks.Sinks
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("K1/K6 append and replace loads (base_loaders.py:46-72)") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Sinks.load(df, s"$dir/t") == 2)
+    assert(Sinks.load(df, s"$dir/t") == 2) // append
+    assert(spark.read.parquet(s"$dir/t").count() == 4)
+    Sinks.load(df, s"$dir/t", ifExists = "replace")
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+  }
+
+  test("K4 upsert: insert + update with column precedence (base_loaders.py:149-181)") {
+    val dir = tmp()
+    val path = s"$dir/users"
+    val initial = Seq((1L, "John", "old@x.com"), (2L, "Jane", "j@x.com"))
+      .toDF("user_id", "name", "email")
+    val (i1, u1) = Sinks.upsert(spark, path, initial, "user_id")
+    assert((i1, u1) == (2L, 0L))
+    val updates = Seq((1L, "Johnny", "new@x.com"), (3L, "Bob", "b@x.com"))
+      .toDF("user_id", "name", "email")
+    val (i2, u2) = Sinks.upsert(spark, path, updates, "user_id")
+    assert((i2, u2) == (1L, 1L))
+    val out = spark.read.parquet(path)
+    assert(out.count() == 3)
+    val john = out.where($"user_id" === 1).head()
+    assert(john.getAs[String]("name") == "Johnny")
+    assert(john.getAs[String]("email") == "new@x.com")
+    assert(john.getAs[String]("updated_at") != null) // stamped on update
+    val jane = out.where($"user_id" === 2).head()
+    assert(jane.getAs[String]("name") == "Jane")
+    assert(jane.getAs[String]("updated_at") == null)
+  }
+
+  test("K4 upsert adds new columns from updates") {
+    val dir = tmp()
+    val path = s"$dir/t"
+    Sinks.upsert(spark, path, Seq((1L, "a")).toDF("id", "v"), "id",
+      stampUpdatedAt = false)
+    Sinks.upsert(spark, path,
+      Seq((1L, "a2", 9.5)).toDF("id", "v", "score"), "id",
+      stampUpdatedAt = false)
+    val out = spark.read.parquet(path)
+    assert(out.columns.toSet == Set("id", "v", "score"))
+    assert(out.head().getAs[Double]("score") == 9.5)
+  }
+
+  test("K9 time-range delete via rewrite (influx_connector.py:274-291)") {
+    val dir = tmp()
+    val path = s"$dir/ts"
+    val df = Seq("2024-01-01 05:00:00", "2024-01-02 05:00:00",
+      "2024-01-03 05:00:00").toDF("s")
+      .select(to_timestamp($"s").as("time"), lit(1.0).as("v"))
+    df.write.parquet(path)
+    val deleted = Sinks.deleteTimeRange(spark, path, "time",
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+    assert(deleted == 1)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("K5 points load: auto-fields are numeric non-tag non-time (base_loaders.py:207-256)") {
+    val df = Seq((1L, "h1", 0.5, 17L, "ignore"))
+      .toDF("time", "host", "cpu", "mem", "note")
+    val pts = Sinks.pointsFrame(df, "sys", "time", Seq("host"))
+    assert(pts.columns.toSeq ==
+      Seq("time", "measurement", "tag_host", "field", "value"))
+    val fields = pts.select("field").as[String].collect().sorted.toSeq
+    assert(fields == Seq("cpu", "mem")) // note: string excluded
+    assert(pts.count() == 2)
+  }
+
+  test("K7 multi-target with failure isolation (base_loaders.py:326-373)") {
+    val dir = tmp()
+    val stats = new Sinks.LoadStats
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val results = Sinks.multiTarget(df, Seq(
+      "parquet" -> ((d: org.apache.spark.sql.DataFrame) =>
+        Sinks.load(d, s"$dir/ok")),
+      "broken" -> ((_: org.apache.spark.sql.DataFrame) =>
+        throw new RuntimeException("target down"))), Some(stats))
+    assert(results("parquet").status == "success")
+    assert(results("broken").status == "error")
+    assert(stats.loaded == 1 && stats.failed == 1)
+  }
+
+  test("K8 content-based routing: one persist, filtered writes (base_loaders.py:395-436)") {
+    val dir = tmp()
+    val df = Seq(
+      ("transactions", 1L), ("orders", 2L), ("events", 3L),
+      ("user_profiles", 4L), ("logs", 5L))
+      .toDF("_source", "id")
+    val results = Sinks.routeAndLoad(df, Sinks.standardRoutes(dir))
+    assert(results("financial_data").count == 2)
+    assert(results("processed_events").count == 2)
+    assert(results("user_data_wh").count == 1)
+    assert(results("user_data_doc").count == 1)
+    assert(results("archive").count == 5)
+    assert(spark.read.parquet(s"$dir/archive").count() == 5)
+  }
+
+  test("K10 load statistics registry (base_loaders.py:438-451)") {
+    val stats = new Sinks.LoadStats
+    stats.record(Sinks.LoadResult("a", "success", 10))
+    stats.record(Sinks.LoadResult("b", "error", 0, Some("x")))
+    assert(stats.loaded == 10 && stats.failed == 1)
+    assert(stats.toDF(spark).count() == 2)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S1 table scan with raw WHERE pushdown + limit (base_extractors.py:47-84)") {
+    val df = Sources.table(spark, sf0001, "lineitem",
+      where = Some("l_quantity > 45 AND l_returnflag = 'A'"), limit = Some(10))
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Double]("l_quantity") > 45))
+  }
+
+  test("S2 collection scan with filter_dict equality conjunction (mongo_connector.py:95-116)") {
+    val df = Sources.collection(spark, sf0001, "events",
+      filterDict = Map("event_type" -> "error"))
+    assert(df.select("event_type").distinct().as[String].collect()
+      .toSeq == Seq("error"))
+  }
+
+  test("S3 time-range scan with fixed now (influx_connector.py:142-189)") {
+    val now = to_timestamp(lit("2024-01-02 00:00:00"))
+    val df = Sources.timeRange(spark, sf0001, "events", "ts",
+      start = "-24h", stop = "now()", now = now)
+    val cnt = df.count()
+    assert(cnt > 0)
+    val manual = Tables.load(spark, sf0001, "events")
+      .where($"ts" >= "2024-01-01 00:00:00" && $"ts" < "2024-01-02 00:00:00")
+      .count()
+    assert(cnt == manual)
+  }
+
+  test("S3 absolute range bounds") {
+    val df = Sources.timeRange(spark, sf0001, "events", "ts",
+      start = "2024-01-01 00:00:00", stop = "2024-01-01 06:00:00")
+    assert(df.agg(max($"ts").cast("string")).head().getString(0) < "2024-01-01 06:00:00")
+  }
+
+  test("wide↔long reshape round trip (influx long format)") {
+    val df = Seq((1L, "h1", 0.5, 10.0), (2L, "h2", 0.7, 20.0))
+      .toDF("time", "host", "cpu", "mem")
+    val long = Sources.toLong(df, "time", Seq("host"), Seq("cpu", "mem"))
+    assert(long.count() == 4)
+    assert(long.columns.toSeq == Seq("time", "host", "field", "value"))
+    val wide = Sources.toWide(long, "time", Seq("host"))
+    val r = wide.orderBy("time").collect()
+    assert(r(0).getAs[Double]("cpu") == 0.5 && r(1).getAs[Double]("mem") == 20.0)
+  }
+
+  test("S4 file scans: csv/json/jsonl round trip (base_extractors.py:195-230)") {
+    val dir = Files.createTempDirectory("graft_files").toString
+    // csv
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"),
+      "a,b\n1,x\n2,\n")
+    val csv = Sources.file(spark, s"$dir/d.csv")
+    assert(csv.count() == 2)
+    assert(csv.where($"b".isNull).count() == 1) // empty → null
+    // json array (whole-file)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.json"),
+      """[{"a": 1, "b": "x"}, {"a": 2}]""")
+    assert(Sources.file(spark, s"$dir/d.json").count() == 2)
+    // jsonl
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n")
+    assert(Sources.file(spark, s"$dir/d.jsonl").count() == 3)
+    // unsupported
+    intercept[IllegalArgumentException](Sources.file(spark, s"$dir/d.xml"))
+  }
+
+  test("S5 yaml list-of-mappings (common_utils.py:130-134)") {
+    val dir = Files.createTempDirectory("graft_yaml").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.yaml"),
+      "- name: John\n  age: 30\n- name: 'Jane'\n  city: Paris\n")
+    val df = Sources.yaml(spark, s"$dir/d.yaml")
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("age", "city", "name"))
+    assert(df.where($"name" === "Jane").head().getAs[String]("city") == "Paris")
+  }
+
+  test("S6 api envelope unwrap data/results/items (base_extractors.py:255-264)") {
+    val body = """{"data": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]}"""
+    val df = Sources.apiBody(spark, body)
+    assert(df.count() == 2 && df.columns.sorted.toSeq == Seq("id", "v"))
+    val plain = Sources.apiBody(spark, """{"id": 5, "v": "z"}""")
+    assert(plain.count() == 1)
+    val results = Sources.apiBody(spark, """{"results": [{"x": 1}]}""")
+    assert(results.columns.toSeq == Seq("x"))
+  }
+
+  test("S7 source validation probe (base_extractors.py:86-94)") {
+    assert(Sources.validateSource(Tables.load(spark, sf0001, "region")))
+    assert(!Sources.validateSource(spark.read.parquet("/nonexistent/path")))
+  }
+
+  test("S8 schema discovery (postgres_connector.py:127-145)") {
+    Tables.registerAll(spark, sf0001)
+    val tables = Sources.listTables(spark)
+    assert(Tables.all.forall(tables.contains))
+    val schema = Sources.tableSchema(Tables.load(spark, sf0001, "region"))
+    assert(schema == Seq("r_regionkey" -> "int", "r_name" -> "string"))
+  }
+}
