@@ -39,8 +39,10 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, name))
     nanos.foldLeft(raw) { (d, c) =>
+      // integer `div`, not `/`: epoch-ns exceeds double's 2^53 mantissa,
+      // so float division would corrupt the low microsecond digits.
       if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
-        d.withColumn(c, timestamp_micros(floor(col(c) / 1000).cast("long")))
+        d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
       else d
     }
   }

@@ -1,22 +1,26 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Core relational operators over the lake star schema: scans, group-by
-  * aggregation (SURVEY.md §2.5 A1), joins (§2.4 J1–J3), windows (§2.6),
-  * set ops (§2.7).
+/** Core relational operators over the lake star schema: group-by
+  * aggregation (SURVEY.md §2.5 A1–A10), joins (§2.4 J1–J3), windows /
+  * sorts / limits (§2.6 W1–W4), set ops (§2.7).
+  *
+  * Scale notes are per query; the common rules: small dims broadcast,
+  * aggregates are hash-aggs with map-side partials, every window is
+  * partitioned (no global single-partition windows), orderings exist
+  * only at the final (judged) output edge.
   */
 object RelationalQueries extends QuerySection {
   import Catalog.Q
 
   /** A1 group-by aggregate — TPC-H Q1 shape. The reference's
     * AggregationTransformer (data_transformers.py:227-288) buffers all
-    * records in memory then runs pandas groupby; here the same
-    * count/sum/avg/min/max family is a hash aggregate with map-side
-    * partial aggregation, no driver materialization.
-    */
+    * records in driver memory then runs pandas groupby; here the same
+    * count/sum/avg/min/max family is a distributed hash aggregate. */
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("2001-09-02"))
@@ -31,8 +35,257 @@ object RelationalQueries extends QuerySection {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** J1 multi-source merge-by-key (test_system_integration.py:200-226):
+    * relational users left-joined to per-user document-store activity.
+    * The aggregate side shrinks to ≤|users| rows before the join. */
+  private def j1MergeLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+    val activity = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    cust.join(activity, cust("c_custkey") === activity("user_id"), "left")
+      .select(col("c_custkey"), col("c_name"), col("n_events"),
+        col("total_value"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J2 semi join — upsert existence probe shape (base_loaders.py:159-173). */
+  private def j2Semi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")).limit(100)
+  }
+
+  /** J2 anti join — records to insert (no existing key). */
+  private def j2Anti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")).limit(100)
+  }
+
+  /** J3 star join (TPC-H Q5 shape): fact ⋈ dims with the two tiny dims
+    * broadcast — no shuffle for nation/region at any scale. */
+  private def j3StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val r = broadcast(Tables.load(s, dir, "region")
+      .filter(col("r_name") === "ASIA"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** J3 full-outer join of two aggregates (customer vs supplier
+    * presence per nation). */
+  private def j4FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.load(s, dir, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, c("c_nationkey") === su("s_nationkey"), "full_outer")
+      .select(coalesce(c("c_nationkey"), su("s_nationkey")).as("nationkey"),
+        col("n_customers"), col("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Theta (non-equi) join: broadcast nested-loop over the small side,
+    * immediately aggregated so nothing wide survives the join. */
+  private def j5Theta(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    val su = broadcast(Tables.load(s, dir, "supplier"))
+    p.join(su, p("p_retailprice") > su("s_acctbal"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
+    * merge of k·partitions rows, never a global sort. */
+  private def w1TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** W4/A9 deterministic keep-last dedup: row_number over a partitioned
+    * window (one shuffle on the partition key). */
+  private def w2LatestPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** W4 lag/lead/rank analytics per customer. */
+  private def w3Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wr = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2)
+          .as("diff_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        rank().over(wr).as("price_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(500)
+  }
+
+  /** W4 running frame aggregate (rowsBetween). */
+  private def w4Running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("run_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** W3 offset pagination (base_extractors.py:61,72) — an artifact of the
+    * reference's row-iterator model; expressible but partition-parallel
+    * reads are the real scan strategy. */
+  private def w5Offset(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(100).limit(50)
+
+  /** §2.7 UNION ALL by name with missing columns nulled — the DAG's
+    * heterogeneous staging-file concatenation. */
+  private def setUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val a = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("props"))
+    a.unionByName(b, allowMissingColumns = true).orderBy(col("event_id"))
+  }
+
+  private def setIntersect(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  private def setExcept(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .except(Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  /** A2 null-percentage profile (data_validators.py:163-169): one
+    * aggregate pass, counts per column. */
+  private def a2NullProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val cols = ev.columns.toSeq
+    ev.agg(
+      count(lit(1)).as("n"),
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"nulls_$c")): _*)
+  }
+
+  /** A3 duplicate-rate profile (data_validators.py:171-177): n minus
+    * distinct over the projected columns, single pass. */
+  private def a3DupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(col("l_partkey"), col("l_suppkey")))
+          .as("n_distinct"))
+      .select(col("n"), col("n_distinct"),
+        (col("n") - col("n_distinct")).as("dup_count"))
+
+  /** A4 zero-variance probe (data_validators.py:180-182). */
+  private def a4Variance(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(round(stddev_samp(col("l_tax")), 6).as("std_tax"),
+        round(stddev_samp(col("l_discount")), 6).as("std_discount"))
+      .select(col("std_tax"), col("std_discount"),
+        (col("std_tax") === 0.0).as("tax_zero_variance"))
+
+  /** A8 document-store aggregation-pipeline semantics compiled to the
+    * engine: $match → filter, $group → agg, $sort → orderBy, $limit. */
+  private def a8Pipeline(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 50)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(desc("total"), col("user_id"))
+      .limit(20)
+
+  /** A10 duplicate-group finder (common_utils.py:189-201). */
+  private def a10DupGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("first_orderkey"))
+      .filter(col("n") > 1)
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+      .limit(100)
+
+  /** Rollup (engine extension beyond the reference — SURVEY §2.5 note). */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Long→wide pivot (S3 reshape surface, influx_connector.py:168-185).
+    * Sums rather than avgs: the inputs are exact-2dp values, so rounded
+    * sums can't land on a .005 tie that Spark and the oracle break
+    * differently. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "j1_merge_left_join" -> (j1MergeLeftJoin _),
+    "j2_semi" -> (j2Semi _),
+    "j2_anti" -> (j2Anti _),
+    "j3_star_join" -> (j3StarJoin _),
+    "j4_full_outer" -> (j4FullOuter _),
+    "j5_theta" -> (j5Theta _),
+    "w1_topk" -> (w1TopK _),
+    "w2_latest_per_customer" -> (w2LatestPerCustomer _),
+    "w3_lag" -> (w3Lag _),
+    "w4_running" -> (w4Running _),
+    "w5_offset" -> (w5Offset _),
+    "set_union" -> (setUnion _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _),
+    "a2_null_profile" -> (a2NullProfile _),
+    "a3_dup_stats" -> (a3DupStats _),
+    "a4_variance" -> (a4Variance _),
+    "a8_pipeline" -> (a8Pipeline _),
+    "a10_dup_groups" -> (a10DupGroups _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot" -> (qPivot _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -47,6 +300,140 @@ object RelationalQueries extends QuerySection {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j1_merge_left_join" ->
+      """SELECT c_custkey, c_name, e.n_events, e.total_value
+        |FROM customer c LEFT JOIN (
+        |  SELECT user_id, count(*) AS n_events,
+        |         round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY user_id) e
+        |ON c.c_custkey = e.user_id
+        |ORDER BY c_custkey""".stripMargin,
+    "j2_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "j2_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "j3_star_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "j4_full_outer" ->
+      """SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  c.n_customers, s.n_suppliers
+        |FROM (SELECT c_nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) s
+        |ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "j5_theta" ->
+      """SELECT p_brand, count(*) AS n_pairs
+        |FROM part JOIN supplier ON p_retailprice > s_acctbal
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "w1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "w2_latest_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "w3_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+        |    AS diff_prev,
+        |  lead(o_orderkey, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    AS next_order,
+        |  rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin,
+    "w4_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "w5_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "set_union" ->
+      """SELECT event_id, user_id, value, NULL AS props
+        |FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL, props
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "a2_null_profile" ->
+      """SELECT count(*) AS n,
+        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
+        |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
+        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
+        |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
+        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props
+        |FROM events""".stripMargin,
+    "a3_dup_stats" ->
+      """SELECT n, n_distinct, n - n_distinct AS dup_count FROM
+        |(SELECT (SELECT count(*) FROM lineitem) AS n,
+        |   (SELECT count(*) FROM
+        |     (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) AS n_distinct)""".stripMargin,
+    "a4_variance" ->
+      """SELECT round(stddev_samp(l_tax), 6) AS std_tax,
+        |  round(stddev_samp(l_discount), 6) AS std_discount,
+        |  round(stddev_samp(l_tax), 6) = 0.0 AS tax_zero_variance
+        |FROM lineitem""".stripMargin,
+    "a8_pipeline" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE event_type = 'purchase' AND value > 50
+        |GROUP BY user_id
+        |ORDER BY total DESC, user_id LIMIT 20""".stripMargin,
+    "a10_dup_groups" ->
+      """SELECT l_partkey, l_suppkey, count(*) AS n,
+        |  min(l_orderkey) AS first_orderkey
+        |FROM lineitem GROUP BY l_partkey, l_suppkey
+        |HAVING count(*) > 1
+        |ORDER BY l_partkey, l_suppkey LIMIT 100""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,6 +1,102 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.Sources
+
+/** Source operators (SURVEY.md §2.1 S1–S8) as judged queries: the filter
+  * compilers (raw WHERE / filter-dict / time-range) and reshape paths,
+  * each verified against the same predicate in ANSI SQL. */
 object SourceQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  /** S1 + P2: raw WHERE pushdown; `.explain` shows the predicates inside
+    * PushedFilters on the Parquet scan. */
+  private def s1WhereScan(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem",
+      where = Some("l_quantity > 45 AND l_discount < 0.05"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** S2 + P3: filter-dict equality conjunction (mongo_connector.py:100). */
+  private def s2FilterDict(s: SparkSession, dir: String): DataFrame =
+    Sources.collection(s, dir, "events",
+      filterDict = Map("event_type" -> "error", "user_id" -> 7L))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("event_id"))
+
+  /** S3 + P4: relative time-range scan with an injected `now` for
+    * determinism (influx_connector.py:142-152 Flux range). */
+  private def s3TimeRange(s: SparkSession, dir: String): DataFrame =
+    Sources.timeRange(s, dir, "events", "ts", start = "-24h",
+      stop = "now()", now = to_timestamp(lit("2024-01-05 00:00:00")))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** S3 long-format reshape: wide numeric columns → (key, field, value)
+    * rows via stack — a narrow projection, no shuffle. */
+  private def s3LongFormat(s: SparkSession, dir: String): DataFrame =
+    Sources.toLong(
+      Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_tax")),
+      timeCol = "l_orderkey", tagCols = Seq("l_linenumber"),
+      fieldCols = Seq("l_quantity", "l_tax"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"))
+
+  /** S6 + F20: API envelope unwrap on a driver-held JSON body. */
+  private def s6Envelope(s: SparkSession, dir: String): DataFrame =
+    Sources.apiBody(s,
+      """{"data": [{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"},
+        | {"id": 3, "name": "gamma"}]}""".stripMargin)
+      .select(col("id"), col("name")).orderBy(col("id"))
+
+  /** S8: schema discovery — table inventory as a DataFrame (rows-only
+    * check; the catalog itself isn't DuckDB-visible). */
+  private def s8Discovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.registerAll(s, dir)
+    Sources.listTables(s).toDF("table_name").orderBy(col("table_name"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "s1_where_scan" -> (s1WhereScan _),
+    "s2_filter_dict" -> (s2FilterDict _),
+    "s3_time_range" -> (s3TimeRange _),
+    "s3_long_format" -> (s3LongFormat _),
+    "s6_envelope" -> (s6Envelope _),
+    "s8_discovery" -> (s8Discovery _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_where_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "s2_filter_dict" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'error' AND user_id = 7
+        |ORDER BY event_id""".stripMargin,
+    "s3_time_range" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "s3_long_format" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field,
+        |  l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, field""".stripMargin,
+    "s6_envelope" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'),
+        |  (CAST(2 AS BIGINT), 'beta'), (CAST(3 AS BIGINT), 'gamma'))
+        |AS t(id, name) ORDER BY id""".stripMargin
+  )
 }
