@@ -153,13 +153,14 @@ object RelationalQueries extends QuerySection {
 
   /** W4 running frame aggregate (rowsBetween). */
   private def w4Running(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.load(s, dir, "lineitem")
       .filter(col("l_orderkey") < 1000)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_quantity")).over(w), 2).as("run_qty"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("run_qty"))
   }
 
   /** W3 offset pagination (base_extractors.py:61,72) — an artifact of the
@@ -368,10 +369,10 @@ object RelationalQueries extends QuerySection {
     "w4_running" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber
+        |    ORDER BY l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
         |FROM lineitem WHERE l_orderkey < 1000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, run_qty""".stripMargin,
     "w5_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,

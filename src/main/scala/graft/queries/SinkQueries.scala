@@ -1,6 +1,136 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sinks.Sinks
+
+/** Sink operators (SURVEY.md §2.2 K4/K5/K8/K9) as judged queries: the
+  * *plans* behind the writers — merge, points reshape, routing
+  * partitioning, delete filtering — verified against ANSI SQL. The
+  * write/stats surfaces themselves (K1–K3, K6, K7, K10) are exercised in
+  * SinksSpec round-trips.
+  */
 object SinkQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  /** K4 upsert merge plan: updates modify every 10th customer's balance
+    * and add new synthetic customers; full-outer merge with update-wins
+    * column precedence plus insert/update markers. */
+  private def k4UpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.load(s, dir, "customer")
+    val modified = target.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") + 100, 2).as("c_acctbal"),
+        col("c_mktsegment"))
+    val inserts = target.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("New#"), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = modified.unionByName(inserts)
+    Sinks.mergeFrames(target, updates, "c_custkey")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        col("__is_insert"), col("__is_update"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** K5 points reshape: record → long-format measurement points with
+    * declared tag/field columns. */
+  private def k5PointsLong(s: SparkSession, dir: String): DataFrame =
+    Sinks.pointsFrame(
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 200),
+      measurement = "orders", timeField = "o_orderdate",
+      tagFields = Seq("o_orderstatus"), fieldFields = Seq("o_totalprice"))
+      .orderBy(col("time"), col("value"), col("tag_o_orderstatus"))
+
+  /** K8 routing partitioning: per-route row counts from the standard
+    * routing predicates over a `_source`-tagged stream. */
+  private def k8RoutingCounts(s: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.load(s, dir, "events")
+      .withColumn("_source",
+        when(col("event_type") === "purchase", "transactions")
+          .when(col("event_type") === "click", "user_profiles")
+          .when(col("event_type") === "error", "logs")
+          .when(col("event_type") === "signup", "users")
+          .otherwise("events"))
+    val routeAggs = Sinks.routePatterns.map { case (name, pat) =>
+      sum(when(col("_source").rlike(pat), 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("archive")
+    tagged.agg(routeAggs.head, routeAggs.tail: _*)
+  }
+
+  /** K9 time-range delete plan: rows kept vs deleted for `[start, stop)`
+    * — the filter side of the read-filter-overwrite rewrite. */
+  private def k9DeleteRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val inRange = col("ts") >= lit("2024-01-10 00:00:00") &&
+      col("ts") < lit("2024-01-20 00:00:00")
+    ev.agg(
+      sum(when(inRange, 1L).otherwise(0L)).as("n_deleted"),
+      sum(when(!inRange, 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "k4_upsert_merge" -> (k4UpsertMerge _),
+    "k5_points_long" -> (k5PointsLong _),
+    "k8_routing_counts" -> (k8RoutingCounts _),
+    "k9_delete_range" -> (k9DeleteRange _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "k4_upsert_merge" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New#' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+        |    ELSE t.c_name END AS c_name,
+        |  round(CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |    ELSE t.c_acctbal END, 2) AS c_acctbal,
+        |  t.c_custkey IS NULL AS __is_insert,
+        |  t.c_custkey IS NOT NULL AND u.c_custkey IS NOT NULL
+        |    AS __is_update
+        |FROM customer t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "k5_points_long" ->
+      """SELECT o_orderdate AS time, 'orders' AS measurement,
+        |  o_orderstatus AS tag_o_orderstatus, 'o_totalprice' AS field,
+        |  o_totalprice AS value
+        |FROM orders WHERE o_orderkey < 200
+        |ORDER BY time, value, tag_o_orderstatus""".stripMargin,
+    "k8_routing_counts" ->
+      """WITH tagged AS (SELECT CASE
+        |    WHEN event_type = 'purchase' THEN 'transactions'
+        |    WHEN event_type = 'click' THEN 'user_profiles'
+        |    WHEN event_type = 'error' THEN 'logs'
+        |    WHEN event_type = 'signup' THEN 'users'
+        |    ELSE 'events' END AS _source
+        |  FROM events)
+        |SELECT
+        |  sum(CASE WHEN regexp_matches(_source, 'transaction|order')
+        |    THEN 1 ELSE 0 END) AS financial_data,
+        |  sum(CASE WHEN regexp_matches(_source, 'event|log')
+        |    THEN 1 ELSE 0 END) AS processed_events,
+        |  sum(CASE WHEN regexp_matches(_source, 'user|profile')
+        |    THEN 1 ELSE 0 END) AS user_data_wh,
+        |  sum(CASE WHEN regexp_matches(_source, 'user|profile')
+        |    THEN 1 ELSE 0 END) AS user_data_doc,
+        |  count(*) AS archive
+        |FROM tagged""".stripMargin,
+    "k9_delete_range" ->
+      """SELECT
+        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END)
+        |    AS n_deleted,
+        |  sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-20 00:00:00') THEN 1 ELSE 0 END)
+        |    AS n_kept
+        |FROM events""".stripMargin
+  )
 }

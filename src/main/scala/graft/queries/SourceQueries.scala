@@ -18,7 +18,8 @@ object SourceQueries extends QuerySection {
       where = Some("l_quantity > 45 AND l_discount < 0.05"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
       .limit(100)
 
   /** S2 + P3: filter-dict equality conjunction (mongo_connector.py:100). */
@@ -46,7 +47,8 @@ object SourceQueries extends QuerySection {
           col("l_tax")),
       timeCol = "l_orderkey", tagCols = Seq("l_linenumber"),
       fieldCols = Seq("l_quantity", "l_tax"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"),
+        col("value"))
 
   /** S6 + F20: API envelope unwrap on a driver-held JSON body. */
   private def s6Envelope(s: SparkSession, dir: String): DataFrame =
@@ -76,7 +78,8 @@ object SourceQueries extends QuerySection {
     "s1_where_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount
+        |LIMIT 100""".stripMargin,
     "s2_filter_dict" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'error' AND user_id = 7
@@ -93,7 +96,7 @@ object SourceQueries extends QuerySection {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber, field""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, field, value""".stripMargin,
     "s6_envelope" ->
       """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'),
         |  (CAST(2 AS BIGINT), 'beta'), (CAST(3 AS BIGINT), 'gamma'))

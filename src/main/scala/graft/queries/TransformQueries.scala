@@ -1,6 +1,295 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.scalars._
+import graft.transform._
+
+/** Scalar-function and transformer operators (SURVEY.md §2.8 F1–F24,
+  * §2.10 O1) as judged queries. The testdata has no dirty
+  * phone/email/address columns, so the queries synthesize them
+  * deterministically from key columns and then run the real cleaning /
+  * enrichment machinery over them — the oracle replays the same
+  * synthesis + semantics in ANSI SQL.
+  */
 object TransformQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  /** F2/F3/F4/F18 string-function bundle. */
+  private def fxStrings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 10, 4).as("sub"),
+        titleCase(lower(col("c_mktsegment"))).as("title"),
+        sanitize(concat(lit("\t "), col("c_name"), lit(" "))).as("sane"))
+      .orderBy(col("c_custkey")).limit(500)
+
+  /** F5/F10 phone normalization over synthesized digit strings. */
+  private def fxPhone(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        (lit(5550000000L) + col("c_custkey")).cast("string").as("p10"))
+      .withColumn("p11", concat(lit("1"), col("p10")))
+      .withColumn("bad", substring(col("p10"), 1, 5))
+    base.select(col("c_custkey"),
+      normalizePhone(col("p10")).as("norm10"),
+      normalizePhone(col("p11")).as("norm11"),
+      normalizePhone(col("bad")).as("norm_bad"),
+      isPhone(col("p10")).as("is_phone10"),
+      isPhone(col("bad")).as("is_phone_bad"))
+      .orderBy(col("c_custkey")).limit(500)
+  }
+
+  /** F8/F12/F21 date functions: extract/trunc/diff/age/format. */
+  private def fxDates(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"),
+        age(col("o_orderdate"), to_date(lit("2026-01-01"))).as("years_age"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
+      .orderBy(col("o_orderkey")).limit(500)
+
+  /** F7/F9/F10/F11 detectors + type detection over synthesized strings. */
+  private def fxDetect(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(regexp_replace(lower(col("c_name")), "[^a-z0-9]", ""),
+          lit("@example.com")).as("email_ok"),
+        col("c_mktsegment").as("email_bad"),
+        concat(lit("https://example.com/c/"), col("c_custkey")).as("url_ok"),
+        date_format(lit("2023-01-15").cast("date"), "yyyy-MM-dd").as("date_s"))
+    base.select(col("c_custkey"),
+      isEmail(col("email_ok")).as("email_valid"),
+      isEmail(col("email_bad")).as("bad_valid"),
+      isUrl(col("url_ok")).as("url_valid"),
+      isDate(col("date_s")).as("date_valid"),
+      detectStringType(col("email_ok")).as("t_email"),
+      detectStringType(col("url_ok")).as("t_url"),
+      detectStringType(col("date_s")).as("t_date"),
+      detectStringType(col("email_bad")).as("t_plain"))
+      .orderBy(col("c_custkey")).limit(500)
+  }
+
+  /** F14 record hash (md5 over stringified key fields). */
+  private def fxHash(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        recordHash(Seq(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+          .as("rec_hash"))
+      .orderBy(col("c_custkey")).limit(500)
+
+  /** F17 JSON extraction + validity over events.props. */
+  private def fxJson(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        isValidJson(col("props")).as("json_ok"))
+      .orderBy(col("event_id")).limit(1000)
+
+  /** F6 numeric coercion of stringified columns. */
+  private def fxCoerce(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coerceLong(col("l_orderkey").cast("string")).as("as_long"),
+        coerceDouble(col("l_quantity").cast("string")).as("as_double"),
+        coerceLong(col("l_returnflag")).as("not_numeric"),
+        isNumeric(col("l_quantity").cast("string")).as("is_num"),
+        isNumeric(col("l_returnflag")).as("is_num_flag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("as_double"))
+      .limit(1000)
+
+  /** F1 null standardization: '' → null. */
+  private def fxNullStd(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        standardizeNullString(
+          when(col("l_linenumber") % 3 === 0, lit(""))
+            .otherwise(col("l_returnflag"))).as("flag_or_null"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .limit(1000)
+
+  /** F19 normalization renames (id→record_id etc.). */
+  private def f19Rename(s: SparkSession, dir: String): DataFrame =
+    Normalization()(
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          col("o_orderpriority").as("name"),
+          col("o_orderdate").as("created")))
+      .orderBy(col("record_id")).limit(500)
+
+  /** O1 flagship: the full Cleaning transformer over a synthesized dirty
+    * frame — trim, email lowercase, title-case status, phone
+    * normalization, numeric coercion, null standardization at once. */
+  private def tCleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val dirty = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        concat(lit("  "), col("c_name"), lit("  ")).as("name"),
+        concat(lit(" "), upper(regexp_replace(lower(col("c_name")),
+          "[^a-z0-9]", "")), lit("@EXAMPLE.COM ")).as("email"),
+        (lit(5550000000L) + col("c_custkey")).cast("string").as("phone"),
+        concat(lit(""), (col("c_custkey") % 90 + 10).cast("string")).as("age"),
+        when(col("c_custkey") % 7 === 0, lit(""))
+          .otherwise(lower(col("c_mktsegment"))).as("status"))
+    Cleaning(coerce = Map("age" -> "long"), stamp = Stamp.off)(dirty)
+      .orderBy(col("c_custkey")).limit(500)
+  }
+
+  /** Enrichment transformer: age, postal extraction, record hash
+    * (asOf frozen for determinism). */
+  private def tEnrich(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").as("name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("birth_date"),
+        // street number kept short so the postal regex's first
+        // five-digit hit is the zip, not the street number
+        concat(lit("No. "), col("o_orderkey") % 100,
+          lit(" Main St, Springfield "),
+          lpad((col("o_orderkey") % 100000).cast("string"), 5, "0"))
+          .as("address"))
+    Enrichment(Stamp.off, asOfDate = Some("2026-01-01"))(base)
+      .orderBy(col("o_orderkey")).limit(500)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "fx_strings" -> (fxStrings _),
+    "fx_phone" -> (fxPhone _),
+    "fx_dates" -> (fxDates _),
+    "fx_detect" -> (fxDetect _),
+    "fx_hash" -> (fxHash _),
+    "fx_json" -> (fxJson _),
+    "fx_coerce" -> (fxCoerce _),
+    "fx_nullstd" -> (fxNullStd _),
+    "f19_rename" -> (f19Rename _),
+    "t_clean_pipeline" -> (tCleanPipeline _),
+    "t_enrich" -> (tEnrich _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fx_strings" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS lo,
+        |  upper(c_mktsegment) AS up,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  substr(c_name, 10, 4) AS sub,
+        |  upper(lower(c_mktsegment)[1:1]) || lower(lower(c_mktsegment)[2:])
+        |    AS title,
+        |  trim(regexp_replace(chr(9) || ' ' || c_name || ' ',
+        |    '[\x00-\x1f]', '', 'g')) AS sane
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "fx_phone" ->
+      """WITH b AS (SELECT c_custkey,
+        |    CAST(5550000000 + c_custkey AS VARCHAR) AS p10
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  printf('(%s) %s-%s', substr(p10,1,3), substr(p10,4,3),
+        |    substr(p10,7,4)) AS norm10,
+        |  printf('+1 (%s) %s-%s', substr(p10,1,3), substr(p10,4,3),
+        |    substr(p10,7,4)) AS norm11,
+        |  substr(p10,1,5) AS norm_bad,
+        |  TRUE AS is_phone10,
+        |  FALSE AS is_phone_bad
+        |FROM b ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "fx_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('year', o_orderdate) AS INT) AS y,
+        |  CAST(date_part('month', o_orderdate) AS INT) AS m,
+        |  CAST(date_part('day', o_orderdate) AS INT) AS d,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '2026-01-01') / 365.0) AS BIGINT) AS years_age,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+    "fx_detect" ->
+      """WITH b AS (SELECT c_custkey,
+        |    regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+        |      || '@example.com' AS email_ok,
+        |    c_mktsegment AS email_bad,
+        |    'https://example.com/c/' || c_custkey AS url_ok,
+        |    '2023-01-15' AS date_s
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  TRUE AS email_valid, FALSE AS bad_valid,
+        |  TRUE AS url_valid, TRUE AS date_valid,
+        |  'email' AS t_email, 'url' AS t_url, 'date' AS t_date,
+        |  CASE WHEN length(regexp_replace(email_bad, '\D', '', 'g'))
+        |         BETWEEN 10 AND 15 THEN 'phone' ELSE 'string' END AS t_plain
+        |FROM b ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "fx_hash" ->
+      """SELECT c_custkey,
+        |  md5(CAST(c_custkey AS VARCHAR) || c_name || c_mktsegment)
+        |    AS rec_hash
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "fx_json" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k,
+        |  json_valid(props) AS json_ok
+        |FROM events ORDER BY event_id LIMIT 1000""".stripMargin,
+    "fx_coerce" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS as_long,
+        |  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS as_double,
+        |  TRY_CAST(l_returnflag AS BIGINT) AS not_numeric,
+        |  TRUE AS is_num,
+        |  FALSE AS is_num_flag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, as_double LIMIT 1000""".stripMargin,
+    "fx_nullstd" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(CASE WHEN l_linenumber % 3 = 0 THEN ''
+        |    ELSE l_returnflag END, '') AS flag_or_null,
+        |  l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag LIMIT 1000""".stripMargin,
+    "f19_rename" ->
+      """SELECT o_orderkey AS record_id, o_orderpriority AS full_name,
+        |  o_orderdate AS created_at
+        |FROM orders ORDER BY record_id LIMIT 500""".stripMargin,
+    "t_clean_pipeline" ->
+      """WITH dirty AS (SELECT c_custkey,
+        |    '  ' || c_name || '  ' AS name,
+        |    ' ' || upper(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'))
+        |      || '@EXAMPLE.COM ' AS email,
+        |    CAST(5550000000 + c_custkey AS VARCHAR) AS phone,
+        |    CAST(c_custkey % 90 + 10 AS VARCHAR) AS age,
+        |    CASE WHEN c_custkey % 7 = 0 THEN ''
+        |      ELSE lower(c_mktsegment) END AS status
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  trim(name) AS name,
+        |  lower(trim(email)) AS email,
+        |  printf('(%s) %s-%s', substr(phone,1,3), substr(phone,4,3),
+        |    substr(phone,7,4)) AS phone,
+        |  TRY_CAST(age AS BIGINT) AS age,
+        |  CASE WHEN status = '' THEN NULL
+        |    ELSE upper(status[1:1]) || lower(status[2:]) END AS status
+        |FROM dirty ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "t_enrich" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    o_orderpriority AS name,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS birth_date,
+        |    'No. ' || (o_orderkey % 100) || ' Main St, Springfield ' ||
+        |      lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0') AS address
+        |  FROM orders)
+        |SELECT o_orderkey, name, birth_date, address,
+        |  CAST(floor(date_diff('day', CAST(birth_date AS DATE),
+        |    DATE '2026-01-01') / 365.0) AS BIGINT) AS calculated_age,
+        |  lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0')
+        |    AS extracted_postal_code,
+        |  md5(name) AS _record_hash
+        |FROM b ORDER BY o_orderkey LIMIT 500""".stripMargin
+  )
 }

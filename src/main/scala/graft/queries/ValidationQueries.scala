@@ -1,6 +1,144 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.transform.{FieldRule, Stamp, Validation}
+import graft.validate._
+
+/** Validation operators (SURVEY.md §2.9 V1–V5, §2.3 P5, §2.5 A5/A7) as
+  * judged queries: per-record flagging and the one-pass dataset-level
+  * violation/quality aggregates.
+  */
 object ValidationQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  /** V1 per-record validation flags over a synthesized dirty frame:
+    * email validity + numeric range, `_validation_errors` array semantics
+    * projected to (n_errors, first_error) for the oracle. */
+  private def v1Flags(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(col("event_id") % 3 === 0,
+          concat(lit("u"), col("user_id"), lit("@example.com")))
+          .otherwise(lit("bad-email")).as("email"))
+    val rules = Map(
+      "email" -> FieldRule(required = true, typ = Some("email")),
+      "value" -> FieldRule(min = Some(0), max = Some(50)))
+    Validation(rules, Stamp.off)(base)
+      .select(col("event_id"), col("email"), col("_is_valid"),
+        size(col("_validation_errors")).as("n_errors"),
+        try_element_at(col("_validation_errors"), lit(1)).as("first_error"))
+      .orderBy(col("event_id")).limit(1000)
+  }
+
+  /** V2 schema validation as a one-row violation-count aggregate. */
+  private def v2SchemaCounts(s: SparkSession, dir: String): DataFrame =
+    SchemaValidator(Map(
+      "o_totalprice" -> FieldRule(required = true,
+        min = Some(0), max = Some(300000)),
+      "o_orderstatus" -> FieldRule(required = true,
+        minLength = Some(1), maxLength = Some(1))))
+      .violationCountsDF(Tables.load(s, dir, "orders"))
+
+  /** V3 data-quality metrics as a one-row aggregate (A2/A3/A4/A5 in a
+    * single pass + one distinct count). */
+  private def v3QualityMetrics(s: SparkSession, dir: String): DataFrame =
+    QualityValidator().metricsDF(
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice")))
+
+  /** V4 business rules: range + relationship violation counts (A7). */
+  private def v4BusinessRules(s: SparkSession, dir: String): DataFrame =
+    BusinessRuleValidator(Seq(
+      RangeRule("price_range", "o_totalprice",
+        min = Some(1000), max = Some(400000)),
+      RelationshipRule("price_gt_custkey", "o_totalprice", "o_custkey",
+        "greater_than")))
+      .violationCountsDF(Tables.load(s, dir, "orders"))
+
+  /** P5 validity filter: keep records passing validation, then aggregate
+    * — the DAG's filter-then-load shape. */
+  private def p5ValidityFilter(s: SparkSession, dir: String): DataFrame = {
+    val rules = Map("value" -> FieldRule(min = Some(5), max = Some(80)))
+    val flagged = Validation(rules, Stamp.off)(Tables.load(s, dir, "events"))
+    flagged.filter(size(col("_validation_errors")) === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "v1_flags" -> (v1Flags _),
+    "v2_schema_counts" -> (v2SchemaCounts _),
+    "v3_quality_metrics" -> (v3QualityMetrics _),
+    "v4_business_rules" -> (v4BusinessRules _),
+    "p5_validity_filter" -> (p5ValidityFilter _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "v1_flags" ->
+      """WITH b AS (SELECT event_id, user_id, value,
+        |    CASE WHEN event_id % 3 = 0
+        |      THEN 'u' || user_id || '@example.com'
+        |      ELSE 'bad-email' END AS email
+        |  FROM events),
+        |e AS (SELECT event_id, email, value,
+        |    CASE WHEN NOT regexp_matches(email,
+        |      '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$')
+        |      THEN 1 ELSE 0 END AS email_err,
+        |    CASE WHEN value < 0 THEN 1 ELSE 0 END AS min_err,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS max_err
+        |  FROM b)
+        |SELECT event_id, email,
+        |  (email_err + min_err + max_err) = 0 AS _is_valid,
+        |  CAST(email_err + min_err + max_err AS INT) AS n_errors,
+        |  CASE WHEN email_err = 1 THEN 'email is not a valid email'
+        |    WHEN min_err = 1 THEN 'value is below minimum value 0'
+        |    WHEN max_err = 1 THEN 'value exceeds maximum value 50'
+        |    END AS first_error
+        |FROM e ORDER BY event_id LIMIT 1000""".stripMargin,
+    "v2_schema_counts" ->
+      """SELECT count(*) AS total_records,
+        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS viol_o_totalprice_missing_or_empty,
+        |  sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS viol_o_totalprice_below_minimum_0,
+        |  sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+        |    AS viol_o_totalprice_above_maximum_300000,
+        |  sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = ''
+        |    THEN 1 ELSE 0 END) AS viol_o_orderstatus_missing_or_empty,
+        |  sum(CASE WHEN length(o_orderstatus) < 1 THEN 1 ELSE 0 END)
+        |    AS viol_o_orderstatus_length_below_minimum_1,
+        |  sum(CASE WHEN length(o_orderstatus) > 1 THEN 1 ELSE 0 END)
+        |    AS viol_o_orderstatus_length_above_maximum_1
+        |FROM orders""".stripMargin,
+    "v3_quality_metrics" ->
+      """SELECT count(*) AS total_records,
+        |  (SELECT count(*) FROM (SELECT DISTINCT o_orderstatus,
+        |    o_orderpriority, o_totalprice FROM orders)) AS distinct_records,
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS nulls_o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS nulls_o_orderpriority,
+        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS nulls_o_totalprice,
+        |  stddev_samp(o_totalprice) = 0.0 AS novar_o_totalprice,
+        |  count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_orderstatus,
+        |    o_orderpriority, o_totalprice FROM orders)) AS duplicate_count
+        |FROM orders""".stripMargin,
+    "v4_business_rules" ->
+      """SELECT count(*) AS total_records,
+        |  sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |    (o_totalprice < 1000 OR o_totalprice > 400000)
+        |    THEN 1 ELSE 0 END) AS viol_price_range,
+        |  sum(CASE WHEN NOT (o_totalprice > o_custkey) THEN 1 ELSE 0 END)
+        |    AS viol_price_gt_custkey
+        |FROM orders""".stripMargin,
+    "p5_validity_filter" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE value >= 5 AND value <= 80
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

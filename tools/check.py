@@ -49,7 +49,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     no_oracle = []
     for qdir in sorted(p for p in out.iterdir() if p.is_dir()):
         name = qdir.name
-        got = norm(con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df())
+        try:
+            got = norm(con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df())
+        except Exception as e:
+            failures.append(f"{name}: unreadable spark output: {e}")
+            continue
         if name not in oracle:
             no_oracle.append(f"{name}: rows={len(got)} (rows-only check)")
             if len(got) == 0:
