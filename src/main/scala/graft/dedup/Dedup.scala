@@ -1,0 +1,179 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every method is generate → shuffle-on-key → aggregate;
+  * no pairwise O(n²) work ever happens outside a bucket/candidate join.
+  * Frequent-shingle capping bounds the worst-case bucket size (the
+  * classic "stopword shingle" blowup on web corpora).
+  */
+object Dedup {
+
+  // ── Exact (hash groupBy) ───────────────────────────────────────────
+  /** Content hash for exact dedup (common_utils.py:176-186 md5 analogue). */
+  def contentHash(c: Column): Column = md5(c)
+
+  /** Deterministic keep-first exact dedup: min id wins per content hash.
+    * One shuffle on the hash. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-dup statistics in one aggregate pass. */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      count_distinct(contentHash(col(textCol))).as("n_unique"))
+      .select(col("n"), col("n_unique"),
+        (col("n") - col("n_unique")).as("n_dups"))
+
+  // ── n-gram Jaccard similarity join ─────────────────────────────────
+  /** Candidate pairs by shared token/shingle with Jaccard ≥ threshold.
+    *
+    * explode(shingles) → self-join on shingle (ids ordered) → count
+    * common → J = |∩| / (|A|+|B|−|∩|). `maxShingleFreq` drops shingles
+    * appearing in more than that many docs before the join — the skew
+    * guard that keeps bucket sizes bounded at corpus scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    val capped = sh.withColumn("__freq",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    val sizes = df.select(col(idCol).as("id"),
+      size(array_distinct(shingles(col(textCol), n))).as("sz"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ── MinHash + LSH ──────────────────────────────────────────────────
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64 over the shingle; the signature is the per-seed
+    * minimum. One narrow projection per document. */
+  def minhashSignature(c: Column, n: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(c, n))
+    val mins = (0 until numHashes).map { seed =>
+      aggregate(sh, lit(Long.MaxValue),
+        (acc, x) => least(acc, xxhash64(lit(seed), x)))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH banding: signature rows grouped into `bands` bands of
+    * `numHashes/bands` rows; band hash = xxhash64 over the slice.
+    * Documents sharing any band hash become candidates. */
+  def bandHashes(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * r + 1, r), x => x.cast("string")))
+        ).as("h"))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard
+    * verification of candidates only.
+    *
+    * generate signatures → explode bands → shuffle on (band,hash) →
+    * pair within bucket → verify. The verify join touches only
+    * candidate ids, not the corpus cross product.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("__text"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val buckets = withSig.select(col("id"),
+      explode(bandHashes(col("sig"), numHashes, bands)).as("bh"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val texts = withSig.select(col("id"), col("__text"))
+    val verified = candidates
+      .join(texts.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("__text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("__text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccardTokens(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= verifyThreshold)
+    verified.select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact token-set Jaccard of two texts (verification predicate). */
+  def jaccardTokens(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(lower(a)))
+    val tb = array_distinct(tokens(lower(b)))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    round(inter / (size(ta) + size(tb) - inter), 6)
+  }
+
+  // ── SimHash near-dup ───────────────────────────────────────────────
+  /** SimHash near-dup pairs: 64-bit fingerprints bucketed by 16-bit
+    * quadrant (any pair within Hamming distance ≤ 3 of each other share
+    * at least one identical quadrant — pigeonhole), verified by exact
+    * Hamming distance. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sim"))
+    val quads = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(q => struct(lit(q).as("q"),
+        shiftright(col("sim"), q * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("quad"))
+    quads.as("a").join(quads.as("b"),
+        col("a.quad") === col("b.quad") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ── Embedding cosine near-dup ──────────────────────────────────────
+  /** Cosine similarity of two float-array embeddings as a pure
+    * expression (zip_with dot product / norms). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold over a bounded
+    * id range (brute pairing; for corpus scale use the LSH-bucketed path
+    * in graft.similarity.Ann). */
+  def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batch decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark-side plumbing is real — schemas, partition-parallel
+  * `mapPartitions` with bounded batches (the Scala analogue of
+  * `mapInPandas`), metadata propagation. The *codec* itself is a
+  * clearly-marked deterministic STUB (`StubCodec`): this container has
+  * no image/audio libraries, and at deploy time the stub body is the
+  * only thing that changes (swap in JavaCV/ffmpeg), not the pipeline.
+  *
+  * Scale: binaries never pass through a shuffle here — every stage is a
+  * map; metadata-only plans prune the binary column entirely (columnar
+  * Parquet never reads it).
+  */
+object Multimodal {
+
+  /** Canonical media schema: content is opaque; metadata typed. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** ======== STUB CODEC ========
+    * Deterministic fakes standing in for real decoders. Each derives its
+    * output purely from the input bytes, so pipelines are reproducible
+    * and testable without native media libraries. */
+  object StubCodec {
+    /** STUB for image decode → fixed-length feature vector. Real impl:
+      * decode + CNN embed. Here: 8 rolling byte statistics. */
+    def imageFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+      if (bytes == null || bytes.isEmpty) return Array.fill(dims)(0f)
+      val acc = new Array[Long](dims)
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % dims) += (bytes(i) & 0xFF)
+        i += 1
+      }
+      acc.map(a => (a % 1000L).toFloat / 1000f)
+    }
+
+    /** STUB for image resize: real impl rescales pixels; here the
+      * "resized" payload is a deterministic truncation + header. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.min(bytes.length, math.max(16, w * h / 64))
+      java.util.Arrays.copyOf(bytes, target)
+    }
+
+    /** STUB for video frame sampling: real impl seeks keyframes; here
+      * fixed-stride byte slices stand in for frames. */
+    def sampleFrames(bytes: Array[Byte], everyN: Int,
+        frameSize: Int = 64): Seq[Array[Byte]] = {
+      if (bytes == null || bytes.isEmpty) Seq.empty
+      else bytes.grouped(frameSize).zipWithIndex
+        .collect { case (frame, idx) if idx % everyN == 0 => frame }
+        .toSeq
+    }
+  }
+
+  /** Demo media table: wraps documents' text bytes as binary payloads so
+    * the pipeline has real (deterministic) bytes to move. */
+  def demoMediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("stub").as("format"),
+        (col("n_chars") % 1920).cast("int").as("width"),
+        (col("n_chars") % 1080).cast("int").as("height"),
+        (col("n_chars") * 10).cast("long").as("duration_ms"))
+
+  /** Batch feature extraction over partitions — the mapInPandas shape:
+    * each partition's rows stream through in `batchSize` groups (bounded
+    * memory per task), features appended, binary dropped on output so
+    * downstream stages go columnar. */
+  def extractFeatures(df: DataFrame, batchSize: Int = 256,
+      dims: Int = 8): DataFrame = {
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == "content") :+
+        StructField("features", ArrayType(FloatType), nullable = true))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val inIdx = df.schema.fieldNames.zipWithIndex.toMap
+    val contentIdx = inIdx("content")
+    val keepIdx = df.schema.fieldNames.zipWithIndex
+      .filterNot(_._1 == "content").map(_._2)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real codec would invoke vectorized
+        // native decode over the whole batch at once
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](contentIdx)
+          val feats = StubCodec.imageFeatures(bytes, dims)
+          Row.fromSeq(keepIdx.map(row.get).toSeq :+ feats.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize stage: binary→binary map, metadata rewritten to the target
+    * dimensions. */
+  def resizeImages(df: DataFrame, w: Int, h: Int,
+      batchSize: Int = 256): DataFrame = {
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
+    val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val (ci, wi, hi, ti) = (idx("content"), idx("width"), idx("height"),
+      idx("media_type"))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          if (row.getString(ti) != "image") row
+          else {
+            val vals = row.toSeq.toArray
+            val bytes = row.getAs[Array[Byte]](ci)
+            if (bytes != null) vals(ci) = StubCodec.resize(bytes, w, h)
+            vals(wi) = w
+            vals(hi) = h
+            Row.fromSeq(vals.toIndexedSeq)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: video rows explode into one row per sampled frame;
+    * non-video rows pass through with frame_no 0. */
+  def sampleVideoFrames(df: DataFrame, everyN: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("frame_no", IntegerType, nullable = false))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val (ci, ti) = (idx("content"), idx("media_type"))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          if (row.getString(ti) != "video")
+            Iterator.single(Row.fromSeq(row.toSeq :+ 0))
+          else {
+            val frames = StubCodec.sampleFrames(
+              row.getAs[Array[Byte]](ci), everyN)
+            frames.iterator.zipWithIndex.map { case (frame, i) =>
+              val vals = row.toSeq.toArray
+              vals(ci) = frame
+              Row.fromSeq(vals.toIndexedSeq :+ i)
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Metadata-only stats — proves binary pruning: the plan never reads
+    * `content` (check ReadSchema in explain). */
+  def mediaStats(df: DataFrame): DataFrame =
+    df.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("duration_ms")).as("total_duration_ms"),
+        max(col("width")).as("max_width"))
+      .orderBy(col("media_type"))
+}

@@ -1,6 +1,106 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+
+/** Deduplication operators (training-data pipeline extensions): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine — exact and
+  * Jaccard paths verified in ANSI SQL; the hash-sketch paths (xxhash64
+  * has no DuckDB equivalent) ship deterministic rows-only queries pinned
+  * by TextDedupSpec on planted duplicates. */
 object DedupQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Exact-dup statistics (hash groupBy). */
+  private def dedupExactStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupStats(docs(s, dir), "text")
+
+  /** Exact dedup survivors: deterministic keep-min-id per content hash. */
+  private def dedupExactSurvivors(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")).limit(200)
+
+  /** Token-set (1-gram) Jaccard near-dup pairs over a bounded id range. */
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      docs(s, dir).filter(col("doc_id") < 100), "text", "doc_id",
+      n = 1, threshold = 0.8, maxShingleFreq = 1000000L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 sketch). */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(
+      docs(s, dir).filter(col("doc_id") < 200), "text", "doc_id",
+      n = 1, numHashes = 32, bands = 16, verifyThreshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash candidate summary (rows-only; single row, never empty). */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      docs(s, dir).filter(col("doc_id") < 300), "text", "doc_id",
+      maxHamming = 16)
+      .agg(count(lit(1)).as("n_close_pairs"),
+        min(col("hamming")).as("min_hamming"),
+        max(col("hamming")).as("max_hamming"))
+
+  /** Embedding-cosine near-dup pairs over a bounded id range. */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "embedding", "vec_id", threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def queries: Map[String, Q] = Map(
+    "dedup_exact_stats" -> (dedupExactStats _),
+    "dedup_exact_survivors" -> (dedupExactSurvivors _),
+    "dedup_ngram" -> (dedupNgram _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """SELECT n, n_unique, n - n_unique AS n_dups FROM
+        |(SELECT count(*) AS n, count(DISTINCT md5(text)) AS n_unique
+        | FROM documents)""".stripMargin,
+    "dedup_exact_survivors" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+    "dedup_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(
+        |    trim(text), '\s+'))) AS t
+        |  FROM documents WHERE doc_id < 100),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+        |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

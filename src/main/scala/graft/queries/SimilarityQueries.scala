@@ -1,6 +1,88 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.similarity.Ann
+
+/** Similarity search over the `embeddings` table: exact brute-force
+  * cosine top-k (oracle-verified) and the LSH-bucketed scale path
+  * (rows-only: hyperplanes are seeded literals; recall pinned in
+  * AnnMultimodalSpec). */
 object SimilarityQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Exact top-5 neighbors for the first 10 vectors. */
+  private def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.bruteTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed top-k (rows-only; deterministic seeded planes). */
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.lshTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      k = 5, numPlanes = 6, dim = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Label-centroid similarity: per-label mean embedding, then each
+    * label pair's centroid cosine — a grouped vector aggregate. */
+  private def annCentroids(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // mean embedding per label: explode → avg per (label, dim) → collect
+    val byDim = e.select(col("label"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("pairs"))
+      .select(col("label"), expr("transform(pairs, p -> p.m)").as("centroid"))
+    centroids.as("a").join(centroids.as("b"),
+        col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(graft.dedup.Dedup.cosine(col("a.centroid"), col("b.centroid")),
+          4).as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ann_topk" -> (annTopk _),
+    "ann_lsh" -> (annLsh _),
+    "ann_centroids" -> (annCentroids _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id)
+        |SELECT query_id, corpus_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_centroids" ->
+      """WITH d AS (
+        |  SELECT label, i, avg(embedding[i]) AS m
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+        |  GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS centroid
+        |  FROM d GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_cosine_similarity(a.centroid, b.centroid), 4) AS cos
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin
+  )
 }

@@ -1,6 +1,145 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table (training-data
+  * pipeline extensions): token counting, quality scoring, language ID,
+  * fingerprinting — each verified in ANSI SQL. */
 object TextQueries extends QuerySection {
-  def queries: Map[String, Catalog.Q] = Map()
-  def oracleSql: Map[String, String] = Map()
+  import Catalog.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Token/char counting incl. the BPE-ish subword proxy. */
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishCount(col("text")).as("n_pieces"),
+      length(col("text")).as("n_chars_actual"),
+      col("n_chars"),
+      round(avgWordLen(col("text")), 4).as("avg_word_len"))
+      .orderBy(col("doc_id")).limit(500)
+
+  /** Heuristic quality signals (stopword/punct/digit ratios, composite
+    * score). */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(stopwordRatio(col("text")), 6).as("sw_ratio"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"),
+      round(digitRatio(col("text")), 6).as("digit_ratio"),
+      round(qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id")).limit(500)
+
+  /** Language-ID: per-language marker-hit scores + argmax prediction. */
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang").as("labeled"),
+      langScore(col("text"), LangMarkers.toMap.apply("de")).as("s_de"),
+      langScore(col("text"), LangMarkers.toMap.apply("en")).as("s_en"),
+      langScore(col("text"), LangMarkers.toMap.apply("es")).as("s_es"),
+      langScore(col("text"), LangMarkers.toMap.apply("fr")).as("s_fr"),
+      predictLang(col("text")).as("predicted"))
+      .orderBy(col("doc_id")).limit(500)
+
+  /** Bottom-k md5 shingle fingerprint (min-k sketch). */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      fingerprint(col("text"), n = 3, k = 4).as("fp"))
+      .orderBy(col("doc_id")).limit(300)
+
+  /** Corpus rollup: per (lang, source) doc counts and length stats. */
+  private def textRollup(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(length(col("text"))), 2).as("avg_len"))
+      .orderBy(col("lang"), col("source"))
+
+  def queries: Map[String, Q] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_rollup" -> (textRollup _)
+  )
+
+  private val tokensSql = "string_split_regex(trim(text), '\\s+')"
+
+  private def markerListSql(lang: String): String =
+    LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def scoreSql(lang: String): String =
+    s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), " +
+      s"x -> list_contains(${markerListSql(lang)}, x)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+        |  CAST(len($tokensSql) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_pieces,
+        |  CAST(length(text) AS INT) AS n_chars_actual,
+        |  n_chars,
+        |  round(CAST(list_aggregate(list_transform($tokensSql,
+        |    x -> length(x)), 'sum') AS DOUBLE) / len($tokensSql), 4)
+        |    AS avg_word_len
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+    "text_quality" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        |      '\\s+'), x -> list_contains(['the', 'a', 'an', 'and', 'or',
+        |      'of', 'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
+        |      'as', 'at', 'by', 'be'], x))) AS DOUBLE)
+        |      / len($tokensSql) AS swr,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]'))
+        |      AS DOUBLE) / length(text) AS pr,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / length(text) AS dr,
+        |    least(CAST(len($tokensSql) AS DOUBLE) / 100.0, 1.0) AS lens
+        |  FROM documents)
+        |SELECT doc_id, round(swr, 6) AS sw_ratio,
+        |  round(pr, 6) AS punct_ratio, round(dr, 6) AS digit_ratio,
+        |  round(greatest(0.0, least(1.0,
+        |    lens * 0.4 + least(swr * 5.0, 1.0) * 0.4 +
+        |    (1.0 - least((pr + dr) * 5.0, 1.0)) * 0.2)), 6) AS quality
+        |FROM b ORDER BY doc_id LIMIT 500""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS labeled,
+        |  CAST(${scoreSql("de")} AS INT) AS s_de,
+        |  CAST(${scoreSql("en")} AS INT) AS s_en,
+        |  CAST(${scoreSql("es")} AS INT) AS s_es,
+        |  CAST(${scoreSql("fr")} AS INT) AS s_fr,
+        |  CASE
+        |    WHEN ${scoreSql("de")} = greatest(${scoreSql("de")},
+        |      ${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("fr")})
+        |      AND ${scoreSql("de")} > 0 THEN 'de'
+        |    WHEN ${scoreSql("en")} = greatest(${scoreSql("de")},
+        |      ${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("fr")})
+        |      AND ${scoreSql("en")} > 0 THEN 'en'
+        |    WHEN ${scoreSql("es")} = greatest(${scoreSql("de")},
+        |      ${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("fr")})
+        |      AND ${scoreSql("es")} > 0 THEN 'es'
+        |    WHEN ${scoreSql("fr")} = greatest(${scoreSql("de")},
+        |      ${scoreSql("en")}, ${scoreSql("es")}, ${scoreSql("fr")})
+        |      AND ${scoreSql("fr")} > 0 THEN 'fr'
+        |    ELSE 'und' END AS predicted
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_sort(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> md5(array_to_string(toks[i:i+2], ' '))))[1:4]
+        |  ELSE [] END AS fp
+        |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
+    "text_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(length(text)), 2) AS avg_len
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
+  )
 }

