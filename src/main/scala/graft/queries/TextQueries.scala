@@ -44,10 +44,11 @@ object TextQueries extends QuerySection {
       predictLang(col("text")).as("predicted"))
       .orderBy(col("doc_id")).limit(500)
 
-  /** Bottom-k md5 shingle fingerprint (min-k sketch). */
+  /** Bottom-k md5 shingle fingerprint (min-k sketch; table form — the
+    * codegen explode path). */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      fingerprint(col("text"), n = 3, k = 4).as("fp"))
+    fingerprintTable(docs(s, dir), "doc_id", "text", n = 3, k = 4)
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id")).limit(300)
 
   /** Corpus rollup: per (lang, source) doc counts and length stats. */

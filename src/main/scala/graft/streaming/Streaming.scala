@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.Row
+
+/** Structured Streaming slice (SURVEY.md §2.11).
+  *
+  * The reference has no streaming engine — MQTT/OPC-UA exist only as
+  * config (`config/settings.py:94-103`), the real-time flag defaults to
+  * False (`settings.py:191`), and the hourly DAG is a micro-batch
+  * (`multi_source_ingestion_dag.py:47-48`). This module covers that
+  * aspirational surface Spark-first: file-source streams over the lake
+  * directory, watermarked event-time windows, and `foreachBatch` reuse
+  * of the batch routing sink (K8), so the same code path serves hourly
+  * batch and continuous ingestion.
+  *
+  * Scale: state is bounded by the watermark; windows aggregate with
+  * partial aggregation per micro-batch; `Trigger.AvailableNow` gives the
+  * DAG-equivalent catch-up-then-stop semantics.
+  */
+object Streaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a lake directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling/sliding watermarked window aggregate — the streaming form
+    * of the DAG's hourly rollup. Late data beyond the watermark drops. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: Option[String] = None, watermark: String = "30 minutes"): DataFrame = {
+    val w = slide.map(sl => window(col("ts"), window_, sl))
+      .getOrElse(window(col("ts"), window_))
+    events.withWatermark("ts", watermark)
+      .groupBy(w, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
+
+  /** Sessionization by user with a gap timeout — `session_window`
+    * (state bounded by watermark + gap). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  /** Stream → routed lake load: every micro-batch goes through the same
+    * content-based routing fan-out as the batch path (K8), giving
+    * exactly-once-per-batch lake appends. */
+  def routeStream(events: DataFrame, base: String): DataStreamWriter[Row] = {
+    val tagged = events.withColumn("_source",
+      concat(lit("stream_"), col("event_type")))
+    tagged.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.Sinks.routeAndLoad(batch,
+          graft.sinks.Sinks.standardRoutes(base))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/_checkpoints/route")
+  }
+
+  /** Run a streaming DataFrame to completion against currently-available
+    * input (the hourly-DAG equivalent) into an in-memory table. */
+  def runAvailableNow(df: DataFrame, queryName: String,
+      outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

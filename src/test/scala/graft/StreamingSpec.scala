@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the events table as a streaming source directory. */
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.load(spark, sf0001, "events")
+      .write.mode("overwrite").parquet(s"$dir/events")
+    s"$dir/events"
+  }
+
+  test("windowed counts over a file stream match the batch computation") {
+    val src = stageEvents()
+    val agg = Streaming.windowedCounts(Streaming.readEvents(spark, src),
+      window_ = "6 hours", watermark = "1 minute")
+    Streaming.runAvailableNow(agg, "win_counts", outputMode = "append")
+    val streamed = spark.table("win_counts")
+      .agg(sum($"n")).head().getLong(0)
+    // watermark drops nothing on a finite replay except the last window,
+    // which stays open in append mode — compare against batch minus the
+    // final (incomplete) window
+    val batch = Tables.load(spark, sf0001, "events")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val lastWindow = batch.agg(max($"window.start")).head().getTimestamp(0)
+    val expected = batch.filter($"window.start" < lastWindow)
+      .agg(sum($"n")).head().getLong(0)
+    assert(streamed == expected)
+  }
+
+  test("sessionization emits bounded user sessions") {
+    val src = stageEvents()
+    val sess = Streaming.sessionize(Streaming.readEvents(spark, src),
+      gap = "10 minutes", watermark = "1 minute")
+    Streaming.runAvailableNow(sess, "sessions", outputMode = "append")
+    val out = spark.table("sessions")
+    assert(out.count() > 0)
+    assert(out.columns.contains("session_window"))
+    // every session belongs to one user and has ≥1 event
+    assert(out.filter($"n_events" < 1).count() == 0)
+  }
+
+  test("stream routes through the batch routing sink (foreachBatch K8)") {
+    val src = stageEvents()
+    val base = Files.createTempDirectory("graft_route").toString
+    val q = Streaming.routeStream(Streaming.readEvents(spark, src), base)
+      .start()
+    q.awaitTermination()
+    val archived = spark.read.parquet(s"$base/archive")
+    assert(archived.count() ==
+      Tables.load(spark, sf0001, "events").count())
+    assert(archived.columns.contains("_source"))
+    // no stream_* source matches the warehouse routes (empty write)
+    assert(spark.read.parquet(s"$base/financial_data").count() == 0)
+  }
+}
