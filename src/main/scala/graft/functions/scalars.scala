@@ -78,7 +78,7 @@ object scalars {
   /** Cheap regex prefilters: Spark's try_cast handles parse failure via
     * per-row exceptions (~10µs/row measured on always-failing input) —
     * the guard keeps the throwing path off non-numeric data entirely. */
-  private val LongRe = "^\\s*[+-]?\\d{1,18}\\s*$"
+  private val LongRe = "^\\s*[+-]?\\d{1,19}\\s*$"
   private val DoubleRe =
     "^\\s*[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?\\s*$"
 

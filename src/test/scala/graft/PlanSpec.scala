@@ -1,0 +1,42 @@
+package graft
+import graft.queries.Catalog
+class PlanSpec extends SparkSpec {
+  def plan(name: String): String =
+    Catalog.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("s1_where_scan pushes predicates into the parquet scan") {
+    val p = plan("s1_where_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45"), p)
+    // projection pruned to the 4 selected columns
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), p)
+  }
+
+  test("j3_star_join broadcasts the small dims, no cartesian") {
+    val p = plan("j3_star_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w1_topk is TakeOrderedAndProject, not a global sort") {
+    val p = plan("w1_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_agg does partial aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+  }
+
+  test("j5_theta is a broadcast nested loop, aggregated immediately") {
+    val p = plan("j5_theta")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a2_null_profile reads all columns in one pass (single scan)") {
+    val p = plan("a2_null_profile")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.transform.{Cleaning, Stamp}
+import graft.functions.scalars._
+
+/** Property tests (SURVEY.md §5 item 3): idempotence and robustness of
+  * cleaning/normalization over scalacheck-generated inputs (seeded
+  * sampling — the scalatest/scalacheck bridge isn't in the offline
+  * cache, so generators are driven directly). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val messyString: Gen[String] = for {
+    core <- Gen.alphaNumStr.map(_.take(12))
+    pre <- Gen.oneOf("", " ", "  ", "\t")
+    post <- Gen.oneOf("", " ", "  ")
+  } yield pre + core + post
+
+  test("cleaning is idempotent: clean(clean(x)) == clean(x)") {
+    val xs = samples(messyString, 40)
+    val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    val c = Cleaning(stamp = Stamp.off)
+    val once = c(df).orderBy("id").collect().toSeq
+    val twice = c(c(df)).orderBy("id").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("phone normalizer: 10-digit inputs always format, digits preserved") {
+    val tenDigits = Gen.listOfN(10, Gen.numChar).map(_.mkString)
+    val out = samples(tenDigits, 50).toDF("phone")
+      .select(normalizePhone(col("phone")).as("p"), col("phone"))
+      .collect()
+    out.foreach { r =>
+      val p = r.getString(0)
+      assert(p.matches("\\(\\d{3}\\) \\d{3}-\\d{4}"), p)
+      assert(p.replaceAll("\\D", "") == r.getString(1))
+    }
+  }
+
+  test("phone normalizer is idempotent on its own output") {
+    val tenDigits = Gen.listOfN(10, Gen.numChar).map(_.mkString)
+    val once = samples(tenDigits, 30).toDF("p")
+      .select(normalizePhone(col("p")).as("p"))
+    val twice = once.select(normalizePhone(col("p")).as("p"))
+    assert(once.as[String].collect().toSeq ==
+      twice.as[String].collect().toSeq)
+  }
+
+  test("multi-format date parse round-trips ISO and slash dates") {
+    val dates: Gen[(String, String)] = for {
+      y <- Gen.choose(1990, 2030); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+      iso = f"$y%04d-$m%02d-$d%02d"
+      variant <- Gen.oneOf(iso, f"$y%04d/$m%02d/$d%02d",
+        f"$iso 10:30:00", f"${iso}T10:30:00")
+    } yield (variant, iso)
+    val rows = samples(dates, 60)
+    val parsed = rows.toDF("s", "iso")
+      .select(col("iso"), date_format(parseDateMulti(col("s")),
+        "yyyy-MM-dd").as("rt")).collect()
+    parsed.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("exact dedup is idempotent; survivor count = distinct texts") {
+    val doc = Gen.oneOf("aaa", "bbb", "ccc", "ddd")
+    val xs = samples(doc, 40)
+    val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val d1 = graft.dedup.Dedup.exactDedup(df, "text", "doc_id")
+    val d2 = graft.dedup.Dedup.exactDedup(d1, "text", "doc_id")
+    assert(d1.orderBy("doc_id").collect().toSeq ==
+      d2.orderBy("doc_id").collect().toSeq)
+    assert(d1.count() == xs.distinct.size)
+  }
+
+  test("record hash: stable under key permutation (sorted-key json form)") {
+    val xs = samples(messyString, 20)
+    val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("k2", "k1")
+    val h1 = df.select(recordHashJson(df, Seq("k1", "k2")).as("h"))
+    val h2 = df.select(recordHashJson(df, Seq("k2", "k1")).as("h"))
+    assert(h1.as[String].collect().toSeq == h2.as[String].collect().toSeq)
+  }
+
+  test("coercion: long-regex accepts exactly what parses (generated ints + garbage)") {
+    val mixed = Gen.oneOf(
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
+      Gen.alphaStr.map(_.take(8)),
+      Gen.choose(-1e9, 1e9).map(_.toString))
+    val xs = samples(mixed, 60)
+    val out = xs.toDF("s")
+      .select(col("s"), coerceLong(col("s")).as("l")).collect()
+    out.foreach { r =>
+      val expected = scala.util.Try(r.getString(0).trim.toLong).toOption
+      val got = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      assert(got == expected, s"input=${r.getString(0)}")
+    }
+  }
+}
