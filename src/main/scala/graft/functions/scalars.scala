@@ -176,6 +176,22 @@ object scalars {
 
   // ── F20 envelope unwrap is in sources (needs a DataFrame) ──────────
 
+  // ── F21 date-range generator (`common_utils.py:296-314`) ──────────
+  /** start→end inclusive stepped by day/hour/week/month — the
+    * reference's generator loop as `sequence` (explode downstream for
+    * one row per step). Its "month" is a literal 30 days. */
+  def dateRange(start: Column, end: Column, step: String = "day"): Column = {
+    val interval = step match {
+      case "day"   => "INTERVAL 1 DAY"
+      case "hour"  => "INTERVAL 1 HOUR"
+      case "week"  => "INTERVAL 7 DAY"
+      case "month" => "INTERVAL 30 DAY"
+      case other => throw new IllegalArgumentException(
+        s"unsupported step: $other")
+    }
+    sequence(start, end, expr(interval))
+  }
+
   // ── F22 human time-ago (`common_utils.py:317-331`) ─────────────────
   def timeAgo(seconds: Column): Column =
     when(seconds < 60, format_string("%d seconds ago", seconds.cast(LongType)))

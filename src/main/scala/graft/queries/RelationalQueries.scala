@@ -226,15 +226,19 @@ object RelationalQueries extends QuerySection {
       .select(col("std_tax"), col("std_discount"),
         (col("std_tax") === 0.0).as("tax_zero_variance"))
 
-  /** A8 document-store aggregation-pipeline semantics compiled to the
-    * engine: $match → filter, $group → agg, $sort → orderBy, $limit. */
-  private def a8Pipeline(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .filter(col("event_type") === "purchase" && col("value") > 50)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+  /** A8 document-store aggregation pipeline executed BY the engine
+    * ($match → filter, $group → agg, $sort → orderBy, $limit), via the
+    * MongoPipeline stage compiler (mongo_connector.py:225-240 hands
+    * these to the database; here Catalyst runs them). */
+  private def a8Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.MongoPipeline._
+    compile(Tables.load(s, dir, "events"), Seq(
+      Match(col("event_type") === "purchase" && col("value") > 50),
+      Group(Seq("user_id"), Seq(("n", "count", ""), ("total", "sum", "value")))))
+      .withColumn("total", round(col("total"), 2))
       .orderBy(desc("total"), col("user_id"))
       .limit(20)
+  }
 
   /** A10 duplicate-group finder (common_utils.py:189-201). */
   private def a10DupGroups(s: SparkSession, dir: String): DataFrame =

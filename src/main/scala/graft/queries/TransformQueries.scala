@@ -162,7 +162,18 @@ object TransformQueries extends QuerySection {
       .orderBy(col("o_orderkey")).limit(500)
   }
 
+  /** F21 date-range generator: per-order 3-day window exploded to one
+    * row per day (sequence + explode). */
+  private def f21DateRange(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        explode(dateRange(col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL 2 DAY"))).as("d"))
+      .orderBy(col("o_orderkey"), col("d"))
+
   def queries: Map[String, Q] = Map(
+    "f21_date_range" -> (f21DateRange _),
     "fx_strings" -> (fxStrings _),
     "fx_phone" -> (fxPhone _),
     "fx_dates" -> (fxDates _),
@@ -177,6 +188,11 @@ object TransformQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "f21_date_range" ->
+      """SELECT o_orderkey, unnest(generate_series(o_orderdate,
+        |  o_orderdate + INTERVAL 2 DAY, INTERVAL 1 DAY)) AS d
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey, d""".stripMargin,
     "fx_strings" ->
       """SELECT c_custkey,
         |  lower(c_name) AS lo,
