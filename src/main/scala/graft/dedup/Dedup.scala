@@ -163,9 +163,15 @@ object Dedup {
   }
 
   // ── Embedding cosine near-dup ──────────────────────────────────────
-  /** Cosine similarity of two float-array embeddings as a pure
-    * expression (zip_with dot product / norms). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array embeddings — the native codegen
+    * expression ([[graft.functions.CosineSimilarity]]; one fused loop
+    * in generated code vs three interpreted higher-order functions). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftx.CosineSimilarity(a, b)
+
+  /** The composed higher-order-function form, kept as a cross-check
+    * baseline for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0),

@@ -1,0 +1,89 @@
+// Hosted under org.apache.spark.sql so the expression can use the
+// private[sql] Column↔Expression bridge (ExpressionUtils) and the
+// private[sql] AbstractDataType hierarchy — the standard technique for
+// out-of-tree Catalyst expressions.
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity of two double-array
+  * embeddings, with full whole-stage codegen (`doGenCode`).
+  *
+  * Why a custom Expression (SURVEY.md §7 preference order b): the
+  * composed form — `aggregate(zip_with(a,b,*),0,+) / norms` — is three
+  * interpreted higher-order functions per row, which dominates
+  * similarity-join runtime; a Scala UDF would add
+  * serialization+codegen-barrier cost on top. This compiles to a single
+  * fused loop inside the generated code. Float arrays cast implicitly
+  * via `ImplicitCastInputTypes`.
+  *
+  * Semantics: dot(a,b) / (‖a‖·‖b‖) over the common prefix length;
+  * NaN when either norm is zero (matches the composed form).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = $a.getDouble($i);
+        |  double $y = $b.getDouble($i);
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |}
+        |${ev.value} = $dot /
+        |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Native CosineSimilarity expression vs the composed HOF baseline. */
+class CosineExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches HOF form on real embeddings") {
+    val e = Tables.load(spark, sf0001, "embeddings").limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+    val diff = pairs.select(
+      abs(Dedup.cosine($"a.v", $"b.v") -
+        Dedup.cosineHof($"a.v", $"b.v")).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diff < 1e-12)
+  }
+
+  test("float arrays cast implicitly; nulls propagate") {
+    val e = Tables.load(spark, sf0001, "embeddings").limit(2)
+    val c = e.as("a").crossJoin(e.as("b"))
+      .select(Dedup.cosine($"a.embedding", $"b.embedding").as("c"))
+    assert(c.collect().forall(r => !r.isNullAt(0)))
+    val withNull = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(Dedup.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("expression compiles into whole-stage generated code (doGenCode)") {
+    import org.apache.spark.sql.execution.debug._
+    val e = Tables.load(spark, sf0001, "embeddings")
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(Dedup.cosine($"v", $"v").as("c"))
+    val gen = codegenString(e.queryExecution.executedPlan)
+    // the fused loop from doGenCode, not a CodegenFallback call
+    assert(gen.contains("numElements"), gen.take(2000))
+    assert(gen.contains("Math.sqrt"), gen.take(2000))
+    assert(!gen.contains("CodegenFallback"), gen.take(2000))
+  }
+}
