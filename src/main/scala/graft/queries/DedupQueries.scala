@@ -33,11 +33,13 @@ object DedupQueries extends QuerySection {
       n = 1, threshold = 0.8, maxShingleFreq = 1000000L)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 sketch). */
+  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 sketch). Bands of
+    * 4 rows: collision probability s⁴ per band keeps low-similarity
+    * candidates out of the bucket join on this high-overlap corpus. */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       docs(s, dir).filter(col("doc_id") < 200), "text", "doc_id",
-      n = 1, numHashes = 32, bands = 16, verifyThreshold = 0.8)
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash candidate summary (rows-only; single row, never empty). */

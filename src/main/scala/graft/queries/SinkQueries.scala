@@ -71,7 +71,39 @@ object SinkQueries extends QuerySection {
       sum(when(!inRange, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** O2 flagship ETL job end-to-end (src/api/main.py:224-280): extract
+    * events → clean → validate (value range) → route valid/invalid to
+    * lake paths → report per-route loaded counts. The judged output is
+    * the deterministic count row; the writes go to a temp dir. */
+  private def o2EtlJob(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.EtlJob
+    import graft.transform.{FieldRule, Stamp}
+    val out = java.nio.file.Files.createTempDirectory("graft_etl_q").toString
+    val job = EtlJob(
+      source = sp => Tables.load(sp, dir, "events")
+        .withColumn("_source", lit("events")),
+      transformations = Seq("cleaning", "validation"),
+      validationRules = Map("value" -> FieldRule(min = Some(5), max = Some(80))),
+      routes = Seq(
+        Sinks.Route("valid", col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/valid")),
+        Sinks.Route("invalid", !col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/invalid")),
+        Sinks.Route("archive", lit(true),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/archive"))),
+      stamp = Stamp.off)
+    val r = job.run(s)
+    import s.implicits._
+    Seq((
+      r.loadResults("valid").count,
+      r.loadResults("invalid").count,
+      r.loadResults("archive").count,
+      r.stageErrors.size.toLong
+    )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
+  }
+
   def queries: Map[String, Q] = Map(
+    "o2_etl_job" -> (o2EtlJob _),
     "k4_upsert_merge" -> (k4UpsertMerge _),
     "k5_points_long" -> (k5PointsLong _),
     "k8_routing_counts" -> (k8RoutingCounts _),
@@ -79,6 +111,15 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "o2_etl_job" ->
+      """SELECT
+        |  sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
+        |    AS n_valid,
+        |  sum(CASE WHEN NOT (value >= 5 AND value <= 80) THEN 1 ELSE 0 END)
+        |    AS n_invalid,
+        |  count(*) AS n_archived,
+        |  CAST(0 AS BIGINT) AS n_stage_errors
+        |FROM events""".stripMargin,
     "k4_upsert_merge" ->
       """WITH u AS (
         |  SELECT c_custkey, c_name, c_nationkey,
