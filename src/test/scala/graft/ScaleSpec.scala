@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.Scale
+
+/** Skew salting + bucketed co-located joins (100 TB layout knobs). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val salted = Scale.saltedSum(li, "l_returnflag", "l_quantity")
+      .orderBy("l_returnflag").collect()
+    val plain = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+    salted.zip(plain).foreach { case (s, p) =>
+      assert(s.getString(0) == p.getString(0))
+      assert(math.abs(s.getDouble(1) - p.getDouble(1)) < 1e-6)
+      assert(s.getLong(2) == p.getLong(2))
+    }
+    // phase-1 plan really fans the hot key out over salt buckets
+    val phase1 = Scale.saltedSum(li, "l_returnflag", "l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(phase1.contains("__salt") || phase1.contains("hash"))
+  }
+
+  test("bucketed join has no Exchange on either side") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val o = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    Scale.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Scale.writeBucketed(li, "b_lineitem", "o_orderkey", 8)
+    // disable broadcast so the planner must consider the shuffle it
+    // would otherwise need — bucketing removes it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val n = joined.count()
+      assert(n == Tables.load(spark, sf0001, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
