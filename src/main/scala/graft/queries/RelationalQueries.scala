@@ -366,8 +366,8 @@ object RelationalQueries extends QuerySection {
         |  lead(o_orderkey, 1) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |    AS next_order,
-        |  rank() OVER (PARTITION BY o_custkey
-        |    ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
         |FROM orders
         |ORDER BY o_custkey, o_orderkey LIMIT 500""".stripMargin,
     "w4_running" ->
@@ -399,12 +399,12 @@ object RelationalQueries extends QuerySection {
         |ORDER BY nationkey""".stripMargin,
     "a2_null_profile" ->
       """SELECT count(*) AS n,
-        |  sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls_event_id,
-        |  sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nulls_ts,
-        |  sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nulls_user_id,
-        |  sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS nulls_event_type,
-        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls_value,
-        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS nulls_props
+        |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
+        |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_ts,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_user_id,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_type,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_value,
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_props
         |FROM events""".stripMargin,
     "a3_dup_stats" ->
       """SELECT n, n_distinct, n - n_distinct AS dup_count FROM

@@ -113,10 +113,10 @@ object SinkQueries extends QuerySection {
   def oracleSql: Map[String, String] = Map(
     "o2_etl_job" ->
       """SELECT
-        |  sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
-        |    AS n_valid,
-        |  sum(CASE WHEN NOT (value >= 5 AND value <= 80) THEN 1 ELSE 0 END)
-        |    AS n_invalid,
+        |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN NOT (value >= 5 AND value <= 80) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_invalid,
         |  count(*) AS n_archived,
         |  CAST(0 AS BIGINT) AS n_stage_errors
         |FROM events""".stripMargin,
@@ -154,24 +154,24 @@ object SinkQueries extends QuerySection {
         |    ELSE 'events' END AS _source
         |  FROM events)
         |SELECT
-        |  sum(CASE WHEN regexp_matches(_source, 'transaction|order')
-        |    THEN 1 ELSE 0 END) AS financial_data,
-        |  sum(CASE WHEN regexp_matches(_source, 'event|log')
-        |    THEN 1 ELSE 0 END) AS processed_events,
-        |  sum(CASE WHEN regexp_matches(_source, 'user|profile')
-        |    THEN 1 ELSE 0 END) AS user_data_wh,
-        |  sum(CASE WHEN regexp_matches(_source, 'user|profile')
-        |    THEN 1 ELSE 0 END) AS user_data_doc,
+        |  CAST(sum(CASE WHEN regexp_matches(_source, 'transaction|order')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS financial_data,
+        |  CAST(sum(CASE WHEN regexp_matches(_source, 'event|log')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS processed_events,
+        |  CAST(sum(CASE WHEN regexp_matches(_source, 'user|profile')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS user_data_wh,
+        |  CAST(sum(CASE WHEN regexp_matches(_source, 'user|profile')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS user_data_doc,
         |  count(*) AS archive
         |FROM tagged""".stripMargin,
     "k9_delete_range" ->
       """SELECT
-        |  sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 00:00:00'
         |    AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END)
-        |    AS n_deleted,
-        |  sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |    AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN NOT (ts >= TIMESTAMP '2024-01-10 00:00:00'
         |    AND ts < TIMESTAMP '2024-01-20 00:00:00') THEN 1 ELSE 0 END)
-        |    AS n_kept
+        |    AS BIGINT) AS n_kept
         |FROM events""".stripMargin
   )
 }

@@ -101,40 +101,40 @@ object ValidationQueries extends QuerySection {
         |FROM e ORDER BY event_id LIMIT 1000""".stripMargin,
     "v2_schema_counts" ->
       """SELECT count(*) AS total_records,
-        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
-        |    AS viol_o_totalprice_missing_or_empty,
-        |  sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
-        |    AS viol_o_totalprice_below_minimum_0,
-        |  sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
-        |    AS viol_o_totalprice_above_maximum_300000,
-        |  sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = ''
-        |    THEN 1 ELSE 0 END) AS viol_o_orderstatus_missing_or_empty,
-        |  sum(CASE WHEN length(o_orderstatus) < 1 THEN 1 ELSE 0 END)
-        |    AS viol_o_orderstatus_length_below_minimum_1,
-        |  sum(CASE WHEN length(o_orderstatus) > 1 THEN 1 ELSE 0 END)
-        |    AS viol_o_orderstatus_length_above_maximum_1
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_o_totalprice_missing_or_empty,
+        |  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_o_totalprice_below_minimum_0,
+        |  CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_o_totalprice_above_maximum_300000,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = ''
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS viol_o_orderstatus_missing_or_empty,
+        |  CAST(sum(CASE WHEN length(o_orderstatus) < 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_o_orderstatus_length_below_minimum_1,
+        |  CAST(sum(CASE WHEN length(o_orderstatus) > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_o_orderstatus_length_above_maximum_1
         |FROM orders""".stripMargin,
     "v3_quality_metrics" ->
       """SELECT count(*) AS total_records,
         |  (SELECT count(*) FROM (SELECT DISTINCT o_orderstatus,
         |    o_orderpriority, o_totalprice FROM orders)) AS distinct_records,
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
-        |    AS nulls_o_orderstatus,
-        |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
-        |    AS nulls_o_orderpriority,
-        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
-        |    AS nulls_o_totalprice,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_o_orderpriority,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_o_totalprice,
         |  stddev_samp(o_totalprice) = 0.0 AS novar_o_totalprice,
         |  count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_orderstatus,
         |    o_orderpriority, o_totalprice FROM orders)) AS duplicate_count
         |FROM orders""".stripMargin,
     "v4_business_rules" ->
       """SELECT count(*) AS total_records,
-        |  sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
         |    (o_totalprice < 1000 OR o_totalprice > 400000)
-        |    THEN 1 ELSE 0 END) AS viol_price_range,
-        |  sum(CASE WHEN NOT (o_totalprice > o_custkey) THEN 1 ELSE 0 END)
-        |    AS viol_price_gt_custkey
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS viol_price_range,
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > o_custkey) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS viol_price_gt_custkey
         |FROM orders""".stripMargin,
     "p5_validity_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total

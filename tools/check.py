@@ -67,6 +67,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(got.columns) != list(exp.columns):
             failures.append(f"{name}: columns differ spark={list(got.columns)} duck={list(exp.columns)}")
             continue
+        # dtype strictness: the driver's hash may be dtype-sensitive
+        # (e.g. duckdb HUGEINT -> float64 vs spark int64)
+        for c in got.columns:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                failures.append(
+                    f"{name}: dtype mismatch col={c} spark={got[c].dtype} duck={exp[c].dtype}")
         if len(got) != len(exp):
             failures.append(f"{name}: rowcount spark={len(got)} duck={len(exp)}")
             continue
