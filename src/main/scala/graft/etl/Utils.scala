@@ -1,0 +1,88 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.transform.FieldRule
+
+/** Small utility surfaces rounding out the reference's helper layer
+  * (SURVEY.md §2.10): single-file writers (incl. YAML), config
+  * load/merge, schema compatibility, timing.
+  */
+object Utils {
+
+  /** `FileUtils.write_file` (common_utils.py:141-171): write a (small)
+    * DataFrame as ONE file in json/jsonl/csv/parquet/yaml. Driver-side
+    * single-file semantics are the point here (config exports, reports);
+    * bulk data goes through `Sinks.load`'s partition-parallel writers. */
+  def writeSingleFile(df: DataFrame, path: String,
+      format: Option[String] = None): Unit = {
+    val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    fmt match {
+      case "json" => // pretty array, like json.dump(indent=2)
+        val rows = df.toJSON.collect()
+        Files.writeString(p, rows.mkString("[\n  ", ",\n  ", "\n]"))
+      case "jsonl" | "ndjson" =>
+        Files.writeString(p, df.toJSON.collect().mkString("", "\n", "\n"))
+      case "csv" =>
+        val cols = df.columns
+        val body = df.select(cols.map(c => col(c).cast("string")): _*)
+          .collect()
+          .map(r => cols.indices.map(i =>
+            Option(r.getString(i)).getOrElse("")).mkString(","))
+        Files.writeString(p,
+          (cols.mkString(",") +: body).mkString("", "\n", "\n"))
+      case "yaml" | "yml" =>
+        val cols = df.columns
+        val body = df.select(cols.map(c => col(c).cast("string")): _*)
+          .collect()
+          .map { r =>
+            cols.indices.map { i =>
+              val prefix = if (i == 0) "- " else "  "
+              s"$prefix${cols(i)}: ${Option(r.getString(i)).getOrElse("null")}"
+            }.mkString("\n")
+          }
+        Files.writeString(p, body.mkString("", "\n", "\n"))
+      case "parquet" =>
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported file type: $other")
+    }
+  }
+
+  /** `ConfigUtils.merge_configs` (common_utils.py:354-365): deep merge,
+    * later maps win, nested maps merge recursively. */
+  def mergeConfigs(configs: Map[String, Any]*): Map[String, Any] =
+    configs.foldLeft(Map.empty[String, Any]) { (acc, cfg) =>
+      cfg.foldLeft(acc) { case (m, (k, v)) =>
+        (m.get(k), v) match {
+          case (Some(a: Map[String @unchecked, Any @unchecked]),
+              b: Map[String @unchecked, Any @unchecked]) =>
+            m.updated(k, mergeConfigs(a, b))
+          case _ => m.updated(k, v)
+        }
+      }
+    }
+
+  /** `ValidationUtils.validate_schema_compatibility`
+    * (common_utils.py:431-438): every required field of the rule schema
+    * must exist in the target schema. */
+  def schemaCompatible(rules: Map[String, FieldRule],
+      target: StructType): Boolean =
+    rules.forall { case (field, r) =>
+      !r.required || target.fieldNames.contains(field)
+    }
+
+  /** `PerformanceUtils.timer` (common_utils.py:232-243): wall-clock a
+    * block, returning (result, seconds). */
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+}
