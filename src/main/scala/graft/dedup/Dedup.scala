@@ -107,8 +107,10 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       verifyThreshold: Double = 0.5): DataFrame = {
     val r = numHashes / bands
+    // no distinct: min-aggregation is duplicate-insensitive, and the
+    // dedupe would cost a full shuffle before the signature shuffle
     val toks = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
-      .distinct().withColumnRenamed("shingle", "sh")
+      .withColumnRenamed("shingle", "sh")
     val sigAggs = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("sh"))).as(s"m$s"))
     val sig = toks.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
@@ -123,13 +125,20 @@ object Dedup {
         col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+    // token sets precomputed per DOCUMENT (O(n)), not per candidate pair
+    // (O(candidates) — candidates can be many multiples of n on a
+    // near-dup-heavy corpus)
+    val texts = df.select(col(idCol).as("id"),
+      array_distinct(tokens(lower(col(textCol)))).as("__tok"))
     val verified = candidates
       .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("__text", "text_a"), "id_a")
+        .withColumnRenamed("__tok", "tok_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("__text", "text_b"), "id_b")
-      .withColumn("jaccard", jaccardTokens(col("text_a"), col("text_b")))
+        .withColumnRenamed("__tok", "tok_b"), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
+      .withColumn("jaccard", round(col("__inter") /
+        (size(col("tok_a")) + size(col("tok_b")) - col("__inter")), 6))
       .filter(col("jaccard") >= verifyThreshold)
     verified.select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -150,6 +150,10 @@ object TextAnalysis {
     * `.distinct()` for set semantics). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    // n=1 needs no neighbor context: plain explode, no window exchange/sort
+    if (n == 1)
+      return df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("shingle"))
     val w = Window.partitionBy(col("__sid")).orderBy(col("__pos"))
     val toks = df.select(col(idCol).as("__sid"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
