@@ -14,38 +14,64 @@ object TextQueries extends QuerySection {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Token/char counting incl. the BPE-ish subword proxy. */
+  /** Token/char counting incl. the BPE-ish subword proxy. Tokenizes
+    * once into a materialized array column — interpreted higher-order
+    * functions get no CSE, so a shared `tokens(text)` subexpression
+    * would otherwise re-split the text at every reference. */
   private def textStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      bpeishCount(col("text")).as("n_pieces"),
-      length(col("text")).as("n_chars_actual"),
-      col("n_chars"),
-      round(avgWordLen(col("text")), 4).as("avg_word_len"))
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        bpeishCount(col("text")).as("n_pieces"),
+        length(col("text")).as("n_chars_actual"),
+        col("n_chars"),
+        round(avgWordLenOfTokens(col("__toks")), 4).as("avg_word_len"))
       .orderBy(col("doc_id")).limit(500)
 
   /** Heuristic quality signals (stopword/punct/digit ratios, composite
-    * score). */
+    * score); raw + lowercase token arrays materialized once per doc. */
   private def textQuality(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      round(stopwordRatio(col("text")), 6).as("sw_ratio"),
-      round(punctRatio(col("text")), 6).as("punct_ratio"),
-      round(digitRatio(col("text")), 6).as("digit_ratio"),
-      round(qualityScore(col("text")), 6).as("quality"))
+    docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        tokens(col("text")).as("__t"),
+        tokens(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"),
+        round(stopwordRatioOfTokens(col("__lt")), 6).as("sw_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(digitRatio(col("text")), 6).as("digit_ratio"),
+        round(qualityScoreOfTokens(col("text"), col("__t"), col("__lt")), 6)
+          .as("quality"))
       .orderBy(col("doc_id")).limit(500)
 
-  /** Language-ID: per-language marker-hit scores + argmax prediction. */
-  private def textLangid(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"), col("lang").as("labeled"),
-      langScore(col("text"), LangMarkers.toMap.apply("de")).as("s_de"),
-      langScore(col("text"), LangMarkers.toMap.apply("en")).as("s_en"),
-      langScore(col("text"), LangMarkers.toMap.apply("es")).as("s_es"),
-      langScore(col("text"), LangMarkers.toMap.apply("fr")).as("s_fr"),
-      predictLang(col("text")).as("predicted"))
+  /** Language-ID: per-language marker-hit scores + argmax prediction.
+    * Staged: tokenize once → score columns → argmax over the score
+    * attributes (the single-expression [[predictLang]] embeds every
+    * language's token filter ~5× — fine as an API, wrong in a scan). */
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled"),
+        tokens(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"), col("labeled"),
+        langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("de")).as("s_de"),
+        langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("en")).as("s_en"),
+        langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("es")).as("s_es"),
+        langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("fr")).as("s_fr"),
+        langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("zh")).as("__s_zh"))
+    val attrs = Seq("de" -> col("s_de"), "en" -> col("s_en"),
+      "es" -> col("s_es"), "fr" -> col("s_fr"), "zh" -> col("__s_zh"))
+    val best = attrs.map(_._2).reduce(greatest(_, _))
+    val pick = attrs.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("predicted", pick).drop("__s_zh")
       .orderBy(col("doc_id")).limit(500)
+  }
 
-  /** Bottom-k md5 shingle fingerprint (min-k sketch; table form — the
-    * codegen explode path). */
+  /** Bottom-k md5 shingle fingerprint (min-k sketch; explode table
+    * form — shingle arrays built once per doc, md5 + min-k aggregate in
+    * codegen, single shuffle on doc id). */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprintTable(docs(s, dir), "doc_id", "text", n = 3, k = 4)
       .withColumnRenamed("id", "doc_id")

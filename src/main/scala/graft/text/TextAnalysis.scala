@@ -27,12 +27,16 @@ object TextAnalysis {
   def bpeishCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  def avgWordLen(c: Column): Column = {
-    val t = tokens(c)
+  def avgWordLen(c: Column): Column = avgWordLenOfTokens(tokens(c))
+
+  /** [[avgWordLen]] over a materialized token-array column. Prefer this
+    * in pipelines: higher-order functions are interpreted (no codegen,
+    * no common-subexpression elimination), so a computed `tokens(...)`
+    * argument is re-evaluated at every reference. */
+  def avgWordLenOfTokens(t: Column): Column =
     when(size(t) > 0,
       aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
         size(t))
-  }
 
   /** Character-class ratios over the raw text. */
   def punctRatio(c: Column): Column =
@@ -56,21 +60,31 @@ object TextAnalysis {
     "that", "for", "on", "with", "as", "at", "by", "be")
 
   def stopwordRatio(c: Column,
+      stopwords: Seq[String] = EnglishStopwords): Column =
+    stopwordRatioOfTokens(tokens(lower(c)), stopwords)
+
+  /** [[stopwordRatio]] over a materialized lowercase token column. */
+  def stopwordRatioOfTokens(lt: Column,
       stopwords: Seq[String] = EnglishStopwords): Column = {
-    val t = tokens(lower(c))
     val sw = array(stopwords.map(lit): _*)
-    when(size(t) > 0,
-      size(filter(t, x => array_contains(sw, x))).cast("double") / size(t))
+    when(size(lt) > 0,
+      size(filter(lt, x => array_contains(sw, x))).cast("double") / size(lt))
       .otherwise(0.0)
   }
 
   /** Heuristic quality score in [0,1]: rewards stopword presence and
     * mid-length tokens, penalizes punctuation/digit noise — a composed,
     * deterministic analogue of fastText-style quality filters. */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
-    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    val noise = punctRatio(c) + digitRatio(c)
+  def qualityScore(c: Column): Column =
+    qualityScoreOfTokens(c, tokens(c), tokens(lower(c)))
+
+  /** [[qualityScore]] with pre-tokenized columns (`t` = raw tokens,
+    * `lt` = lowercase tokens); `raw` is still used for the regex-based
+    * character-class ratios, which are codegen'd and cheap. */
+  def qualityScoreOfTokens(raw: Column, t: Column, lt: Column): Column = {
+    val lenScore = least(size(t).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatioOfTokens(lt) * 5.0, lit(1.0))
+    val noise = punctRatio(raw) + digitRatio(raw)
     greatest(lit(0.0), least(lit(1.0),
       lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - least(noise * 5.0,
         lit(1.0))) * 0.2))
@@ -86,10 +100,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  def langScore(c: Column, markers: Seq[String]): Column = {
-    val t = tokens(lower(c))
+  def langScore(c: Column, markers: Seq[String]): Column =
+    langScoreOfTokens(tokens(lower(c)), markers)
+
+  /** [[langScore]] over a materialized lowercase token column. */
+  def langScoreOfTokens(lt: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
-    size(filter(t, x => array_contains(m, x)))
+    size(filter(lt, x => array_contains(m, x)))
   }
 
   /** Predicted language = argmax marker hits, ties broken by language
@@ -106,14 +123,20 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles: contiguous n-token windows joined by spaces.
-    * `transform(sequence(...))` keeps it inside codegen. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
+    *
+    * NOTE: `c` is referenced from inside the transform lambda, so pass a
+    * plain column/attribute, never a computed expression — a computed `c`
+    * is re-evaluated once per shingle (quadratic per document). Use
+    * [[shinglesOfTokens]] over a materialized token-array column when
+    * composing in a DataFrame pipeline. */
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
+
+  /** [[shingles]] over an already-tokenized array column. */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Document fingerprint: bottom-k of the md5 shingle hashes (a min-k
     * sketch — the portable cousin of winnowing; md5 is stable across
@@ -170,7 +193,13 @@ object TextAnalysis {
     * array when the document has fewer than n tokens. */
   def fingerprintTable(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 4): DataFrame = {
-    val fps = shingleRows(df, idCol, textCol, n)
+    // tokenize once per doc into a materialized array column, build the
+    // shingle array over that attribute (linear, not quadratic), explode,
+    // then md5 + min-k aggregate run in codegen — no window
+    // exchange/sort, one shuffle on the doc id
+    val fps = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(shinglesOfTokens(col("__toks"), n)).as("shingle"))
       .select(col("id"), md5(col("shingle")).as("h"))
       .groupBy(col("id"))
       .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("fp"))
