@@ -54,13 +54,15 @@ object Ann {
     Array.fill(numPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-bit bucket id for a vector under the given hyperplanes. */
+  /** Sign-bit bucket id for a vector under the given hyperplanes.
+    * Each plane's projection is a native codegen [[DotProduct]] — the
+    * interpreted `aggregate(zip_with(...))` form would run numPlanes
+    * interpreted loops per row. */
   def bucketId(v: Column, planes: Array[Array[Double]]): Column = {
     val d = v.cast("array<double>")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(d, plane, (x, y) => x * y), lit(0.0),
-        (acc, x) => acc + x)
+      val dot = org.apache.spark.sql.graftx.DotProduct(d, plane)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
