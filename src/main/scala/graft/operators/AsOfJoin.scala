@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-at-or-before) join — the time-series lookup the
+  * reference's InfluxDB surface implies but never implements (nearest
+  * measurement for a probe timestamp; cf. influx_connector.py:142-189
+  * range scans).
+  *
+  * Implementation is the union-stream form, not a range join: both
+  * sides merge into one event stream per key, one shuffle + sort, and a
+  * running `last(..., ignoreNulls)` carries the latest build-side values
+  * forward to each probe row. A `l.ts >= r.ts` range join would expand
+  * to |probe|×|build-per-key| intermediate rows before picking the max;
+  * this stays linear in input size at any scale, and AQE handles skewed
+  * keys like any other sort exchange.
+  */
+object AsOfJoin {
+
+  /** Backward-inclusive as-of join.
+    *
+    * @param probe     left side; all its columns are preserved
+    * @param build     right side; must contain `keyCols`, `tsCol`, and
+    *                  `carryCols`
+    * @param keyCols   equi-join keys
+    * @param tsCol     event-time column (same name both sides)
+    * @param carryCols build columns carried to each probe row: the values
+    *                  of the build row with the greatest ts <= probe ts
+    *                  (null when no such row)
+    */
+  def backward(probe: DataFrame, build: DataFrame, keyCols: Seq[String],
+      tsCol: String, carryCols: Seq[String]): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    require(!carryCols.exists(probeCols.contains),
+      s"carry columns ${carryCols.mkString(",")} collide with probe columns")
+
+    val carryTypes = carryCols.map(c => c -> build.schema(c).dataType).toMap
+    def nullOf(c: String): Column = lit(null).cast(carryTypes(c)).as(c)
+
+    // __side orders build (0) before probe (1) at equal timestamps —
+    // backward-INCLUSIVE: a build row at exactly the probe ts matches
+    val probeSide = probe.select(
+      probeCols.map(col) ++ carryCols.map(nullOf) :+ lit(1).as("__side"): _*)
+    val buildSide = build.select(
+      probeCols.map(c =>
+        if (keyCols.contains(c) || c == tsCol) col(c)
+        else lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        carryCols.map(col) :+ lit(0).as("__side"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = probeSide.unionByName(buildSide)
+      .select(col("*") +:
+        carryCols.map(c => last(col(c), ignoreNulls = true).over(w)
+          .as(s"__carry_$c")): _*)
+    carried.filter(col("__side") === 1)
+      .select(probeCols.map(col) ++
+        carryCols.map(c => col(s"__carry_$c").as(c)): _*)
+  }
+}

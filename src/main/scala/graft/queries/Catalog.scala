@@ -24,6 +24,7 @@ object Catalog {
     DedupQueries,
     TextQueries,
     SimilarityQueries,
+    MultimodalQueries,
     SinkQueries
   )
 

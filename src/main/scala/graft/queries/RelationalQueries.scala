@@ -268,8 +268,40 @@ object RelationalQueries extends QuerySection {
       .agg(round(sum(col("value")), 2))
       .orderBy(col("user_id"))
 
+  /** J6 as-of join (union-stream form — graft.operators.AsOfJoin): each
+    * click event picks up the user's most recent error at-or-before it.
+    * One shuffle+sort; no range-join row explosion. */
+  private def j6Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val build = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    graft.operators.AsOfJoin.backward(probe, build,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        carryCols = Seq("err_ts", "err_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id")).limit(1000)
+  }
+
+  /** Approximate distinct count (HLL++), judged against the exact count
+    * via its error bound: the sketch value itself is
+    * implementation-specific, the |approx−exact|/exact ≤ 5·rsd bound is
+    * not. */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(count_distinct(col("l_orderkey")).as("exact_cnt"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+      .select(col("exact_cnt"),
+        (abs(col("approx") - col("exact_cnt")).cast("double") /
+          col("exact_cnt") <= 0.1).as("within_bound"))
+
   def queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
+    "j6_asof" -> (j6Asof _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "j1_merge_left_join" -> (j1MergeLeftJoin _),
     "j2_semi" -> (j2Semi _),
     "j2_anti" -> (j2Anti _),
@@ -294,6 +326,17 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "j6_asof" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.value,
+        |  b.ts AS err_ts, b.value AS err_value
+        |FROM p ASOF LEFT JOIN b
+        |  ON p.user_id = b.user_id AND p.ts >= b.ts
+        |ORDER BY p.event_id LIMIT 1000""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_cnt,
+        |  true AS within_bound FROM lineitem""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+/** Semantic pins for the union-stream as-of join. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:05:00"), 101.0),
+    (2L, ts("2024-01-01 10:02:00"), 200.0)
+  ).toDF("user_id", "ts", "px")
+    .select(col("user_id"), col("ts"), col("px"))
+
+  private lazy val trades = Seq(
+    (10L, 1L, ts("2024-01-01 10:03:00")), // after first quote
+    (11L, 1L, ts("2024-01-01 10:05:00")), // exactly at second quote
+    (12L, 1L, ts("2024-01-01 09:59:00")), // before any quote
+    (13L, 2L, ts("2024-01-01 11:00:00")), // user 2
+    (14L, 3L, ts("2024-01-01 10:00:00"))  // user with no quotes
+  ).toDF("trade_id", "user_id", "ts")
+
+  test("backward as-of picks latest at-or-before per key; null when none") {
+    val out = AsOfJoin.backward(trades, quotes,
+        keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))
+      .orderBy("trade_id")
+      .select("trade_id", "px").collect().toSeq
+    assert(out === Seq(
+      Row(10L, 100.0), // 10:03 → quote at 10:00
+      Row(11L, 101.0), // inclusive: quote exactly at trade ts
+      Row(12L, null),  // no quote yet
+      Row(13L, 200.0),
+      Row(14L, null))) // key never quoted
+  }
+
+  test("probe columns pass through untouched and row count is |probe|") {
+    val out = AsOfJoin.backward(trades, quotes,
+      keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))
+    assert(out.columns.toSeq === Seq("trade_id", "user_id", "ts", "px"))
+    assert(out.count() === trades.count())
+  }
+
+  test("plan has exactly one exchange (single shuffle, no range join)") {
+    val out = AsOfJoin.backward(trades, quotes,
+      keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 shuffle, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
