@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join via bin bucketing.
+  *
+  * A naive `point BETWEEN lo AND hi` join is a broadcast-nested-loop /
+  * cartesian plan: |points|×|intervals| comparisons. Binning converts it
+  * to an equi-join: each interval is replicated to the fixed-width bins
+  * it overlaps, each point hashes to exactly one bin, the join key is
+  * the bin id, and the exact containment predicate filters within the
+  * bin. Cost: |points| + Σ(interval width/binWidth) shuffled rows — the
+  * standard trick for genomic/temporal interval joins at scale.
+  *
+  * Pick `binWidth` near the median interval width: too small replicates
+  * intervals; too large degrades to a few giant buckets (skew — AQE
+  * skew-join splits them if it happens).
+  */
+object RangeJoin {
+
+  /** Join `points` to every interval in `intervals` containing the
+    * point (inclusive both ends). All columns from both sides survive.
+    *
+    * Each (point, interval) match appears exactly once — a point falls
+    * in one bin, so no post-join dedup is needed.
+    */
+  def binnedContainment(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+
+    val p = points.withColumn("__bin", binOf(col(pointCol)))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -286,6 +286,24 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_id")).limit(1000)
   }
 
+  /** J7 range-containment join (binned — graft.operators.RangeJoin):
+    * lineitem quantities vs OVERLAPPING quantity bands. Binning turns
+    * the BETWEEN predicate into an equi-join on the bin id; the naive
+    * form is a nested-loop over |fact|×|bands|. */
+  private def j7Range(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((0L, 1.0, 15.0), (1L, 10.0, 30.0), (2L, 25.0, 50.0))
+      .toDF("band_id", "lo", "hi")
+    graft.operators.RangeJoin.binnedContainment(
+        Tables.load(s, dir, "lineitem"), "l_quantity",
+        bands, "lo", "hi", binWidth = 10.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+      .orderBy(col("band_id"))
+  }
+
   /** Approximate distinct count (HLL++), judged against the exact count
     * via its error bound: the sketch value itself is
     * implementation-specific, the |approx−exact|/exact ≤ 5·rsd bound is
@@ -301,6 +319,7 @@ object RelationalQueries extends QuerySection {
   def queries: Map[String, Q] = Map(
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
+    "j7_range" -> (j7Range _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "j1_merge_left_join" -> (j1MergeLeftJoin _),
     "j2_semi" -> (j2Semi _),
@@ -334,6 +353,15 @@ object RelationalQueries extends QuerySection {
         |FROM p ASOF LEFT JOIN b
         |  ON p.user_id = b.user_id AND p.ts >= b.ts
         |ORDER BY p.event_id LIMIT 1000""".stripMargin,
+    "j7_range" ->
+      """WITH bands(band_id, lo, hi) AS (
+        |  VALUES (0, 1.0, 15.0), (1, 10.0, 30.0), (2, 25.0, 50.0))
+        |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem JOIN bands
+        |  ON l_quantity BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_cnt,
         |  true AS within_bound FROM lineitem""".stripMargin,
