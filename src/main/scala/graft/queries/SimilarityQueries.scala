@@ -31,6 +31,15 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-bucketed top-k (rows-only; deterministic codebook = first
+    * nlist corpus vectors). */
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.ivfTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      k = 5, nlist = 8, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Label-centroid similarity: per-label mean embedding, then each
     * label pair's centroid cosine — a grouped vector aggregate. */
   private def annCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -54,6 +63,7 @@ object SimilarityQueries extends QuerySection {
   def queries: Map[String, Q] = Map(
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "ann_centroids" -> (annCentroids _)
   )
 

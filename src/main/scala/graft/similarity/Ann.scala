@@ -90,6 +90,55 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k: corpus vectors are assigned to their
+    * nearest of `nlist` centroid cells; a query searches only its
+    * `nprobe` closest cells. The 100 TB path when hyperplane LSH recall
+    * is too data-dependent: cell assignment is one narrow projection
+    * (nlist native dot products per row), the probe is an equi-join on
+    * the cell id.
+    *
+    * Centroids here are the embeddings of the `nlist` smallest corpus
+    * ids — a deterministic stand-in for a trained k-means codebook (the
+    * training step is pluggable; assignment/probe mechanics are
+    * identical). Collecting them is driver-side by design: nlist×dim
+    * doubles, the IVF codebook is always broadcast state.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
+    val centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+    // per-row cell scores as (dot, cellId) structs; array_max /
+    // array_sort order lexicographically → argmax with index tiebreak
+    def cellStructs(v: Column): Column = array(
+      centroids.zipWithIndex.map { case (c, i) =>
+        val plane = array(c.map(lit): _*)
+        struct(org.apache.spark.sql.graftx.DotProduct(v, plane).as("d"),
+          lit(i).as("i"))
+      }: _*)
+    def bestCell(v: Column): Column = array_max(cellStructs(v)).getField("i")
+    def probeCells(v: Column): Column = transform(
+      slice(reverse(array_sort(cellStructs(v))), 1, nprobe),
+      s => s.getField("i"))
+
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      bestCell(col(vecCol).cast("array<double>")).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        explode(probeCells(col(vecCol).cast("array<double>"))).as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** Fraction of brute-force top-k pairs the ANN path recovered. */
   def recall(ann: DataFrame, brute: DataFrame): Double = {
     val hits = brute.select("query_id", "corpus_id")

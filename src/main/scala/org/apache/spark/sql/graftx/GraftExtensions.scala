@@ -1,0 +1,61 @@
+// Same package rationale as CosineSimilarity.scala: the expression
+// constructors and FunctionRegistry builder types are private[sql].
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so the pure-SQL surface (`spark.sql`, the reference's
+  * query-endpoint passthrough shape, src/api/main.py:154-221) can call
+  * them:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graftx.GraftExtensions")
+  * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Catalyst injection points used: `injectFunction` only — no optimizer
+  * rules or strategies are needed (SURVEY.md §4: built-ins cover the
+  * plan space; the custom work is expression-level).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "_FUNC_(a, b) - cosine similarity of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }: Expression))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "_FUNC_(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes 2 arguments")
+        DotProduct(args(0), args(1))
+      }: Expression))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration onto an existing session (tests, REPLs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      args => CosineSimilarity(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      args => DotProduct(args(0), args(1)), "scala_udf")
+  }
+}

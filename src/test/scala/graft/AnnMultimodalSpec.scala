@@ -47,6 +47,24 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(ann.collect().toSeq == ann2.collect().toSeq)
   }
 
+  test("IVF topk: probed-cell results carry exact cosines; full probe = brute") {
+    val q = embeddings.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, embeddings, "embedding", "vec_id", 5)
+    val ivf = Ann.ivfTopK(q, embeddings, "embedding", "vec_id", 5,
+      nlist = 8, nprobe = 3)
+    val r = Ann.recall(ivf, brute)
+    assert(r > 0.0 && r <= 1.0)
+    // cosines inside probed cells are exact: every returned pair's cos
+    // equals the brute-force cos for that pair
+    val joined = ivf.as("a").join(brute.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.corpus_id" === $"b.corpus_id")
+    assert(joined.filter($"a.cos" =!= $"b.cos").count() === 0)
+    // probing every cell degrades gracefully to the exact answer
+    val full = Ann.ivfTopK(q, embeddings, "embedding", "vec_id", 5,
+      nlist = 4, nprobe = 4)
+    assert(Ann.recall(full, brute) === 1.0)
+  }
+
   test("multimodal: feature extraction keeps schema, drops binary") {
     val media = Multimodal.demoMediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, batchSize = 64)

@@ -5,6 +5,16 @@ import graft.dedup.Dedup
 
 /** Native CosineSimilarity expression vs the composed HOF baseline. */
 class CosineExprSpec extends SparkSpec {
+
+  test("SQL surface: extensions register cosine_similarity / dot_product") {
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT round(cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getDouble(1) === 11.0)
+  }
   import spark.implicits._
 
   test("native expression matches HOF form on real embeddings") {
