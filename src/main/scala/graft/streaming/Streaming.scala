@@ -1,11 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.Row
+
+/** Output row of [[Streaming.statefulUserTotals]]. */
+final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming slice (SURVEY.md §2.11).
   *
@@ -66,6 +69,33 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$base/_checkpoints/route")
+  }
+
+  /** Per-user cumulative totals with explicit keyed state
+    * (`flatMapGroupsWithState`) — the custom-state extension point the
+    * built-in window/session aggregates can't express (arbitrary
+    * per-key accumulators surviving across micro-batches via the
+    * checkpoint). Output mode Update: one refreshed row per user per
+    * batch.
+    *
+    * Scale: state is one (count, sum) pair per user key, partitioned by
+    * the groupByKey shuffle and checkpointed incrementally (RocksDB
+    * state store in production confs). */
+  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update((n, total))
+          Iterator.single(UserTotals(user, n,
+            math.rint(total * 100) / 100))
+      }
   }
 
   /** Run a streaming DataFrame to completion against currently-available

@@ -60,4 +60,48 @@ class StreamingSpec extends SparkSpec {
     // no stream_* source matches the warehouse routes (empty write)
     assert(spark.read.parquet(s"$base/financial_data").count() == 0)
   }
+
+  test("flatMapGroupsWithState keeps per-user state across restarts") {
+    val dir = Files.createTempDirectory("graft_state").toString
+    val ckpt = s"$dir/ckpt"
+    val events = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    val (first, second) = (events.filter($"event_id" % 2 === 0),
+      events.filter($"event_id" % 2 === 1))
+
+    def runBatch(): Unit = {
+      val q = Streaming
+        .statefulUserTotals(Streaming.readEvents(spark, s"$dir/in"))
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.UserTotals],
+              id: Long) =>
+            b.write.mode("append").parquet(s"$dir/out"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    first.write.mode("append").parquet(s"$dir/in")
+    runBatch()
+    second.write.mode("append").parquet(s"$dir/in")
+    runBatch() // same checkpoint: state must carry over, not reset
+
+    // latest emitted row per user == full-batch totals over BOTH halves
+    val latest = spark.read.parquet(s"$dir/out")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"n_events".desc)))
+      .filter($"__rn" === 1).drop("__rn")
+    val expected = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+    val mismatches = latest.alias("a").join(expected.alias("b"), "user_id")
+      .filter($"a.n_events" =!= $"b.n_events" ||
+        abs($"a.total_value" - $"b.total_value") > 0.01)
+    assert(mismatches.count() === 0)
+    assert(latest.count() === expected.count())
+  }
 }
