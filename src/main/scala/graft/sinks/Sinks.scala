@@ -178,6 +178,27 @@ object Sinks {
     pts.count()
   }
 
+  /** Date/source-partitioned lake layout (SURVEY.md §7.4 #6): the
+    * write-side half of partition pruning. Rows land under
+    * `_date=YYYY-MM-DD[/_source=...]/` directories, so any reader with a
+    * date (or source) predicate scans only the matching directories —
+    * at 100 TB this is the difference between a full-lake scan and a
+    * one-day scan. Static pruning shows as PartitionFilters in the read
+    * plan (asserted in SinksSpec); dynamic partition pruning applies on
+    * join keys for free. */
+  def loadPartitionedByDate(df: DataFrame, path: String, tsCol: String,
+      sourceCol: Option[String] = None,
+      mode: SaveMode = SaveMode.Append): Long = {
+    val dated = df.withColumn("_date", to_date(col(tsCol)))
+    val (out, parts) = sourceCol match {
+      case Some(s) => (dated.withColumn("_source_part", col(s)),
+        Seq("_date", "_source_part"))
+      case None => (dated, Seq("_date"))
+    }
+    out.write.mode(mode).partitionBy(parts: _*).parquet(path)
+    df.count()
+  }
+
   /** K7 — multi-target load: same data to N sinks with one upstream
     * computation (`base_loaders.py:326-373` `asyncio.gather`). The
     * DataFrame is persisted once; targets consume the cached partitions;

@@ -35,6 +35,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_fingerprint plan has no window exchange (explode+agg form)") {
+    val plan = graft.queries.Catalog.queries("text_fingerprint")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most 1 shuffle:\n$plan")
+  }
+
   test("a2_null_profile reads all columns in one pass (single scan)") {
     val p = plan("a2_null_profile")
     assert("FileScan".r.findAllIn(p).size == 1, p)

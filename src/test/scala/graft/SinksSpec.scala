@@ -116,4 +116,24 @@ class SinksSpec extends SparkSpec {
     assert(stats.loaded == 10 && stats.failed == 1)
     assert(stats.toDF(spark).count() == 2)
   }
+
+  test("date-partitioned layout prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val events = Tables.load(spark, sf0001, "events")
+    val n = Sinks.loadPartitionedByDate(events, dir, "ts",
+      sourceCol = Some("event_type"))
+    assert(n == events.count())
+
+    val oneDay = spark.read.parquet(dir)
+      .filter($"_date" === "2024-01-02" && $"_source_part" === "click")
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // static partition pruning: the predicate lands in PartitionFilters,
+    // not PushedFilters/post-scan filter
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("_date"), scan)
+    // pruned read returns exactly the batch-filtered subset
+    val expected = events.filter(to_date($"ts") === "2024-01-02" &&
+      $"event_type" === "click").count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
 }
