@@ -47,9 +47,15 @@ object Dedup {
       n: Int, threshold: Double, maxShingleFreq: Long = 1000L): DataFrame = {
     val sh = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
       .distinct()
-    val capped = sh.withColumn("__freq",
-        count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("__freq") <= maxShingleFreq).drop("__freq")
+    // stopword-shingle guard as a broadcast anti-join: the over-frequent
+    // set is tiny by construction (few shingles appear in >cap docs), and
+    // the groupBy gets map-side partial aggregation — a count window over
+    // the shingle partition would shuffle+sort every row with no partials
+    val overCap = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__freq"))
+      .filter(col("__freq") > maxShingleFreq)
+      .select(col("shingle"))
+    val capped = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
