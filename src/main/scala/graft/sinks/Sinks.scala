@@ -74,18 +74,23 @@ object Sinks {
       keyField: String, stampUpdatedAt: Boolean = true): (Long, Long) = {
     val exists = Files.exists(Paths.get(path))
     if (!exists) {
-      updates.write.mode(SaveMode.Overwrite).parquet(path)
-      return (updates.count(), 0L)
+      val obs = new org.apache.spark.sql.Observation("upsert_insert_only")
+      updates.observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      return (obs.get("n").asInstanceOf[Long], 0L)
     }
     val target = spark.read.parquet(path)
     val merged = mergeFrames(target, updates, keyField, stampUpdatedAt)
-    // count inserts/updates from one marker aggregation over the join
-    val counts = merged.agg(
-      sum(when(col("__is_insert"), 1L).otherwise(0L)),
-      sum(when(col("__is_update"), 1L).otherwise(0L))).head()
-    val out = merged.drop("__is_insert", "__is_update")
+    // inserted/updated counts observed DURING the write — the merge join
+    // executes once (the earlier agg-then-write form ran it twice)
+    val obs = new org.apache.spark.sql.Observation("upsert_metrics")
+    val out = merged.observe(obs,
+        sum(when(col("__is_insert"), 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("__is_update"), 1L).otherwise(0L)).as("updated"))
+      .drop("__is_insert", "__is_update")
     writeSwap(spark, out, path)
-    (counts.getLong(0), counts.getLong(1))
+    (obs.get("inserted").asInstanceOf[Long],
+      obs.get("updated").asInstanceOf[Long])
   }
 
   /** The merge plan: full outer on key; update columns take precedence
@@ -124,10 +129,15 @@ object Sinks {
   def deleteTimeRange(spark: SparkSession, path: String, tsCol: String,
       start: String, stop: String): Long = {
     val df = spark.read.parquet(path)
-    val keep = df.where(!(col(tsCol) >= lit(start) && col(tsCol) < lit(stop)))
-    val deleted = df.count() - keep.count()
+    // both row counts observed inside the single rewrite pass (the
+    // count-then-count form scanned the table twice before writing)
+    val obsAll = new org.apache.spark.sql.Observation("delete_total")
+    val obsKeep = new org.apache.spark.sql.Observation("delete_kept")
+    val keep = df.observe(obsAll, count(lit(1)).as("n"))
+      .where(!(col(tsCol) >= lit(start) && col(tsCol) < lit(stop)))
+      .observe(obsKeep, count(lit(1)).as("n"))
     writeSwap(spark, keep, path)
-    deleted
+    obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
   }
 
   /** Overwriting a path we are also reading requires materializing away
