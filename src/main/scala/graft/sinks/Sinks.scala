@@ -43,7 +43,9 @@ object Sinks {
       ifExists: String = "append"): Long = {
     val mode =
       if (ifExists == "replace") SaveMode.Overwrite else SaveMode.Append
-    val w = df.write.mode(mode)
+    // loaded-row count observed during the write itself (no re-scan)
+    val obs = new org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("n")).write.mode(mode)
     format match {
       case "parquet" => w.parquet(path)
       case "json"    => w.json(path)
@@ -51,7 +53,7 @@ object Sinks {
       case other => throw new IllegalArgumentException(
         s"Unsupported format: $other")
     }
-    df.count()
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** K3 — document-store insert with `created_at` stamping
