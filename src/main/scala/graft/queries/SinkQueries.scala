@@ -102,8 +102,26 @@ object SinkQueries extends QuerySection {
     )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
   }
 
+  /** K7: multi-target load — same events scan fanned to a parquet and a
+    * json sink (one persist, two writes); judged output is the
+    * per-target result map. */
+  private def k7MultiTarget(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_k7").toString
+    val results = Sinks.multiTarget(
+      Tables.load(s, dir, "events"),
+      Seq(
+        "json_copy" -> ((d: org.apache.spark.sql.DataFrame) =>
+          Sinks.load(d, s"$out/json_copy", format = "json")),
+        "parquet_copy" -> ((d: org.apache.spark.sql.DataFrame) =>
+          Sinks.load(d, s"$out/parquet_copy"))))
+    import s.implicits._
+    results.toSeq.map { case (name, r) => (name, r.status, r.count) }
+      .toDF("target", "status", "n").orderBy(col("target"))
+  }
+
   def queries: Map[String, Q] = Map(
     "o2_etl_job" -> (o2EtlJob _),
+    "k7_multi_target" -> (k7MultiTarget _),
     "k4_upsert_merge" -> (k4UpsertMerge _),
     "k5_points_long" -> (k5PointsLong _),
     "k8_routing_counts" -> (k8RoutingCounts _),
@@ -111,6 +129,12 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k7_multi_target" ->
+      """SELECT 'json_copy' AS target, 'success' AS status,
+        |  count(*) AS n FROM events
+        |UNION ALL
+        |SELECT 'parquet_copy', 'success', count(*) FROM events
+        |ORDER BY target""".stripMargin,
     "o2_etl_job" ->
       """SELECT
         |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)

@@ -65,7 +65,40 @@ object SourceQueries extends QuerySection {
     Sources.listTables(s).toDF("table_name").orderBy(col("table_name"))
   }
 
+  /** S4/K6: file-surface round-trip — nation written as a CSV by the
+    * single-file writer, re-read through the CSV scan (header +
+    * inferSchema), judged against the original parquet table. Comment
+    * column dropped: the config-scale CSV writer doesn't quote. */
+  private def s4FileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+    val path = s"$tmp/nation.csv"
+    graft.etl.Utils.writeSingleFile(
+      Tables.load(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name"), col("n_regionkey")).orderBy(col("n_nationkey")),
+      path)
+    Sources.file(s, path)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** S5: YAML round-trip — region through the YAML writer and the
+    * driver-side YAML reader (strings in, cast out). */
+  private def s5YamlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+    val path = s"$tmp/region.yaml"
+    graft.etl.Utils.writeSingleFile(
+      Tables.load(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey")),
+      path)
+    Sources.yaml(s, path)
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s4_file_roundtrip" -> (s4FileRoundtrip _),
+    "s5_yaml_roundtrip" -> (s5YamlRoundtrip _),
     "s1_where_scan" -> (s1WhereScan _),
     "s2_filter_dict" -> (s2FilterDict _),
     "s3_time_range" -> (s3TimeRange _),
@@ -75,6 +108,13 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s4_file_roundtrip" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "s5_yaml_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "s1_where_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
