@@ -47,6 +47,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === trades.count())
   }
 
+  test("property: agrees with naive per-probe max-build lookup on random data") {
+    val rng = new scala.util.Random(7L)
+    // small key/ts domains force heavy collisions and empty-build keys
+    val probeRows = (0 until 120).map(i =>
+      (i.toLong, (rng.nextInt(6) + 1).toLong,
+        ts(f"2024-01-01 10:${rng.nextInt(50)}%02d:00")))
+    val buildRows = (0 until 60).map(i =>
+      ((rng.nextInt(8) + 1).toLong,
+        ts(f"2024-01-01 10:${rng.nextInt(50)}%02d:00"), i * 1.5))
+      // dedupe (key, ts) — ties between build rows are untestable noise
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val probes = probeRows.toDF("trade_id", "user_id", "ts")
+    val builds = buildRows.toDF("user_id", "ts", "px")
+
+    val got = AsOfJoin.backward(probes, builds,
+        keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    val byKey = buildRows.groupBy(_._1)
+    val expected = probeRows.map { case (tid, k, t) =>
+      tid -> byKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("plan has exactly one exchange (single shuffle, no range join)") {
     val out = AsOfJoin.backward(trades, quotes,
       keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))

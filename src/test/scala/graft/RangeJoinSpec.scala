@@ -47,6 +47,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Seq((1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("property: random points/intervals/binWidths agree with naive join") {
+    val rng = new scala.util.Random(11L)
+    val pts = (0 until 150).map(i => (i.toLong, rng.nextDouble() * 60 - 30))
+      .toDF("pid", "x")
+    val ivs = (0 until 25).map { i =>
+      val a = rng.nextDouble() * 60 - 30
+      val b = a + rng.nextDouble() * 12
+      (i.toLong, a, b)
+    }.toDF("iid", "lo", "hi")
+    val naive = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+    for (bw <- Seq(0.5, 3.0, 7.7, 100.0)) {
+      val binned = RangeJoin.binnedContainment(pts, "x", ivs, "lo", "hi", bw)
+        .select("pid", "iid").orderBy("pid", "iid").collect().toSeq
+      assert(binned === naive, s"binWidth=$bw")
+    }
+  }
+
   test("plan is an equi join, not a nested loop") {
     val plan = RangeJoin.binnedContainment(points, "x",
       intervals, "lo", "hi", binWidth = 5.0).queryExecution.executedPlan.toString
