@@ -304,6 +304,17 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("band_id"))
   }
 
+  /** Skew-salted two-phase aggregation (graft.plans.Scale.saltedSum):
+    * hot keys spread over salt buckets in phase 1, merged per key in
+    * phase 2 — judged against the plain GROUP BY, proving the rewrite
+    * changes distribution only, never results. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.saltedSum(
+        Tables.load(s, dir, "events"), "user_id", "value", saltBuckets = 16)
+      .select(col("user_id"), round(col("value_sum"), 2).as("value_sum"),
+        col("n"))
+      .orderBy(col("user_id"))
+
   /** Approximate distinct count (HLL++), judged against the exact count
     * via its error bound: the sketch value itself is
     * implementation-specific, the |approx−exact|/exact ≤ 5·rsd bound is
@@ -320,6 +331,7 @@ object RelationalQueries extends QuerySection {
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
     "j7_range" -> (j7Range _),
+    "q_salted_agg" -> (qSaltedAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "j1_merge_left_join" -> (j1MergeLeftJoin _),
     "j2_semi" -> (j2Semi _),
@@ -362,6 +374,10 @@ object RelationalQueries extends QuerySection {
         |FROM lineitem JOIN bands
         |  ON l_quantity BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, round(sum(value), 2) AS value_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_cnt,
         |  true AS within_bound FROM lineitem""".stripMargin,
