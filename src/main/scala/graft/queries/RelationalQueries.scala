@@ -257,6 +257,31 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Cube over two dims (engine extension; grouping-sets family). */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .cube(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  /** W6 batch sessionization: lag-gap flags + running sum assign session
+    * ids in two windows over one shuffle; identical SQL runs on DuckDB.
+    * (The streaming twin is Streaming.sessionize / session_window.) */
+  private def w6Sessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = Tables.load(s, dir, "events")
+      .withColumn("__new_session",
+        when(col("ts").cast("long") -
+          lag(col("ts"), 1).over(byUser).cast("long") > 1800L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("__new_session")).over(byUser))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Long→wide pivot (S3 reshape surface, influx_connector.py:168-185).
     * Sums rather than avgs: the inputs are exact-2dp values, so rounded
     * sums can't land on a .005 tie that Spark and the oracle break
@@ -332,6 +357,8 @@ object RelationalQueries extends QuerySection {
     "j6_asof" -> (j6Asof _),
     "j7_range" -> (j7Range _),
     "q_salted_agg" -> (qSaltedAgg _),
+    "q_cube" -> (qCube _),
+    "w6_sessions" -> (w6Sessions _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "j1_merge_left_join" -> (j1MergeLeftJoin _),
     "j2_semi" -> (j2Semi _),
@@ -378,6 +405,28 @@ object RelationalQueries extends QuerySection {
       """SELECT user_id, round(sum(value), 2) AS value_sum,
         |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "w6_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch(ts) -
+        |      epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS session_start,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_approx_distinct" ->
       """SELECT count(DISTINCT l_orderkey) AS exact_cnt,
         |  true AS within_bound FROM lineitem""".stripMargin,
