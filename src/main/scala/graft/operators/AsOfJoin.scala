@@ -35,6 +35,13 @@ object AsOfJoin {
     val probeCols = probe.columns.toSeq
     require(!carryCols.exists(probeCols.contains),
       s"carry columns ${carryCols.mkString(",")} collide with probe columns")
+    require(!probeCols.contains("__side") &&
+      !probeCols.exists(_.startsWith("__carry_")),
+      "probe columns __side / __carry_* are reserved")
+    (keyCols :+ tsCol).foreach { c =>
+      require(probeCols.contains(c), s"probe side is missing column $c")
+      require(build.columns.contains(c), s"build side is missing column $c")
+    }
 
     val carryTypes = carryCols.map(c => c -> build.schema(c).dataType).toMap
     def nullOf(c: String): Column = lit(null).cast(carryTypes(c)).as(c)

@@ -27,13 +27,20 @@ object RangeJoin {
     */
   def binnedContainment(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     def binOf(c: Column): Column = floor(c / lit(binWidth)).cast("long")
 
     val p = points.withColumn("__bin", binOf(col(pointCol)))
-    val iv = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(loCol)), binOf(col(hiCol)))))
+    // a binWidth far below the interval widths would replicate every
+    // interval thousands of times — fail loudly instead of OOMing a task
+    val binSpan = binOf(col(hiCol)) - binOf(col(loCol)) + 1L
+    val guarded = when(binSpan > maxBinsPerInterval,
+      raise_error(concat(lit(s"interval spans more than " +
+        s"$maxBinsPerInterval bins of width $binWidth at ["),
+        col(loCol), lit(", "), col(hiCol), lit("] — raise binWidth"))))
+      .otherwise(sequence(binOf(col(loCol)), binOf(col(hiCol))))
+    val iv = intervals.withColumn("__bin", explode(guarded))
     p.join(iv, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

@@ -65,6 +65,14 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("over-replicating binWidth fails loudly instead of exploding") {
+    val e = intercept[Exception] {
+      RangeJoin.binnedContainment(points, "x", intervals, "lo", "hi",
+        binWidth = 0.001, maxBinsPerInterval = 100).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("plan is an equi join, not a nested loop") {
     val plan = RangeJoin.binnedContainment(points, "x",
       intervals, "lo", "hi", binWidth = 5.0).queryExecution.executedPlan.toString
