@@ -72,6 +72,36 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash LSH agrees with MLlib MinHashLSH on the planted corpus") {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    // same corpus through Spark's library implementation: token sets →
+    // binary hashed features → LSH similarity self-join at J ≥ 0.7
+    val toks = corpus.select($"doc_id",
+      array_distinct(TextAnalysis.tokens(lower($"text"))).as("toks"))
+    val feat = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true).transform(toks)
+    val model = new MinHashLSH().setInputCol("features")
+      .setOutputCol("hashes").setNumHashTables(8).setSeed(42L).fit(feat)
+    val mllib = model.approxSimilarityJoin(feat, feat, 0.3, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("id_a"),
+        col("datasetB.doc_id").as("id_b"),
+        round(lit(1.0) - col("dist"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ours = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // the planted exact pair must be found by both with J = 1
+    assert(ours.get((0L, 1L)).contains(1.0))
+    assert(mllib.get((0L, 1L)).contains(1.0))
+    // every pair both engines surface carries the same exact Jaccard
+    for (key <- ours.keySet.intersect(mllib.keySet))
+      assert(math.abs(ours(key) - mllib(key)) < 1e-6, s"pair $key")
+    assert(ours.keySet.intersect(mllib.keySet).nonEmpty)
+  }
+
   test("minhash LSH: near-dup candidates survive verification") {
     val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id",
       n = 2, numHashes = 32, bands = 16, verifyThreshold = 0.5)
