@@ -90,6 +90,54 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic seed codebook: the embeddings of the `nlist`
+    * smallest corpus ids. */
+  def seedCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Spherical k-means codebook training (Lloyd iterations), fully
+    * DataFrame-native: assignment is nlist native dot products per row
+    * (one narrow projection), the new centroid is the per-cell
+    * dimension-wise mean (posexplode → one partial-aggregated shuffle),
+    * re-normalized to the unit sphere so max-dot == min-angle for the
+    * cosine metric. Only nlist×dim doubles ever reach the driver per
+    * iteration — the codebook is broadcast state by design.
+    * Deterministic: seeded init, tie-break by cell index. */
+  def trainCodebook(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids = seedCodebook(corpus, vecCol, idCol, nlist).map(normalize)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    for (_ <- 0 until iters) {
+      val cellCol = {
+        val scored = centroids.zipWithIndex.map { case (c, i) =>
+          struct(org.apache.spark.sql.graftx.DotProduct(col("v"),
+            array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+        }
+        array_max(array(scored: _*)).getField("i")
+      }
+      val means = vecs.withColumn("cell", cellCol)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("pairs"))
+        .select(col("cell"), expr("transform(pairs, p -> p.m)").as("centroid"))
+        .collect().map(r =>
+          r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // cells that lost every vector keep their previous centroid
+      centroids = centroids.indices.map(i =>
+        normalize(means.getOrElse(i, centroids(i)))).toArray
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) top-k: corpus vectors are assigned to their
     * nearest of `nlist` centroid cells; a query searches only its
     * `nprobe` closest cells. The 100 TB path when hyperplane LSH recall
@@ -97,18 +145,16 @@ object Ann {
     * (nlist native dot products per row), the probe is an equi-join on
     * the cell id.
     *
-    * Centroids here are the embeddings of the `nlist` smallest corpus
-    * ids — a deterministic stand-in for a trained k-means codebook (the
-    * training step is pluggable; assignment/probe mechanics are
-    * identical). Collecting them is driver-side by design: nlist×dim
-    * doubles, the IVF codebook is always broadcast state.
+    * `codebook` defaults to [[seedCodebook]] (deterministic first-n
+    * vectors); pass [[trainCodebook]]'s output for k-means cells.
+    * Collecting the codebook is driver-side by design: nlist×dim
+    * doubles, always broadcast state.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
-      idCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2): DataFrame = {
-    val centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+      idCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      codebook: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids: Array[Array[Double]] =
+      codebook.getOrElse(seedCodebook(corpus, vecCol, idCol, nlist))
 
     // per-row cell scores as (dot, cellId) structs; array_max /
     // array_sort order lexicographically → argmax with index tiebreak

@@ -65,6 +65,35 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(Ann.recall(full, brute) === 1.0)
   }
 
+  test("IVF k-means codebook: unit norms, non-decreasing objective, exact results") {
+    import org.apache.spark.sql.graftx.DotProduct
+    def avgMaxDot(cb: Array[Array[Double]]): Double = {
+      val best = array_max(array(cb.map(c =>
+        DotProduct($"embedding".cast("array<double>"),
+          array(c.map(lit): _*))): _*))
+      embeddings.select(avg(best)).head().getDouble(0)
+    }
+    val cb1 = Ann.trainCodebook(embeddings, "embedding", "vec_id",
+      nlist = 6, iters = 1)
+    val cb3 = Ann.trainCodebook(embeddings, "embedding", "vec_id",
+      nlist = 6, iters = 3)
+    assert(cb3.length == 6)
+    cb3.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // spherical k-means objective (mean best-cell dot) never decreases
+    assert(avgMaxDot(cb3) >= avgMaxDot(cb1) - 1e-9)
+    // trained cells still return exact cosines for surfaced pairs
+    val q = embeddings.filter($"vec_id" < 10)
+    val brute = Ann.bruteTopK(q, embeddings, "embedding", "vec_id", 5)
+    val ivf = Ann.ivfTopK(q, embeddings, "embedding", "vec_id", 5,
+      nprobe = 2, codebook = Some(cb3))
+    val joined = ivf.as("a").join(brute.as("b"),
+      $"a.query_id" === $"b.query_id" && $"a.corpus_id" === $"b.corpus_id")
+    assert(joined.filter($"a.cos" =!= $"b.cos").count() === 0)
+    assert(Ann.recall(ivf, brute) > 0.0)
+  }
+
   test("multimodal: feature extraction keeps schema, drops binary") {
     val media = Multimodal.demoMediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, batchSize = 64)
