@@ -41,6 +41,48 @@ class EtlJobSpec extends SparkSpec {
     assert(john.getAs[String]("name") == "John Doe")
   }
 
+  test("DAG shape: 3 parallel sources → unionByName → transform → routed load (dag:43-397)") {
+    val dir = Files.createTempDirectory("graft_dag").toString
+    // three heterogeneous extracts, schemas only partially overlapping —
+    // the DAG's staging-file concat is a UNION ALL by name, missing
+    // columns nulled (multi_source_ingestion_dag.py:203-237)
+    val pg = Seq((1L, "alice@x.com", 120.5), (2L, "bob@x.com", 99.0))
+      .toDF("id", "email", "amount")
+      .withColumn("_source", lit("postgres_transactions"))
+    val mongo = Seq((10L, "click", "s1"), (11L, "view", "s2"))
+      .toDF("id", "event_type", "session")
+      .withColumn("_source", lit("mongo_events"))
+    val api = Seq((20L, "carol@x.com", "NYC")).toDF("id", "email", "city")
+      .withColumn("_source", lit("api_users"))
+    val unioned = Seq(pg, mongo, api).reduce(
+      _.unionByName(_, allowMissingColumns = true))
+
+    val job = EtlJob(
+      source = _ => unioned,
+      transformations = Seq("cleaning"),
+      routes = Sinks.standardRoutes(dir),
+      stamp = Stamp.off)
+    val result = job.run(spark)
+
+    // routing per multi_source_ingestion_dag.py:267-305
+    assert(result.loadResults("financial_data").count == 2)   // transactions
+    assert(result.loadResults("processed_events").count == 2) // events
+    assert(result.loadResults("user_data_wh").count == 1)     // users → both
+    assert(result.loadResults("user_data_doc").count == 1)
+    assert(result.loadResults("archive").count == 5)          // everything
+    val archived = spark.read.parquet(s"$dir/archive")
+    assert(archived.columns.toSet ==
+      Set("id", "email", "amount", "_source", "event_type", "session", "city"))
+    // missing columns nulled, not dropped
+    assert(archived.where($"_source" === "mongo_events" &&
+      $"email".isNull).count() == 2)
+
+    val report = QualityReport.build(spark, "dag_run",
+      Map("postgres" -> 2L, "mongo" -> 2L, "api" -> 1L), result, 30.0)
+    assert(report.head().getAs[Double]("success_rate") == 1.0)
+    assert(report.head().getAs[Long]("records_loaded") == 11L) // 2+2+1+1+5
+  }
+
   test("validation rules fire after cleaning coercion (age '200' string)") {
     // reference cleaning coerces '200'→200 so the range rule catches it
     val src = Seq(("a@b.com", "200")).toDF("email", "age")
