@@ -22,8 +22,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables that should be broadcast in joins. */
-  val smallDims: Set[String] = Set("region", "nation", "supplier", "part")
+  /** Dimension tables whose size is a CONSTANT of the data model (5
+    * regions, 25 nations) — safe to broadcast at any scale factor, so
+    * [[load]] attaches the hint. supplier/part are deliberately absent:
+    * they grow linearly with SF and would overwhelm executors as
+    * broadcast sides at 100 TB; their joins are AQE's call. */
+  val smallDims: Set[String] = Set("region", "nation")
 
   /** Columns stored as TIMESTAMP(NANOS), which Spark's Parquet reader
     * rejects (Spark timestamps are µs). Read as long ns + truncate to µs
@@ -38,13 +42,14 @@ object Tables {
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, name))
-    nanos.foldLeft(raw) { (d, c) =>
+    val fixed = nanos.foldLeft(raw) { (d, c) =>
       // integer `div`, not `/`: epoch-ns exceeds double's 2^53 mantissa,
       // so float division would corrupt the low microsecond digits.
       if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
         d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
       else d
     }
+    if (smallDims.contains(name)) broadcast(fixed) else fixed
   }
 
   /** Register every table as a temp view (schema-on-read catalog,
