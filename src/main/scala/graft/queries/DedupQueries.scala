@@ -58,7 +58,25 @@ object DedupQueries extends QuerySection {
       "embedding", "vec_id", threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** End-to-end corpus cleaning (the flagship training-data composite):
+    * exact dedup (keep-min-id per content hash) → near-dup pair
+    * detection (2-gram Jaccard ≥ 0.6) → greedy removal (any doc that is
+    * the larger id of a pair drops; the smallest id in each near-dup
+    * cluster survives). The whole chain hash-compares against the same
+    * logic in ANSI SQL. */
+  private def dedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val exact = Dedup.exactDedup(d, "text", "doc_id")
+    val losers = Dedup.ngramJaccardPairs(exact, "text", "doc_id",
+        n = 2, threshold = 0.6, maxShingleFreq = 1000000L)
+      .select(col("id_b").as("doc_id")).distinct()
+    exact.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dedup_pipeline" -> (dedupPipeline _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_ngram" -> (dedupNgram _),
@@ -68,6 +86,32 @@ object DedupQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_pipeline" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),
+        |exact AS (
+        |  SELECT * FROM d QUALIFY row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM exact),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(common AS DOUBLE) /
+        |    (sa.sz + sb.sz - common), 6) >= 0.6)
+        |SELECT doc_id, lang FROM exact
+        |WHERE doc_id NOT IN (SELECT id_b FROM near)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT n, n_unique, n - n_unique AS n_dups FROM
         |(SELECT count(*) AS n, count(DISTINCT md5(text)) AS n_unique
