@@ -69,6 +69,25 @@ object scalars {
       .otherwise(c)
   }
 
+  // ── PII scrubbing (training-data extension) ────────────────────────
+  /** Regexes shared with the DuckDB oracle — RE2-compatible by design
+    * (no lookaround), so Java and RE2 agree match-for-match. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiSsnRe = "\\d{3}-\\d{2}-\\d{4}"
+  val piiPhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails/SSNs/phone numbers to typed markers — the corpus
+    * scrub every LLM training pipeline runs before tokenization. Order
+    * matters: emails first (an address can embed digit-dash runs), then
+    * the narrower SSN shape, then phones. Pure regexp_replace chain —
+    * codegen, no UDF. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiEmailRe, "[EMAIL]"),
+        piiSsnRe, "[ID]"),
+      piiPhoneRe, "[PHONE]")
+
   // ── F6 numeric coercion ────────────────────────────────────────────
   /** Numeric-looking string → long (no '.'/exponent) else double; null if
     * not numeric (`data_transformers.py:58-62,85-91`). NB: the reference

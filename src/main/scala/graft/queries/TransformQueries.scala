@@ -172,7 +172,23 @@ object TransformQueries extends QuerySection {
           col("o_orderdate") + expr("INTERVAL 2 DAY"))).as("d"))
       .orderBy(col("o_orderkey"), col("d"))
 
+  /** PII scrub (training-data extension): deterministic synthetic PII
+    * appended to each document, redacted by the regexp chain; md5 of the
+    * scrubbed text makes the compare exact on the full string. */
+  private def tScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@ex-mail.com or 555-123-4567 ssn 987-65-4321")).as("__t"))
+      .select(col("doc_id"),
+        md5(graft.functions.scalars.scrubPii(col("__t"))).as("scrubbed_md5"),
+        (length(col("__t")) -
+          length(graft.functions.scalars.scrubPii(col("__t"))))
+          .as("chars_redacted"))
+      .orderBy(col("doc_id")).limit(500)
+
   def queries: Map[String, Q] = Map(
+    "t_scrub" -> (tScrub _),
     "f21_date_range" -> (f21DateRange _),
     "fx_strings" -> (fxStrings _),
     "fx_phone" -> (fxPhone _),
@@ -188,6 +204,21 @@ object TransformQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "t_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' reach user' || doc_id ||
+        |    '@ex-mail.com or 555-123-4567 ssn 987-65-4321' AS s
+        |  FROM documents),
+        |sc AS (SELECT doc_id, s, regexp_replace(regexp_replace(
+        |    regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '[ID]', 'g'),
+        |  '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS scrubbed
+        |  FROM t)
+        |SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+        |  CAST(length(s) - length(scrubbed) AS INT) AS chars_redacted
+        |FROM sc ORDER BY doc_id LIMIT 500""".stripMargin,
     "f21_date_range" ->
       """SELECT o_orderkey, unnest(generate_series(o_orderdate,
         |  o_orderdate + INTERVAL 2 DAY, INTERVAL 1 DAY)) AS d

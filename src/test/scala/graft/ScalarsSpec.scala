@@ -75,4 +75,15 @@ class ScalarsSpec extends SparkSpec {
     val h2 = df.select(recordHashJson(df, Seq("a", "z")).as("h")).as[String].head()
     assert(h1 == h2)
   }
+
+  test("scrubPii redacts emails, SSNs, and phones to typed markers") {
+    val out = Seq(
+      "mail a.b-c@sub.ex.co phone 555-123-4567 ssn 987-65-4321",
+      "ssn-like inside email stays safe: a-123-45-6789b@x.com",
+      "no pii here 12-34").toDF("s")
+      .select(scrubPii($"s").as("r")).as[String].collect()
+    assert(out(0) == "mail [EMAIL] phone [PHONE] ssn [ID]")
+    assert(out(1) == "ssn-like inside email stays safe: [EMAIL]")
+    assert(out(2) == "no pii here 12-34")
+  }
 }
