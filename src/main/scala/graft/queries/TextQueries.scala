@@ -77,6 +77,33 @@ object TextQueries extends QuerySection {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id")).limit(300)
 
+  /** Sequence packing (training-data extension): documents fill
+    * fixed-token-budget packs in deterministic doc_id order — running
+    * token cumsum binned by the budget (contiguous-fill packing; a doc
+    * lands in the pack its predecessor total falls in). One windowed
+    * cumsum + one aggregate; at corpus scale the order column is the
+    * shard key so packs build per shard. */
+  private def textPack(s: SparkSession, dir: String,
+      tokenBudget: Long = 2000L, shardSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // packing is shard-local: the cumsum window partitions on the shard
+    // (NEVER a global single-partition window), costing at most one
+    // partial pack per shard boundary — how distributed packing actually
+    // runs over a 100 TB corpus
+    val w = Window.partitionBy(col("__shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("doc_id"), floor(col("doc_id") / shardSize).as("__shard"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("__before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id",
+        col("__shard") * 1000000L + floor(col("__before") / tokenBudget))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("pack_id"))
+  }
+
   /** Corpus rollup: per (lang, source) doc counts and length stats. */
   private def textRollup(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).groupBy(col("lang"), col("source"))
@@ -90,7 +117,8 @@ object TextQueries extends QuerySection {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_rollup" -> (textRollup _)
+    "text_rollup" -> (textRollup _),
+    "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
 
   private val tokensSql = "string_split_regex(trim(text), '\\s+')"
@@ -103,6 +131,18 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id // 1000 AS shard,
+        |    CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before FROM t)
+        |SELECT CAST(shard * 1000000 + before // 2000 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
         |  CAST(len($tokensSql) AS INT) AS n_tokens,
