@@ -25,6 +25,7 @@ object Catalog {
     TextQueries,
     SimilarityQueries,
     MultimodalQueries,
+    StreamingQueries,
     SinkQueries
   )
 

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.Streaming
+
+/** Judged STREAMING query: the watermarked tumbling-window aggregate
+  * runs as a real Structured Streaming job (file source →
+  * `Trigger.AvailableNow` → memory sink) and its emitted result is
+  * hash-compared against DuckDB computing the same windows batch-wise.
+  *
+  * Append-mode emission is replicated exactly in the oracle: a window
+  * is emitted iff `window.end <= max(ts) - watermark`; the events are
+  * staged as ONE file so the run is a single micro-batch and the final
+  * watermark is `max(ts) - 1 minute` deterministically.
+  */
+object StreamingQueries extends QuerySection {
+  import Catalog.Q
+
+  private def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    Tables.load(s, dir, "events").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/events")
+    val agg = Streaming.windowedCounts(
+      Streaming.readEvents(s, s"$tmp/events"),
+      window_ = "6 hours", watermark = "1 minute")
+    val name = "stream_window_counts_sink"
+    Streaming.runAvailableNow(agg, name, outputMode = "append")
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "stream_window_counts" -> (streamWindowCounts _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stream_window_counts" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+        |    count(*) AS n, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, event_type, n, total_value FROM w
+        |WHERE w_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+        |ORDER BY w_start, event_type""".stripMargin
+  )
+}
