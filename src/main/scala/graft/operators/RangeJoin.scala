@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Interval (range-containment) join via bin bucketing.
   *
+  * Extension beyond the reference (SURVEY.md §2.4 J3: the reference has
+  * no general join operator at all; its closest shapes are the value
+  * threshold filters in test_system_integration.py:283-285). Interval
+  * joins are what its time-series surface needs the moment two
+  * measurements are correlated by overlapping time windows.
+  *
   * A naive `point BETWEEN lo AND hi` join is a broadcast-nested-loop /
   * cartesian plan: |points|×|intervals| comparisons. Binning converts it
   * to an equi-join: each interval is replicated to the fixed-width bins
