@@ -109,20 +109,36 @@ object Dedup {
     * band, exploding plan size — the columnar build keeps planning flat
     * (measured ~15s → sub-second on the same input).
     */
+  /** 60-bit integer from an md5 prefix — the PORTABLE hash: Spark's
+    * `conv(substr(md5, 1, 15), 16, 10)` equals DuckDB's
+    * `CAST('0x' || substr(md5, 1, 15) AS BIGINT)` value-for-value, so a
+    * sketch built on it is oracle-checkable end to end. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      verifyThreshold: Double = 0.5): DataFrame = {
+      verifyThreshold: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
     val r = numHashes / bands
     // no distinct: min-aggregation is duplicate-insensitive, and the
     // dedupe would cost a full shuffle before the signature shuffle
     val toks = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
       .withColumnRenamed("shingle", "sh")
+    // seeded hash: xxhash64 (fastest) or the md5 bridge (portable);
+    // '|' separates seed from token so "1"+"2x" can't collide with "12"+"x"
+    def seededHash(s: Int, c: Column): Column =
+      if (portableHash) md5Hash64(concat(lit(s.toString), lit("|"), c))
+      else xxhash64(lit(s), c)
+    def comboHash(cs: Seq[Column]): Column =
+      if (portableHash) md5Hash64(concat_ws(",", cs: _*))
+      else xxhash64(cs: _*)
     val sigAggs = (0 until numHashes).map(s =>
-      min(xxhash64(lit(s), col("sh"))).as(s"m$s"))
+      min(seededHash(s, col("sh"))).as(s"m$s"))
     val sig = toks.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
+        comboHash((b * r until (b + 1) * r).map(i => col(s"m$i")))
           .as("h"))
     }
     val buckets = sig.select(col("id"),

@@ -33,13 +33,18 @@ object DedupQueries extends QuerySection {
       n = 1, threshold = 0.8, maxShingleFreq = 1000000L)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 sketch). Bands of
-    * 4 rows: collision probability s⁴ per band keeps low-similarity
-    * candidates out of the bucket join on this high-overlap corpus. */
+  /** MinHash+LSH near-dup pairs — the full sketch pipeline (seeded
+    * min-hashes → banding → bucket join → exact-Jaccard verify) is
+    * oracle-checked: the portable md5-bridge hash computes identically
+    * in DuckDB, so signatures, band buckets, candidates and verified
+    * pairs all hash-compare. Bands of 4 rows: collision probability s⁴
+    * per band keeps low-similarity candidates out of the bucket join on
+    * this high-overlap corpus. */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(
       docs(s, dir).filter(col("doc_id") < 200), "text", "doc_id",
-      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8)
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash candidate summary (rows-only; single row, never empty). */
@@ -85,7 +90,43 @@ object DedupQueries extends QuerySection {
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
+  /** DuckDB replica of the portable minhash sketch (32 seeded md5-bridge
+    * min-hashes, 8 bands of 4, bucket join, Jaccard ≥ 0.8 verify). */
+  private def minhashOracle: String = {
+    def mdInt(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+    val mins = (0 until 32)
+      .map(s => s"    min(${mdInt(s"'$s|' || t")}) AS m$s")
+      .mkString(",\n")
+    val buckets = (0 until 8).map { b =>
+      val key = (b * 4 until b * 4 + 4).map(i => s"m$i")
+        .mkString("concat(", ", ',', ", ")")
+      s"  SELECT doc_id, $b AS band, ${mdInt(key)} AS h FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+       |  '\\s+')) AS t FROM d),
+       |sig AS (SELECT doc_id,
+       |$mins
+       |  FROM tok GROUP BY doc_id),
+       |buckets AS (
+       |$buckets),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |ts AS (SELECT doc_id, list_distinct(string_split_regex(
+       |  trim(lower(text)), '\\s+')) AS tk FROM d),
+       |j AS (SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+       |      (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6)
+       |      AS jaccard
+       |  FROM cand JOIN ts a ON a.doc_id = id_a
+       |  JOIN ts b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> minhashOracle,
     "dedup_pipeline" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),
         |exact AS (
