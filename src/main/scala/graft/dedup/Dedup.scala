@@ -179,11 +179,14 @@ object Dedup {
     * at least one identical quadrant — pigeonhole), verified by exact
     * Hamming distance. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withSim = graft.text.TextAnalysis.simhashTable(df, idCol, textCol)
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val quadBits = if (portableHash) 15 else 16
+    val mask = (1L << quadBits) - 1
+    val withSim = graft.text.TextAnalysis.simhashTable(df, idCol, textCol,
+      portableHash)
     val quads = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(q => struct(lit(q).as("q"),
-        shiftright(col("sim"), q * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        shiftright(col("sim"), q * quadBits).bitwiseAND(mask).as("v"))): _*))
         .as("quad"))
     quads.as("a").join(quads.as("b"),
         col("a.quad") === col("b.quad") && col("a.id") < col("b.id"))

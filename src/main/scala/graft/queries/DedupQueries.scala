@@ -47,14 +47,15 @@ object DedupQueries extends QuerySection {
       portableHash = true)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash candidate summary (rows-only; single row, never empty). */
+  /** SimHash near-dup pairs — portable 60-bit variant so the whole
+    * sketch (per-bit votes, fingerprint reassembly, 15-bit quadrant
+    * buckets, Hamming verify) is oracle-checked in SQL. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       docs(s, dir).filter(col("doc_id") < 300), "text", "doc_id",
-      maxHamming = 16)
-      .agg(count(lit(1)).as("n_close_pairs"),
-        min(col("hamming")).as("min_hamming"),
-        max(col("hamming")).as("max_hamming"))
+      maxHamming = 16, portableHash = true)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
 
   /** Embedding-cosine near-dup pairs over a bounded id range. */
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -125,8 +126,41 @@ object DedupQueries extends QuerySection {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB replica of the portable 60-bit simhash sketch. */
+  private def simhashOracle: String = {
+    val votes = (0 until 60)
+      .map(i => s"    sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n")
+    val rebuild = (0 until 60)
+      .map(i => s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)")
+      .mkString(" +\n    ")
+    val quads = (0 until 4)
+      .map(q => s"  SELECT doc_id, $q AS q, (sim >> ${q * 15}) & 32767 AS v, sim FROM s")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+       |  '\\s+')) AS t FROM d),
+       |h AS (SELECT doc_id,
+       |  CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc_id,
+       |$votes
+       |  FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id,
+       |    $rebuild AS sim
+       |  FROM v),
+       |quads AS (
+       |$quads),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |  FROM quads a JOIN quads b
+       |    ON a.q = b.q AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 16
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
     "dedup_pipeline" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),
         |exact AS (

@@ -209,17 +209,25 @@ object TextAnalysis {
   }
 
   /** [[simhash64]] as a table op: (id, sim) via exploded token hashes +
-    * 64 sum aggregates — all codegen, one shuffle on id. */
-  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * per-bit sum aggregates — all codegen, one shuffle on id.
+    * `portableHash` switches the token hash to the 60-bit md5 bridge
+    * ([[graft.dedup.Dedup.md5Hash64]]) so the whole sketch is
+    * reproducible in ANSI SQL (60 vote bits instead of 64). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      portableHash: Boolean = false): DataFrame = {
+    val nBits = if (portableHash) 60 else 64
+    val hashed =
+      if (portableHash) graft.dedup.Dedup.md5Hash64(col("tok"))
+      else xxhash64(col("tok"))
     val toks = df.select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map { i =>
+      .select(col("id"), hashed.as("h"))
+    val votes = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"v$i")
     }
     val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(i =>
+    val bits = (0 until nBits).map(i =>
       when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
     agg.select(col("id"), bits.reduce(_.bitwiseOR(_)).as("sim"))
   }
