@@ -23,7 +23,10 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed top-k (rows-only; deterministic seeded planes). */
+  /** LSH-bucketed top-k — oracle-checked: the seeded hyperplanes inline
+    * into the SQL as double literals, DuckDB's list_inner_product sums
+    * in the same index order as the native DotProduct loop, so bucket
+    * assignments (sign bits) and in-bucket cosine ranks hash-match. */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ann.lshTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
@@ -31,8 +34,10 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF-bucketed top-k (rows-only; deterministic codebook = first
-    * nlist corpus vectors). */
+  /** IVF-bucketed top-k — oracle-checked: the codebook (first nlist
+    * corpus vectors) reconstructs inside the SQL, assignments/probes
+    * replicate the struct-max tie-break (higher dot, then higher cell
+    * index). */
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ann.ivfTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
@@ -67,7 +72,68 @@ object SimilarityQueries extends QuerySection {
     "ann_centroids" -> (annCentroids _)
   )
 
+  /** DuckDB replica of the hyperplane bucketing + in-bucket exact rank.
+    * Plane values come from the same seeded generator the query uses;
+    * Double.toString round-trips exactly through DuckDB's literal
+    * parser. */
+  private def lshOracle: String = {
+    val planes = Ann.hyperplanes(numPlanes = 6, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"    (CASE WHEN list_inner_product(v, $arr) >= 0\n" +
+        s"      THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" +\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |$bucketExpr AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       |  WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS corpus_id, v AS cv, bucket FROM b),
+       |scored AS (SELECT query_id, corpus_id,
+       |    round(list_cosine_similarity(qv, cv), 6) AS cos
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> corpus_id)
+       |SELECT query_id, corpus_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |FROM scored QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of the IVF path: codebook = 8 smallest-id vectors,
+    * cell = argmax dot (ties → higher cell index, matching Spark's
+    * struct array_max), queries probe their top-3 cells. */
+  private def ivfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+      |    v AS cv
+      |  FROM e ORDER BY vec_id LIMIT 8),
+      |scores AS (SELECT e.vec_id, c.idx,
+      |    list_inner_product(e.v, c.cv) AS d
+      |  FROM e CROSS JOIN cent c),
+      |cells AS (SELECT vec_id, idx AS cell FROM scores
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d DESC, idx DESC) = 1),
+      |probes AS (SELECT vec_id, idx AS cell FROM scores
+      |  WHERE vec_id < 10
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d DESC, idx DESC) <= 3),
+      |c AS (SELECT e.vec_id AS corpus_id, e.v AS cv, cells.cell
+      |  FROM e JOIN cells ON cells.vec_id = e.vec_id),
+      |q AS (SELECT p.vec_id AS query_id, e.v AS qv, p.cell
+      |  FROM probes p JOIN e ON e.vec_id = p.vec_id),
+      |scored AS (SELECT query_id, corpus_id,
+      |    round(list_cosine_similarity(qv, cv), 6) AS cos
+      |  FROM q JOIN c USING (cell) WHERE query_id <> corpus_id)
+      |SELECT query_id, corpus_id, cos,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+      |FROM scored QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" -> lshOracle,
+    "ann_ivf" -> ivfOracle,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 10),
