@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = single JVM: driver heap is the only memory knob, and
   // 32 executor threads share it (the box has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 80 judged queries × whole-stage codegen overflow the default 240 MB
+  // code cache; once full the JIT stops compiling and late queries run
+  // interpreted (measured 5-8x slowdowns on the alphabetically-last
+  // bench entries)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -61,11 +61,15 @@ object TextQueries extends QuerySection {
         langScoreOfTokens(col("__lt"), LangMarkers.toMap.apply("zh")).as("__s_zh"))
     val attrs = Seq("de" -> col("s_de"), "en" -> col("s_en"),
       "es" -> col("s_es"), "fr" -> col("s_fr"), "zh" -> col("__s_zh"))
-    val best = attrs.map(_._2).reduce(greatest(_, _))
+    // best materialized as its own column: inlining greatest(5 scores)
+    // into every when-branch multiplies the generated code ~10x (one-time
+    // codegen cost measured in seconds)
+    val withBest = scored.withColumn("__best",
+      attrs.map(_._2).reduce(greatest(_, _)))
     val pick = attrs.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+      when(sc === col("__best") && col("__best") > 0, lit(lang)).otherwise(acc)
     }
-    scored.withColumn("predicted", pick).drop("__s_zh")
+    withBest.withColumn("predicted", pick).drop("__s_zh", "__best")
       .orderBy(col("doc_id")).limit(500)
   }
 
