@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (most-recent-at-or-before) join — the time-series lookup the
   * reference's InfluxDB surface implies but never implements (nearest
@@ -11,11 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the union-stream form, not a range join: both
   * sides merge into one event stream per key, one shuffle + sort, and a
-  * running `last(..., ignoreNulls)` carries the latest build-side values
+  * running `last(..., ignoreNulls)` carries the latest build-side row
   * forward to each probe row. A `l.ts >= r.ts` range join would expand
   * to |probe|×|build-per-key| intermediate rows before picking the max;
   * this stays linear in input size at any scale, and AQE handles skewed
   * keys like any other sort exchange.
+  *
+  * All carry columns travel together in ONE struct, so every carried
+  * value comes from the same build row and a build row whose carry
+  * column is genuinely NULL carries that NULL (it is not confused with
+  * the probe-side "no value here" sentinel — the struct itself is the
+  * sentinel). Build rows tied on (key, ts) are totally ordered by the
+  * carry struct as a final sort key, so the winning row is deterministic
+  * across runs and partitionings.
   */
 object AsOfJoin {
 
@@ -28,43 +37,46 @@ object AsOfJoin {
     * @param tsCol     event-time column (same name both sides)
     * @param carryCols build columns carried to each probe row: the values
     *                  of the build row with the greatest ts <= probe ts
-    *                  (null when no such row)
+    *                  (all null when no such row)
     */
   def backward(probe: DataFrame, build: DataFrame, keyCols: Seq[String],
       tsCol: String, carryCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    require(carryCols.nonEmpty, "carryCols must be non-empty")
     require(!carryCols.exists(probeCols.contains),
       s"carry columns ${carryCols.mkString(",")} collide with probe columns")
-    require(!probeCols.contains("__side") &&
-      !probeCols.exists(_.startsWith("__carry_")),
-      "probe columns __side / __carry_* are reserved")
+    require(!probeCols.contains("__side") && !probeCols.contains("__carry"),
+      "probe columns __side / __carry are reserved")
     (keyCols :+ tsCol).foreach { c =>
       require(probeCols.contains(c), s"probe side is missing column $c")
       require(build.columns.contains(c), s"build side is missing column $c")
     }
 
-    val carryTypes = carryCols.map(c => c -> build.schema(c).dataType).toMap
-    def nullOf(c: String): Column = lit(null).cast(carryTypes(c)).as(c)
+    val carryType = StructType(carryCols.map(c =>
+      StructField(c, build.schema(c).dataType, nullable = true)))
 
     // __side orders build (0) before probe (1) at equal timestamps —
     // backward-INCLUSIVE: a build row at exactly the probe ts matches
     val probeSide = probe.select(
-      probeCols.map(col) ++ carryCols.map(nullOf) :+ lit(1).as("__side"): _*)
+      probeCols.map(col) :+ lit(null).cast(carryType).as("__carry")
+        :+ lit(1).as("__side"): _*)
     val buildSide = build.select(
       probeCols.map(c =>
         if (keyCols.contains(c) || c == tsCol) col(c)
-        else lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        carryCols.map(col) :+ lit(0).as("__side"): _*)
+        else lit(null).cast(probe.schema(c).dataType).as(c)) :+
+        struct(carryCols.map(col): _*).cast(carryType).as("__carry") :+
+        lit(0).as("__side"): _*)
 
+    // final __carry sort key: deterministic winner among build rows tied
+    // on (key, ts); probe rows all carry NULL there so it never reorders
+    // them relative to anything that matters
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__carry").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = probeSide.unionByName(buildSide)
-      .select(col("*") +:
-        carryCols.map(c => last(col(c), ignoreNulls = true).over(w)
-          .as(s"__carry_$c")): _*)
+      .withColumn("__carried", last(col("__carry"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(probeCols.map(col) ++
-        carryCols.map(c => col(s"__carry_$c").as(c)): _*)
+        carryCols.map(c => col(s"__carried.$c").as(c)): _*)
   }
 }

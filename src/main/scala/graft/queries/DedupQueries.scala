@@ -49,11 +49,15 @@ object DedupQueries extends QuerySection {
 
   /** SimHash near-dup pairs — portable 60-bit variant so the whole
     * sketch (per-bit votes, fingerprint reassembly, 15-bit quadrant
-    * buckets, Hamming verify) is oracle-checked in SQL. */
+    * buckets, Hamming verify) is oracle-checked in SQL. maxHamming = 3
+    * is the radius the 4-quadrant pigeonhole actually GUARANTEES
+    * candidates for (any pair within Hamming 3 shares an identical
+    * quadrant); a larger radius would only surface pairs that happen to
+    * collide on a quadrant — best-effort recall dressed up as a bound. */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       docs(s, dir).filter(col("doc_id") < 300), "text", "doc_id",
-      maxHamming = 16, portableHash = true)
+      maxHamming = 3, portableHash = true)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -154,7 +158,7 @@ object DedupQueries extends QuerySection {
        |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
        |  FROM quads a JOIN quads b
        |    ON a.q = b.q AND a.v = b.v AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 16
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
        |ORDER BY id_a, id_b""".stripMargin
   }
 

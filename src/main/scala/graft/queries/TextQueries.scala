@@ -73,12 +73,19 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id")).limit(500)
   }
 
-  /** Bottom-k md5 shingle fingerprint (min-k sketch; explode table
-    * form — shingle arrays built once per doc, md5 + min-k aggregate in
-    * codegen, single shuffle on doc id). */
+  /** Bottom-k md5 shingle fingerprint (min-k sketch), row-local form:
+    * tokens materialized once per doc, shingle→md5→sort→slice all inside
+    * one projection — NO shuffle (the explode+groupBy table form pays an
+    * exchange on doc id; per-row arrays of a few hundred shingles don't
+    * need one). Output is the comma-joined sketch — a plain string, so
+    * the oracle can sort and hash it. */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    fingerprintTable(docs(s, dir), "doc_id", "text", n = 3, k = 4)
-      .withColumnRenamed("id", "doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        array_join(slice(array_sort(
+          transform(shinglesOfTokens(col("__toks"), 3), sh => md5(sh))),
+          1, 4), ",").as("fp"))
       .orderBy(col("doc_id")).limit(300)
 
   /** Sequence packing (training-data extension): documents fill
@@ -202,9 +209,10 @@ object TextQueries extends QuerySection {
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents)
         |SELECT doc_id,
         |  CASE WHEN len(toks) >= 3 THEN
-        |    list_sort(list_transform(generate_series(1, len(toks) - 2),
-        |      i -> md5(array_to_string(toks[i:i+2], ' '))))[1:4]
-        |  ELSE [] END AS fp
+        |    array_to_string(list_sort(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> md5(array_to_string(toks[i:i+2], ' '))))[1:4], ',')
+        |  ELSE '' END AS fp
         |FROM t ORDER BY doc_id LIMIT 300""".stripMargin,
     "text_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,

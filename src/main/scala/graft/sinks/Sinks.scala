@@ -186,8 +186,12 @@ object Sinks {
       timeField: String, tagFields: Seq[String],
       fieldFields: Seq[String] = Nil): Long = {
     val pts = pointsFrame(df, measurement, timeField, tagFields, fieldFields)
-    pts.write.mode(SaveMode.Append).partitionBy("measurement").parquet(path)
-    pts.count()
+    // point count observed during the write (no second pass over the
+    // long-format explode)
+    val obs = new org.apache.spark.sql.Observation()
+    pts.observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).partitionBy("measurement").parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Date/source-partitioned lake layout (SURVEY.md §7.4 #6): the
@@ -207,8 +211,13 @@ object Sinks {
         Seq("_date", "_source_part"))
       case None => (dated, Seq("_date"))
     }
-    out.write.mode(mode).partitionBy(parts: _*).parquet(path)
-    df.count()
+    // loaded-row count observed during the partitioned write itself — a
+    // trailing df.count() would re-execute the whole upstream, a second
+    // full pass at the 100 TB scale this layout exists for
+    val obs = new org.apache.spark.sql.Observation()
+    out.observe(obs, count(lit(1)).as("n"))
+      .write.mode(mode).partitionBy(parts: _*).parquet(path)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** K7 — multi-target load: same data to N sinks with one upstream

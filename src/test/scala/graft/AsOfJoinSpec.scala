@@ -47,17 +47,45 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === trades.count())
   }
 
+  test("a NULL carry value in the matched build row is carried, not leaked") {
+    val builds = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0), Option("a")),
+      (1L, ts("2024-01-01 10:02:00"), Option.empty[Double], Option("b"))
+    ).toDF("user_id", "ts", "px", "tag")
+    val probes = Seq((10L, 1L, ts("2024-01-01 10:03:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.backward(probes, builds,
+        keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px", "tag"))
+      .select("px", "tag").collect().toSeq
+    // both values come from the 10:02 row: px is its genuine NULL (no
+    // leak of 100.0 from 10:00), tag is "b"
+    assert(out === Seq(Row(null, "b")))
+  }
+
+  test("build rows tied on (key, ts) resolve deterministically to max carry") {
+    val builds = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 9.0),
+      (1L, ts("2024-01-01 10:00:00"), 1.0)
+    ).toDF("user_id", "ts", "px")
+    val probes = Seq((10L, 1L, ts("2024-01-01 10:01:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val out = AsOfJoin.backward(probes, builds,
+        keyCols = Seq("user_id"), tsCol = "ts", carryCols = Seq("px"))
+      .select("px").collect().toSeq
+    assert(out === Seq(Row(9.0)))
+  }
+
   test("property: agrees with naive per-probe max-build lookup on random data") {
     val rng = new scala.util.Random(7L)
-    // small key/ts domains force heavy collisions and empty-build keys
+    // small key/ts domains force heavy collisions, duplicate build
+    // (key, ts) pairs, and empty-build keys
     val probeRows = (0 until 120).map(i =>
       (i.toLong, (rng.nextInt(6) + 1).toLong,
         ts(f"2024-01-01 10:${rng.nextInt(50)}%02d:00")))
     val buildRows = (0 until 60).map(i =>
       ((rng.nextInt(8) + 1).toLong,
         ts(f"2024-01-01 10:${rng.nextInt(50)}%02d:00"), i * 1.5))
-      // dedupe (key, ts) — ties between build rows are untestable noise
-      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
     val probes = probeRows.toDF("trade_id", "user_id", "ts")
     val builds = buildRows.toDF("user_id", "ts", "px")
 
@@ -67,10 +95,13 @@ class AsOfJoinSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
 
+    // tie-break contract: among build rows at the max qualifying ts, the
+    // greatest carry struct (here: max px) wins
     val byKey = buildRows.groupBy(_._1)
     val expected = probeRows.map { case (tid, k, t) =>
       tid -> byKey.getOrElse(k, Seq.empty)
-        .filter(!_._2.after(t)).sortBy(_._2.getTime).lastOption.map(_._3)
+        .filter(!_._2.after(t))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
     }.toMap
     assert(got === expected)
   }
