@@ -36,6 +36,17 @@ object Streaming {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** [[readEvents]] over files whose ts is TIMESTAMP(NANOS) (the raw
+    * testdata layout): read as long ns, truncate to µs — same contract
+    * as [[graft.Tables.load]]'s batch path, streaming form. */
+  def readEventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    spark.readStream.schema(nanosSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Tumbling/sliding watermarked window aggregate — the streaming form
     * of the DAG's hourly rollup. Late data beyond the watermark drops. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
