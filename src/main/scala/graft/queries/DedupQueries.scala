@@ -85,7 +85,23 @@ object DedupQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup CLUSTER formation (graft.dedup.Cluster): 2-gram Jaccard
+    * pairs → distributed min-label connected components → (doc, cluster
+    * id). Transitively-linked docs (A~B, B~C) land in one cluster even
+    * though A and C were never compared — the step that turns pair
+    * detection into corpus dedup. Oracle: DuckDB recursive-CTE
+    * transitive closure over the same pair graph. */
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 2, threshold = 0.6, maxShingleFreq = 1000000L)
+    graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_pipeline" -> (dedupPipeline _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -163,6 +179,35 @@ object DedupQueries extends QuerySection {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM d),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(common AS DOUBLE) /
+        |    (sa.sz + sb.sz - common), 6) >= 0.6),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        |SELECT n AS doc_id, least(min(m), n) AS comp FROM reach GROUP BY n
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_pipeline" ->
