@@ -100,8 +100,25 @@ object DedupQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-aware corpus collapse: the transitive closure of the pair
+    * graph picks ONE survivor per near-dup cluster (min doc_id) and
+    * keeps every never-paired doc — stricter than dedup_pipeline's
+    * greedy pair removal, which can drop a whole cluster when its
+    * members chain (A<B<C with only A~B, B~C pairs: greedy drops B and
+    * C; cluster collapse keeps A). */
+  private def dedupClusterSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+      n = 2, threshold = 0.6, maxShingleFreq = 1000000L)
+    val comps = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+    graft.dedup.Cluster.survivors(d, "doc_id", comps)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_survivors" -> (dedupClusterSurvivors _),
     "dedup_pipeline" -> (dedupPipeline _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -207,6 +224,39 @@ object DedupQueries extends QuerySection {
         |  UNION
         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
         |SELECT n AS doc_id, least(min(m), n) AS comp FROM reach GROUP BY n
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_survivors" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 500),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM d),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(CAST(common AS DOUBLE) /
+        |    (sa.sz + sb.sz - common), 6) >= 0.6),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM near
+        |  UNION SELECT id_b, id_a FROM near),
+        |reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+        |comp AS (SELECT n AS doc_id, least(min(m), n) AS comp
+        |  FROM reach GROUP BY n),
+        |losers AS (SELECT doc_id FROM comp WHERE comp < doc_id)
+        |SELECT doc_id, lang FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_simhash" -> simhashOracle,

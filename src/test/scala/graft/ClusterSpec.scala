@@ -1,24 +1,34 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import graft.dedup.Cluster
 
-/** Connected-components cluster formation over near-dup pair graphs. */
+/** Connected-components cluster formation over near-dup pair graphs.
+  * Every scenario runs through BOTH execution paths: the driver-side
+  * union-find (small-graph broadcast-style path, the default here) and
+  * the distributed min-label loop (forced with smallGraphEdges = 0).
+  */
 class ClusterSpec extends SparkSpec {
   import spark.implicits._
 
+  private def ccBoth(edges: DataFrame): Seq[Map[Long, Long]] =
+    Seq(4L << 20, 0L).map { thresh =>
+      Cluster.connectedComponents(edges, "id_a", "id_b",
+        smallGraphEdges = thresh)
+        .as[(Long, Long)].collect().toMap
+    }
+
   test("transitive pairs collapse to one cluster with min-id label") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    val got = Cluster.connectedComponents(edges, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    for (got <- ccBoth(edges))
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("long chain converges across rounds (diameter > 1 iteration)") {
     val edges = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val got = Cluster.connectedComponents(edges, "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
-    assert(got === (0L until 12L).map(_ -> 0L).toMap)
+    for (got <- ccBoth(edges))
+      assert(got === (0L until 12L).map(_ -> 0L).toMap)
   }
 
   test("property: agrees with union-find on a random graph") {
@@ -26,9 +36,6 @@ class ClusterSpec extends SparkSpec {
     val edges = (0 until 120).map(_ =>
       (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
       .filter { case (a, b) => a != b }
-    val got = Cluster.connectedComponents(
-      edges.toDF("id_a", "id_b"), "id_a", "id_b")
-      .as[(Long, Long)].collect().toMap
 
     // reference union-find
     val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -41,16 +48,21 @@ class ClusterSpec extends SparkSpec {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(n => n -> find(n)).toMap
-    assert(got === expected)
+
+    for (got <- ccBoth(edges.toDF("id_a", "id_b")))
+      assert(got === expected)
   }
 
   test("survivors keep one doc per cluster plus all unpaired docs") {
     val docs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val edges = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
-    val comps = Cluster.connectedComponents(edges, "id_a", "id_b")
-    val kept = Cluster.survivors(docs, "doc_id", comps)
-      .select("doc_id").as[Long].collect().toSet
-    // clusters {1,2,3} -> keep 1; {6,7} -> keep 6; 4,5,8 unpaired
-    assert(kept === Set(1L, 4L, 5L, 6L, 8L))
+    for (thresh <- Seq(4L << 20, 0L)) {
+      val comps = Cluster.connectedComponents(edges, "id_a", "id_b",
+        smallGraphEdges = thresh)
+      val kept = Cluster.survivors(docs, "doc_id", comps)
+        .select("doc_id").as[Long].collect().toSet
+      // clusters {1,2,3} -> keep 1; {6,7} -> keep 6; 4,5,8 unpaired
+      assert(kept === Set(1L, 4L, 5L, 6L, 8L))
+    }
   }
 }
