@@ -119,7 +119,35 @@ object SinkQueries extends QuerySection {
       .toDF("target", "status", "n").orderBy(col("target"))
   }
 
+  /** K11 (scale extension): bucketed co-located join. Orders and
+    * lineitem are written bucketed on the join key with matching bucket
+    * counts, then joined and aggregated — the bucketed layout makes both
+    * the join and the groupBy shuffle-free (asserted in BucketingSpec);
+    * this query proves the layout also returns exactly the shuffled
+    * plan's answer. */
+  private def kBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Bucketing
+    val out = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    Bucketing.writeBucketed(
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      "graft_b_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
+      path = Some(s"$out/orders"))
+    Bucketing.writeBucketed(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "graft_b_lineitem", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
+      path = Some(s"$out/lineitem"))
+    Bucketing.bucketedJoin(s, "graft_b_orders", "graft_b_lineitem",
+        "o_orderkey")
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(max(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderkey")).limit(200)
+  }
+
   def queries: Map[String, Q] = Map(
+    "k_bucketed_join" -> (kBucketedJoin _),
     "o2_etl_job" -> (o2EtlJob _),
     "k7_multi_target" -> (k7MultiTarget _),
     "k4_upsert_merge" -> (k4UpsertMerge _),
@@ -129,6 +157,12 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k_bucketed_join" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(max(o_totalprice), 2) AS total
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 200""".stripMargin,
     "k7_multi_target" ->
       """SELECT 'json_copy' AS target, 'success' AS status,
         |  count(*) AS n FROM events
