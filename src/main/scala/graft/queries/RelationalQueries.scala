@@ -358,7 +358,24 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
+  /** Exact interpolated percentiles per group — Spark's `percentile`
+    * (single-pass sort-based) and DuckDB's `quantile_cont` share the
+    * linear-interpolation definition, so the values hash-compare after
+    * rounding. At scale the approximate form (`approx_percentile`,
+    * t-digest-style mergeable sketch) replaces this plan without
+    * changing the query shape. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, Q] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
     "j7_range" -> (j7Range _),
@@ -390,6 +407,14 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "j6_asof" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
         |b AS (SELECT * FROM events WHERE event_type = 'error')

@@ -39,12 +39,48 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Streaming DEDUP under a planted 2× duplication: the same events
+    * file is symlinked twice into the stream directory, so every event
+    * arrives exactly twice; `dropDuplicatesWithinWatermark` on event_id
+    * must collapse the copies, making the downstream windowed counts
+    * equal the batch aggregate over UNIQUE events (the oracle). Without
+    * the dedup every n/total_value would be exactly doubled — the
+    * comparison proves the stateful dedup, not just the window math. */
+  private def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sdd")
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    Files.createSymbolicLink(tmp.resolve("copy_a.parquet"), src)
+    Files.createSymbolicLink(tmp.resolve("copy_b.parquet"), src)
+    val deduped = Streaming.dedupStream(
+      Streaming.readEventsNanos(s, tmp.toString),
+      Seq("event_id"), watermark = "1 minute")
+    val agg = Streaming.windowAgg(deduped, window_ = "6 hours")
+    val name = "stream_dedup_counts_sink"
+    Streaming.runAvailableNow(agg, name, outputMode = "append")
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
-    "stream_window_counts" -> (streamWindowCounts _)
+    "stream_window_counts" -> (streamWindowCounts _),
+    "stream_dedup_counts" -> (streamDedupCounts _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "stream_window_counts" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+        |    count(*) AS n, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, event_type, n, total_value FROM w
+        |WHERE w_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+        |ORDER BY w_start, event_type""".stripMargin,
+    // unique events only — the planted 2× duplication must vanish
+    "stream_dedup_counts" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
         |    count(*) AS n, round(sum(value), 2) AS total_value

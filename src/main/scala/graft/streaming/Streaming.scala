@@ -50,11 +50,17 @@ object Streaming {
   /** Tumbling/sliding watermarked window aggregate — the streaming form
     * of the DAG's hourly rollup. Late data beyond the watermark drops. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
-      slide: Option[String] = None, watermark: String = "30 minutes"): DataFrame = {
+      slide: Option[String] = None, watermark: String = "30 minutes"): DataFrame =
+    windowAgg(events.withWatermark("ts", watermark), window_, slide)
+
+  /** The window aggregate alone, for streams that already carry a
+    * watermark (e.g. downstream of [[dedupStream]] — redefining a
+    * watermark between stateful operators is disallowed). */
+  def windowAgg(events: DataFrame, window_ : String = "1 hour",
+      slide: Option[String] = None): DataFrame = {
     val w = slide.map(sl => window(col("ts"), window_, sl))
       .getOrElse(window(col("ts"), window_))
-    events.withWatermark("ts", watermark)
-      .groupBy(w, col("event_type"))
+    events.groupBy(w, col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
   }
 
@@ -65,6 +71,19 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  /** Streaming exact deduplication on key columns (the training-data
+    * dedup primitive in streaming form). State keeps one entry per key
+    * only until the watermark passes its event time
+    * (`dropDuplicatesWithinWatermark`) — bounded state for an unbounded
+    * stream, unlike plain `dropDuplicates` whose keyed state grows
+    * forever. Duplicates arriving within the watermark delay (including
+    * same-batch copies) are removed; a duplicate later than the
+    * watermark is by contract late data and may pass. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Stream → routed lake load: every micro-batch goes through the same
     * content-based routing fan-out as the batch path (K8), giving

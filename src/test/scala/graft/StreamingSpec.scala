@@ -35,6 +35,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming dedup removes planted duplicate events (bounded state)") {
+    val src = stageEvents()
+    // duplicate the whole source: same rows land twice in one batch
+    val dupDir = Files.createTempDirectory("graft_dedup_stream").toString
+    val once = Tables.load(spark, sf0001, "events")
+    once.union(once).write.mode("overwrite").parquet(s"$dupDir/events")
+    val deduped = Streaming.dedupStream(
+      Streaming.readEvents(spark, s"$dupDir/events"),
+      Seq("event_id"), watermark = "1 minute")
+    Streaming.runAvailableNow(deduped.select($"event_id"), "dedup_ids",
+      outputMode = "append")
+    val ids = spark.table("dedup_ids").as[Long].collect()
+    assert(ids.length === ids.distinct.length, "duplicates survived")
+    assert(ids.length === once.count(), "dedup dropped unique events")
+  }
+
   test("sessionization emits bounded user sessions") {
     val src = stageEvents()
     val sess = Streaming.sessionize(Streaming.readEvents(spark, src),
