@@ -32,23 +32,55 @@ object Scale {
         sum(col("__pcount")).as("n"))
   }
 
-  /** Write a table bucketed (and sorted) by the join key: co-located,
-    * shuffle-free equi-joins for every downstream query that joins on
-    * that key — the lake-layout decision that amortizes one shuffle at
-    * write time across all reads. Uses the session catalog
-    * (`saveAsTable`; plain `parquet(path)` cannot carry bucket
-    * metadata). */
+  /** Exact interpolated percentiles per group, computed with a
+    * DISTRIBUTED sort instead of Spark's builtin `percentile`, whose
+    * ObjectHashAggregate buffers every value of a group in one
+    * in-memory array (both slow — no codegen, per-row boxing — and
+    * OOM-bound at scale). This form ranks values with a spillable
+    * window sort, keeps only the two neighbors each percentile
+    * interpolates between, and reduces them with an algebraic sum:
+    * same values, streaming memory. Parallelism is bounded by group
+    * count (each group sorts on one task) — for percentiles over few
+    * or no groups at extreme scale, `approx_percentile`'s mergeable
+    * sketch is the intended fallback.
+    *
+    * Interpolation matches `percentile` / DuckDB `quantile_cont`:
+    * `v[floor(i)] + (v[ceil(i)] - v[floor(i)]) * (i - floor(i))` at
+    * continuous index `i = p * (n-1)`.
+    */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__rn",
+        row_number().over(byGroup.orderBy(col("__v"))).cast("double") - 1)
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    val aggs = ps.map { case (name, p) =>
+      val i = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(i)
+      val frac = i - lo
+      // a row contributes iff it is the lower or upper neighbor; when
+      // i lands exactly on a rank the row is both and contributes fully
+      sum(when(col("__rn") === lo && frac === 0.0, col("__v"))
+        .when(col("__rn") === lo, col("__v") * (lit(1.0) - frac))
+        .when(col("__rn") === lo + 1, col("__v") * frac))
+        .as(name)
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write a table bucketed (and sorted) by the join key — see
+    * [[graft.sinks.Bucketing]], the full layout API. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
+    graft.sinks.Bucketing.writeBucketed(df, table, key, buckets,
+      sortCols = Seq(key))
 
   /** Join two same-bucketed catalog tables on their bucket key. With
     * matching bucket counts the plan is a SortMergeJoin with NO
     * Exchange on either side. */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String, joinType: String = "inner"): DataFrame =
-    spark.table(left).join(spark.table(right), Seq(key), joinType)
+    graft.sinks.Bucketing.bucketedJoin(spark, left, right, key, joinType)
 }

@@ -358,20 +358,19 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
-  /** Exact interpolated percentiles per group — Spark's `percentile`
-    * (single-pass sort-based) and DuckDB's `quantile_cont` share the
-    * linear-interpolation definition, so the values hash-compare after
-    * rounding. At scale the approximate form (`approx_percentile`,
-    * t-digest-style mergeable sketch) replaces this plan without
-    * changing the query shape. */
+  /** Exact interpolated percentiles per group via the distributed
+    * sort-based plan (`Scale.exactPercentiles` — spillable window sort
+    * + algebraic reduce, vs the builtin `percentile`'s per-group
+    * in-memory value buffer). Shares the linear-interpolation
+    * definition with DuckDB's `quantile_cont`, so the values
+    * hash-compare after rounding. */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+    graft.plans.Scale.exactPercentiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("l_returnflag"),
+        round(col("p25"), 2).as("p25"), round(col("p50"), 2).as("p50"),
+        round(col("p90"), 2).as("p90"), round(col("p99"), 2).as("p99"))
       .orderBy(col("l_returnflag"))
 
   def queries: Map[String, Q] = Map(

@@ -26,14 +26,14 @@ class BucketingSpec extends SparkSpec {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val lineitem = Tables.load(spark, sf001, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
-    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8,
-      sortCols = Seq("o_orderkey"), path = Some(s"$dir/b_orders"))
-    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8,
-      sortCols = Seq("o_orderkey"), path = Some(s"$dir/b_lineitem"))
+    Bucketing.writeBucketed(orders, "bs_orders", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"), path = Some(s"$dir/bs_orders"))
+    Bucketing.writeBucketed(lineitem, "bs_lineitem", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"), path = Some(s"$dir/bs_lineitem"))
     try withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
-      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem",
+      val joined = Bucketing.bucketedJoin(spark, "bs_orders", "bs_lineitem",
         "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), plan)
@@ -42,8 +42,8 @@ class BucketingSpec extends SparkSpec {
       val expected = orders.join(lineitem, Seq("o_orderkey")).count()
       assert(joined.count() === expected)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bs_orders")
+      spark.sql("DROP TABLE IF EXISTS bs_lineitem")
     }
   }
 
@@ -51,23 +51,23 @@ class BucketingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("bucketing").toString
     val orders = Tables.load(spark, sf001, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    Bucketing.writeBucketed(orders, "b_orders_agg", "o_orderkey", 4,
-      path = Some(s"$dir/b_orders_agg"))
+    Bucketing.writeBucketed(orders, "bs_orders_agg", "o_orderkey", 4,
+      path = Some(s"$dir/bs_orders_agg"))
     try {
-      val agg = Bucketing.readBucketed(spark, "b_orders_agg")
+      val agg = Bucketing.readBucketed(spark, "bs_orders_agg")
         .groupBy("o_orderkey").agg(sum("o_totalprice").as("s"))
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected shuffle-free agg:\n$plan")
       assert(agg.count() === orders.select("o_orderkey").distinct().count())
-    } finally spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+    } finally spark.sql("DROP TABLE IF EXISTS bs_orders_agg")
   }
 
   test("one-side-bucketed join shuffles only the unbucketed side") {
     val dir = Files.createTempDirectory("bucketing").toString
     val orders = Tables.load(spark, sf001, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
-    Bucketing.writeBucketed(orders, "b_orders_one", "o_orderkey", 4,
-      sortCols = Seq("o_orderkey"), path = Some(s"$dir/b_orders_one"))
+    Bucketing.writeBucketed(orders, "bs_orders_one", "o_orderkey", 4,
+      sortCols = Seq("o_orderkey"), path = Some(s"$dir/bs_orders_one"))
     val plain = Tables.load(spark, sf001, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
     try withConf(
@@ -76,10 +76,10 @@ class BucketingSpec extends SparkSpec {
       // let the planner pick the bucketed side's layout (4 buckets)
       // instead of shuffling BOTH sides to shuffle.partitions
       "spark.sql.shuffle.partitions" -> "4") {
-      val joined = spark.table("b_orders_one").join(plain, Seq("o_orderkey"))
+      val joined = spark.table("bs_orders_one").join(plain, Seq("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(exchanges == 1, s"expected exactly 1 shuffle:\n$plan")
-    } finally spark.sql("DROP TABLE IF EXISTS b_orders_one")
+    } finally spark.sql("DROP TABLE IF EXISTS bs_orders_one")
   }
 }
