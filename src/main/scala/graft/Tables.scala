@@ -37,7 +37,20 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Analyzed-plan cache: lake tables are immutable inputs, so the
+    * relation (file listing + parquet footer schema) is resolved once
+    * per (session, table) instead of once per query — the same reuse a
+    * catalog table gets from its shared FileIndex. Plans only; no data
+    * is cached (each query still scans). */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate((spark, path(sfDir, name)),
+      loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     val nanos = nanosColumns.getOrElse(name, Nil)
     if (nanos.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -19,9 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
   * }}}
   *
-  * Catalyst injection points used: `injectFunction` only — no optimizer
-  * rules or strategies are needed (SURVEY.md §4: built-ins cover the
-  * plan space; the custom work is expression-level).
+  * Catalyst injection points used: `injectFunction` for the native
+  * expressions, `injectOptimizerRule` for [[DeferExpensiveProjection]]
+  * (late materialization of expensive projections through top-k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product takes 2 arguments")
         DotProduct(args(0), args(1))
       }: Expression))
+    ext.injectOptimizerRule(_ => DeferExpensiveProjection)
   }
 }
 
