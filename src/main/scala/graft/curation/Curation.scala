@@ -1,0 +1,81 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, mixture control, global shuffle, benchmark decontamination,
+  * curriculum binning.
+  *
+  * Scale design: sampling and shuffling are keyed-hash transforms — no
+  * RNG state, no driver coordination, reproducible under retries and
+  * speculative execution (a `rand()` sample changes under task retry; a
+  * hash sample never does). Decontamination broadcasts the benchmark
+  * side (eval sets are tiny next to a 100 TB corpus), so the scan stays
+  * shuffle-free.
+  */
+object Curation {
+
+  /** Portable 28-bit uniform hash in [0, 100): both Spark and ANSI SQL
+    * (DuckDB `CAST('0x'||substr(md5(…),1,7) AS BIGINT)`) compute the
+    * identical value, so sampling decisions are reproducible across
+    * engines. `salt` namespaces independent sampling decisions. */
+  def hashPct(salt: String, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit("|"),
+      key.cast("string"))), 1, 7), 16, 10).cast("long"), lit(100L))
+
+  /** Deterministic Bernoulli sample: keep rows whose keyed hash lands
+    * under `pct`. A pure filter — embarrassingly parallel, no shuffle,
+    * no RNG; the same rows survive on any cluster, any retry. */
+  def sampleByHash(df: DataFrame, keyCol: String, salt: String,
+      pct: Int): DataFrame =
+    df.filter(hashPct(salt, col(keyCol)) < pct)
+
+  /** Stratified deterministic sample: per-stratum percentage (data
+    * mixing — e.g. downsample web, upsample low-resource languages).
+    * Strata absent from `rates` keep `defaultPct`. Still a pure filter. */
+  def sampleStratified(df: DataFrame, keyCol: String, stratumCol: String,
+      salt: String, rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashPct(salt, col(keyCol)) < rate)
+  }
+
+  /** Deterministic global shuffle: order by a keyed hash. Executes as a
+    * distributed range sort (sample → range-partition → local sort) —
+    * the standard "shuffle the corpus before sharding" step, with no
+    * single-partition window or driver-side permutation anywhere. Full
+    * md5 string (not the 28-bit slice) so key collisions — ties that
+    * would make the permutation nondeterministic — are negligible. */
+  def shuffleKey(salt: String, key: Column): Column =
+    md5(concat(lit(salt), lit("|"), key.cast("string")))
+
+  /** Benchmark decontamination: flag corpus docs sharing any n-gram
+    * shingle with the benchmark set. Returns (id, n_shared) per
+    * contaminated doc. The benchmark shingle set is broadcast —
+    * corpus-side stays a shuffle-free scan + partial-agg on id. */
+  def contaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val corpusSh = graft.text.TextAnalysis
+      .shingleRows(corpus, idCol, textCol, n).distinct()
+    val benchSh = graft.text.TextAnalysis
+      .shingleRows(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Curriculum binning: per-stratum quality quantiles via `ntile` —
+    * each stratum sorts independently (bounded by stratum size, never a
+    * global single-partition window). Ties broken by id for a
+    * deterministic, engine-portable assignment. */
+  def curriculumBins(df: DataFrame, stratumCol: String, scoreCol: Column,
+      idCol: String, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(scoreCol.asc, col(idCol).asc)
+    df.withColumn("__bin", ntile(bins).over(w))
+  }
+}

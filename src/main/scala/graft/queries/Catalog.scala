@@ -22,6 +22,7 @@ object Catalog {
     TransformQueries,
     ValidationQueries,
     DedupQueries,
+    CurationQueries,
     TextQueries,
     SimilarityQueries,
     MultimodalQueries,

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.curation.Curation
+
+/** Corpus-curation operators (training-data pipeline extensions):
+  * deterministic hash sampling, stratified mixing, global shuffle,
+  * benchmark decontamination, curriculum binning — every one
+  * oracle-checked via the portable md5-bridge hash (identical values in
+  * Spark and DuckDB). */
+object CurationQueries extends QuerySection {
+  import Catalog.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Deterministic 10% Bernoulli sample — a pure filter (no shuffle, no
+    * RNG): the same rows survive on any cluster, any retry. */
+  private def curSampleHash(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByHash(docs(s, dir), "doc_id", "smp", 10)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified mixing: downsample English to 20%, keep low-resource
+    * languages at 80% — the data-mixing primitive. Judged on per-stratum
+    * counts so the mixture itself is what's compared. */
+  private def curSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleStratified(docs(s, dir), "doc_id", "lang", "mix",
+        rates = Map("en" -> 20), defaultPct = 80)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  /** Deterministic global corpus shuffle: distributed range sort on a
+    * keyed hash (sample → range-partition → local sort); no
+    * single-partition window, no driver-side permutation. */
+  private def curShuffle(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        Curation.shuffleKey("shuf", col("doc_id")).as("skey"))
+      .orderBy(col("skey"))
+      .limit(200)
+
+  /** Benchmark decontamination: corpus docs sharing any 3-gram shingle
+    * with the (broadcast) benchmark set, with the shared-shingle count.
+    * The benchmark here is the deterministic pseudo-eval slice
+    * doc_id % 97 == 0. */
+  private def curDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    Curation.contaminated(corpus, bench, "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curriculum binning: per-language quality quartiles (ntile over the
+    * language stratum — bounded partitions, never a global window),
+    * rolled up to (lang, bin) with order-insensitive bounds. */
+  private def curCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+    Curation.curriculumBins(scored, "lang", col("q"), "doc_id", bins = 4)
+      .groupBy(col("lang"), col("__bin").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "cur_sample_hash" -> (curSampleHash _),
+    "cur_sample_stratified" -> (curSampleStratified _),
+    "cur_shuffle" -> (curShuffle _),
+    "cur_decontam" -> (curDecontam _),
+    "cur_curriculum" -> (curCurriculum _)
+  )
+
+  /** DuckDB twin of [[Curation.hashPct]]. */
+  private def pctSql(salt: String, key: String): String =
+    s"CAST('0x' || substr(md5('$salt|' || $key), 1, 7) AS BIGINT) % 100"
+
+  private val qualitySql =
+    """round(greatest(0.0, least(1.0,
+      |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      |      / 100.0, 1.0) * 0.4 +
+      |    least(CASE WHEN len(string_split_regex(trim(lower(text)), '\s+')) > 0
+      |      THEN CAST(len(list_filter(string_split_regex(trim(lower(text)),
+      |        '\s+'), x -> list_contains(['the', 'a', 'an', 'and', 'or',
+      |        'of', 'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with',
+      |        'as', 'at', 'by', 'be'], x))) AS DOUBLE)
+      |        / len(string_split_regex(trim(lower(text)), '\s+')) * 5.0
+      |      ELSE 0.0 END, 1.0) * 0.4 +
+      |    (1.0 - least((
+      |      CASE WHEN length(text) > 0 THEN
+      |        CAST(len(regexp_extract_all(text, '[.,;:!?''"()-]')) AS DOUBLE)
+      |          / length(text) ELSE 0.0 END +
+      |      CASE WHEN length(text) > 0 THEN
+      |        CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      |          / length(text) ELSE 0.0 END) * 5.0, 1.0)) * 0.2)), 6)"""
+      .stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cur_sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${pctSql("smp", "doc_id")} < 10
+         |ORDER BY doc_id""".stripMargin,
+    "cur_sample_stratified" ->
+      s"""SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE ${pctSql("mix", "doc_id")} <
+         |  CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "cur_shuffle" ->
+      """SELECT doc_id, md5('shuf|' || doc_id) AS skey FROM documents
+        |ORDER BY skey LIMIT 200""".stripMargin,
+    "cur_decontam" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT t FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN bench USING (t)
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cur_curriculum" ->
+      s"""WITH scored AS (SELECT doc_id, lang, $qualitySql AS q
+         |  FROM documents),
+         |binned AS (SELECT lang, q,
+         |    ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS bin
+         |  FROM scored)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |  min(q) AS min_q, max(q) AS max_q
+         |FROM binned GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.curation.Curation
+
+/** Curation operators: determinism, mixture control, shuffle-freedom of
+  * the sampling path, decontamination candidate correctness. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf001, "documents")
+
+  test("hash sample is deterministic and close to the target rate") {
+    val a = Curation.sampleByHash(docs, "doc_id", "s1", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleByHash(docs, "doc_id", "s1", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "same salt must select the same rows")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.04 && a.size < n * 0.2,
+      s"10% sample of $n docs was ${a.size}")
+    // a different salt draws an (almost surely) different sample
+    val c = Curation.sampleByHash(docs, "doc_id", "s2", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+  }
+
+  test("rate 0 keeps nothing, rate 100 keeps everything") {
+    assert(Curation.sampleByHash(docs, "doc_id", "s", 0).count() === 0L)
+    assert(Curation.sampleByHash(docs, "doc_id", "s", 100).count() ===
+      docs.count())
+  }
+
+  test("sampling is a pure filter: no shuffle in the plan") {
+    val plan = Curation.sampleByHash(docs, "doc_id", "s", 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample must not shuffle:\n$plan")
+  }
+
+  test("stratified rates bias the mixture the right way") {
+    val kept = Curation.sampleStratified(docs, "doc_id", "lang", "m",
+        rates = Map("en" -> 10), defaultPct = 90)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val deRate = kept.getOrElse("de", 0L).toDouble / total("de")
+    assert(enRate < deRate,
+      s"en sampled at 10% ($enRate) must keep less than de at 90% ($deRate)")
+  }
+
+  test("shuffle key is a deterministic permutation (no collisions here)") {
+    val keys = docs.select(Curation.shuffleKey("x", col("doc_id")))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length === keys.length)
+    // order by key differs from natural doc_id order
+    val shuffled = docs.select(col("doc_id"),
+        Curation.shuffleKey("x", col("doc_id")).as("k"))
+      .orderBy("k").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(shuffled !== shuffled.sorted)
+  }
+
+  test("decontamination flags the planted overlap, broadcast-joined") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five"),
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "zzz alpha beta gamma yyy"),
+      (101L, "one two three")).toDF("doc_id", "text")
+    val hits = Curation.contaminated(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "alpha beta gamma"; doc 2 shares "one two three"
+    assert(hits === Map(1L -> 1L, 2L -> 1L))
+    val plan = Curation.contaminated(corpus, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
+  test("curriculum bins split each stratum into balanced quartiles") {
+    val binned = Curation.curriculumBins(
+      docs.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("double").as("score")),
+      "lang", col("score"), "doc_id", bins = 4)
+    val counts = binned.groupBy("lang", "__bin").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val sizes = (1 to 4).map(b => counts.getOrElse((lang, b), 0L))
+      assert(sizes.sum === n)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang quartiles must differ by at most 1: $sizes")
+    }
+  }
+}
