@@ -125,17 +125,31 @@ object Dedup {
     // dedupe would cost a full shuffle before the signature shuffle
     val toks = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
       .withColumnRenamed("shingle", "sh")
-    // seeded hash: xxhash64 (fastest) or the md5 bridge (portable);
-    // '|' separates seed from token so "1"+"2x" can't collide with "12"+"x"
-    def seededHash(s: Int, c: Column): Column =
-      if (portableHash) md5Hash64(concat(lit(s.toString), lit("|"), c))
-      else xxhash64(lit(s), c)
     def comboHash(cs: Seq[Column]): Column =
       if (portableHash) md5Hash64(concat_ws(",", cs: _*))
       else xxhash64(cs: _*)
-    val sigAggs = (0 until numHashes).map(s =>
-      min(seededHash(s, col("sh"))).as(s"m$s"))
-    val sig = toks.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // Seeded hash families. Portable mode pays md5 (the only hash both
+    // engines share), so the k functions come from ONE pair of base
+    // hashes via the 2-universal combination h1 + s·h2 — 2 md5 per
+    // shingle row instead of k (28-bit bases keep h1 + 31·h2 < 2^33,
+    // far from long overflow; '|' separates salt from token so salts
+    // can't collide into each other). xxhash64 mode just reseeds — the
+    // hash is cheap enough to run k times.
+    val (hashed, sigAggs) =
+      if (portableHash) {
+        def md5Hash28(salt: String, c: Column): Column =
+          conv(substring(md5(concat(lit(salt), lit("|"), c)), 1, 7), 16, 10)
+            .cast("long")
+        val h = toks.select(col("id"),
+          md5Hash28("1", col("sh")).as("__h1"),
+          md5Hash28("2", col("sh")).as("__h2"))
+        (h, (0 until numHashes).map(s =>
+          min(col("__h1") + lit(s.toLong) * col("__h2")).as(s"m$s")))
+      } else {
+        (toks, (0 until numHashes).map(s =>
+          min(xxhash64(lit(s), col("sh"))).as(s"m$s")))
+      }
+    val sig = hashed.groupBy(col("id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         comboHash((b * r until (b + 1) * r).map(i => col(s"m$i")))

@@ -128,12 +128,14 @@ object DedupQueries extends QuerySection {
     "dedup_embedding" -> (dedupEmbedding _)
   )
 
-  /** DuckDB replica of the portable minhash sketch (32 seeded md5-bridge
-    * min-hashes, 8 bands of 4, bucket join, Jaccard ≥ 0.8 verify). */
+  /** DuckDB replica of the portable minhash sketch (32 min-hashes from
+    * the 2-universal family h1 + s·h2 over two 28-bit md5-bridge base
+    * hashes, 8 bands of 4, bucket join, Jaccard ≥ 0.8 verify). */
   private def minhashOracle: String = {
     def mdInt(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+    def mdInt7(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
     val mins = (0 until 32)
-      .map(s => s"    min(${mdInt(s"'$s|' || t")}) AS m$s")
+      .map(s => s"    min(h1 + $s * h2) AS m$s")
       .mkString(",\n")
     val buckets = (0 until 8).map { b =>
       val key = (b * 4 until b * 4 + 4).map(i => s"m$i")
@@ -143,9 +145,11 @@ object DedupQueries extends QuerySection {
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),
        |  '\\s+')) AS t FROM d),
+       |h AS (SELECT doc_id, ${mdInt7("'1|' || t")} AS h1,
+       |  ${mdInt7("'2|' || t")} AS h2 FROM tok),
        |sig AS (SELECT doc_id,
        |$mins
-       |  FROM tok GROUP BY doc_id),
+       |  FROM h GROUP BY doc_id),
        |buckets AS (
        |$buckets),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
