@@ -81,9 +81,36 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Stream-stream join (view→purchase attribution within 1 hour, per
+    * user): BOTH sides are streams over the events file; the judged
+    * output is every attributed pair with its lag in microseconds,
+    * hash-compared against DuckDB's batch join — inner stream-stream
+    * joins emit exactly the batch result once the input is exhausted. */
+  private def streamStreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_ssj")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val events = Streaming.readEventsNanos(s, tmp.toString)
+    val joined = Streaming.streamStreamJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      watermark = "1 minute", horizon = "1 hour")
+    val name = "stream_attribution_sink"
+    withStatePartitions(s, 8) {
+      Streaming.runAvailableNow(joined, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("l_id").as("view_id"), col("r_id").as("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "stream_window_counts" -> (streamWindowCounts _),
-    "stream_dedup_counts" -> (streamDedupCounts _)
+    "stream_dedup_counts" -> (streamDedupCounts _),
+    "stream_attribution" -> (streamStreamAttribution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +123,15 @@ object StreamingQueries extends QuerySection {
         |WHERE w_start + INTERVAL 6 HOUR <=
         |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
         |ORDER BY w_start, event_type""".stripMargin,
+    "stream_attribution" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin,
     // unique events only — the planted 2× duplication must vanish
     "stream_dedup_counts" ->
       """WITH w AS (

@@ -85,6 +85,30 @@ object Streaming {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream INNER join: attribute each `right` event
+    * to `left` events of the same user that precede it by at most
+    * `horizon` (the view→purchase attribution shape). Both inputs are
+    * streams — neither side is a static table — so the join buffers
+    * keyed state on BOTH sides; the watermark plus the event-time range
+    * condition is what lets Spark evict a buffered row once no future
+    * match can arrive, keeping state bounded on an unbounded stream.
+    * Inner-join rows emit as soon as both sides are present (no
+    * watermark wait), so the completed output equals the batch join. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "1 minute", horizon: String = "1 hour"): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"),
+      col("user_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("event_id").as("r_id"),
+      col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      "inner")
+  }
+
   /** Stream → routed lake load: every micro-batch goes through the same
     * content-based routing fan-out as the batch path (K8), giving
     * exactly-once-per-batch lake appends. */

@@ -120,4 +120,30 @@ class StreamingSpec extends SparkSpec {
     assert(mismatches.count() === 0)
     assert(latest.count() === expected.count())
   }
+
+  test("stream-stream join emits exactly the batch join pairs") {
+    val src = stageEvents()
+    val events = Streaming.readEvents(spark, src)
+    val joined = Streaming.streamStreamJoin(
+      events.filter($"event_type" === "view"),
+      events.filter($"event_type" === "purchase"),
+      watermark = "1 minute", horizon = "1 hour")
+    Streaming.runAvailableNow(joined, "ssj_pairs", outputMode = "append")
+    val streamed = spark.table("ssj_pairs")
+      .select($"l_id", $"r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.load(spark, sf0001, "events")
+    val v = batch.filter($"event_type" === "view")
+      .select($"event_id".as("l_id"), $"user_id", $"ts".as("l_ts"))
+    val p = batch.filter($"event_type" === "purchase")
+      .select($"event_id".as("r_id"), $"user_id".as("r_user"),
+        $"ts".as("r_ts"))
+    val expected = v.join(p,
+        $"user_id" === $"r_user" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"l_id", $"r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    assert(streamed === expected)
+  }
 }
