@@ -70,6 +70,32 @@ object Scale {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Salted replicated join for a fact table whose join key is heavily
+    * skewed: the fact side gets a deterministic per-row salt in
+    * [0, saltBuckets) (hashed from the full row, so retries and the
+    * oracle see the same assignment), the dimension side is replicated
+    * once per salt value, and the equi-join runs on (key, salt) —
+    * spreading a hot key's rows over `saltBuckets` tasks instead of one
+    * straggler. Replication multiplies the dim by `saltBuckets`, so the
+    * dim side must be the small side (it usually also stays under the
+    * broadcast threshold, making this a skew-proof broadcast join).
+    * Result equals the plain equi-join exactly; `__salt` never escapes.
+    *
+    * AQE's skew-join splitting covers sort-merge joins automatically;
+    * this explicit form is for when the skewed side feeds a downstream
+    * per-key aggregation in the same stage, or when running without AQE.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "column __salt is reserved")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
+    val repDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
   /** Write a table bucketed (and sorted) by the join key — see
     * [[graft.sinks.Bucketing]], the full layout API. */
   def writeBucketed(df: DataFrame, table: String, key: String,

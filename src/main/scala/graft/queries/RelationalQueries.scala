@@ -311,6 +311,99 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_id")).limit(1000)
   }
 
+  /** J6b forward as-of join: next error at-or-after each click, per
+    * user — same single-shuffle union-stream plan as j6, frame flipped. */
+  private def j6AsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val build = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    graft.operators.AsOfJoin.forward(probe, build,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        carryCols = Seq("err_ts", "err_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id")).limit(1000)
+  }
+
+  /** J6c nearest as-of join: closest error in either direction (ties
+    * resolve backward); both direction carries ride one sort. */
+  private def j6AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val build = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    graft.operators.AsOfJoin.nearest(probe, build,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        carryCols = Seq("err_ts", "err_value"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("err_ts"), col("err_value"))
+      .orderBy(col("event_id")).limit(1000)
+  }
+
+  /** J8 skew-salted join (`Scale.saltedJoin`): events fact (user_id is
+    * the skewable key) joined to the customer dim through the salted
+    * replicate path, then aggregated per segment. Oracle is the PLAIN
+    * join — proving salt-replicate-join-drop changes nothing. */
+  private def j8SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.load(s, dir, "events")
+      .select(col("user_id").as("c_custkey"), col("value"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    graft.plans.Scale.saltedJoin(fact, dim, "c_custkey", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** W7 per-group top-k: 3 priciest orders per priority class. The
+    * window ranks within each partition after a single hash exchange on
+    * the group key; at scale this is the partition-parallel form of
+    * top-k (the global `w1_topk` TakeOrdered shape doesn't group). */
+  private def w7TopkGrouped(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Grouping sets — the explicit-sets member of the cube/rollup family
+    * (SQL surface; Catalyst Expand). */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Approximate percentile (mergeable KLL-style sketch vs the exact
+    * distributed sort): judged like q_approx_distinct — the approx
+    * value must land inside the exact [p49, p51] rank bracket, a bound
+    * the sketch's rank-error guarantee (1/accuracy = 1e-4 relative
+    * rank) keeps with huge margin at any scale. */
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
+        expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("ex"))
+      .select(
+        round(element_at(col("ex"), 2), 2).as("exact_p50"),
+        (col("ap") >= element_at(col("ex"), 1) &&
+          col("ap") <= element_at(col("ex"), 3)).as("within_bound"))
+
   /** J7 range-containment join (binned — graft.operators.RangeJoin):
     * lineitem quantities vs OVERLAPPING quantity bands. Binning turns
     * the BETWEEN predicate into an equi-join on the bin id; the naive
@@ -377,7 +470,13 @@ object RelationalQueries extends QuerySection {
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
+    "j6_asof_fwd" -> (j6AsofFwd _),
+    "j6_asof_nearest" -> (j6AsofNearest _),
     "j7_range" -> (j7Range _),
+    "j8_salted_join" -> (j8SaltedJoin _),
+    "w7_topk_grouped" -> (w7TopkGrouped _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_cube" -> (qCube _),
     "w6_sessions" -> (w6Sessions _),
@@ -422,6 +521,56 @@ object RelationalQueries extends QuerySection {
         |FROM p ASOF LEFT JOIN b
         |  ON p.user_id = b.user_id AND p.ts >= b.ts
         |ORDER BY p.event_id LIMIT 1000""".stripMargin,
+    "j6_asof_fwd" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT * FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.value,
+        |  b.ts AS err_ts, b.value AS err_value
+        |FROM p ASOF LEFT JOIN b
+        |  ON p.user_id = b.user_id AND p.ts <= b.ts
+        |ORDER BY p.event_id LIMIT 1000""".stripMargin,
+    "j6_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT * FROM events WHERE event_type = 'error'),
+        |bk AS (SELECT p.event_id, b.ts AS bts, b.value AS bval
+        |  FROM p ASOF LEFT JOIN b
+        |    ON p.user_id = b.user_id AND p.ts >= b.ts),
+        |fw AS (SELECT p.event_id, b.ts AS fts, b.value AS fval
+        |  FROM p ASOF LEFT JOIN b
+        |    ON p.user_id = b.user_id AND p.ts <= b.ts)
+        |SELECT p.event_id, p.user_id, p.value,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR (p.ts - bts) <= (fts - p.ts)) THEN bts ELSE fts END
+        |    AS err_ts,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        |      OR (p.ts - bts) <= (fts - p.ts)) THEN bval ELSE fval END
+        |    AS err_value
+        |FROM p JOIN bk USING (event_id) JOIN fw USING (event_id)
+        |ORDER BY p.event_id LIMIT 1000""".stripMargin,
+    "j8_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "w7_topk_grouped" ->
+      """SELECT o_orderpriority, rk, o_orderkey, price FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |  TRUE AS within_bound
+        |FROM lineitem""".stripMargin,
     "j7_range" ->
       """WITH bands(band_id, lo, hi) AS (
         |  VALUES (0, 1.0, 15.0), (1, 10.0, 30.0), (2, 25.0, 50.0))

@@ -50,6 +50,28 @@ object SourceQueries extends QuerySection {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("field"),
         col("value"))
 
+  /** S9 — incremental high-watermark extraction: replays two pulls.
+    * Pull 1 is the initial load of everything the source held at
+    * bookmark time T1; its max event time becomes the stored bookmark
+    * (a driver-side scalar, like a streaming offset — the ONLY
+    * driver-side value in the pattern). Pull 2 extracts strictly past
+    * the bookmark. Together the pulls partition the table: nothing
+    * re-extracted, nothing skipped — which is exactly what the judged
+    * two-row output (counts + per-pull max ts) pins against the oracle. */
+  private def s9Incremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val t1 = to_timestamp(lit("2024-01-16 00:00:00"))
+    val initial = Sources.incremental(ev, "ts", None).where(col("ts") <= t1)
+    val bookmark = Sources.nextBookmark(initial, "ts")
+    val incr = Sources.incremental(ev, "ts", bookmark.map(lit(_)))
+    initial.agg(count(lit(1)).as("n"), max(col("ts")).as("bookmark"))
+      .select(lit("initial").as("pull"), col("n"), col("bookmark"))
+      .unionByName(
+        incr.agg(count(lit(1)).as("n"), max(col("ts")).as("bookmark"))
+          .select(lit("incremental").as("pull"), col("n"), col("bookmark")))
+      .orderBy(col("pull"))
+  }
+
   /** S6 + F20: API envelope unwrap on a driver-held JSON body. */
   private def s6Envelope(s: SparkSession, dir: String): DataFrame =
     Sources.apiBody(s,
@@ -104,10 +126,19 @@ object SourceQueries extends QuerySection {
     "s3_time_range" -> (s3TimeRange _),
     "s3_long_format" -> (s3LongFormat _),
     "s6_envelope" -> (s6Envelope _),
-    "s8_discovery" -> (s8Discovery _)
+    "s8_discovery" -> (s8Discovery _),
+    "s9_incremental" -> (s9Incremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s9_incremental" ->
+      """SELECT 'incremental' AS pull, count(*) AS n, max(ts) AS bookmark
+        |FROM events WHERE ts > (SELECT max(ts) FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-16 00:00:00')
+        |UNION ALL
+        |SELECT 'initial', count(*), max(ts)
+        |FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY pull""".stripMargin,
     "s4_file_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation

@@ -107,10 +107,35 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Stream-static enrichment join: the events STREAM joins the static
+    * customer dim (broadcast — no stream-side state at all, the
+    * canonical dimension-enrichment shape), then the enriched rows are
+    * aggregated batch-side per segment × event_type. Stateless, so no
+    * watermark is needed and the completed output equals the batch
+    * join exactly. */
+  private def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_ssd")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val events = Streaming.readEventsNanos(s, tmp.toString)
+    val dim = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = events.join(broadcast(dim),
+      events("user_id") === dim("c_custkey"), "inner")
+    val name = "stream_static_sink"
+    Streaming.runAvailableNow(enriched, name, outputMode = "append")
+    s.table(name)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
-    "stream_attribution" -> (streamStreamAttribution _)
+    "stream_attribution" -> (streamStreamAttribution _),
+    "stream_static_enrich" -> (streamStaticEnrich _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +157,12 @@ object StreamingQueries extends QuerySection {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
     // unique events only — the planted 2× duplication must vanish
     "stream_dedup_counts" ->
       """WITH w AS (

@@ -69,6 +69,25 @@ object Sources {
     filters.foldLeft(ranged)(_ where _)
   }
 
+  /** S9 — incremental (high-watermark) extraction: the CDC-style pull
+    * the reference's hourly DAG approximates with relative ranges
+    * (`base_extractors.py:157` `start="-1h"`). Each pull reads only
+    * rows STRICTLY past the bookmark (the previous pull's max event
+    * time), so re-running never re-extracts and no event is skipped —
+    * provided the source's event time is append-monotonic, the same
+    * assumption the watermark model makes. `None` bookmark = initial
+    * full load. On a date-partitioned lake table the bookmark predicate
+    * prunes to the newest partitions — the 100 TB incremental pull
+    * reads only the tail, never the history. */
+  def incremental(df: DataFrame, tsCol: String,
+      bookmark: Option[Column]): DataFrame =
+    bookmark.fold(df)(b => df.where(col(tsCol) > b))
+
+  /** The next bookmark after a pull: max event time seen (null on an
+    * empty pull — callers keep the previous bookmark then). */
+  def nextBookmark(df: DataFrame, tsCol: String): Option[java.sql.Timestamp] =
+    Option(df.agg(max(col(tsCol))).collect().head.getTimestamp(0))
+
   /** Wide→long reshape: the reference's time-series rows arrive in long
     * format `(time, field, value, tags…)` (`influx_connector.py:168-185`).
     * `stack` is a single narrow projection — no shuffle. */

@@ -25,6 +25,36 @@ class ScaleSpec extends SparkSpec {
     assert(phase1.contains("__salt") || phase1.contains("hash"))
   }
 
+  test("salted join equals plain join and spreads the hot key") {
+    val fact = Tables.load(spark, sf0001, "events")
+      .select($"user_id".as("c_custkey"), $"value")
+    val dim = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val salted = Scale.saltedJoin(fact, dim, "c_custkey", saltBuckets = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .orderBy("c_mktsegment").collect()
+    val plain = fact.join(dim, Seq("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .orderBy("c_mktsegment").collect()
+    assert(salted.length === plain.length && salted.nonEmpty)
+    salted.zip(plain).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getLong(1) === b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+    }
+    // the hottest key really lands in multiple salt buckets
+    val hot = fact.groupBy($"c_custkey").count()
+      .orderBy($"count".desc, $"c_custkey").limit(1)
+      .collect().head.getLong(0)
+    val buckets = fact.filter($"c_custkey" === hot)
+      .withColumn("__salt",
+        pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(buckets > 1, s"hot key $hot stayed in $buckets bucket(s)")
+  }
+
   test("bucketed join has no Exchange on either side") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -104,4 +104,20 @@ class SourcesSpec extends SparkSpec {
     val schema = Sources.tableSchema(Tables.load(spark, sf0001, "region"))
     assert(schema == Seq("r_regionkey" -> "int", "r_name" -> "string"))
   }
+
+  test("S9 incremental pulls partition the table: no re-extract, no skip") {
+    import org.apache.spark.sql.functions.{col, to_timestamp, lit}
+    val ev = Tables.load(spark, sf0001, "events")
+    val t1 = to_timestamp(lit("2024-01-16 00:00:00"))
+    // pull 1 = source state at bookmark time; pull 2 = strictly past it
+    val initial = Sources.incremental(ev, "ts", None).where(col("ts") <= t1)
+    val bookmark = Sources.nextBookmark(initial, "ts")
+    assert(bookmark.nonEmpty)
+    val incr = Sources.incremental(ev, "ts", bookmark.map(lit(_)))
+    assert(initial.count() + incr.count() === ev.count())
+    assert(initial.intersect(incr).count() === 0)
+    // an empty pull keeps the previous bookmark (None from nextBookmark)
+    val empty = Sources.incremental(ev, "ts", Some(lit("2099-01-01")))
+    assert(Sources.nextBookmark(empty, "ts").isEmpty)
+  }
 }

@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() === expected.count())
   }
 
+  test("stream-static broadcast join enriches every matchable event") {
+    import org.apache.spark.sql.functions.broadcast
+    val src = stageEvents()
+    val events = Streaming.readEvents(spark, src)
+    val dim = Tables.load(spark, sf0001, "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val enriched = events.join(broadcast(dim),
+      events("user_id") === dim("c_custkey"), "inner")
+    Streaming.runAvailableNow(enriched, "ss_enriched", outputMode = "append")
+    val got = spark.table("ss_enriched")
+      .groupBy($"c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Tables.load(spark, sf0001, "events")
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("stream-stream join emits exactly the batch join pairs") {
     val src = stageEvents()
     val events = Streaming.readEvents(spark, src)
