@@ -80,6 +80,18 @@ object TransformQueries extends QuerySection {
       .orderBy(col("c_custkey")).limit(500)
   }
 
+  /** Accent normalization (native `Unaccent` Catalyst expression —
+    * NFD + strip combining marks, full codegen): deterministic accents
+    * are planted via translate, the expression must fold them back. */
+  private def fxUnaccent(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        translate(lower(col("c_name")), "aeioun", "áéíóüñ").as("accented"))
+    base.select(col("c_custkey"), col("accented"),
+      org.apache.spark.sql.graftx.Unaccent(col("accented")).as("plain"))
+      .orderBy(col("c_custkey")).limit(500)
+  }
+
   /** F14 record hash (md5 over stringified key fields). */
   private def fxHash(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer")
@@ -195,6 +207,7 @@ object TransformQueries extends QuerySection {
     "fx_dates" -> (fxDates _),
     "fx_detect" -> (fxDetect _),
     "fx_hash" -> (fxHash _),
+    "fx_unaccent" -> (fxUnaccent _),
     "fx_json" -> (fxJson _),
     "fx_coerce" -> (fxCoerce _),
     "fx_nullstd" -> (fxNullStd _),
@@ -276,6 +289,12 @@ object TransformQueries extends QuerySection {
         |  CASE WHEN length(regexp_replace(email_bad, '\D', '', 'g'))
         |         BETWEEN 10 AND 15 THEN 'phone' ELSE 'string' END AS t_plain
         |FROM b ORDER BY c_custkey LIMIT 500""".stripMargin,
+    "fx_unaccent" ->
+      """SELECT c_custkey,
+        |  translate(lower(c_name), 'aeioun', 'áéíóüñ') AS accented,
+        |  strip_accents(translate(lower(c_name), 'aeioun', 'áéíóüñ'))
+        |    AS plain
+        |FROM customer ORDER BY c_custkey LIMIT 500""".stripMargin,
     "fx_hash" ->
       """SELECT c_custkey,
         |  md5(CAST(c_custkey AS VARCHAR) || c_name || c_mktsegment)

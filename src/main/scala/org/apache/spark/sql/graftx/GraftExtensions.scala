@@ -46,6 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_product takes 2 arguments")
         DotProduct(args(0), args(1))
       }: Expression))
+    ext.injectFunction((
+      FunctionIdentifier("unaccent"),
+      info("unaccent",
+        "_FUNC_(s) - strip accents (NFD + drop combining marks)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "unaccent takes 1 argument")
+        Unaccent(args(0))
+      }: Expression))
     ext.injectOptimizerRule(_ => DeferExpensiveProjection)
   }
 }
@@ -58,5 +66,7 @@ object GraftExtensions {
       args => CosineSimilarity(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       args => DotProduct(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("unaccent",
+      args => Unaccent(args(0)), "scala_udf")
   }
 }

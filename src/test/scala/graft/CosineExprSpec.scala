@@ -38,6 +38,35 @@ class CosineExprSpec extends SparkSpec {
     assert(withNull.select(Dedup.cosine($"a", $"b")).head().isNullAt(0))
   }
 
+  test("unaccent strips diacritics, keeps base text, compiles to codegen") {
+    import org.apache.spark.sql.graftx.Unaccent
+    // eval path semantics
+    assert(Unaccent.strip("café naïve piñata über Ångström") ===
+      "cafe naive pinata uber Angstrom")
+    assert(Unaccent.strip("plain ascii 123") === "plain ascii 123")
+    // codegen path gives the same answers as eval
+    val df = Seq("café", "naïve", "piñata", "über", "Ångström", "plain")
+      .toDF("s").select($"s", Unaccent($"s").as("p"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("café" -> "cafe", "naïve" -> "naive",
+      "piñata" -> "pinata", "über" -> "uber", "Ångström" -> "Angstrom",
+      "plain" -> "plain"))
+    // null propagates; SQL surface resolves
+    val withNull = Seq(Option.empty[String]).toDF("s")
+    assert(withNull.select(Unaccent($"s")).head().isNullAt(0))
+    org.apache.spark.sql.graftx.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT unaccent('résumé') AS r").head().getString(0)
+      === "resume")
+    // stays inside whole-stage codegen — no fallback (probe over a
+    // parquet scan; a local Seq collapses to LocalTableScan, no codegen)
+    import org.apache.spark.sql.execution.debug._
+    val onTable = Tables.load(spark, sf0001, "customer")
+      .select(Unaccent(translate(lower($"c_name"), "aeioun", "áéíóüñ")))
+    val gen = codegenString(onTable.queryExecution.executedPlan)
+    assert(gen.contains("NON_SPACING_MARK"), gen.take(2000))
+    assert(!gen.contains("CodegenFallback"), gen.take(2000))
+  }
+
   test("expression compiles into whole-stage generated code (doGenCode)") {
     import org.apache.spark.sql.execution.debug._
     val e = Tables.load(spark, sf0001, "embeddings")
