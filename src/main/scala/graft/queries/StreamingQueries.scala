@@ -131,7 +131,32 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Custom keyed state (`flatMapGroupsWithState`): running per-user
+    * event counts/value totals emitted in update mode. The judged
+    * output takes each user's LAST emission — selected by max n_events,
+    * which is monotone in the update sequence, so the reduction is
+    * correct under any micro-batch split — and must equal the batch
+    * group-by over the same events. */
+  private def streamUserTotals(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sut")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val totals = Streaming.statefulUserTotals(
+      Streaming.readEventsNanos(s, tmp.toString))
+    val name = "stream_user_totals_sink"
+    withStatePartitions(s, 8) {
+      Streaming.runAvailableNow(totals.toDF(), name, outputMode = "update")
+    }
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("total_value"), col("n_events")).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "stream_user_totals" -> (streamUserTotals _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
     "stream_attribution" -> (streamStreamAttribution _),
@@ -139,6 +164,10 @@ object StreamingQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_window_counts" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,

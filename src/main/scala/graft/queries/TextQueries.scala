@@ -88,6 +88,43 @@ object TextQueries extends QuerySection {
           1, 4), ",").as("fp"))
       .orderBy(col("doc_id")).limit(300)
 
+  /** Corpus TF-IDF, top-3 terms per document: per-doc term counts and
+    * corpus document frequencies are two hash aggregates; idf joins
+    * back on the term key (a |vocab|-sized shuffle join — the idf side
+    * is derived data, never broadcast-assumed at corpus scale); the
+    * corpus size joins as a broadcast scalar. Ranking ties break on the
+    * term so the judged top-k is total-order deterministic; tfidf is
+    * rounded BEFORE ranking so a last-ulp libm divergence between
+    * engines cannot flip the order. */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3 && col("doc_id") < 100)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Corpus-wide top bigrams: shingle → explode → one hash aggregate
+    * (map-side partials make the shuffle |distinct bigrams|, not
+    * |tokens|); top-40 with a lexicographic tie-break. */
+  private def textBigrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(explode(shinglesOfTokens(col("__toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(40)
+
   /** Sequence packing (training-data extension): documents fill
     * fixed-token-budget packs in deterministic doc_id order — running
     * token cumsum binned by the budget (contiguous-fill packing; a doc
@@ -129,6 +166,8 @@ object TextQueries extends QuerySection {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_rollup" -> (textRollup _),
+    "text_tfidf" -> (textTfidf _),
+    "text_bigrams" -> (textBigrams _),
     "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
 
@@ -142,6 +181,31 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest($tokensSql) AS t(term)
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+        |ranked AS (SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tfidf FROM ranked
+        |WHERE rk <= 3 AND doc_id < 100
+        |ORDER BY doc_id, rk""".stripMargin,
+    "text_bigrams" ->
+      s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+        |sh AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n FROM sh
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 40""".stripMargin,
     "text_pack" ->
       s"""WITH t AS (SELECT doc_id, doc_id // 1000 AS shard,
         |    CAST(len($tokensSql) AS BIGINT) AS n_tok FROM documents),
