@@ -375,6 +375,37 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** W8 ranking-function family (rank / dense_rank / percent_rank /
+    * ntile / cume_dist) in one windowed pass; the order key includes
+    * the unique o_orderkey so every rank is tie-free deterministic. */
+  private def w8RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 400)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Sliding (overlapping) event-time windows, batch form: size 6h,
+    * slide 3h — every event lands in exactly size/slide = 2 windows.
+    * Catalyst expands the membership list per row before the hash
+    * aggregate (same Expand-then-aggregate shape the streaming twin
+    * uses); the oracle replays the 2-window membership explicitly. */
+  private def qSlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** Grouping sets — the explicit-sets member of the cube/rollup family
     * (SQL surface; Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -475,6 +506,8 @@ object RelationalQueries extends QuerySection {
     "j7_range" -> (j7Range _),
     "j8_salted_join" -> (j8SaltedJoin _),
     "w7_topk_grouped" -> (w7TopkGrouped _),
+    "w8_rank_family" -> (w8RankFamily _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -560,6 +593,29 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "w8_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(o_totalprice, 2) AS price,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  round(percent_rank() OVER w, 4) AS prnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM orders WHERE o_orderkey < 400
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q_sliding_window" ->
+      """WITH sh AS (SELECT unnest([0, 1]) AS i),
+        |w AS (SELECT
+        |    time_bucket(INTERVAL 3 HOUR, ts) - i * INTERVAL 3 HOUR
+        |      AS w_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN sh)
+        |SELECT w_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
