@@ -375,6 +375,49 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** J9 null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): planted
+    * NULL keys on both sides must pair up (a plain equi-join would drop
+    * them). Null-safe equality still hash-partitions — NULL is just a
+    * key value — so the plan stays a hash join, not a nested loop. */
+  private def j9NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val l = orders.filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 50).as("k"))
+    val r = orders.filter(col("o_orderkey") >= 100 && col("o_orderkey") < 600)
+      .select(col("o_orderkey").as("r_key"),
+        when(col("o_orderkey") % 10 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 50).as("k"))
+    l.join(r, l("k") <=> r("k"), "inner")
+      .groupBy(l("k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("r_key")).as("min_r"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  /** Array-function family over deterministically synthesized arrays:
+    * sequence, transform, sort, reverse, distinct, flatten, contains,
+    * sum-aggregate, join-to-string — all codegen-free HOFs kept OFF the
+    * scan's hot columns. Array outputs are string-joined so the judged
+    * frame stays hashable. */
+  private def fxArrays(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        sequence(lit(1L), col("o_orderkey") % 5 + 1).as("arr"))
+    base.select(col("o_orderkey"),
+      array_join(col("arr"), ",").as("arr_s"),
+      array_join(reverse(col("arr")), ",").as("rev_s"),
+      array_join(array_sort(array_distinct(concat(col("arr"), col("arr")))),
+        ",").as("dedup_s"),
+      array_join(transform(col("arr"), x => x * 2), ",").as("dbl_s"),
+      array_join(flatten(array(col("arr"), col("arr"))), ",").as("flat_s"),
+      array_contains(col("arr"), 3L).as("has3"),
+      aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("arr_sum"),
+      size(col("arr")).cast("long").as("arr_len"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** W8 ranking-function family (rank / dense_rank / percent_rank /
     * ntile / cume_dist) in one windowed pass; the order key includes
     * the unique o_orderkey so every rank is tie-free deterministic. */
@@ -505,6 +548,8 @@ object RelationalQueries extends QuerySection {
     "j6_asof_nearest" -> (j6AsofNearest _),
     "j7_range" -> (j7Range _),
     "j8_salted_join" -> (j8SaltedJoin _),
+    "j9_nullsafe_join" -> (j9NullsafeJoin _),
+    "fx_arrays" -> (fxArrays _),
     "w7_topk_grouped" -> (w7TopkGrouped _),
     "w8_rank_family" -> (w8RankFamily _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -593,6 +638,33 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "j9_nullsafe_join" ->
+      """WITH l AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |      ELSE o_orderkey % 50 END AS k
+        |  FROM orders WHERE o_orderkey < 100),
+        |r AS (SELECT o_orderkey AS r_key,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |      ELSE o_orderkey % 50 END AS k
+        |  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 600)
+        |SELECT l.k, count(*) AS n_pairs, min(r_key) AS min_r
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |GROUP BY l.k ORDER BY l.k NULLS FIRST""".stripMargin,
+    "fx_arrays" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    generate_series(1, o_orderkey % 5 + 1) AS arr
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey,
+        |  array_to_string(arr, ',') AS arr_s,
+        |  array_to_string(list_reverse(arr), ',') AS rev_s,
+        |  array_to_string(list_sort(list_distinct(list_concat(arr, arr))),
+        |    ',') AS dedup_s,
+        |  array_to_string(list_transform(arr, x -> x * 2), ',') AS dbl_s,
+        |  array_to_string(flatten([arr, arr]), ',') AS flat_s,
+        |  list_contains(arr, 3) AS has3,
+        |  CAST(list_sum(arr) AS BIGINT) AS arr_sum,
+        |  len(arr) AS arr_len
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "w8_rank_family" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(o_totalprice, 2) AS price,

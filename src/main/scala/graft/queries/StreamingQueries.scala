@@ -155,7 +155,33 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming sessionization (`session_window`, gap 30 min): sessions
+    * whose end (last event + gap) the final watermark passed are
+    * emitted in append mode. The oracle replays gap-based
+    * sessionization batch-wise — new session at diff >= gap, matching
+    * session_window's half-open [ts, ts+gap) merge rule — plus the
+    * same emission cutoff. */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sws")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val sess = Streaming.sessionize(
+      Streaming.readEventsNanos(s, tmp.toString),
+      gap = "30 minutes", watermark = "1 hour")
+    val name = "stream_sessions_sink"
+    withStatePartitions(s, 8) {
+      Streaming.runAvailableNow(sess, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "stream_sessions" -> (streamSessions _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
@@ -164,6 +190,28 @@ object StreamingQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stream_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch(ts) -
+        |      epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |      >= 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid,
+        |    min(ts) AS session_start,
+        |    count(*) AS n_events,
+        |    round(sum(value), 2) AS session_value,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events, session_value FROM agg
+        |WHERE s_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
