@@ -45,7 +45,7 @@ object StreamingQueries extends QuerySection {
       Streaming.readEventsNanos(s, tmp.toString),
       window_ = "6 hours", watermark = "1 minute")
     val name = "stream_window_counts_sink"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       Streaming.runAvailableNow(agg, name, outputMode = "append")
     }
     s.table(name)
@@ -72,7 +72,7 @@ object StreamingQueries extends QuerySection {
       Seq("event_id"), watermark = "1 minute")
     val agg = Streaming.windowAgg(deduped, window_ = "6 hours")
     val name = "stream_dedup_counts_sink"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       Streaming.runAvailableNow(agg, name, outputMode = "append")
     }
     s.table(name)
@@ -97,7 +97,7 @@ object StreamingQueries extends QuerySection {
       events.filter(col("event_type") === "purchase"),
       watermark = "1 minute", horizon = "1 hour")
     val name = "stream_attribution_sink"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       Streaming.runAvailableNow(joined, name, outputMode = "append")
     }
     s.table(name)
@@ -145,7 +145,7 @@ object StreamingQueries extends QuerySection {
     val totals = Streaming.statefulUserTotals(
       Streaming.readEventsNanos(s, tmp.toString))
     val name = "stream_user_totals_sink"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       Streaming.runAvailableNow(totals.toDF(), name, outputMode = "update")
     }
     s.table(name)
@@ -170,7 +170,7 @@ object StreamingQueries extends QuerySection {
       Streaming.readEventsNanos(s, tmp.toString),
       gap = "30 minutes", watermark = "1 hour")
     val name = "stream_sessions_sink"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       Streaming.runAvailableNow(sess, name, outputMode = "append")
     }
     s.table(name)
