@@ -32,12 +32,56 @@ object MultimodalQueries extends QuerySection {
         round(element_at(col("features"), 8) * 1000).cast("int").as("f7"))
       .orderBy(col("media_id")).limit(300)
 
+  /** Resize stage: binary→binary map (no shuffle); judged on the
+    * post-resize payload size and rewritten dimensions — the stub
+    * "resize" is a deterministic truncation to max(16, w·h/64) bytes,
+    * replayed in SQL over the same UTF-8 payload lengths. */
+  private def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeImages(Multimodal.demoMediaTable(s, dir), w = 64, h = 64)
+      .filter(col("media_type") === "image")
+      .select(col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        col("width"), col("height"))
+      .orderBy(col("media_id")).limit(300)
+
+  /** Frame sampling: video binaries explode into one row per kept
+    * frame (every 4th 64-byte chunk); judged on per-frame byte counts
+    * — chunk arithmetic replayed in SQL. */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(Multimodal.demoMediaTable(s, dir),
+        everyN = 4)
+      .filter(col("media_type") === "video")
+      .select(col("media_id"), col("frame_no"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .orderBy(col("media_id"), col("frame_no")).limit(500)
+
   def queries: Map[String, Q] = Map(
     "mm_stats" -> (mmStats _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "mm_resize" -> (mmResize _),
+    "mm_frames" -> (mmFrames _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(least(octet_length(encode(text)), 64) AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id LIMIT 300""".stripMargin,
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |chunks AS (SELECT media_id, nb,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(nb / 64.0) AS INT) - 1)) AS ci
+        |  FROM v)
+        |SELECT media_id, CAST(ci // 4 AS INT) AS frame_no,
+        |  CAST(least(64, nb - ci * 64) AS BIGINT) AS n_bytes
+        |FROM chunks WHERE ci % 4 = 0
+        |ORDER BY media_id, frame_no LIMIT 500""".stripMargin,
     "mm_stats" ->
       """WITH m AS (SELECT
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
