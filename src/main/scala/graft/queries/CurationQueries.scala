@@ -60,9 +60,16 @@ object CurationQueries extends QuerySection {
     * rolled up to (lang, bin) with order-insensitive bounds. */
   private def curCurriculum(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis
+    // tokens materialized ONCE per doc: the interpreted HOF ratios
+    // reference the token arrays several times and get no CSE, so the
+    // inline form re-splits the text per reference (measured ~10×)
     val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("__t"),
+        TextAnalysis.tokens(lower(col("text"))).as("__lt"))
       .select(col("doc_id"), col("lang"),
-        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+        round(TextAnalysis.qualityScoreOfTokens(
+          col("text"), col("__t"), col("__lt")), 6).as("q"))
     Curation.curriculumBins(scored, "lang", col("q"), "doc_id", bins = 4)
       .groupBy(col("lang"), col("__bin").cast("long").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
