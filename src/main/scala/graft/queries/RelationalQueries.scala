@@ -375,6 +375,46 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("o_orderpriority"), col("rk"))
   }
 
+  /** W9 event-time RANGE frame: per-user rolling 1-hour sum — the
+    * value-based frame (all rows within the interval), not a row-count
+    * frame. Spark range frames need a numeric order key, so the frame
+    * runs over epoch seconds; the oracle uses DuckDB's native
+    * RANGE INTERVAL form over the timestamp. */
+  private def w9RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.load(s, dir, "events")
+      .withColumn("rolling_1h", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("rolling_1h"))
+      .orderBy(col("event_id")).limit(2000)
+  }
+
+  /** EXISTS correlated subquery — Catalyst decorrelates to a left-semi
+    * join (SURVEY.md §4: subquery decorrelation is built-in); judged
+    * with the IDENTICAL SQL in both engines. */
+  private def qExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_sq
+        |WHERE EXISTS (SELECT 1 FROM orders_sq
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar subquery (per-nation average balance threshold)
+    * — decorrelates into an aggregate + join. */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer_sq2")
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer_sq2 c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer_sq2 i
+        |  WHERE i.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** J9 null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): planted
     * NULL keys on both sides must pair up (a plain equi-join would drop
     * them). Null-safe equality still hash-partitions — NULL is just a
@@ -552,6 +592,9 @@ object RelationalQueries extends QuerySection {
     "fx_arrays" -> (fxArrays _),
     "w7_topk_grouped" -> (w7TopkGrouped _),
     "w8_rank_family" -> (w8RankFamily _),
+    "w9_range_frame" -> (w9RangeFrame _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
@@ -638,6 +681,24 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "w9_range_frame" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+        |    AS rolling_1h
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.5 FROM customer i
+        |  WHERE i.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "j9_nullsafe_join" ->
       """WITH l AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 10 = 0 THEN NULL

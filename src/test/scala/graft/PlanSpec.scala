@@ -47,4 +47,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("a2_null_profile")
     assert("FileScan".r.findAllIn(p).size == 1, p)
   }
+
+  test("EXISTS subquery decorrelates to a semi join, scalar to an agg join") {
+    val exists = plan("q_exists_subquery")
+    assert(exists.contains("LeftSemi"), exists)
+    assert(!exists.contains("InSubquery") && !exists.contains("exists#"),
+      exists)
+    val scalar = plan("q_scalar_subquery")
+    // the correlated aggregate becomes a grouped subplan joined back in
+    assert(scalar.contains("HashAggregate") &&
+      (scalar.contains("Join") || scalar.contains("BroadcastHashJoin")),
+      scalar)
+  }
 }
