@@ -115,6 +115,23 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Within-document repetition ratio (the Gopher/C4-style repeated
+    * n-gram filter): 1 − |distinct bigrams| / |bigrams|, row-local —
+    * shingle array materialized once, no shuffle at all before the
+    * judged sort. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), shinglesOfTokens(col("__toks"), 2).as("__sh"))
+      .select(col("doc_id"),
+        size(col("__sh")).cast("long").as("n_bigrams"),
+        when(size(col("__sh")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("__sh"))).cast("double") /
+              size(col("__sh")), 4))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy(col("doc_id")).limit(500)
+
   /** Corpus-wide top bigrams: shingle → explode → one hash aggregate
     * (map-side partials make the shuffle |distinct bigrams|, not
     * |tokens|); top-40 with a lexicographic tie-break. */
@@ -168,6 +185,7 @@ object TextQueries extends QuerySection {
     "text_rollup" -> (textRollup _),
     "text_tfidf" -> (textTfidf _),
     "text_bigrams" -> (textBigrams _),
+    "text_repetition" -> (textRepetition _),
     "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
 
@@ -197,6 +215,18 @@ object TextQueries extends QuerySection {
         |SELECT doc_id, rk, term, tfidf FROM ranked
         |WHERE rk <= 3 AND doc_id < 100
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END AS shl
+        |  FROM toks)
+        |SELECT doc_id, CAST(len(shl) AS BIGINT) AS n_bigrams,
+        |  CASE WHEN len(shl) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl), 4)
+        |  ELSE 0.0 END AS rep_ratio
+        |FROM sh ORDER BY doc_id LIMIT 500""".stripMargin,
     "text_bigrams" ->
       s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
         |sh AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
