@@ -180,7 +180,27 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** End-to-end stream → routed lake load (foreachBatch reusing the K8
+    * batch routing fan-out): every event lands in the archive route; the
+    * judged output aggregates the read-back archive table and must equal
+    * the batch aggregate over the source events. */
+  private def streamRouting(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_srt")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val base = Files.createTempDirectory("graft_srt_lake").toString
+    val q = Streaming.routeStream(
+      Streaming.readEventsNanos(s, tmp.toString), base).start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/archive")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "stream_routing" -> (streamRouting _),
     "stream_sessions" -> (streamSessions _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_window_counts" -> (streamWindowCounts _),
@@ -190,6 +210,9 @@ object StreamingQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stream_routing" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

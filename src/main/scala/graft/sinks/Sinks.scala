@@ -145,6 +145,30 @@ object Sinks {
   /** Overwriting a path we are also reading requires materializing away
     * from it first: write temp dir, swap atomically at the directory
     * level. */
+  /** Lake maintenance — small-file compaction: rewrite a parquet
+    * directory into ~`targetBytes`-sized files and atomically swap it
+    * in. Streaming appends (one file per micro-batch per partition) and
+    * fine-grained routing both accrete small files; scan cost at 100 TB
+    * is dominated by file-open/footer overhead once files fall below a
+    * row group, so compaction is the standard maintenance pass (what
+    * Delta OPTIMIZE does transactionally). Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .toSeq
+    val root = Paths.get(path)
+    val before = parquetFiles(root)
+    val totalBytes = before.map(Files.size).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    writeSwap(spark, df.repartition(n), path)
+    (before.size, parquetFiles(root).size)
+  }
+
   def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp__"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

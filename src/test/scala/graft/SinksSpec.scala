@@ -69,6 +69,22 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("compaction collapses small files, keeps every row, swaps atomically") {
+    val dir = tmp()
+    val path = s"$dir/frag"
+    val base = Tables.load(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    base.repartition(40).write.parquet(path) // 40 tiny files
+    val totalOrder = Seq($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val before = base.orderBy(totalOrder: _*).collect()
+    val (nBefore, nAfter) = Sinks.compact(spark, path, targetBytes = 1L << 26)
+    assert(nBefore >= 40, s"expected fragmented input, got $nBefore")
+    assert(nAfter <= 2, s"expected compacted output, got $nAfter")
+    val after = spark.read.parquet(path)
+      .orderBy(totalOrder: _*).collect()
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("K5 points load: auto-fields are numeric non-tag non-time (base_loaders.py:207-256)") {
     val df = Seq((1L, "h1", 0.5, 17L, "ignore"))
       .toDF("time", "host", "cpu", "mem", "note")
