@@ -90,6 +90,34 @@ class PropertySpec extends SparkSpec {
     assert(h1.as[String].collect().toSeq == h2.as[String].collect().toSeq)
   }
 
+  test("unaccent: idempotent, length never grows, ASCII fixed-point") {
+    import org.apache.spark.sql.graftx.Unaccent
+    val accented = Gen.listOfN(12, Gen.oneOf(
+      ('a' to 'z') ++ "áéíóúàèìòùâêîôûäëïöüñçåøÁÉÍÑÜ ".toSeq)).map(_.mkString)
+    samples(accented, 80).foreach { s =>
+      val once = Unaccent.strip(s)
+      assert(Unaccent.strip(once) === once, s"not idempotent on '$s'")
+      assert(once.length <= s.length)
+    }
+    val ascii = samples(Gen.asciiPrintableStr.map(_.take(20)), 40)
+    ascii.foreach(s => assert(Unaccent.strip(s) === s))
+  }
+
+  test("salted join equals plain join for arbitrary bucket counts") {
+    val fact = Seq.tabulate(200)(i => ((i % 7).toLong, i.toDouble))
+      .toDF("k", "v")
+    val dim = Seq.tabulate(7)(i => (i.toLong, s"d$i")).toDF("k", "name")
+    Seq(1, 2, 5, 16).foreach { b =>
+      val salted = graft.plans.Scale.saltedJoin(fact, dim, "k", b)
+        .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .orderBy($"name").collect().toSeq
+      val plain = fact.join(dim, Seq("k"))
+        .groupBy($"name").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .orderBy($"name").collect().toSeq
+      assert(salted === plain, s"bucket count $b diverged")
+    }
+  }
+
   test("coercion: long-regex accepts exactly what parses (generated ints + garbage)") {
     val mixed = Gen.oneOf(
       Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
