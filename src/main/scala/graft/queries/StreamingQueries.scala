@@ -81,6 +81,62 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** WATERMARK LATE-DATA DROP, proven end to end. Three files, one
+    * micro-batch each (`maxFilesPerTrigger=1`, ordered by mtime):
+    * (1) the full events table — its max event time will become the
+    * watermark; (2) a replay of only the final never-emitted window's
+    * events — carries the watermark forward a batch, because Spark's
+    * late-event filter for batch N uses the PRE-update watermark (one
+    * batch behind eviction); (3) a replay of only the OLDEST events
+    * (windows long closed) — by now strictly below the late-event
+    * watermark and DROPPED. The judged output equals the single-copy
+    * window counts: if the drop failed, every early window's n/total
+    * would double. */
+  private def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_late")
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    // batch 1: the full table (copied so its mtime is settable)
+    val a = tmp.resolve("a_full.parquet")
+    Files.copy(src, a)
+    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
+    // replays keep ts as raw int64 nanos so all files share one schema
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(src.toString)
+    def replayFile(cond: org.apache.spark.sql.Column,
+        name: String, mtime: Long): Unit = {
+      val gen = Files.createTempDirectory("graft_late_gen")
+      raw.filter(cond).coalesce(1)
+        .write.mode("overwrite").parquet(gen.toString)
+      val part = Files.list(gen).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = tmp.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    // batch 2: final-window rows only (that window never emits, so the
+    // duplication is invisible) — advances the late-event watermark
+    val jan30_18Nanos = 1706637600L * 1000000000L // 2024-01-30T18:00:00Z
+    replayFile(col("ts") >= lit(jan30_18Nanos), "b_tail.parquet", 2000000L)
+    // batch 3: the pure-late replay that must vanish
+    val jan10Nanos = 1704844800L * 1000000000L // 2024-01-10T00:00:00Z
+    replayFile(col("ts") < lit(jan10Nanos), "c_late.parquet", 3000000L)
+
+    val agg = Streaming.windowedCounts(
+      Streaming.readEventsNanos(s, tmp.toString, maxFilesPerTrigger = Some(1)),
+      window_ = "6 hours", watermark = "1 minute")
+    val name = "stream_late_drop_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(agg, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   /** Stream-stream join (view→purchase attribution within 1 hour, per
     * user): BOTH sides are streams over the events file; the judged
     * output is every attributed pair with its lag in microseconds,
@@ -200,6 +256,7 @@ object StreamingQueries extends QuerySection {
   }
 
   def queries: Map[String, Q] = Map(
+    "stream_late_drop" -> (streamLateDrop _),
     "stream_routing" -> (streamRouting _),
     "stream_sessions" -> (streamSessions _),
     "stream_user_totals" -> (streamUserTotals _),
@@ -210,6 +267,16 @@ object StreamingQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // single-copy counts: the pure-late replay batch must vanish
+    "stream_late_drop" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start, event_type,
+        |    count(*) AS n, round(sum(value), 2) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, event_type, n, total_value FROM w
+        |WHERE w_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+        |ORDER BY w_start, event_type""".stripMargin,
     "stream_routing" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

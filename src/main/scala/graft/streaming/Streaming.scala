@@ -39,11 +39,15 @@ object Streaming {
   /** [[readEvents]] over files whose ts is TIMESTAMP(NANOS) (the raw
     * testdata layout): read as long ns, truncate to µs — same contract
     * as [[graft.Tables.load]]'s batch path, streaming form. */
-  def readEventsNanos(spark: SparkSession, dir: String): DataFrame = {
+  def readEventsNanos(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nanosSchema = StructType(eventSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))
-    spark.readStream.schema(nanosSchema).parquet(dir)
+    val reader = spark.readStream.schema(nanosSchema)
+    val paced = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    paced.parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
