@@ -514,7 +514,7 @@ object RelationalQueries extends QuerySection {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
         expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("ex"))
       .select(
-        round(element_at(col("ex"), 2), 2).as("exact_p50"),
+        round(element_at(col("ex"), 2), 4).as("exact_p50"),
         (col("ap") >= element_at(col("ex"), 1) &&
           col("ap") <= element_at(col("ex"), 3)).as("within_bound"))
 
@@ -532,7 +532,7 @@ object RelationalQueries extends QuerySection {
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("qty"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        round(avg(col("l_extendedprice")), 4).as("avg_price"))
       .orderBy(col("band_id"))
   }
 
@@ -576,8 +576,8 @@ object RelationalQueries extends QuerySection {
         Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
       .select(col("l_returnflag"),
-        round(col("p25"), 2).as("p25"), round(col("p50"), 2).as("p50"),
-        round(col("p90"), 2).as("p90"), round(col("p99"), 2).as("p99"))
+        round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
   def queries: Map[String, Q] = Map(
@@ -628,10 +628,10 @@ object RelationalQueries extends QuerySection {
   def oracleSql: Map[String, String] = Map(
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "j6_asof" ->
@@ -757,7 +757,7 @@ object RelationalQueries extends QuerySection {
         |  (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_approx_quantile" ->
-      """SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
         |  TRUE AS within_bound
         |FROM lineitem""".stripMargin,
     "j7_range" ->
@@ -765,7 +765,7 @@ object RelationalQueries extends QuerySection {
         |  VALUES (0, 1.0, 15.0), (1, 10.0, 30.0), (2, 25.0, 50.0))
         |SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price
+        |  round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem JOIN bands
         |  ON l_quantity BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,

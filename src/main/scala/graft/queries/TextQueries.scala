@@ -174,7 +174,7 @@ object TextQueries extends QuerySection {
     docs(s, dir).groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(length(col("text"))), 2).as("avg_len"))
+        round(avg(length(col("text"))), 4).as("avg_len"))
       .orderBy(col("lang"), col("source"))
 
   def queries: Map[String, Q] = Map(
@@ -311,7 +311,7 @@ object TextQueries extends QuerySection {
     "text_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  round(avg(length(text)), 2) AS avg_len
+        |  round(avg(length(text)), 4) AS avg_len
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
   )
