@@ -178,7 +178,10 @@ object StreamingQueries extends QuerySection {
     val dim = graft.Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = events.join(broadcast(dim),
-      events("user_id") === dim("c_custkey"), "inner")
+        events("user_id") === dim("c_custkey"), "inner")
+      // project to the judged columns BEFORE the sink: the memory sink
+      // collects rows to the driver, so width is the cost that matters
+      .select(col("c_mktsegment"), col("event_type"), col("value"))
     val name = "stream_static_sink"
     Streaming.runAvailableNow(enriched, name, outputMode = "append")
     s.table(name)
