@@ -580,7 +580,38 @@ object RelationalQueries extends QuerySection {
         round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical aggregate family (engine extra past A1–A10):
+    * correlation, covariance, population variance, the SQL-standard
+    * linear-regression aggregates, and the boolean/conditional reducers
+    * between price and quantity per return flag. Every one of these is
+    * an algebraic moment sketch (sum, sum², co-moment) that merges
+    * associatively, so the plan stays a single partial+final hash
+    * aggregate — one exchange regardless of data size. */
+  private def qStatsFamily(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("price_qty_corr"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("covar_s"),
+        round(covar_pop(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("covar_p"),
+        round(var_pop(col("l_discount")), 6).as("var_disc"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("r2"),
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"))
+      .orderBy(col("l_returnflag"))
+
   def queries: Map[String, Q] = Map(
+    "q_stats_family" -> (qStatsFamily _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -626,6 +657,21 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stats_family" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_s,
+        |  round(covar_pop(l_extendedprice, l_quantity), 4) AS covar_p,
+        |  round(var_pop(l_discount), 6) AS var_disc,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

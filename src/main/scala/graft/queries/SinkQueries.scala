@@ -146,7 +146,38 @@ object SinkQueries extends QuerySection {
       .orderBy(col("o_orderkey")).limit(200)
   }
 
+  /** K+ (scale extension): dynamic partition pruning over the
+    * date-partitioned lake layout. The fact is written partitioned by
+    * ship month — the layout `Sinks.loadPartitionedByDate` targets —
+    * then joined to a dimension whose qualifying months are only known
+    * at runtime (distinct order months of one quarter). DPP compiles
+    * the dim filter into a partition-level subquery on the fact scan
+    * (`dynamicpruningexpression` in PartitionFilters, asserted in
+    * PlanSpec), so a 100 TB fact reads only the matched partitions
+    * instead of all of them — the difference between scanning 3 months
+    * and scanning 7 years. */
+  private def kDppJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+    fact.join(dim, Seq("ship_month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("ship_month"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "k_dpp_join" -> (kDppJoin _),
     "k_bucketed_join" -> (kBucketedJoin _),
     "o2_etl_job" -> (o2EtlJob _),
     "k7_multi_target" -> (k7MultiTarget _),
@@ -157,6 +188,16 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k_dpp_join" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') FROM orders
+        |  WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "k_bucketed_join" ->
       """SELECT o_orderkey,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -59,4 +59,16 @@ class PlanSpec extends SparkSpec {
       (scalar.contains("Join") || scalar.contains("BroadcastHashJoin")),
       scalar)
   }
+
+  test("k_dpp_join prunes fact partitions dynamically from the dim filter") {
+    val p = plan("k_dpp_join")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
+  test("q_stats_family is one partial+final aggregate, no extra shuffle") {
+    val p = plan("q_stats_family")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle:\n$p")
+  }
 }
