@@ -565,6 +565,30 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    * one sketch per month at "ingest", then answer the cross-month
+    * distinct question by UNIONING the sketches — never rescanning the
+    * raw data. This is the 100 TB rollup pattern q_approx_distinct's
+    * one-shot HLL++ can't do: partial sketches persist as bytes in a
+    * summary table and re-aggregate to any grouping. Judged like the
+    * other sketches — the merged estimate must land within a bound the
+    * sketch guarantees (lgK=14 ⇒ ~0.8% rse; bound 5%), plus the exact
+    * sketch count. */
+  private def qHllUnion(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val monthly = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    val merged = monthly.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+      count(lit(1)).as("n_sketches"))
+    orders.agg(count_distinct(col("o_custkey")).as("exact_cnt"))
+      .crossJoin(merged)
+      .select(col("exact_cnt"), col("n_sketches"),
+        (abs(col("est") - col("exact_cnt")).cast("double") /
+          col("exact_cnt") <= 0.05).as("within_bound"))
+  }
+
   /** Exact interpolated percentiles per group via the distributed
     * sort-based plan (`Scale.exactPercentiles` — spillable window sort
     * + algebraic reduce, vs the builtin `percentile`'s per-group
@@ -612,6 +636,7 @@ object RelationalQueries extends QuerySection {
 
   def queries: Map[String, Q] = Map(
     "q_stats_family" -> (qStatsFamily _),
+    "q_hll_union" -> (qHllUnion _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -657,6 +682,11 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_hll_union" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_cnt,
+        |  count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_sketches,
+        |  true AS within_bound
+        |FROM orders""".stripMargin,
     "q_stats_family" ->
       """SELECT l_returnflag,
         |  count(*) AS n,

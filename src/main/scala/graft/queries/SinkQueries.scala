@@ -176,7 +176,24 @@ object SinkQueries extends QuerySection {
       .orderBy(col("ship_month"))
   }
 
+  /** K+ (lake lifecycle past K4's latest-wins upsert): SCD2 change
+    * history. `orders` is treated as the change log of each customer's
+    * order status; `Scd2.fromChangeLog` collapses consecutive repeats
+    * of the same status and stamps versioned validity ranges — the
+    * full-history twin of the upsert, one keyed shuffle total
+    * (asserted in PlanSpec). */
+  private def kScd2History(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.fromChangeLog(
+        Tables.load(s, dir, "orders"),
+        key = "o_custkey", ts = "o_orderdate", tie = "o_orderkey",
+        attrs = Seq("o_orderstatus"))
+      .select(col("o_custkey"), col("version").cast("long").as("version"),
+        col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+
   def queries: Map[String, Q] = Map(
+    "k_scd2_history" -> (kScd2History _),
     "k_dpp_join" -> (kDppJoin _),
     "k_bucketed_join" -> (kBucketedJoin _),
     "o2_etl_job" -> (o2EtlJob _),
@@ -188,6 +205,25 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |changes AS (
+        |  SELECT * FROM ordered WHERE prev IS DISTINCT FROM o_orderstatus)
+        |SELECT o_custkey,
+        |  row_number() OVER w AS version,
+        |  o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  coalesce(lead(o_orderdate) OVER w,
+        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  lead(o_orderdate) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "k_dpp_join" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
         |  count(*) AS n,
