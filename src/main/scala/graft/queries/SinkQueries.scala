@@ -192,7 +192,30 @@ object SinkQueries extends QuerySection {
         col("valid_from"), col("valid_to"), col("is_current"))
       .orderBy(col("o_custkey"), col("version"))
 
+  /** K+ (layout): z-order clustered rewrite, read back through a 2-D
+    * predicate box. The aggregate proves the Morton-curve rewrite is
+    * lossless; the skipping property (few file bounding boxes overlap
+    * the box) is asserted in ZOrderSpec. On the 100 TB table this
+    * layout lets Parquet footer stats prune both dimensions at once. */
+  private def kZorderBox(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zq").toString
+    graft.sinks.ZOrder.write(
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice")),
+      out, Seq("l_partkey", "l_suppkey"), numFiles = 16)
+    s.read.parquet(out)
+      .filter(col("l_partkey").between(400, 800) &&
+        col("l_suppkey").between(20, 60))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "k_zorder_box" -> (kZorderBox _),
     "k_scd2_history" -> (kScd2History _),
     "k_dpp_join" -> (kDppJoin _),
     "k_bucketed_join" -> (kBucketedJoin _),
@@ -205,6 +228,14 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k_zorder_box" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 400 AND 800
+        |  AND l_suppkey BETWEEN 20 AND 60
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "k_scd2_history" ->
       """WITH ordered AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
