@@ -565,6 +565,40 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
+  /** J10 — point-in-time (temporal) lookup: each shipped lineitem
+    * retrieves the customer-status version that was valid when it
+    * shipped, by joining the fact timestamp into the SCD2 validity
+    * ranges (equi on the key + half-open BETWEEN, the standard PIT
+    * join shape — Spark plans the equi part as the join key and the
+    * range as a post-join filter). Because the ranges tile each key's
+    * timeline (Scd2Spec) and l_shipdate ≥ the order's own change
+    * timestamp, every fact matches exactly one version. */
+  private def j10PitLookup(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val hist = graft.operators.Scd2.fromChangeLog(orders,
+        key = "o_custkey", ts = "o_orderdate", tie = "o_orderkey",
+        attrs = Seq("o_orderstatus"))
+      .select(col("o_custkey").as("h_custkey"),
+        col("version").cast("long").as("version"),
+        col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"))
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_shipdate"))
+      .join(hist, col("o_custkey") === col("h_custkey") &&
+        col("l_shipdate") >= col("valid_from") &&
+        col("l_shipdate") < col("valid_to"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("l_shipdate"), col("version"), col("status"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // shipdate + version make the order total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("version"))
+  }
+
   /** Mergeable distinct-count sketches (Apache DataSketches HLL): build
     * one sketch per month at "ingest", then answer the cross-month
     * distinct question by UNIONING the sketches — never rescanning the
@@ -637,6 +671,7 @@ object RelationalQueries extends QuerySection {
   def queries: Map[String, Q] = Map(
     "q_stats_family" -> (qStatsFamily _),
     "q_hll_union" -> (qHllUnion _),
+    "j10_pit_lookup" -> (j10PitLookup _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -682,6 +717,32 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "j10_pit_lookup" ->
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |hist AS (
+        |  SELECT o_custkey AS h_custkey,
+        |    row_number() OVER w AS version,
+        |    o_orderstatus AS status,
+        |    o_orderdate AS valid_from,
+        |    coalesce(lead(o_orderdate) OVER w,
+        |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |  FROM ordered WHERE prev IS DISTINCT FROM o_orderstatus
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |facts AS (
+        |  SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_orderkey < 2000)
+        |SELECT l_orderkey, l_linenumber, o_custkey, l_shipdate,
+        |  version, status
+        |FROM facts JOIN hist ON o_custkey = h_custkey
+        |  AND l_shipdate >= valid_from AND l_shipdate < valid_to
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, version""".stripMargin,
     "q_hll_union" ->
       """SELECT count(DISTINCT o_custkey) AS exact_cnt,
         |  count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_sketches,

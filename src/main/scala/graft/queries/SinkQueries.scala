@@ -161,6 +161,9 @@ object SinkQueries extends QuerySection {
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      // co-locate each month before the partitioned write: one file per
+      // partition instead of (tasks × months) small files
+      .repartition(col("ship_month"))
       .write.mode("overwrite").partitionBy("ship_month").parquet(out)
     val fact = s.read.parquet(out)
     val dim = Tables.load(s, dir, "orders")

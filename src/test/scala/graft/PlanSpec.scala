@@ -71,4 +71,31 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly 1 shuffle:\n$p")
   }
+
+  test("a selective dim filter injects a runtime bloom filter on the fact") {
+    import org.apache.spark.sql.functions.col
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.get(k))
+    try {
+      // force the shuffle-join regime where the 100 TB fact side can't
+      // broadcast, and let the (normally 10 GB) application-side floor
+      // admit test-scale scans
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+        .groupBy().count()
+      // the optimizer builds a bloom filter from the filtered dim and
+      // applies might_contain to the fact scan — a semi-join reduction
+      // that skips shuffling fact rows that cannot match
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) => c.set(k, v) }
+  }
 }
