@@ -504,19 +504,27 @@ object RelationalQueries extends QuerySection {
   }
 
   /** Approximate percentile (mergeable KLL-style sketch vs the exact
-    * distributed sort): judged like q_approx_distinct — the approx
-    * value must land inside the exact [p49, p51] rank bracket, a bound
-    * the sketch's rank-error guarantee (1/accuracy = 1e-4 relative
-    * rank) keeps with huge margin at any scale. */
-  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "lineitem")
-      .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"),
-        expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").as("ex"))
-      .select(
-        round(element_at(col("ex"), 2), 4).as("exact_p50"),
-        (col("ap") >= element_at(col("ex"), 1) &&
-          col("ap") <= element_at(col("ex"), 3)).as("within_bound"))
+    * rank): judged like q_approx_distinct — the approx value must land
+    * inside the exact [p49, p51] rank bracket, a bound the sketch's
+    * rank-error guarantee (1/accuracy = 1e-4 relative rank) keeps with
+    * huge margin at any scale. The exact bracket comes from the
+    * spillable window-rank path (`Scale.exactPercentiles`), not the
+    * `percentile` aggregate whose single buffer must hold every value
+    * in memory — the distinction that matters when the column is
+    * 100 TB, and the reason the sketch side exists at all. */
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val exact = graft.plans.Scale.exactPercentiles(
+        li.withColumn("__g", lit(1)), "__g", "l_extendedprice",
+        Seq(("p49", 0.49), ("p50", 0.50), ("p51", 0.51)))
+      .drop("__g")
+    val approx = li.agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
+    exact.crossJoin(approx)
+      .select(round(col("p50"), 4).as("exact_p50"),
+        (col("ap") >= col("p49") && col("ap") <= col("p51"))
+          .as("within_bound"))
+  }
 
   /** J7 range-containment join (binned — graft.operators.RangeJoin):
     * lineitem quantities vs OVERLAPPING quantity bands. Binning turns

@@ -118,7 +118,33 @@ object SourceQueries extends QuerySection {
       .orderBy(col("r_regionkey"))
   }
 
+  /** S10 — schema evolution on read (SURVEY §1.4 schema-on-read): an
+    * old writer generation lacks `o_orderpriority`; a new generation
+    * adds it. `mergeSchema` reconciles the footers at read time and
+    * nulls the missing column for old files — the lake's additive
+    * evolution contract, no table rewrite. At 100 TB the reconcile
+    * cost is footer-only (no data pass), which is why additive columns
+    * are the one evolution a plain-Parquet lake supports safely. */
+  private def s10SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(out)
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s10_schema_evolution" -> (s10SchemaEvolution _),
     "s4_file_roundtrip" -> (s4FileRoundtrip _),
     "s5_yaml_roundtrip" -> (s5YamlRoundtrip _),
     "s1_where_scan" -> (s1WhereScan _),
@@ -131,6 +157,16 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s10_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin,
     "s9_incremental" ->
       """SELECT 'incremental' AS pull, count(*) AS n, max(ts) AS bookmark
         |FROM events WHERE ts > (SELECT max(ts) FROM events
