@@ -573,6 +573,36 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
+  /** W10 — sequential conversion funnel (signup → click → purchase):
+    * each step's first qualifying timestamp must follow the previous
+    * step's. Computed as a chain of conditional min-aggregates joined
+    * per step — every stage is a keyed hash aggregate + equi-join on
+    * user_id, so the whole funnel reuses ONE key partitioning; no
+    * per-user event sorting, no state blowup, scales with users not
+    * events. Timestamps are exported as epoch millis (the events
+    * fixture is ns-precision, which the two engines truncate
+    * differently at full resolution). */
+  private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_millis(col("t1")).as("t1_ms"),
+        unix_millis(col("t2")).as("t2_ms"),
+        unix_millis(col("t3")).as("t3_ms"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+          when(col("t3").isNotNull, 1).otherwise(0)).as("steps_reached"))
+      .orderBy(col("user_id"))
+  }
+
   /** J10 — point-in-time (temporal) lookup: each shipped lineitem
     * retrieves the customer-status version that was valid when it
     * shipped, by joining the fact timestamp into the SCD2 validity
@@ -680,6 +710,7 @@ object RelationalQueries extends QuerySection {
     "q_stats_family" -> (qStatsFamily _),
     "q_hll_union" -> (qHllUnion _),
     "j10_pit_lookup" -> (j10PitLookup _),
+    "w10_funnel" -> (w10Funnel _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -725,6 +756,27 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "w10_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  epoch_ms(t1) AS t1_ms, epoch_ms(t2) AS t2_ms,
+        |  epoch_ms(t3) AS t3_ms,
+        |  1 + (t2 IS NOT NULL)::int + (t3 IS NOT NULL)::int
+        |    AS steps_reached
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
     "j10_pit_lookup" ->
       """WITH ordered AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,

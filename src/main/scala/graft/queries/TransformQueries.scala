@@ -199,7 +199,28 @@ object TransformQueries extends QuerySection {
           .as("chars_redacted"))
       .orderBy(col("doc_id")).limit(500)
 
+  /** F+ — fuzzy match candidates: near-identical name pairs by edit
+    * distance, the classic entity-resolution primitive the reference's
+    * exact record-hash dedup (`common_utils.py:176-186`) cannot
+    * express. The quadratic self-join is bounded to a broadcastable
+    * key slice here; the scale path is blocking (sorted-neighborhood
+    * or the n-gram/LSH families in graft.dedup) with edit distance
+    * only verifying candidate pairs — never all pairs. */
+  private def fxFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), col("c_name"))
+    val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(broadcast(b), col("k1") < col("k2") &&
+        levenshtein(col("n1"), col("n2")) <= 1)
+      .select(col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "fx_fuzzy" -> (fxFuzzy _),
     "t_scrub" -> (tScrub _),
     "f21_date_range" -> (f21DateRange _),
     "fx_strings" -> (fxStrings _),
@@ -217,6 +238,14 @@ object TransformQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "fx_fuzzy" ->
+      """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey < 200 AND b.c_custkey < 200
+        |ORDER BY k1, k2""".stripMargin,
     "t_scrub" ->
       """WITH t AS (SELECT doc_id,
         |    text || ' reach user' || doc_id ||
