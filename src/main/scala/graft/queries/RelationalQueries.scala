@@ -573,6 +573,19 @@ object RelationalQueries extends QuerySection {
           col("exact_cnt") <= 0.1).as("within_bound"))
   }
 
+  /** Heavy hitters (DataSketches frequent-items via `approx_top_k`):
+    * the mergeable sketch answers "top k values" with one partial+final
+    * aggregate and bounded memory at any scale. Judged in the exact
+    * regime — maxItemsTracked (100) exceeds the column's distinct
+    * count, where the sketch guarantees exact counts, so the result is
+    * deterministic and equals the true top-3. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+      .select(explode(col("tk")).as("hh"))
+      .select(col("hh.item").as("event_type"), col("hh.count").as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
   /** W10 — sequential conversion funnel (signup → click → purchase):
     * each step's first qualifying timestamp must follow the previous
     * step's. Computed as a chain of conditional min-aggregates joined
@@ -711,6 +724,7 @@ object RelationalQueries extends QuerySection {
     "q_hll_union" -> (qHllUnion _),
     "j10_pit_lookup" -> (j10PitLookup _),
     "w10_funnel" -> (w10Funnel _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_percentiles" -> (qPercentiles _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -756,6 +770,9 @@ object RelationalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
     "w10_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
