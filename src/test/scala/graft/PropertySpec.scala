@@ -132,4 +132,63 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"input=${r.getString(0)}")
     }
   }
+
+  test("scd2: generated change logs tile each key's timeline; " +
+      "replaying the history reproduces it") {
+    import java.sql.Timestamp
+    val logGen: Gen[List[(Long, Int, String)]] = Gen.listOfN(60, for {
+      k <- Gen.choose(1L, 5L)
+      t <- Gen.choose(1, 50)
+      s <- Gen.oneOf("A", "B", "C")
+    } yield (k, t, s))
+    samples(logGen, 8).zipWithIndex.foreach { case (rows, i) =>
+      // unique (key, ts): duplicate instants have engine-arbitrary
+      // intra-tie states; the tie column only fixes the ORDER
+      val log = rows.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((k, t, s), id) =>
+          (k, new Timestamp(t * 86400000L), id.toLong, s)
+        }.toDF("k", "ts", "id", "state")
+      val hist = graft.operators.Scd2
+        .fromChangeLog(log, "k", "ts", "id", Seq("state"))
+        .select($"k", $"version", $"state", $"valid_from", $"valid_to")
+        .cache()
+      // ranges tile: next valid_from == valid_to, exactly 1 open row/key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"k").orderBy($"version")
+      assert(hist.withColumn("nf", lead($"valid_from", 1).over(w))
+        .filter($"nf".isNotNull && !($"valid_to" <=> $"nf"))
+        .count() === 0, s"sample $i: gap/overlap")
+      // replay: running Scd2 over its own change rows is a fixpoint
+      val replay = graft.operators.Scd2.fromChangeLog(
+          hist.select($"k", $"valid_from".as("ts"),
+            $"version".cast("long").as("id"), $"state"),
+          "k", "ts", "id", Seq("state"))
+        .select($"k", $"version", $"state", $"valid_from", $"valid_to")
+      assert(replay.exceptAll(hist).count() === 0 &&
+        hist.exceptAll(replay).count() === 0, s"sample $i: not a fixpoint")
+      hist.unpersist()
+    }
+  }
+
+  test("z-order key is injective on bucket tuples and preserves " +
+      "per-dimension bucket order on axis-aligned lines") {
+    val ptsGen: Gen[List[(Long, Long)]] = Gen.listOfN(80, for {
+      x <- Gen.choose(0L, 1023L); y <- Gen.choose(0L, 1023L)
+    } yield (x, y))
+    samples(ptsGen, 4).foreach { pts =>
+      val df = pts.distinct.toDF("x", "y")
+      val z = graft.sinks.ZOrder.zvalue(df, Seq("x", "y"), bits = 10)
+      val out = df.select($"x", $"y", z.as("z")).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      // injective: distinct points -> distinct z (10 bits cover 0..1023
+      // exactly, so buckets are the coordinates themselves)
+      assert(out.values.toSeq.distinct.size === out.size)
+      // along any axis-aligned line, z is monotone in the free coord
+      out.keys.groupBy(_._1).values.filter(_.size > 1).foreach { line =>
+        val sorted = line.toSeq.sortBy(_._2)
+        assert(sorted.map(out) == sorted.map(out).sorted,
+          s"z not monotone along x-line $sorted")
+      }
+    }
+  }
 }
