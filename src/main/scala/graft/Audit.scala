@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene audit over every judged query (dev tool, like
+  * `Explain`): builds each physical plan at sf0.001 and flags the
+  * shapes that don't survive scale —
+  *
+  *  - `CartesianProduct`: an unintended cross join (the theta join is
+  *    supposed to be a BroadcastNestedLoopJoin over an aggregated
+  *    side, never a cartesian of two big inputs);
+  *  - `GlobalWindow`: a window function with an EMPTY partition spec —
+  *    the whole dataset sorts on one task. (`q_approx_quantile`'s
+  *    constant-group rank is the one deliberate, documented case: the
+  *    sort is external/spillable and exists to bracket the sketch.)
+  *
+  * `Exchange SinglePartition` is NOT flagged: global scalar aggregates
+  * legitimately converge their per-task partial rows (one row each)
+  * on a single partition — that's bytes, not data.
+  *
+  * Run: `sbt "runMain graft.Audit"` — prints only offenders.
+  */
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graftx.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    var bad = 0
+    graft.queries.Catalog.queries.toSeq.sortBy(_._1).foreach {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, dir).queryExecution.executedPlan.toString
+          val flags = Seq(
+            "CartesianProduct" -> p.contains("CartesianProduct"),
+            "GlobalWindow" ->
+              "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined
+          ).filter(_._2).map(_._1)
+          if (flags.nonEmpty) {
+            bad += 1
+            println(s"[audit] $name: ${flags.mkString(",")}")
+          }
+        } catch {
+          case e: Throwable =>
+            bad += 1
+            println(s"[audit] $name: EXCEPTION ${e.getMessage}")
+        }
+    }
+    println(s"[audit] done, $bad flagged")
+    spark.stop()
+  }
+}
