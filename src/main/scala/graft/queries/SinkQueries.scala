@@ -217,7 +217,16 @@ object SinkQueries extends QuerySection {
       .orderBy(col("l_suppkey"))
   }
 
+  /** K+ (maintenance): order-independent table content checksum —
+    * judged against DuckDB computing the identical md5-bridge sum, so
+    * the fingerprint is provably engine-portable (the property that
+    * makes it usable for cross-system lake sync validation). */
+  private def kChecksum(s: SparkSession, dir: String): DataFrame =
+    Sinks.contentChecksum(Tables.load(s, dir, "customer"),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+
   def queries: Map[String, Q] = Map(
+    "k_checksum" -> (kChecksum _),
     "k_zorder_box" -> (kZorderBox _),
     "k_scd2_history" -> (kScd2History _),
     "k_dpp_join" -> (kDppJoin _),
@@ -231,6 +240,13 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "k_checksum" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST('0x' || substr(md5(
+        |      CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+        |      CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+        |    ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+        |FROM customer""".stripMargin,
     "k_zorder_box" ->
       """SELECT l_suppkey, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

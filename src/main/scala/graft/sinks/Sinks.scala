@@ -145,6 +145,23 @@ object Sinks {
   /** Overwriting a path we are also reading requires materializing away
     * from it first: write temp dir, swap atomically at the directory
     * level. */
+  /** Lake maintenance — order-independent content checksum: row count
+    * plus the sum of bounded per-row hashes (md5-derived 60-bit value,
+    * reduced mod 1e9+7 so terms are < 2^30). Sum is commutative, so
+    * the fingerprint is invariant under partitioning, file order, and
+    * cluster layout — equal checksums across two replicas of a table
+    * (post-migration, post-compaction, cross-engine) mean equal
+    * content without moving either copy. One partial+final aggregate,
+    * no shuffle of data rows. The mod keeps the sum exact (no silent
+    * ANSI overflow) up to ~9 billion rows; beyond that, checksum per
+    * date partition and compare the lists. */
+  def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val canonical = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    val h = graft.dedup.Dedup.md5Hash64(canonical)
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(pmod(h, lit(1000000007L))).as("checksum"))
+  }
+
   /** Lake maintenance — small-file compaction: rewrite a parquet
     * directory into ~`targetBytes`-sized files and atomically swap it
     * in. Streaming appends (one file per micro-batch per partition) and
