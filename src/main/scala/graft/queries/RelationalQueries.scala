@@ -588,25 +588,30 @@ object RelationalQueries extends QuerySection {
 
   /** W10 — sequential conversion funnel (signup → click → purchase):
     * each step's first qualifying timestamp must follow the previous
-    * step's. Computed as a chain of conditional min-aggregates joined
-    * per step — every stage is a keyed hash aggregate + equi-join on
-    * user_id, so the whole funnel reuses ONE key partitioning; no
-    * per-user event sorting, no state blowup, scales with users not
-    * events. Timestamps are exported as epoch millis (the events
-    * fixture is ns-precision, which the two engines truncate
+    * step's. Three unordered-frame window passes over ONE user_id
+    * exchange: each step's conditional min can reference the previous
+    * step's column, so no per-step join or re-shuffle exists (the
+    * step-chain-of-aggregates form costs 4 exchanges + 3 joins; this
+    * plans as Exchange → Window×3 → partial-reusing hash aggregate).
+    * No per-user event sorting, no state blowup — scales with events
+    * in, users out. Timestamps are exported as epoch millis (the
+    * events fixture is ns-precision, which the two engines truncate
     * differently at full resolution). */
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+    Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("user_id"), col("t1"), col("t2"), col("t3")).agg(
+        count(lit(1)).as("__dummy"))
       .select(col("user_id"),
         unix_millis(col("t1")).as("t1_ms"),
         unix_millis(col("t2")).as("t2_ms"),

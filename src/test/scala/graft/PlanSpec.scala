@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shuffle:\n$p")
   }
 
+  test("w10_funnel runs all three steps over one keyed exchange") {
+    val p = plan("w10_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash shuffle:\n$p")
+    assert("Window".r.findAllIn(p).size >= 3, p)
+  }
+
   test("a selective dim filter injects a runtime bloom filter on the fact") {
     import org.apache.spark.sql.functions.col
     val c = spark.conf
