@@ -190,6 +190,50 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** STREAMING CDC APPLY (`Streaming.upsertStream` → `Sinks.upsert`,
+    * the plain-Parquet twin of a Delta streaming MERGE): the events
+    * table is staged as a time-ordered two-file change log (early
+    * half, then late half, mtime-ordered, one micro-batch each), each
+    * batch reduced to its latest change per user and upserted into a
+    * lake target. The final target must hold exactly each user's
+    * overall-latest event — the oracle's global row_number — which
+    * only happens if batch 2's merge both UPDATES users it shares with
+    * batch 1 and preserves users it doesn't. */
+  private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_cdc")
+    val stage = Files.createDirectory(tmp.resolve("changes"))
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    def stageFile(cond: org.apache.spark.sql.Column, name: String,
+        mtime: Long): Unit = {
+      val gen = Files.createTempDirectory("graft_cdc_gen")
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(gen.toString)
+      val part = Files.list(gen).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = stage.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val mid = "2024-01-16 00:00:00"
+    stageFile(col("ts") < lit(mid), "b0_early.parquet", 1000000L)
+    stageFile(col("ts") >= lit(mid), "b1_late.parquet", 2000000L)
+    val target = tmp.resolve("target").toString
+    val q = Streaming.upsertStream(
+      Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
+      target, "user_id", Seq("ts", "event_id"),
+      checkpoint = tmp.resolve("ckpt").toString).start()
+    q.awaitTermination()
+    s.read.parquet(target)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy(col("user_id"))
+  }
+
   /** Custom keyed state (`flatMapGroupsWithState`): running per-user
     * event counts/value totals emitted in update mode. The judged
     * output takes each user's LAST emission — selected by max n_events,
@@ -266,10 +310,21 @@ object StreamingQueries extends QuerySection {
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
     "stream_attribution" -> (streamStreamAttribution _),
-    "stream_static_enrich" -> (streamStaticEnrich _)
+    "stream_static_enrich" -> (streamStaticEnrich _),
+    "stream_upsert" -> (streamUpsert _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    // epoch_us ordering matches Spark's µs-truncated timestamps exactly
+    "stream_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |  round(value, 2) AS value, epoch_ms(ts) AS ts_ms
+        |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // single-copy counts: the pure-late replay batch must vanish
     "stream_late_drop" ->
       """WITH w AS (

@@ -32,9 +32,14 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a lake directory of event parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** File-source stream over a lake directory of event parquet files
+    * (µs-timestamp layout, i.e. files the engine itself wrote). */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(dir)
+  }
 
   /** [[readEvents]] over files whose ts is TIMESTAMP(NANOS) (the raw
     * testdata layout): read as long ns, truncate to µs — same contract
@@ -155,6 +160,35 @@ object Streaming {
             math.rint(total * 100) / 100))
       }
   }
+
+  /** CDC apply — streaming upsert: each micro-batch is reduced to its
+    * latest change per key (deterministic by `orderCols` descending)
+    * and merged into the lake target through the SAME
+    * read-merge-overwrite as batch K4 (`Sinks.upsert`) — the plain-
+    * Parquet twin of a Delta streaming MERGE. Correct for time-ordered
+    * change streams (commit order), where later batches only ever
+    * carry later versions of a key; `updated_at` stamping is off so
+    * replayed applies are byte-identical (idempotent re-apply).
+    *
+    * Scale: per micro-batch one keyed merge join against the target —
+    * with the target key-bucketed (K11) it degrades to a co-located
+    * join; on Delta it becomes file-pruned MERGE. State is zero: the
+    * target itself is the state. */
+  def upsertStream(changes: DataFrame, targetPath: String, key: String,
+      orderCols: Seq[String], checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.sinks.Sinks.upsert(batch.sparkSession, targetPath, latest,
+          key, stampUpdatedAt = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
 
   /** Run a streaming DataFrame to completion against currently-available
     * input (the hourly-DAG equivalent) into an in-memory table. */
