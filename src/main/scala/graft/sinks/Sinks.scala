@@ -145,6 +145,29 @@ object Sinks {
   /** Overwriting a path we are also reading requires materializing away
     * from it first: write temp dir, swap atomically at the directory
     * level. */
+  /** Exactly-once adapter for `foreachBatch` sinks: Structured
+    * Streaming replays an uncommitted micro-batch after restart
+    * (at-least-once delivery), so a non-idempotent batch writer
+    * duplicates. This wraps the writer with a per-batchId ledger
+    * marker (written AFTER the write succeeds) under `ledgerDir`; a
+    * replayed batchId whose marker exists is skipped. Combined with a
+    * write that is atomic per batch (e.g. overwrite of a
+    * batch-partition directory, or the K4 merge, which is idempotent
+    * by content), the observable result is exactly-once — the manual
+    * form of what Delta's txn-log `txnAppId`/`txnVersion` records.
+    * The ledger is one empty file per batch: no scan cost, prunable
+    * by retention. */
+  def exactlyOnce(ledgerDir: String)(
+      write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val marker = Paths.get(ledgerDir, f"batch-$batchId%020d")
+      if (!Files.exists(marker)) {
+        write(batch, batchId)
+        Files.createDirectories(marker.getParent)
+        Files.createFile(marker)
+      }
+  }
+
   /** Lake maintenance — order-independent content checksum: row count
     * plus the sum of bounded per-row hashes (md5-derived 60-bit value,
     * reduced mod 1e9+7 so terms are < 2^30). Sum is commutative, so

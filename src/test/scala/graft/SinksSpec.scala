@@ -152,4 +152,17 @@ class SinksSpec extends SparkSpec {
       $"event_type" === "click").count()
     assert(oneDay.count() == expected && expected > 0)
   }
+
+  test("exactlyOnce: a replayed batchId applies at most once") {
+    val dir = tmp()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val writer = Sinks.exactlyOnce(s"$dir/_ledger") { (batch, _) =>
+      Sinks.load(batch, s"$dir/t"); ()
+    }
+    writer(df, 0L)
+    writer(df, 0L) // restart replay of the committed batch: no-op
+    assert(spark.read.parquet(s"$dir/t").count() == 2)
+    writer(df, 1L) // a genuinely new batch still applies
+    assert(spark.read.parquet(s"$dir/t").count() == 4)
+  }
 }
