@@ -124,6 +124,16 @@ object Cluster {
       labels = next
       it += 1
     }
+    if (!converged)
+      // exiting via the iteration cap means the min-label flood hasn't
+      // reached a fixpoint: components wider than maxIter hops carry
+      // SPLIT (wrong) ids, and survivors() built on them would keep
+      // documents whose cluster already has a representative. Loud by
+      // design — silence here corrupts downstream dedup.
+      System.err.println(
+        s"[graft.dedup.Cluster] WARNING: distributedCC hit maxIter=$maxIter " +
+          "before the label fixpoint; component ids are NOT converged " +
+          "(graph diameter exceeds the cap). Re-run with a higher maxIter.")
     labels
   }
 

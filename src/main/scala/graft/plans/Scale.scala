@@ -47,12 +47,19 @@ object Scale {
     * Interpolation matches `percentile` / DuckDB `quantile_cont`:
     * `v[floor(i)] + (v[ceil(i)] - v[floor(i)]) * (i - floor(i))` at
     * continuous index `i = p * (n-1)`.
+    *
+    * NULL handling also matches the aggregates this replaces: NULL
+    * values are excluded before ranking (they would otherwise take
+    * nulls-first ranks and inflate the window count, shifting every
+    * percentile), and a group whose values are ALL NULL still appears
+    * in the output with NULL percentiles.
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byGroup = Window.partitionBy(col(groupCol))
     val ranked = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rn",
         row_number().over(byGroup.orderBy(col("__v"))).cast("double") - 1)
       .withColumn("__n", count(lit(1)).over(byGroup))
@@ -67,7 +74,10 @@ object Scale {
         .when(col("__rn") === lo + 1, col("__v") * frac))
         .as(name)
     }
-    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val agged = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // restore all-NULL groups (dropped by the filter) with NULL results,
+    // as percentile()/quantile_cont would return for them
+    df.select(col(groupCol)).distinct().join(agged, Seq(groupCol), "left")
   }
 
   /** Salted replicated join for a fact table whose join key is heavily
@@ -84,11 +94,24 @@ object Scale {
     * AQE's skew-join splitting covers sort-merge joins automatically;
     * this explicit form is for when the skewed side feeds a downstream
     * per-key aggregation in the same stage, or when running without AQE.
+    *
+    * Join types are restricted to fact-preserving ones (inner / left /
+    * left_semi / left_anti): under right or full outer join, a dim row
+    * whose key has no fact match would survive once per salt bucket
+    * (the dim is replicated `saltBuckets` times), duplicating unmatched
+    * dimension rows. For those shapes, salt the other side or rely on
+    * AQE skew handling.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "column __salt is reserved")
+    val jt = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "semi", "leftsemi",
+        "anti", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/left_semi/left_anti only (got " +
+        s"'$joinType'): replicated dim rows would duplicate unmatched " +
+        "dimension output under right/full outer")
     val saltedFact = fact.withColumn("__salt",
       pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
     val repDim = dim.withColumn("__salt",

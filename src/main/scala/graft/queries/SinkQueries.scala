@@ -184,7 +184,12 @@ object SinkQueries extends QuerySection {
     * order status; `Scd2.fromChangeLog` collapses consecutive repeats
     * of the same status and stamps versioned validity ranges — the
     * full-history twin of the upsert, one keyed shuffle total
-    * (asserted in PlanSpec). */
+    * (asserted in PlanSpec). Validity bounds are exported as epoch
+    * microseconds (`unix_micros` here, `epoch_us` in the oracle): the
+    * open-ended 9999-12-31 sentinel is outside the ns-precision
+    * datetime range (max 2262-04-11), so a raw timestamp column would
+    * decode differently in any ns-based comparison bridge even though
+    * both engines hold the same instant. */
   private def kScd2History(s: SparkSession, dir: String): DataFrame =
     graft.operators.Scd2.fromChangeLog(
         Tables.load(s, dir, "orders"),
@@ -192,7 +197,11 @@ object SinkQueries extends QuerySection {
         attrs = Seq("o_orderstatus"))
       .select(col("o_custkey"), col("version").cast("long").as("version"),
         col("o_orderstatus").as("status"),
-        col("valid_from"), col("valid_to"), col("is_current"))
+        // the lake stores NTZ timestamps; session TZ is pinned UTC, so
+        // the cast is instant-preserving and unix_micros is well-defined
+        unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
+        unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
+        col("is_current"))
       .orderBy(col("o_custkey"), col("version"))
 
   /** K+ (layout): z-order clustered rewrite, read back through a 2-D
@@ -243,8 +252,10 @@ object SinkQueries extends QuerySection {
     "k_checksum" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST('0x' || substr(md5(
-        |      CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
-        |      CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+        |      coalesce(CAST(c_custkey AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(c_name, '<NULL>') || '|' ||
+        |      coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') || '|' ||
+        |      coalesce(c_mktsegment, '<NULL>')
         |    ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
         |FROM customer""".stripMargin,
     "k_zorder_box" ->
@@ -267,9 +278,9 @@ object SinkQueries extends QuerySection {
         |SELECT o_custkey,
         |  row_number() OVER w AS version,
         |  o_orderstatus AS status,
-        |  o_orderdate AS valid_from,
-        |  coalesce(lead(o_orderdate) OVER w,
-        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  epoch_us(o_orderdate) AS valid_from_us,
+        |  epoch_us(coalesce(lead(o_orderdate) OVER w,
+        |           TIMESTAMP '9999-12-31 00:00:00')) AS valid_to_us,
         |  lead(o_orderdate) OVER w IS NULL AS is_current
         |FROM changes
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

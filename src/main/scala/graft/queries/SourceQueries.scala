@@ -79,12 +79,26 @@ object SourceQueries extends QuerySection {
         | {"id": 3, "name": "gamma"}]}""".stripMargin)
       .select(col("id"), col("name")).orderBy(col("id"))
 
-  /** S8: schema discovery — table inventory as a DataFrame (rows-only
-    * check; the catalog itself isn't DuckDB-visible). */
+  /** S8: schema discovery — the full column inventory of the lake
+    * (table, column, ordinal, type), the Spark analogue of the
+    * reference's information_schema walk
+    * (`postgres_connector.py:127-145`). Judged against DuckDB's
+    * `information_schema.columns` over the same tables, with DuckDB's
+    * type names normalized to Spark `simpleString` form — proving the
+    * two engines agree on the lake's schema, not just its rows.
+    * Pure metadata: parquet footers only, no data scan. */
   private def s8Discovery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.registerAll(s, dir)
-    Sources.listTables(s).toDF("table_name").orderBy(col("table_name"))
+    Tables.all.flatMap { t =>
+      Sources.tableSchema(Tables.load(s, dir, t)).zipWithIndex.map {
+        // DuckDB TIMESTAMP is timezone-less, i.e. Spark's TIMESTAMP_NTZ;
+        // collapse the distinction so both engines name the same thing
+        case ((name, tpe), i) =>
+          (t, name, (i + 1).toLong, tpe.replace("timestamp_ntz", "timestamp"))
+      }
+    }.toDF("table_name", "column_name", "ordinal", "data_type")
+      .orderBy(col("table_name"), col("ordinal"))
   }
 
   /** S4/K6: file-surface round-trip — nation written as a CSV by the
@@ -157,6 +171,21 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s8_discovery" ->
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS BIGINT) AS ordinal,
+        |  CASE data_type
+        |    WHEN 'BIGINT' THEN 'bigint'
+        |    WHEN 'INTEGER' THEN 'int'
+        |    WHEN 'DOUBLE' THEN 'double'
+        |    WHEN 'VARCHAR' THEN 'string'
+        |    WHEN 'TIMESTAMP' THEN 'timestamp'
+        |    WHEN 'FLOAT[]' THEN 'array<float>'
+        |    ELSE lower(data_type) END AS data_type
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |  'part', 'orders', 'lineitem', 'events', 'documents', 'embeddings')
+        |ORDER BY table_name, ordinal""".stripMargin,
     "s10_schema_evolution" ->
       """WITH evolved AS (
         |  SELECT o_totalprice, NULL AS o_orderpriority

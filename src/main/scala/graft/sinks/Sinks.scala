@@ -177,9 +177,13 @@ object Sinks {
     * content without moving either copy. One partial+final aggregate,
     * no shuffle of data rows. The mod keeps the sum exact (no silent
     * ANSI overflow) up to ~9 billion rows; beyond that, checksum per
-    * date partition and compare the lists. */
+    * date partition and compare the lists. NULLs are encoded with an
+    * explicit sentinel before concatenation: concat_ws alone SKIPS null
+    * columns (no separator emitted), so rows differing only in which
+    * column is null would otherwise collide. */
   def contentChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val canonical = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+    val canonical = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
     val h = graft.dedup.Dedup.md5Hash64(canonical)
     df.agg(count(lit(1)).as("n_rows"),
       sum(pmod(h, lit(1000000007L))).as("checksum"))

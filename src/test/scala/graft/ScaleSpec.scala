@@ -89,4 +89,41 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("saltedJoin rejects outer join types that would duplicate dim rows") {
+    val fact = Seq((1, "a")).toDF("k", "v")
+    val dim = Seq((1, "x"), (2, "y")).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(fact, dim, "k", joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.saltedJoin(fact, dim, "k", joinType = "right")
+    }
+    // fact-preserving types stay accepted
+    assert(Scale.saltedJoin(fact, dim, "k", joinType = "left").count() == 1)
+    assert(Scale.saltedJoin(fact, dim, "k", joinType = "left_semi").count() == 1)
+  }
+
+  test("exactPercentiles matches builtin percentile under NULLs") {
+    val df = Seq[(String, Option[Double])](
+      ("g1", Some(1.0)), ("g1", None), ("g1", Some(3.0)), ("g1", Some(2.0)),
+      ("g2", None), ("g2", None), // all-NULL group must survive with NULLs
+      ("g3", Some(5.0))
+    ).toDF("g", "v")
+    val got = Scale.exactPercentiles(df, "g", "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9)).orderBy("g").collect()
+    val want = df.groupBy($"g").agg(
+        percentile($"v", lit(0.5)).as("p50"),
+        percentile($"v", lit(0.9)).as("p90"))
+      .orderBy("g").collect()
+    assert(got.length == want.length && got.length == 3)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      Seq(1, 2).foreach { i =>
+        assert(a.isNullAt(i) == b.isNullAt(i), s"null mismatch at ${a.getString(0)} col $i")
+        if (!a.isNullAt(i))
+          assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9)
+      }
+    }
+  }
 }

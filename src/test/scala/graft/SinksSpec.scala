@@ -165,4 +165,19 @@ class SinksSpec extends SparkSpec {
     writer(df, 1L) // a genuinely new batch still applies
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
+
+  test("contentChecksum encodes NULL position (no concat_ws collision)") {
+    // rows differ only in WHICH column is null; with bare concat_ws both
+    // canonicalize to "x" and the checksums would collide
+    val a = Seq((Some("x"), Option.empty[String])).toDF("c1", "c2")
+    val b = Seq((Option.empty[String], Some("x"))).toDF("c1", "c2")
+    val ca = Sinks.contentChecksum(a, Seq("c1", "c2")).collect().head.getLong(1)
+    val cb = Sinks.contentChecksum(b, Seq("c1", "c2")).collect().head.getLong(1)
+    assert(ca != cb, "null position must change the checksum")
+    // order-independence is preserved
+    val two = Seq((1L, "p"), (2L, "q")).toDF("id", "v")
+    val swapped = Seq((2L, "q"), (1L, "p")).toDF("id", "v")
+    assert(Sinks.contentChecksum(two, Seq("id", "v")).collect().head ==
+      Sinks.contentChecksum(swapped, Seq("id", "v")).collect().head)
+  }
 }
