@@ -5,12 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every judged query against
   * `SPARK_GRAFT_SF_DIR`, executing the FULL plan through the noop sink
   * (a bare `.count()` would let Catalyst prune most of the measured
-  * work), and prints one JSON line.
+  * work).
+  *
+  * Measurement protocol: `SPARK_GRAFT_REPS` (default 3) full passes
+  * over the whole query set, interleaved pass-by-pass — not
+  * back-to-back reps of one query — so first-touch effects (JIT,
+  * classloading, page-cache fill, shuffle-dir creation) land on pass 1
+  * for every query and the per-query MEDIAN reflects steady state.
+  * Single-pass numbers rotate which query pays those costs, which is
+  * exactly the round-over-round noise a median kills.
+  *
+  * Output contract: the consumer's stdout tail window is small, so the
+  * full 128-query median map goes to `BENCH_FULL.json` in the working
+  * directory, and stdout gets ONE compact JSON line — total, pass
+  * count, and the slowest queries that fit a fixed byte budget —
+  * guaranteed to survive a 2000-char tail and parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -31,20 +46,51 @@ object Bench {
     // dev-only subset filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+
+    val raw = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (pass <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name pass $pass failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val medians = names.map { case (name, _) =>
+      val ts = raw(name).sorted
+      name -> ts(ts.length / 2)
+    }
+    val total = medians.map(_._2).sum
+
+    def fmt(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def rawFmt(kvs: Seq[(String, List[Double])]): String =
+      kvs.map { case (k, vs) =>
+        "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")
+
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
+        f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
+        f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
+        f""""sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+
+    // compact stdout line: slowest queries first, under a byte budget
+    val budget = 1300
+    val slowest = medians.sortBy(-_._2)
+    val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var used = 0
+    for (kv <- slowest if used + kv._1.length + 12 < budget) {
+      kept += kv; used += kv._1.length + 12
+    }
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
+        f""""n_queries":${medians.length},"queries":${fmt(kept.toSeq)},""" +
+        f""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

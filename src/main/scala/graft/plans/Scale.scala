@@ -119,6 +119,43 @@ object Scale {
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Two-phase per-group top-k for LOW-CARDINALITY group keys. The
+    * single-window form (`row_number over partitionBy(group)`) hashes
+    * everything to one partition per group — with 5 groups, 5 tasks
+    * sort the whole table no matter how many executors exist. Here
+    * phase 1 ranks within (group, salt) — `saltBuckets` parallel
+    * partial sorts per group, each emitting at most k survivors — and
+    * phase 2 re-ranks the ≤ k·saltBuckets survivors per group, a
+    * driver-trivial volume. Any row in the true global top-k is in its
+    * bucket's top-k (rank within a subset can only shrink), so the
+    * result is exactly the single-window answer; with a total order
+    * (tie-broken `orderCols`) it is also deterministic regardless of
+    * salt assignment.
+    *
+    * The salt hashes the ORDER columns, not a random: retries and
+    * oracle comparisons see the same bucketing. Output = input columns
+    * + `rank`.
+    */
+  def groupedTopK(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], k: Int, saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__salt") && !df.columns.contains("__rk"),
+      "columns __salt/__rk are reserved")
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    val local = Window
+      .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+      .orderBy(orderCols: _*)
+    val survivors = salted
+      .withColumn("__rk", row_number().over(local))
+      .filter(col("__rk") <= k)
+      .drop("__salt", "__rk")
+    val global = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols: _*)
+    survivors.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+  }
+
   /** Write a table bucketed (and sorted) by the join key — see
     * [[graft.sinks.Bucketing]], the full layout API. */
   def writeBucketed(df: DataFrame, table: String, key: String,

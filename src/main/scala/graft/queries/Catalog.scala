@@ -27,7 +27,8 @@ object Catalog {
     SimilarityQueries,
     MultimodalQueries,
     StreamingQueries,
-    SinkQueries
+    SinkQueries,
+    ServiceQueries
   )
 
   def queries: Map[String, Q] = sections.map(_.queries).reduce(_ ++ _)

@@ -1,0 +1,123 @@
+package graft.service
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.Tables
+import graft.etl.{EtlJob, EtlResult}
+import graft.sinks.Sinks
+import graft.sources.Sources
+
+/** Interactive query/upload/ETL service surface — the engine-side
+  * binding of the reference's API endpoints (`src/api/main.py`:
+  * query 154-221, upload 224-280, ETL trigger + health 63-91). The
+  * HTTP frame itself is deployment plumbing (FastAPI there, whatever
+  * gateway hosts the driver here); everything the handlers DO —
+  * parameter handling, query construction, response envelope — lives
+  * in this class so a user of the reference's API has a 1:1 callable
+  * surface.
+  *
+  * Scale stance: every query method returns a LAZY DataFrame wrapped
+  * in the response envelope; nothing is collected until the caller
+  * asks for `records` (the HTTP-response materialization, bounded by
+  * the same `limit` the reference applies). A 100 TB table behind
+  * `query(...)` costs one pruned scan of whatever the predicate
+  * selects, driver memory only for the page returned.
+  */
+final class QueryService(spark: SparkSession, sfDir: String) {
+
+  /** Response envelope (`main.py:168-173`): status + count + lazy data.
+    * `count` triggers the one aggregating job; `records` collects the
+    * (limit-bounded) page for transport. */
+  final case class Response(status: String, source: String, data: DataFrame) {
+    lazy val count: Long = data.count()
+    /** Driver-side page materialization — bounded: every service entry
+      * point applies a row limit before this. */
+    def records: Seq[Map[String, Any]] = {
+      val cols = data.columns
+      data.collect().toSeq
+        .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+    }
+  }
+
+  /** GET /health (`main.py:63-70`) — can the lake be planned against? */
+  def health: Map[String, String] = Map(
+    "status" -> (if (Sources.validateSource(
+      Tables.load(spark, sfDir, Tables.all.head))) "healthy" else "degraded"),
+    "engine" -> s"spark-${spark.version}")
+
+  /** GET /api/v1/status (`main.py:72-91`) — per-table availability in
+    * place of the reference's per-database connection blocks. */
+  def status: Map[String, Boolean] =
+    Tables.all.map(t => t -> Sources.validateSource(
+      Tables.load(spark, sfDir, t))).toMap
+
+  /** GET /api/v1/query/postgres (`main.py:154-178`): relational scan
+    * with raw ANSI WHERE and limit. The reference interpolates the
+    * WHERE string into source SQL; here Spark SQL parses the same
+    * predicate and Catalyst pushes it into the parquet scan. */
+  def query(table: String, where: Option[String] = None,
+      limit: Int = 100): Response =
+    Response("success", table,
+      Sources.table(spark, sfDir, table, where, Some(limit)))
+
+  /** GET /api/v1/query/mongodb (`main.py:180-201`): filter-dict
+    * equality conjunction over a collection-style table. */
+  def queryCollection(collection: String,
+      filter: Map[String, Any] = Map.empty, limit: Int = 100): Response =
+    Response("success", collection,
+      Sources.collection(spark, sfDir, collection, filter, Some(limit)))
+
+  /** String-filter convenience: the reference's endpoint takes the
+    * filter as a JSON document (`main.py:187` `json.loads(filter)`). */
+  def queryCollectionJson(collection: String, filterJson: String,
+      limit: Int = 100): Response = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = mapper
+      .readValue(filterJson, classOf[java.util.LinkedHashMap[String, Object]])
+      .asScala.toMap[String, Any]
+    queryCollection(collection, parsed, limit)
+  }
+
+  /** GET /api/v1/query/influxdb (`main.py:203-221`): relative/absolute
+    * time-range scan with optional field projection. `now` injectable
+    * for determinism, as in `Sources.timeRange`. */
+  def queryRange(measurement: String, tsCol: String, start: String = "-1h",
+      stop: String = "now()", fields: Seq[String] = Nil,
+      now: Column = org.apache.spark.sql.functions.current_timestamp())
+      : Response = {
+    val ranged = Sources.timeRange(spark, sfDir, measurement, tsCol,
+      start, stop, now = now)
+    val projected =
+      if (fields.isEmpty) ranged
+      else ranged.select((tsCol +: fields).distinct
+        .map(org.apache.spark.sql.functions.col): _*)
+    Response("success", measurement, projected)
+  }
+
+  /** Interactive SQL over the whole lake — the surface a reference user
+    * reaches for when the canned endpoints don't fit; every table is a
+    * temp view, Catalyst owns the plan. */
+  def sql(text: String): Response = {
+    Tables.registerAll(spark, sfDir)
+    Response("success", "sql", spark.sql(text))
+  }
+
+  /** POST /api/v1/data/upload (`main.py:224-280`): load a batch into a
+    * lake target. Returns the observed row count, like the reference's
+    * per-loader result dict. */
+  def upload(data: DataFrame, targetPath: String,
+      format: String = "parquet", ifExists: String = "append")
+      : Map[String, Any] = {
+    val n = Sinks.load(data, targetPath, format, ifExists)
+    Map("status" -> "success", "records_loaded" -> n, "target" -> targetPath)
+  }
+
+  /** POST /api/v1/etl/run (`main.py:224-271`): trigger an ETL job;
+    * response mirrors the endpoint's `{status, extracted_count,
+    * transformation_stats, load_results}`. */
+  def runEtl(job: EtlJob): (String, EtlResult) = {
+    val result = job.run(spark)
+    ("success", result)
+  }
+}

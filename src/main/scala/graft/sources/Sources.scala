@@ -162,9 +162,9 @@ object Sources {
 
   /** S6 — API payload: a driver-fetched JSON body → DataFrame with
     * `data`/`results`/`items` envelope unwrapping
-    * (`base_extractors.py:245-275`). The HTTP GET itself is environment
-    * I/O (`java.net.http` in production); this entry point takes the
-    * body so the unwrap logic is testable hermetically. */
+    * (`base_extractors.py:245-275`). This entry point takes the body so
+    * the unwrap logic is testable hermetically; [[api]] is the live
+    * variant that performs the GET itself. */
   def apiBody(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("multiLine", "true")
@@ -180,11 +180,86 @@ object Sources {
     }
   }
 
+  /** S6 live fetch — GET with query params and headers, raise on
+    * non-2xx, bounded retry with exponential backoff
+    * (`base_extractors.py:245-253` `requests.get` + `raise_for_status`,
+    * hardened with the retry loop a production pull needs). Retries
+    * cover transport errors and 5xx/429 (transient); other 4xx fail
+    * fast — a malformed request won't heal by retrying. Driver-side by
+    * design: one API payload is driver-scale, and the DataFrame fan-out
+    * happens in [[apiBody]]. For bulk HTTP ingestion, partition the URL
+    * list and call this per-partition instead. */
+  /** Non-2xx response; `permanent` = a 4xx (other than 429) that a
+    * retry cannot fix. */
+  final class HttpStatusException(val code: Int, url: String)
+      extends java.io.IOException(s"HTTP $code from $url") {
+    def permanent: Boolean = code >= 400 && code < 500 && code != 429
+  }
+
+  private def sendOnce(url: String, headers: Map[String, String],
+      params: Map[String, String], timeout: java.time.Duration)
+      : (Int, String) = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val query =
+      if (params.isEmpty) ""
+      else params.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+          java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString(if (url.contains("?")) "&" else "?", "&", "")
+    val client = HttpClient.newBuilder().connectTimeout(timeout).build()
+    var builder = HttpRequest.newBuilder()
+      .uri(java.net.URI.create(url + query)).timeout(timeout).GET()
+    headers.foreach { case (k, v) => builder = builder.header(k, v) }
+    val resp = client.send(builder.build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  def httpGet(url: String, headers: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(10),
+      retries: Int = 3, backoffMs: Long = 200): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= retries) {
+      if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+      try {
+        val (code, body) = sendOnce(url, headers, params, timeout)
+        if (code >= 200 && code < 300) return body
+        val err = new HttpStatusException(code, url)
+        if (err.permanent) throw err // won't heal: fail fast
+        lastErr = err // 5xx / 429: transient, retry
+      } catch {
+        case e: HttpStatusException if e.permanent => throw e
+        case e: java.io.IOException => lastErr = e
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"GET $url failed after ${retries + 1} attempts", lastErr)
+  }
+
+  /** S6 — live REST extraction: GET + raise-for-status + envelope
+    * unwrap in one call (`base_extractors.py:245-275`). */
+  def api(spark: SparkSession, url: String,
+      headers: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty): DataFrame =
+    apiBody(spark, httpGet(url, headers, params))
+
   /** S7 — source validation / health probe
     * (`base_extractors.py:86-94` etc.): connectivity = can we plan and
     * touch one row. */
   def validateSource(df: => DataFrame): Boolean =
     scala.util.Try(df.limit(1).count()).isSuccess
+
+  /** S7 for APIs (`base_extractors.py:277-283`): reachability probe —
+    * any well-formed HTTP response (even 4xx/5xx) proves the endpoint
+    * is alive, mirroring the reference's HEAD-based check. */
+  def validateApi(url: String,
+      headers: Map[String, String] = Map.empty): Boolean =
+    try { sendOnce(url, headers, Map.empty,
+      java.time.Duration.ofSeconds(10)); true }
+    catch { case _: Throwable => false }
 
   /** S8 — schema discovery (`postgres_connector.py:127-145`,
     * `mongo_connector.py:205-212`, `influx_connector.py:229-272`). */

@@ -104,6 +104,25 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.saltedJoin(fact, dim, "k", joinType = "left_semi").count() == 1)
   }
 
+  test("groupedTopK equals the single-window grouped top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val single = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val want = orders.withColumn("rank", row_number().over(single))
+      .filter($"rank" <= 5)
+      .orderBy($"o_orderpriority", $"rank").collect()
+    val got = Scale.groupedTopK(orders, Seq("o_orderpriority"),
+        Seq($"o_totalprice".desc, $"o_orderkey".asc), k = 5, saltBuckets = 7)
+      .orderBy($"o_orderpriority", $"rank").collect()
+    assert(got.toSeq == want.toSeq)
+    // phase-1 really fans out: the first exchange keys on (group, salt)
+    val plan = Scale.groupedTopK(orders, Seq("o_orderpriority"),
+      Seq($"o_totalprice".desc), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("exactPercentiles matches builtin percentile under NULLs") {
     val df = Seq[(String, Option[Double])](
       ("g1", Some(1.0)), ("g1", None), ("g1", Some(3.0)), ("g1", Some(2.0)),
