@@ -42,6 +42,27 @@ object Curation {
     df.filter(hashPct(salt, col(keyCol)) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: each key's 28-bit
+    * hash lands in exactly one band of the cumulative percentage layout
+    * (e.g. train [0,90), val [90,95), test [95,100)). A pure projection
+    * — no shuffle, no RNG — so membership is stable across clusters,
+    * retries, and reruns, and a document can NEVER migrate between
+    * train and eval when the corpus is re-processed (the leakage mode
+    * an unseeded random split invites). `salt` isolates the split
+    * decision from any sampling decision made with the same keys. */
+  def assignSplit(df: DataFrame, keyCol: String, salt: String,
+      splits: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percentages must sum to 100, got $splits")
+    val h = hashPct(salt, col(keyCol))
+    val upper = splits.scanLeft(0) { case (acc, (_, pct)) => acc + pct }.tail
+    val assign = splits.zip(upper).init
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+        when(h < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assign)
+  }
+
   /** Deterministic global shuffle: order by a keyed hash. Executes as a
     * distributed range sort (sample → range-partition → local sort) —
     * the standard "shuffle the corpus before sharding" step, with no

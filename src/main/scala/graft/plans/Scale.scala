@@ -80,6 +80,87 @@ object Scale {
     df.select(col(groupCol)).distinct().join(agged, Seq(groupCol), "left")
   }
 
+  /** EXACT global (ungrouped) quantiles without a global sort — the
+    * scale path where `exactPercentiles` degenerates (one group = one
+    * task sorting the whole column). Three scan-shaped jobs, no
+    * full-data shuffle:
+    *
+    *   1. one aggregate: non-null count + a t-digest-style sketch
+    *      (`approx_percentile`, rank error ≤ n/accuracy) probed at
+    *      p ± 2/accuracy → a value bracket guaranteed to contain the
+    *      target rank;
+    *   2. one aggregate: exact `count(v < lo_p)` for every bracket;
+    *   3. rank only the rows INSIDE the brackets (≈ 4n/accuracy rows
+    *      per quantile, ~0.04% at the default) and pick the two
+    *      neighbors each quantile interpolates between.
+    *
+    * At 100 TB that is three columnar scans and a sort of a few
+    * hundred-thousandths of the data, vs. shuffling and sorting all of
+    * it. Interpolation matches `percentile` / DuckDB `quantile_cont`
+    * (continuous index `i = p·(n-1)`). Driver traffic is scalars only
+    * (count, bracket bounds, neighbor values).
+    */
+  def exactGlobalQuantiles(df: DataFrame, valueCol: String,
+      ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val eps = 2.0 / accuracy
+    val probes = ps.flatMap { case (_, p) =>
+      Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)) }
+    // job 1: count + bracket sketch in one pass
+    val head = df.agg(
+      count(v).as("n"),
+      expr(s"approx_percentile(cast(`$valueCol` as double), " +
+        s"array(${probes.mkString(",")}), $accuracy)").as("brackets"))
+      .collect()(0)
+    val n = head.getLong(0)
+    require(n > 0, s"exactGlobalQuantiles: no non-null $valueCol values")
+    val bounds = head.getSeq[Double](1)
+    val brackets = ps.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
+    // job 2: exact rank of each bracket's lower bound, one pass
+    val belowAggs = brackets.zipWithIndex.map { case ((lo, _), i) =>
+      sum(when(v < lo, 1L).otherwise(0L)).as(s"below_$i") }
+    val belowRow = df.agg(belowAggs.head, belowAggs.tail: _*).collect()(0)
+    // job 3, ONE pass for all quantiles: tag each row with every bracket
+    // it falls in, rank per tag (each partition = one tiny bracket), and
+    // keep only each quantile's two interpolation neighbors
+    val perP = ps.zipWithIndex.map { case ((name, p), i) =>
+      val below = if (belowRow.isNullAt(i)) 0L else belowRow.getLong(i)
+      val idx = p * (n - 1) // continuous index over the sorted column
+      (name, i, idx, math.floor(idx).toLong - below,
+        math.ceil(idx).toLong - below)
+    }
+    val tagExprs = brackets.zipWithIndex.map { case ((lo, hi), i) =>
+      when(v >= lo && v <= hi, lit(i)) }
+    val byTag = Window.partitionBy(col("__tag")).orderBy(col("__v"))
+    val wanted = perP.map { case (_, i, _, a, b) =>
+      col("__tag") === i && (col("__rk") === a || col("__rk") === b)
+    }.reduce(_ || _)
+    val picked = df
+      .select(v.as("__v"), explode(array(tagExprs: _*)).as("__tag"))
+      .filter(col("__tag").isNotNull)
+      .withColumn("__rk", row_number().over(byTag).cast("long") - 1)
+      .filter(wanted)
+      .collect()
+      .groupBy(_.getInt(1))
+      .view.mapValues(_.map(r => r.getLong(2) -> r.getDouble(0)).toMap).toMap
+    val results = perP.map { case (name, i, idx, a, b) =>
+      val neighbors = picked.getOrElse(i, Map.empty[Long, Double])
+      require(neighbors.contains(a) && neighbors.contains(b),
+        s"sketch bracket ${brackets(i)} missed rank for $name — " +
+          "raise accuracy")
+      val vLo = neighbors(a)
+      val vHi = neighbors(b)
+      name -> (vLo + (vHi - vLo) * (idx - math.floor(idx)))
+    }
+    spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(results.map(_._2): _*)),
+      org.apache.spark.sql.types.StructType(results.map { case (name, _) =>
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.DoubleType, nullable = false) }))
+  }
+
   /** Salted replicated join for a fact table whose join key is heavily
     * skewed: the fact side gets a deterministic per-row salt in
     * [0, saltBuckets) (hashed from the full row, so retries and the

@@ -77,7 +77,19 @@ object CurationQueries extends QuerySection {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Deterministic 90/5/5 train/val/test split — hash-banded, pure
+    * projection; judged on per-split counts and sizes so the banding
+    * itself is compared across engines. */
+  private def curSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplit(docs(s, dir), "doc_id", "tvt",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+
   def queries: Map[String, Q] = Map(
+    "cur_split" -> (curSplit _),
     "cur_sample_hash" -> (curSampleHash _),
     "cur_sample_stratified" -> (curSampleStratified _),
     "cur_shuffle" -> (curShuffle _),
@@ -110,6 +122,13 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_split" ->
+      s"""SELECT CASE WHEN ${pctSql("tvt", "doc_id")} < 90 THEN 'train'
+         |  WHEN ${pctSql("tvt", "doc_id")} < 95 THEN 'val'
+         |  ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "cur_sample_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${pctSql("smp", "doc_id")} < 10

@@ -531,17 +531,19 @@ object RelationalQueries extends QuerySection {
     * rank): judged like q_approx_distinct — the approx value must land
     * inside the exact [p49, p51] rank bracket, a bound the sketch's
     * rank-error guarantee (1/accuracy = 1e-4 relative rank) keeps with
-    * huge margin at any scale. The exact bracket comes from the
-    * spillable window-rank path (`Scale.exactPercentiles`), not the
-    * `percentile` aggregate whose single buffer must hold every value
-    * in memory — the distinction that matters when the column is
-    * 100 TB, and the reason the sketch side exists at all. */
+    * huge margin at any scale. The exact bracket comes from
+    * `Scale.exactGlobalQuantiles` (sketch-bracket + exact refinement:
+    * three scans, sort limited to ~0.04% of rows), not the `percentile`
+    * aggregate whose single buffer must hold every value in memory and
+    * not a global sort — the distinction that matters when the column
+    * is 100 TB, and the reason the sketch side exists at all. */
   private def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val exact = graft.plans.Scale.exactPercentiles(
-        li.withColumn("__g", lit(1)), "__g", "l_extendedprice",
-        Seq(("p49", 0.49), ("p50", 0.50), ("p51", 0.51)))
-      .drop("__g")
+    // global (ungrouped) exact side: the sketch-bracket refinement path
+    // (three scans, no global sort) — the grouped spillable-window form
+    // `exactPercentiles` would serialize on its single group here
+    val exact = graft.plans.Scale.exactGlobalQuantiles(li, "l_extendedprice",
+      Seq(("p49", 0.49), ("p50", 0.50), ("p51", 0.51)))
     val approx = li.agg(
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap"))
     exact.crossJoin(approx)

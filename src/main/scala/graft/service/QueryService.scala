@@ -103,6 +103,15 @@ final class QueryService(spark: SparkSession, sfDir: String) {
     Response("success", "sql", spark.sql(text))
   }
 
+  /** Engine extension the reference cannot offer: the optimized plan
+    * for any service query, for pushdown/pruning/broadcast inspection
+    * before paying for execution at lake scale. */
+  def explain(sqlText: String): String = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(sqlText).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   /** POST /api/v1/data/upload (`main.py:224-280`): load a batch into a
     * lake target. Returns the observed row count, like the reference's
     * per-loader result dict. */

@@ -96,4 +96,32 @@ class CurationSpec extends SparkSpec {
         s"$lang quartiles must differ by at most 1: $sizes")
     }
   }
+
+  test("split assignment is total, proportional, and subset-stable") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val split = Curation.assignSplit(docs, "doc_id", "tvt",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    // every row in exactly one split
+    assert(counts.values.sum == n)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash banding lands near the targets (28-bit uniform hash)
+    assert(math.abs(counts("train").toDouble / n - 0.90) < 0.03)
+    // membership is a pure function of the key: filtering the corpus
+    // cannot move a surviving document between train and eval
+    val subset = Curation.assignSplit(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "tvt", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    val joined = split.select(col("doc_id"), col("split").as("full"))
+      .join(subset.select(col("doc_id"), col("split").as("sub")), "doc_id")
+    assert(joined.filter(col("full") =!= col("sub")).count() == 0)
+    // no shuffle: pure projection plan
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // bad percentages rejected
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(docs, "doc_id", "x", Seq("a" -> 50, "b" -> 40))
+    }
+  }
 }

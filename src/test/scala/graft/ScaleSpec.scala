@@ -123,6 +123,28 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("exactGlobalQuantiles equals builtin percentile exactly") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val got = Scale.exactGlobalQuantiles(li, "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p99" -> 0.99)).collect().head
+    val want = li.agg(
+        percentile($"l_extendedprice", lit(0.25)),
+        percentile($"l_extendedprice", lit(0.50)),
+        percentile($"l_extendedprice", lit(0.99)))
+      .collect().head
+    Seq(0, 1, 2).foreach { i =>
+      assert(math.abs(got.getDouble(i) - want.getDouble(i)) < 1e-9,
+        s"quantile $i: ${got.getDouble(i)} vs ${want.getDouble(i)}")
+    }
+    // boundary quantiles hit min/max
+    val edges = Scale.exactGlobalQuantiles(li, "l_extendedprice",
+      Seq("p0" -> 0.0, "p100" -> 1.0)).collect().head
+    val mm = li.agg(min($"l_extendedprice"), max($"l_extendedprice"))
+      .collect().head
+    assert(edges.getDouble(0) == mm.getDouble(0))
+    assert(edges.getDouble(1) == mm.getDouble(1))
+  }
+
   test("exactPercentiles matches builtin percentile under NULLs") {
     val df = Seq[(String, Option[Double])](
       ("g1", Some(1.0)), ("g1", None), ("g1", Some(3.0)), ("g1", Some(2.0)),

@@ -66,6 +66,12 @@ class ServiceSpec extends SparkSpec {
     assert(recs.head.keySet.contains("r_name"))
   }
 
+  test("explain: pushed filters are visible before execution") {
+    val plan = svc.explain(
+      "SELECT c_name FROM customer WHERE c_custkey = 42")
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
+  }
+
   test("upload + etl trigger round-trip through the lake") {
     val dir = Files.createTempDirectory("graft_svc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
