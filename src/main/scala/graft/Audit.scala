@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   *    supposed to be a BroadcastNestedLoopJoin over an aggregated
   *    side, never a cartesian of two big inputs);
   *  - `GlobalWindow`: a window function with an EMPTY partition spec —
-  *    the whole dataset sorts on one task. (`q_approx_quantile`'s
-  *    constant-group rank is the one deliberate, documented case: the
-  *    sort is external/spillable and exists to bracket the sketch.)
+  *    the whole dataset sorts on one task. (Zero cases since
+  *    `q_approx_quantile`'s exact side moved to the sketch-bracket
+  *    refinement path — its bracket ranking windows partition by tag.)
   *
   * `Exchange SinglePartition` is NOT flagged: global scalar aggregates
   * legitimately converge their per-task partial rows (one row each)

@@ -72,6 +72,20 @@ object Curation {
   def shuffleKey(salt: String, key: Column): Column =
     md5(concat(lit(salt), lit("|"), key.cast("string")))
 
+  /** Deterministic k-per-group sample ("take k docs per source/lang"):
+    * the k smallest keyed hashes win, which is a uniform without-
+    * replacement draw per group — the distributed, rerun-stable twin of
+    * reservoir sampling (a reservoir's result depends on encounter
+    * order; this depends only on the key set). Runs through the salted
+    * two-phase top-k (`Scale.groupedTopK`), so low-cardinality groups
+    * (the common case: a handful of sources) don't serialize onto one
+    * task each. */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      salt: String, k: Int): DataFrame =
+    graft.plans.Scale.groupedTopK(df, Seq(groupCol),
+        Seq(shuffleKey(salt, col(keyCol)).asc, col(keyCol).asc), k)
+      .drop("rank")
+
   /** Benchmark decontamination: flag corpus docs sharing any n-gram
     * shingle with the benchmark set. Returns (id, n_shared) per
     * contaminated doc. The benchmark shingle set is broadcast —

@@ -88,8 +88,34 @@ object CurationQueries extends QuerySection {
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"))
 
+  /** Deterministic k-per-group sample: 40 docs per language, smallest
+    * keyed hashes win (uniform per-group draw, rerun-stable). Judged on
+    * the exact membership — the oracle replays the hash order. */
+  private def curSampleGroup(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleKPerGroup(docs(s, dir), "lang", "doc_id", "ks", k = 40)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Per-group z-score normalization of event values (population σ,
+    * zero-variance groups → null). */
+  private def curZscore(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.zscore(
+        Tables.load(s, dir, "events"), "event_type", "value")
+      .select(col("event_id"), round(col("z"), 6).as("z"))
+      .orderBy(col("event_id")).limit(2000)
+
+  /** Per-group winsorization into the exact [p05, p95] band. */
+  private def curWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.winsorize(
+        Tables.load(s, dir, "events"), "event_type", "value", 0.05, 0.95)
+      .select(col("event_id"), round(col("clipped"), 4).as("clipped"))
+      .orderBy(col("event_id")).limit(2000)
+
   def queries: Map[String, Q] = Map(
     "cur_split" -> (curSplit _),
+    "cur_sample_group" -> (curSampleGroup _),
+    "cur_zscore" -> (curZscore _),
+    "cur_winsorize" -> (curWinsorize _),
     "cur_sample_hash" -> (curSampleHash _),
     "cur_sample_stratified" -> (curSampleStratified _),
     "cur_shuffle" -> (curShuffle _),
@@ -122,6 +148,28 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_sample_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('ks|' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    "cur_zscore" ->
+      """SELECT event_id,
+        |  CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL
+        |    ELSE round((value - avg(value) OVER w)
+        |      / (stddev_pop(value) OVER w), 6) END AS z
+        |FROM events WINDOW w AS (PARTITION BY event_type)
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
+    "cur_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id,
+        |  round(least(greatest(value, lo), hi), 4) AS clipped
+        |FROM events JOIN b USING (event_type)
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
     "cur_split" ->
       s"""SELECT CASE WHEN ${pctSql("tvt", "doc_id")} < 90 THEN 'train'
          |  WHEN ${pctSql("tvt", "doc_id")} < 95 THEN 'val'

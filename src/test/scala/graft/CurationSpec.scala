@@ -124,4 +124,54 @@ class CurationSpec extends SparkSpec {
       Curation.assignSplit(docs, "doc_id", "x", Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("k-per-group sample: exact sizes, deterministic, uniform-ish") {
+    val k = 25
+    val sampled = Curation.sampleKPerGroup(docs, "lang", "doc_id", "kg", k)
+    val sizes = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(k.toLong, n), s"$lang: ${sizes(lang)}")
+    }
+    // same salt → same members; different salt → different draw
+    val a = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleKPerGroup(docs, "lang", "doc_id", "kg", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val c = Curation.sampleKPerGroup(docs, "lang", "doc_id", "kg2", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a != c)
+  }
+
+  test("zscore: moments per group, zero-variance group yields null") {
+    import spark.implicits._
+    import graft.curation.Features
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "v")
+    val z = Features.zscore(df, "g", "v").orderBy("g", "v").collect()
+    // group a: mean 2, sigma_pop sqrt(2/3)
+    val sig = math.sqrt(2.0 / 3.0)
+    assert(math.abs(z(0).getDouble(2) - (-1.0 / sig)) < 1e-12)
+    assert(math.abs(z(1).getDouble(2)) < 1e-12)
+    assert(math.abs(z(2).getDouble(2) - 1.0 / sig) < 1e-12)
+    // group b: zero variance → null, not 0
+    assert(z(3).isNullAt(2) && z(4).isNullAt(2))
+  }
+
+  test("winsorize clips into the exact per-group quantile band") {
+    import spark.implicits._
+    import graft.curation.Features
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Features.winsorize(df, "g", "v", 0.10, 0.90)
+      .select($"v", $"clipped").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // quantile_cont(0.1) of 1..100 = 10.9; (0.9) = 90.1
+    assert(math.abs(out(1.0) - 10.9) < 1e-9)
+    assert(math.abs(out(100.0) - 90.1) < 1e-9)
+    assert(out(50.0) == 50.0) // interior values untouched
+    intercept[IllegalArgumentException] {
+      Features.winsorize(df, "g", "v", 0.9, 0.1)
+    }
+  }
 }
