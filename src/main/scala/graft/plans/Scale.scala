@@ -200,14 +200,16 @@ object Scale {
     saltedFact.join(repDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Two-phase per-group top-k for LOW-CARDINALITY group keys. The
-    * single-window form (`row_number over partitionBy(group)`) hashes
-    * everything to one partition per group — with 5 groups, 5 tasks
-    * sort the whole table no matter how many executors exist. Here
-    * phase 1 ranks within (group, salt) — `saltBuckets` parallel
-    * partial sorts per group, each emitting at most k survivors — and
-    * phase 2 re-ranks the ≤ k·saltBuckets survivors per group, a
-    * driver-trivial volume. Any row in the true global top-k is in its
+  /** Two-phase per-group top-k for LOW-CARDINALITY group keys. Spark's
+    * own `WindowGroupLimit` already pushes a partial top-k below the
+    * exchange for `row_number ≤ k` plans, so the single-window form
+    * ships only k rows per (input partition, group); what it canNOT fix
+    * is the final ranking, which concentrates k × (partition count)
+    * rows onto one task per group — a function of scan width, 100k+
+    * partitions at 100 TB. Here phase 1 ranks within (group, salt) —
+    * emitting at most k survivors per bucket — and phase 2 re-ranks
+    * ≤ k·saltBuckets rows per group, a bound INDEPENDENT of the scan's
+    * partition count. Any row in the true global top-k is in its
     * bucket's top-k (rank within a subset can only shrink), so the
     * result is exactly the single-window answer; with a total order
     * (tie-broken `orderCols`) it is also deterministic regardless of

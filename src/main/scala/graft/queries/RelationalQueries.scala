@@ -365,13 +365,15 @@ object RelationalQueries extends QuerySection {
     * the group key; at scale this is the partition-parallel form of
     * top-k (the global `w1_topk` TakeOrdered shape doesn't group).
     *
-    * Scale caveat: `o_orderpriority` has 5 values, so this plan's
-    * parallelism is capped at 5 tasks each sorting a fifth of the
-    * table — fine for per-priority semantics at sf0.1, a straggler at
-    * 100 TB. `w7_topk_grouped2` is the same query through the salted
-    * two-phase form (`Scale.groupedTopK`) whose parallelism is
-    * 5 × saltBuckets; prefer it whenever group cardinality ≪ cluster
-    * cores. */
+    * Scale note: Spark plans the `row_number ≤ k` filter as a partial
+    * `WindowGroupLimit` BEFORE the exchange (map-side top-k), so each
+    * input partition ships at most k rows per group — the shuffle never
+    * carries the table. The residual low-cardinality caveat is the
+    * final per-group sort: k × (input partitions) rows concentrated on
+    * 5 tasks (5 priority values). `w7_topk_grouped2` is the same query
+    * through the salted two-phase form (`Scale.groupedTopK`), which
+    * caps that final sort at k × saltBuckets rows regardless of how
+    * many partitions a 100 TB scan has. */
   private def w7TopkGrouped(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)

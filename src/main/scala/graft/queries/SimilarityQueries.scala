@@ -65,7 +65,25 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Int8 quantization fidelity, judged like the other sketch entries:
+    * every vector's dequantized form must stay within a cosine bound of
+    * the original (the bound itself is generous vs the ~1e-4 loss int8
+    * actually costs), and the quantized codes must stay in int8 range.
+    * The oracle replays the identical quantize→dequantize→cosine
+    * pipeline with DuckDB list lambdas. */
+  private def annQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = Ann.quantizeInt8(emb(s, dir), "embedding")
+    q.select(col("vec_id"),
+        (graft.dedup.Dedup.cosine(col("embedding"),
+          Ann.dequantizeInt8(col("qvec"), col("qscale"))) >= 0.999)
+          .as("ok"),
+        (array_min(col("qvec")) >= -127 && array_max(col("qvec")) <= 127)
+          .as("in_range"))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "ann_quantize" -> (annQuantize _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -132,6 +150,24 @@ object SimilarityQueries extends QuerySection {
       |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ann_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      'max') / 127.0 AS s
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, embedding, s,
+        |    CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+        |      ELSE list_transform(embedding, x ->
+        |        least(greatest(round(CAST(x AS DOUBLE) / s), -127.0), 127.0) * s)
+        |      END AS deq
+        |  FROM q)
+        |SELECT vec_id,
+        |  list_cosine_similarity(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), deq) >= 0.999 AS ok,
+        |  TRUE AS in_range
+        |FROM d ORDER BY vec_id""".stripMargin,
     "ann_lsh" -> lshOracle,
     "ann_ivf" -> ivfOracle,
     "ann_topk" ->

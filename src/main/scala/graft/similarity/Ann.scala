@@ -29,6 +29,29 @@ object Ann {
     transform(d, x => x / n)
   }
 
+  /** Symmetric per-vector int8 quantization: `qscale = max|v| / 127`,
+    * `qvec[i] = round(v[i] / qscale)` ∈ [-127, 127]. The storage lever
+    * for ANN at 100 TB — a float32 embedding column shrinks 4× (the
+    * scan, the shuffle, and the broadcast all shrink with it), at a
+    * cosine fidelity loss of ~1e-4 at typical dims. Pure columnar
+    * projection (codegen'd higher-order functions), no shuffle, no UDF.
+    * All-zero vectors quantize to zeros with qscale 0 rather than NaN.
+    * Adds `qscale` (double) and `qvec` (array<tinyint>). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val d = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(d, x => abs(x))) / 127.0
+    df.withColumn("qscale", scale)
+      .withColumn("qvec",
+        when(col("qscale") === 0.0, transform(d, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(d, x =>
+            least(greatest(round(x / col("qscale")), lit(-127.0)),
+              lit(127.0)).cast("tinyint"))))
+  }
+
+  /** Reconstruct doubles from an int8-quantized vector. */
+  def dequantizeInt8(qvec: Column, qscale: Column): Column =
+    transform(qvec, x => x.cast("double") * qscale)
+
   /** Exact top-k by cosine: broadcast the (small) query set against the
     * corpus, rank per query. Ties broken by corpus id; cosine rounded so
     * the ranking is stable across summation orders. */

@@ -130,6 +130,29 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(nonVideo.agg(max($"frame_no")).head().getInt(0) == 0)
   }
 
+  test("int8 quantization: 4x narrower codes, tiny cosine loss, zero guard") {
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val q = Ann.quantizeInt8(e, "embedding")
+    // codes really are tinyint (1 byte vs float32's 4)
+    assert(q.schema("qvec").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      q.schema("qvec").dataType.simpleString == "array<tinyint>")
+    val fid = q.select(graft.dedup.Dedup.cosine($"embedding",
+        Ann.dequantizeInt8($"qvec", $"qscale")).as("c"))
+      .agg(min($"c")).head().getDouble(0)
+    assert(fid > 0.999, s"min cosine after int8 round-trip: $fid")
+    // all-zero vector: qscale 0, zero codes, no NaN
+    val z = Ann.quantizeInt8(
+      Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select($"qscale", $"qvec").head()
+    assert(z.getDouble(0) == 0.0)
+    assert(z.getSeq[Byte](1).forall(_ == 0))
+    // pure projection: no shuffle
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("multimodal: metadata-only plan prunes the binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.demoMediaTable(spark, sf0001)
