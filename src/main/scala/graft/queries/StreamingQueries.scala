@@ -163,6 +163,65 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** LEFT-OUTER stream-stream join: attribution where views with NO
+    * purchase inside the horizon must ALSO emit (null purchase) — the
+    * semantics inner joins silently drop. Unmatched-left emission rides
+    * state EVICTION, which only happens when the watermark passes
+    * `l_ts + horizon`; a bounded replay would strand the whole tail in
+    * state, so the input is staged as two micro-batches (mtime-ordered,
+    * one file per trigger): the full events table, then a flush batch
+    * of two sentinel rows (one per side, far-future ts, user ids that
+    * exist nowhere) whose only job is to push both sides' watermarks
+    * past every real view's eviction bound. The judged output is the
+    * complete batch LEFT JOIN — matched pairs AND every unmatched view
+    * — proving no row was stranded and no null-row emitted twice. */
+  private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_ssjo")
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val a = tmp.resolve("a_full.parquet")
+    Files.copy(src, a)
+    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(src.toString)
+    val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+    val flushNanos = maxNanos + 3L * 24 * 3600 * 1000000000L
+    val gen = Files.createTempDirectory("graft_ssjo_gen")
+    s.range(2).select(
+        (col("id") * -1 - 1).as("event_id"), // negative: outside real ids
+        lit(flushNanos).as("ts"),
+        (col("id") * -1 - 1).as("user_id"), // -1 and -2: match nothing
+        when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+          .as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .select(raw.columns.map(col): _*) // exact source column order
+      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    val part = Files.list(gen).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val b = tmp.resolve("b_flush.parquet")
+    Files.copy(part, b)
+    Files.setLastModifiedTime(b, FileTime.fromMillis(2000000L))
+
+    val events = Streaming.readEventsNanos(s, tmp.toString,
+      maxFilesPerTrigger = Some(1))
+    val joined = Streaming.streamStreamJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      watermark = "1 minute", horizon = "1 hour", joinType = "left_outer")
+    val name = "stream_attribution_outer_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(joined, name, outputMode = "append")
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0) // drop the flush sentinels
+      .select(col("l_id").as("view_id"), col("r_id").as("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_us"))
+      .orderBy(col("view_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** Stream-static enrichment join: the events STREAM joins the static
     * customer dim (broadcast — no stream-side state at all, the
     * canonical dimension-enrichment shape), then the enriched rows are
@@ -310,6 +369,7 @@ object StreamingQueries extends QuerySection {
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
     "stream_attribution" -> (streamStreamAttribution _),
+    "stream_attribution_outer" -> (streamAttributionOuter _),
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_upsert" -> (streamUpsert _)
   )
@@ -382,6 +442,18 @@ object StreamingQueries extends QuerySection {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY view_id, purchase_id""".stripMargin,
+    // the flush batch pushes the watermark past every view's eviction
+    // bound, so the completed stream equals the full batch LEFT JOIN
+    "stream_attribution_outer" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM v LEFT JOIN p
+        |  ON v.user_id = p.user_id
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
     "stream_static_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
         |  round(sum(value), 2) AS total

@@ -213,6 +213,62 @@ object Sinks {
     (before.size, parquetFiles(root).size)
   }
 
+  /** Versioned lake writes — Delta-lite time travel on plain Parquet.
+    * Every commit lands in its own `<path>/v=<n>` directory; a commit
+    * is visible only once Spark's `_SUCCESS` marker exists, so readers
+    * never see a half-written version and a crashed writer leaves the
+    * previous version current (same guarantee Delta gets from its log,
+    * scoped to single-writer). Old versions stay readable for audits /
+    * reproducible training runs ("the corpus exactly as sampled last
+    * month") until [[vacuumVersions]] reclaims them. Version listing is
+    * driver-side directory metadata — no data scan. */
+  object Versioned {
+    private def committed(path: String): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (!Files.exists(root)) Seq.empty
+      else Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v=") &&
+          Files.exists(p.resolve("_SUCCESS")))
+        .map(_.getFileName.toString.stripPrefix("v=").toLong)
+        .toSeq.sorted
+    }
+
+    /** Commit `df` as the next version; returns the version number. */
+    def write(df: DataFrame, path: String): Long = {
+      val next = committed(path).lastOption.fold(0L)(_ + 1)
+      df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
+      next
+    }
+
+    /** Read a specific committed version, or the latest. */
+    def read(spark: SparkSession, path: String,
+        version: Option[Long] = None): DataFrame = {
+      val vs = committed(path)
+      require(vs.nonEmpty, s"no committed versions under $path")
+      val v = version.getOrElse(vs.last)
+      require(vs.contains(v),
+        s"version $v not committed under $path (have ${vs.mkString(",")})")
+      spark.read.parquet(s"$path/v=$v")
+    }
+
+    def versions(path: String): Seq[Long] = committed(path)
+
+    /** Retention: drop all but the newest `keep` committed versions.
+      * Returns the versions removed. */
+    def vacuum(path: String, keep: Int): Seq[Long] = {
+      require(keep >= 1, "must keep at least the current version")
+      import scala.jdk.CollectionConverters._
+      val doomed = committed(path).dropRight(keep)
+      doomed.foreach { v =>
+        val d = Paths.get(s"$path/v=$v")
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
+      doomed
+    }
+  }
+
   def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp__"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)

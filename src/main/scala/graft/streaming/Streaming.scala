@@ -102,9 +102,18 @@ object Streaming {
     * condition is what lets Spark evict a buffered row once no future
     * match can arrive, keeping state bounded on an unbounded stream.
     * Inner-join rows emit as soon as both sides are present (no
-    * watermark wait), so the completed output equals the batch join. */
+    * watermark wait), so the completed output equals the batch join.
+    *
+    * `left_outer` adds the unmatched-left rows (right columns null) —
+    * but those can only emit when the left row's state is EVICTED,
+    * i.e. once the watermark proves no in-horizon match can still
+    * arrive. On an unbounded stream that's automatic; on a bounded
+    * replay the caller must push the watermark past `last l_ts +
+    * horizon` with a final sentinel batch, or tail-of-stream unmatched
+    * rows stay buffered forever (see `stream_attribution_outer`). */
   def streamStreamJoin(left: DataFrame, right: DataFrame,
-      watermark: String = "1 minute", horizon: String = "1 hour"): DataFrame = {
+      watermark: String = "1 minute", horizon: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = left.select(col("event_id").as("l_id"),
       col("user_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", watermark)
@@ -115,7 +124,7 @@ object Streaming {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
-      "inner")
+      joinType)
   }
 
   /** Stream → routed lake load: every micro-batch goes through the same

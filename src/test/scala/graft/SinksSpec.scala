@@ -166,6 +166,33 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
 
+  test("versioned writes: time travel, latest-wins, uncommitted invisible, vacuum") {
+    val path = s"${tmp()}/t"
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v1 = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    assert(Sinks.Versioned.write(v0, path) == 0L)
+    assert(Sinks.Versioned.write(v1, path) == 1L)
+    // latest = v1; explicit version = time travel
+    assert(Sinks.Versioned.read(spark, path).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a2", "c"))
+    assert(Sinks.Versioned.read(spark, path, Some(0L)).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    // a half-written version (no _SUCCESS) is invisible to readers
+    val half = java.nio.file.Paths.get(s"$path/v=2")
+    java.nio.file.Files.createDirectories(half)
+    java.nio.file.Files.writeString(half.resolve("junk.parquet"), "x")
+    assert(Sinks.Versioned.versions(path) == Seq(0L, 1L))
+    assert(Sinks.Versioned.read(spark, path).count() == 2) // still v1
+    java.nio.file.Files.delete(half.resolve("junk.parquet"))
+    java.nio.file.Files.delete(half)
+    // vacuum keeps the newest, removes the rest
+    assert(Sinks.Versioned.vacuum(path, keep = 1) == Seq(0L))
+    assert(Sinks.Versioned.versions(path) == Seq(1L))
+    intercept[IllegalArgumentException] {
+      Sinks.Versioned.read(spark, path, Some(0L))
+    }
+  }
+
   test("contentChecksum encodes NULL position (no concat_ws collision)") {
     // rows differ only in WHICH column is null; with bare concat_ws both
     // canonicalize to "x" and the checksums would collide
