@@ -16,10 +16,10 @@ import org.apache.spark.sql.SparkSession
   * exactly the round-over-round noise a median kills.
   *
   * Output contract: the consumer's stdout tail window is small, so the
-  * full 128-query median map goes to `BENCH_FULL.json` in the working
-  * directory, and stdout gets ONE compact JSON line — total, pass
-  * count, and the slowest queries that fit a fixed byte budget —
-  * guaranteed to survive a 2000-char tail and parse.
+  * full per-query median + IO map goes to `BENCH_FULL.json` in the
+  * working directory, and stdout gets ONE compact JSON line — total,
+  * pass count, total shuffle, and the slowest queries that fit a fixed
+  * byte budget — guaranteed to survive a 2000-char tail and parse.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,14 +49,30 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // per-query IO (input rows, shuffle read/write bytes) is measured
+    // on pass 1 only — the plan's IO is deterministic across passes,
+    // and the snapshot's listener-bus drain would perturb the timing
+    // passes
+    val ioAcc = org.apache.spark.graftx.StageMetrics
+      .install(spark.sparkContext)
+    val io = scala.collection.mutable.Map
+      .empty[String, org.apache.spark.graftx.StageMetrics.Totals]
     val raw = scala.collection.mutable.Map.empty[String, List[Double]]
     for (pass <- 1 to reps; (name, fn) <- names) {
+      val before =
+        if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
+          .totals(spark.sparkContext, ioAcc))
+        else None
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name pass $pass failed: ${e.getMessage}")
       }
       raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
+      before.foreach { b =>
+        io(name) = org.apache.spark.graftx.StageMetrics
+          .totals(spark.sparkContext, ioAcc) - b
+      }
     }
     val medians = names.map { case (name, _) =>
       val ts = raw(name).sorted
@@ -71,10 +87,22 @@ object Bench {
         "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
 
+    def mb(v: Long): String = f"${v / 1048576.0}%.1f"
+    val ioJson = names.map { case (n, _) =>
+      val t = io.getOrElse(n,
+        org.apache.spark.graftx.StageMetrics.Totals(0, 0, 0))
+      "\"" + n + s"""\":{"in_rows":${t.inputRows},""" +
+        s""""shuffle_r_mb":${mb(t.shuffleRead)},""" +
+        s""""shuffle_w_mb":${mb(t.shuffleWrite)}}"""
+    }.mkString("{", ",", "}")
+    val shuffleTotalMb =
+      io.values.map(_.shuffleWrite).sum / 1048576.0
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
         f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
         f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
+        f""""io_pass1":$ioJson,""" +
+        f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
         f""""sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
@@ -89,7 +117,9 @@ object Bench {
     }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-        f""""n_queries":${medians.length},"queries":${fmt(kept.toSeq)},""" +
+        f""""n_queries":${medians.length},""" +
+        f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+        f""""queries":${fmt(kept.toSeq)},""" +
         f""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }

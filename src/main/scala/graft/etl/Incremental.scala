@@ -1,0 +1,61 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained aggregate tables — the production shape of
+  * the reference's hourly DAG (`multi_source_ingestion_dag.py`): each
+  * pull reads only rows past the bookmark (S9), aggregates the BATCH,
+  * and folds the partial into the rollup table, so the aggregate over
+  * all history is maintained without ever rescanning history.
+  *
+  * The combine is union + re-aggregate over ADDITIVE partials (count,
+  * sum — avg is sum/count at read time; distinct counts ride the HLL
+  * sketch union instead, see `q_hll_union`). Additivity is what makes
+  * the fold correct under any batch split: partials commute and
+  * associate, so N increments in any order equal the one-shot
+  * aggregate. At 100 TB the increment touches one day's partitions and
+  * the rollup table is aggregate-cardinality — both sides tiny next to
+  * the history that never gets rescanned.
+  */
+object Incremental {
+
+  /** Fold an additive partial aggregate into the rollup at `path`.
+    * Every non-key column must be an additive partial (count/sum). */
+  def mergeAdditive(spark: SparkSession, path: String, partial: DataFrame,
+      keys: Seq[String]): Unit = {
+    if (!Files.exists(Paths.get(path))) {
+      partial.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      return
+    }
+    val target = spark.read.parquet(path)
+    val valueCols = partial.columns.filterNot(keys.contains)
+    require(target.columns.sorted.sameElements(partial.columns.sorted),
+      s"rollup schema drift: table ${target.columns.mkString(",")} vs " +
+        s"partial ${partial.columns.mkString(",")}")
+    val combined = target.unionByName(partial)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+    graft.sinks.Sinks.writeSwap(spark, combined, path)
+  }
+
+  /** One incremental cycle for a daily event rollup: bookmark-filter
+    * the source (strictly-past pull, S9), aggregate the batch, fold it
+    * in. Returns the next bookmark (None on an empty pull — keep the
+    * previous one). */
+  def dailyEventRollup(spark: SparkSession, events: DataFrame,
+      rollupPath: String, bookmark: Option[java.sql.Timestamp])
+      : Option[java.sql.Timestamp] = {
+    val batch = graft.sources.Sources.incremental(events, "ts",
+      bookmark.map(b => lit(b)))
+    val partial = batch
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    mergeAdditive(spark, rollupPath, partial, Seq("day", "event_type"))
+    graft.sources.Sources.nextBookmark(batch, "ts")
+  }
+}

@@ -239,6 +239,22 @@ object Scale {
       .filter(col("rank") <= k)
   }
 
+  /** Skew diagnostic — the measurement behind the salting knobs: the
+    * hottest `topK` keys with absolute counts and corpus share. Run it
+    * BEFORE choosing saltBuckets (a key at 20% share over 1000 tasks
+    * needs ~200 buckets to flatten; one at 0.1% needs none). One
+    * partial+final aggregate and a driver-trivial top-k — safe to run
+    * on the full 100 TB input. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    counts
+      .orderBy(col("n").desc, col(key).asc)
+      .limit(topK)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .select(col(key), col("n"),
+        round(col("n") / col("__total"), 6).as("share"))
+  }
+
   /** Write a table bucketed (and sorted) by the join key — see
     * [[graft.sinks.Bucketing]], the full layout API. */
   def writeBucketed(df: DataFrame, table: String, key: String,

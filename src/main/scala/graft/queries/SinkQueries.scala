@@ -234,7 +234,27 @@ object SinkQueries extends QuerySection {
     Sinks.contentChecksum(Tables.load(s, dir, "customer"),
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
 
+  /** O+ — incrementally maintained daily rollup (the production form
+    * of the reference's hourly DAG): two bookmark-gated cycles fold
+    * additive partials into the rollup table, and the judged result
+    * must equal the one-shot aggregate over all history — proving no
+    * event is double-counted (bookmark is strict) and none is skipped,
+    * without ever rescanning history. */
+  private def o3IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_incr")
+      .toString + "/rollup"
+    val events = Tables.load(s, dir, "events")
+    val bm1 = graft.etl.Incremental.dailyEventRollup(s,
+      events.filter(col("ts") < lit("2024-01-15")), out, bookmark = None)
+    graft.etl.Incremental.dailyEventRollup(s, events, out, bm1)
+    s.read.parquet(out)
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
     "k_zorder_box" -> (kZorderBox _),
     "k_scd2_history" -> (kScd2History _),
@@ -249,6 +269,10 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "o3_incremental_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "k_checksum" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST('0x' || substr(md5(

@@ -109,4 +109,38 @@ class EtlJobSpec extends SparkSpec {
       transformations = Seq("cleaning", "nonexistent"), stamp = Stamp.off)
     intercept[IllegalArgumentException](job.run(spark))
   }
+
+  test("incremental rollup: N bookmark-gated folds equal the one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+      .toString + "/rollup"
+    val events = Tables.load(spark, sf0001, "events")
+    // three cycles at uneven split points
+    val b1 = graft.etl.Incremental.dailyEventRollup(spark,
+      events.filter(col("ts") < lit("2024-01-08")), dir, None)
+    val b2 = graft.etl.Incremental.dailyEventRollup(spark,
+      events.filter(col("ts") < lit("2024-01-21")), dir, b1)
+    val b3 = graft.etl.Incremental.dailyEventRollup(spark, events, dir, b2)
+    // an empty pull keeps the bookmark and changes nothing
+    val b4 = graft.etl.Incremental.dailyEventRollup(spark, events, dir, b3)
+    assert(b4.isEmpty, "empty pull must return no new bookmark")
+    val rolled = spark.read.parquet(dir)
+      .orderBy("day", "event_type").collect()
+    val oneShot = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy("day", "event_type").collect()
+    assert(rolled.length == oneShot.length)
+    rolled.zip(oneShot).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) &&
+        a.getString(1) == b.getString(1) && a.getLong(2) == b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+    // schema drift is loud, not silent
+    intercept[IllegalArgumentException] {
+      graft.etl.Incremental.mergeAdditive(spark, dir,
+        Seq(("x", 1L)).toDF("day", "wrong_col"), Seq("day"))
+    }
+  }
 }

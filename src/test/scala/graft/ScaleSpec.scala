@@ -123,6 +123,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("skewReport surfaces the hot keys with correct shares") {
+    val ev = Tables.load(spark, sf0001, "events")
+    val report = Scale.skewReport(ev, "user_id", topK = 5).collect()
+    assert(report.length == 5)
+    val manual = ev.groupBy($"user_id").count()
+      .orderBy($"count".desc, $"user_id").limit(5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(report.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      manual.toSeq)
+    val total = ev.count().toDouble
+    report.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / total) < 1e-4)
+    }
+  }
+
   test("exactGlobalQuantiles equals builtin percentile exactly") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val got = Scale.exactGlobalQuantiles(li, "l_extendedprice",
