@@ -128,10 +128,17 @@ object Ann {
     * re-normalized to the unit sphere so max-dot == min-angle for the
     * cosine metric. Only nlist×dim doubles ever reach the driver per
     * iteration — the codebook is broadcast state by design.
-    * Deterministic: seeded init, tie-break by cell index. */
+    * Deterministic: seeded init, tie-break by cell index.
+    *
+    * `spherical = false` switches to plain L2 k-means (no centroid
+    * normalization; assignment by max `dot − ‖c‖²/2`, the linear form
+    * of min-L2) — what PQ sub-quantizers need, where subvectors are
+    * NOT unit-norm. */
   def trainCodebook(corpus: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+      nlist: Int, iters: Int = 3,
+      spherical: Boolean = true): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
+      if (!spherical) return v
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
@@ -140,8 +147,9 @@ object Ann {
     for (_ <- 0 until iters) {
       val cellCol = {
         val scored = centroids.zipWithIndex.map { case (c, i) =>
-          struct(org.apache.spark.sql.graftx.DotProduct(col("v"),
-            array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+          val bias = if (spherical) 0.0 else c.map(x => x * x).sum / 2
+          struct((org.apache.spark.sql.graftx.DotProduct(col("v"),
+            array(c.map(lit): _*)) - lit(bias)).as("d"), lit(i).as("i"))
         }
         array_max(array(scored: _*)).getField("i")
       }
@@ -201,6 +209,84 @@ object Ann {
     val scored = c.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Product quantization — the memory side of ANN at 100 TB. Each
+    * vector splits into `m` subvectors; each subspace gets its own
+    * `ksub`-entry L2 k-means codebook; a vector's code is its nearest
+    * codeword id per subspace: `m` bytes per vector (ksub ≤ 256)
+    * instead of `4·dim` — 32× smaller than float32 at dim 64 / m 8.
+    * Int8 quantization ([[quantizeInt8]]) is the 4× lever; PQ is the
+    * 32× one, at correspondingly lower fidelity — the standard
+    * candidate-generation representation in front of an exact re-rank.
+    *
+    * Codebooks are trained per-subspace with the same DataFrame-native
+    * Lloyd loop as IVF ([[trainCodebook]] with `spherical = false`);
+    * only m·ksub·(dim/m) = ksub·dim doubles reach the driver. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
+          .as("__sub"))
+      trainCodebook(sub, "__sub", idCol, ksub, iters, spherical = false)
+    }.toArray
+  }
+
+  /** Encode vectors to PQ codes (`array<tinyint>`, one code per
+    * subspace) — a pure projection: m·ksub small native dot products
+    * per row, no shuffle. */
+  def pqEncode(df: DataFrame, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { s =>
+      val sub = slice(v, s * dsub + 1, dsub)
+      val scored = books(s).zipWithIndex.map { case (c, j) =>
+        val bias = c.map(x => x * x).sum / 2
+        struct((org.apache.spark.sql.graftx.DotProduct(sub,
+          array(c.map(lit): _*)) - lit(bias)).as("d"), lit(j).as("j"))
+      }
+      array_max(array(scored: _*)).getField("j").cast("tinyint")
+    }
+    df.withColumn("pq_codes", array(codes: _*))
+  }
+
+  /** Reconstruct the codeword vector a PQ code stands for. */
+  def pqReconstruct(codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val lits = books.map(book =>
+      array(book.map(c => array(c.map(lit): _*)): _*))
+    flatten(array(books.indices.map(s =>
+      element_at(lits(s), codes.getItem(s).cast("int") + 1)): _*))
+  }
+
+  /** Asymmetric-distance top-k over the compressed corpus: the exact
+    * query vector scores against each corpus row's RECONSTRUCTION —
+    * the corpus side only ever materializes its m-byte codes (what a
+    * 100 TB index stores); codewords expand inside the scan projection
+    * and never hit storage or shuffle. Candidate generation only: feed
+    * the survivors to an exact re-rank over the original vectors. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val coded = pqEncode(corpus, vecCol, books)
+      .select(col(idCol).as("corpus_id"), col("pq_codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val scored = coded.crossJoin(q)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), pqReconstruct(col("pq_codes"), books)), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -153,6 +153,30 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("product quantization: 32x codes, usable recall, deterministic") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val dim = e.select(size($"embedding")).first().getInt(0)
+    val (m, ksub) = (8, 16)
+    val books = Ann.pqCodebooks(e, "embedding", "vec_id", m, ksub)
+    assert(books.length == m && books.forall(_.length == ksub) &&
+      books.forall(_.forall(_.length == dim / m)))
+    // codes: one byte per subspace, in range
+    val coded = Ann.pqEncode(e, "embedding", books)
+    val codeRows = coded.select($"pq_codes").collect()
+    assert(codeRows.forall(_.getSeq[Byte](0).length == m))
+    assert(codeRows.forall(_.getSeq[Byte](0).forall(c =>
+      c >= 0 && c < ksub)))
+    // deterministic end to end (seeded init, index tie-breaks)
+    val books2 = Ann.pqCodebooks(e, "embedding", "vec_id", m, ksub)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    // candidate quality: PQ top-k overlaps exact top-k well above chance
+    val queries = e.filter($"vec_id" < 10)
+    val pq = Ann.pqTopK(queries, e, "embedding", "vec_id", k = 10, books)
+    val brute = Ann.bruteTopK(queries, e, "embedding", "vec_id", k = 10)
+    val r = Ann.recall(pq, brute)
+    assert(r >= 0.3, s"PQ recall@10 $r (chance on 500 vectors ~0.02)")
+  }
+
   test("multimodal: metadata-only plan prunes the binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.demoMediaTable(spark, sf0001)

@@ -191,4 +191,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("assignSplit: partition property — every key in exactly one band, " +
+    "invariant under corpus composition") {
+    val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 60)
+      .distinct
+    val df = keys.map(k => Tuple1(k)).toDF("k")
+    val splits = Seq("a" -> 50, "b" -> 30, "c" -> 20)
+    val full = graft.curation.Curation.assignSplit(df, "k", "ps", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.keySet == keys.toSet) // total: nothing dropped/duplicated
+    assert(full.values.toSet.subsetOf(Set("a", "b", "c")))
+    // membership depends only on the key: any sub-corpus agrees
+    val sub = graft.curation.Curation.assignSplit(
+        df.filter($"k" % 2 === 0), "k", "ps", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (k, s) => assert(full(k) == s) }
+  }
+
+  test("groupedTopK equals the window form for generated skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = samples(for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      v <- Gen.chooseNum(-1000, 1000)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (g, v, id), 120)
+    Seq(1, 3, 7).foreach { k =>
+      val df = rows.toDF("g", "v", "id").distinct()
+      val want = df.withColumn("rank", row_number().over(
+          Window.partitionBy($"g").orderBy($"v".desc, $"id".asc)))
+        .filter($"rank" <= k).orderBy($"g", $"rank").collect().toSeq
+      val got = graft.plans.Scale.groupedTopK(df, Seq("g"),
+          Seq($"v".desc, $"id".asc), k, saltBuckets = 5)
+        .orderBy($"g", $"rank").collect().toSeq
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("int8 quantization: reconstruction error bounded by qscale/2 per element") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, samples(Gen.chooseNum(-10.0f, 10.0f), 16, seed = 7L + i)
+        .toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = graft.similarity.Ann.quantizeInt8(df, "embedding")
+    val rows = q.select($"embedding", $"qscale",
+      graft.similarity.Ann.dequantizeInt8($"qvec", $"qscale").as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val deq = r.getSeq[Double](2)
+      orig.zip(deq).foreach { case (o, d) =>
+        // round() puts each element within half a quantization step
+        assert(math.abs(o - d) <= scale / 2 + 1e-9,
+          s"|$o - $d| > ${scale / 2}")
+      }
+    }
+  }
 }
