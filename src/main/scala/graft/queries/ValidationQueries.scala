@@ -69,15 +69,49 @@ object ValidationQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** V+ — ingest-volume anomaly detection: flag (day, event_type)
+    * cells whose daily count sits ≥ 1.5σ from that type's mean — the
+    * ops check a production lake runs on every pipeline (a collapsed
+    * or doubled feed shows up here before any value-level rule fires).
+    * Composes the daily rollup with per-group z-scores
+    * (`Features.zscore`); one aggregate + one keyed window. */
+  private def v5AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    graft.curation.Features.zscore(daily, "event_type", "n")
+      // filter on the ROUNDED value exactly as exported, so the
+      // boundary decision can't differ from the oracle's
+      .withColumn("z", round(col("z"), 6))
+      .filter(abs(col("z")) >= 1.5)
+      .select(col("day"), col("event_type"), col("n"), col("z"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
     "v1_flags" -> (v1Flags _),
     "v2_schema_counts" -> (v2SchemaCounts _),
     "v3_quality_metrics" -> (v3QualityMetrics _),
     "v4_business_rules" -> (v4BusinessRules _),
+    "v5_anomaly_days" -> (v5AnomalyDays _),
     "p5_validity_filter" -> (p5ValidityFilter _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v5_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n, z FROM (
+        |  SELECT day, event_type, n,
+        |    CASE WHEN stddev_pop(n) OVER w = 0 THEN NULL
+        |      ELSE round((n - avg(n) OVER w) / (stddev_pop(n) OVER w), 6)
+        |      END AS z
+        |  FROM daily WINDOW w AS (PARTITION BY event_type))
+        |WHERE abs(z) >= 1.5
+        |ORDER BY day, event_type""".stripMargin,
     "v1_flags" ->
       """WITH b AS (SELECT event_id, user_id, value,
         |    CASE WHEN event_id % 3 = 0

@@ -294,6 +294,61 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** IVF + PQ — the full billion-scale index shape: the query probes
+    * its `nprobe` nearest cells (IVF bounds WHICH rows are scored) and
+    * scores their PQ codes asymmetrically (PQ bounds WHAT each row
+    * costs: m bytes + a reconstruction inside the projection). At
+    * 100 TB the corpus-side state is cell id + m-byte code per vector —
+    * the only full-width vector in the plan is the broadcast query. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, books: Array[Array[Array[Double]]],
+      cells: Array[Array[Double]], nprobe: Int = 2): DataFrame = {
+    def cellStructs(v: Column): Column = array(
+      cells.zipWithIndex.map { case (c, i) =>
+        struct(org.apache.spark.sql.graftx.DotProduct(v,
+          array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+      }: _*)
+    val c = pqEncode(corpus, vecCol, books)
+      .select(col(idCol).as("corpus_id"), col("pq_codes"),
+        array_max(cellStructs(col(vecCol).cast("array<double>")))
+          .getField("i").as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      explode(transform(
+        slice(reverse(array_sort(cellStructs(
+          col(vecCol).cast("array<double>")))), 1, nprobe),
+        s => s.getField("i"))).as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos",
+        round(cosine(col("qv"), pqReconstruct(col("pq_codes"), books)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Exact re-rank over ANN candidates: join the original vectors back
+    * for true cosine and re-rank — candidates × dim work instead of
+    * corpus × dim, which is the whole point of candidate generation.
+    * `candidates` needs (query_id, corpus_id); queries stay broadcast. */
+  def rerank(candidates: DataFrame, queries: DataFrame, corpus: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val exact = candidates.select("query_id", "corpus_id")
+      .join(q, "query_id").join(c, "corpus_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** Fraction of brute-force top-k pairs the ANN path recovered. */
   def recall(ann: DataFrame, brute: DataFrame): Double = {
     val hits = brute.select("query_id", "corpus_id")

