@@ -42,6 +42,28 @@ object Incremental {
     graft.sinks.Sinks.writeSwap(spark, combined, path)
   }
 
+  /** Backfill — the repair tool incremental maintenance needs: when a
+    * range of days is wrong (a double-applied batch, a late source
+    * correction), recompute exactly `[fromDay, toDay]` from source and
+    * splice it into the rollup, leaving every other day untouched.
+    * Read-filter-union-swap on the aggregate-cardinality rollup (the
+    * same shape as the K9 time-range delete); on a day-partitioned
+    * rollup layout this becomes dynamic partition overwrite of just
+    * those partitions. Source-side the day predicate prunes to the
+    * backfilled partitions — history outside the range is never read. */
+  def backfillDailyRollup(spark: SparkSession, events: DataFrame,
+      rollupPath: String, fromDay: String, toDay: String): Unit = {
+    val inRange = col("day").between(fromDay, toDay)
+    val kept = spark.read.parquet(rollupPath).filter(!inRange)
+    val recomputed = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(fromDay, toDay))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    graft.sinks.Sinks.writeSwap(spark, kept.unionByName(recomputed),
+      rollupPath)
+  }
+
   /** One incremental cycle for a daily event rollup: bookmark-filter
     * the source (strictly-past pull, S9), aggregate the batch, fold it
     * in. Returns the next bookmark (None on an empty pull — keep the

@@ -253,7 +253,34 @@ object SinkQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** O+ — backfill repair: the rollup is deliberately CORRUPTED (the
+    * mid-January batch folded twice — the classic double-applied
+    * increment) and then repaired by recomputing exactly that day range
+    * from source. Judged against the one-shot aggregate: the repair
+    * must restore every corrupted day and must not touch any other. */
+  private def o4BackfillRepair(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_bf")
+      .toString + "/rollup"
+    val events = Tables.load(s, dir, "events")
+    graft.etl.Incremental.dailyEventRollup(s, events, out, bookmark = None)
+    // corrupt: fold days 10-14 a second time
+    val dup = events.filter(
+      date_format(col("ts"), "yyyy-MM-dd").between("2024-01-10", "2024-01-14"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    graft.etl.Incremental.mergeAdditive(s, out, dup, Seq("day", "event_type"))
+    // repair exactly that range
+    graft.etl.Incremental.backfillDailyRollup(s, events, out,
+      "2024-01-10", "2024-01-14")
+    s.read.parquet(out)
+      .select(col("day"), col("event_type"), col("n"),
+        round(col("total"), 2).as("total"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "o4_backfill_repair" -> (o4BackfillRepair _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
     "k_zorder_box" -> (kZorderBox _),
@@ -269,6 +296,10 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "o4_backfill_repair" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "o3_incremental_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

@@ -143,4 +143,39 @@ class EtlJobSpec extends SparkSpec {
         Seq(("x", 1L)).toDF("day", "wrong_col"), Seq("day"))
     }
   }
+
+  test("backfill repairs only the named range — untouched days stay as-is") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf_spec")
+      .toString + "/rollup"
+    val events = Tables.load(spark, sf0001, "events")
+    graft.etl.Incremental.dailyEventRollup(spark, events, dir, None)
+    def dayAgg(from: String, to: String) = events
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(from, to))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    // corrupt TWO ranges
+    graft.etl.Incremental.mergeAdditive(spark, dir,
+      dayAgg("2024-01-05", "2024-01-06"), Seq("day", "event_type"))
+    graft.etl.Incremental.mergeAdditive(spark, dir,
+      dayAgg("2024-01-20", "2024-01-21"), Seq("day", "event_type"))
+    // repair only the first
+    graft.etl.Incremental.backfillDailyRollup(spark, events, dir,
+      "2024-01-05", "2024-01-06")
+    val rolled = spark.read.parquet(dir)
+    val truth = events.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val got = rolled.select("day", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((day, et), n) =>
+      if (day >= "2024-01-20" && day <= "2024-01-21")
+        assert(n == 2 * truth((day, et)), s"$day should STILL be corrupted")
+      else
+        assert(n == truth((day, et)), s"$day should be correct")
+    }
+  }
 }
