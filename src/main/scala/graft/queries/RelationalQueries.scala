@@ -401,6 +401,46 @@ object RelationalQueries extends QuerySection {
         col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
       .orderBy(col("o_orderpriority"), col("rk"))
 
+  /** W11 window value family: first/last/nth over an unbounded frame —
+    * the "compare each event to the session's first/last/third" shape.
+    * Same single keyed exchange as every other per-user window. */
+  private def w11ValueFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 3).over(w).as("third_v"))
+      .orderBy(col("event_id")).limit(2000)
+  }
+
+  /** Median + deterministic mode (ties broken by value, so the answer
+    * is stable at any scale factor — the bare `mode()` aggregate is
+    * tie-nondeterministic in BOTH engines). */
+  private def qMedianMode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val med = ev.agg(round(median(col("value")), 4).as("median_value"))
+    val mode = ev.groupBy(col("event_type")).count()
+      .orderBy(desc("count"), col("event_type"))
+      .limit(1).select(col("event_type").as("mode_type"))
+    med.crossJoin(mode)
+  }
+
+  /** Ordered string aggregation (string_agg/listagg twin) without
+    * relying on either engine's aggregate-ordering quirks: sort the
+    * collected (ts, id, type) structs, then join — deterministic by
+    * construction, one keyed exchange. */
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("s"))
+      .select(col("user_id"),
+        concat_ws(",", expr("transform(s, x -> x.event_type)")).as("seq"))
+      .orderBy(col("user_id")).limit(500)
+
   /** W9 event-time RANGE frame: per-user rolling 1-hour sum — the
     * value-based frame (all rows within the interval), not a row-count
     * frame. Spark range frames need a numeric order key, so the frame
@@ -771,6 +811,9 @@ object RelationalQueries extends QuerySection {
     "w7_topk_grouped2" -> (w7TopkGrouped2 _),
     "w8_rank_family" -> (w8RankFamily _),
     "w9_range_frame" -> (w9RangeFrame _),
+    "w11_value_family" -> (w11ValueFamily _),
+    "q_median_mode" -> (qMedianMode _),
+    "q_string_agg" -> (qStringAgg _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_sliding_window" -> (qSlidingWindow _),
@@ -937,6 +980,26 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "w11_value_family" ->
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER w AS last_v,
+        |  nth_value(value, 3) OVER w AS third_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
+    "q_median_mode" ->
+      """SELECT round(median(value), 4) AS median_value,
+        |  (SELECT event_type FROM events
+        |   GROUP BY event_type ORDER BY count(*) DESC, event_type
+        |   LIMIT 1) AS mode_type
+        |FROM events""".stripMargin,
+    "q_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id LIMIT 500""".stripMargin,
     "w9_range_frame" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER (PARTITION BY user_id
