@@ -82,19 +82,19 @@ object Scale {
 
   /** EXACT global (ungrouped) quantiles without a global sort — the
     * scale path where `exactPercentiles` degenerates (one group = one
-    * task sorting the whole column). Three scan-shaped jobs, no
+    * task sorting the whole column). Four scan-shaped jobs, no
     * full-data shuffle:
     *
-    *   1. one aggregate: non-null count + a t-digest-style sketch
-    *      (`approx_percentile`, rank error ≤ n/accuracy) probed at
-    *      p ± 2/accuracy → a value bracket guaranteed to contain the
-    *      target rank;
+    *   0. one count (sizes the probe slack);
+    *   1. one aggregate: a t-digest-style sketch (`approx_percentile`,
+    *      rank error ≤ n/accuracy) probed at p ± max(2/accuracy, 3/n)
+    *      → a value bracket guaranteed to contain the target rank;
     *   2. one aggregate: exact `count(v < lo_p)` for every bracket;
     *   3. rank only the rows INSIDE the brackets (≈ 4n/accuracy rows
     *      per quantile, ~0.04% at the default) and pick the two
     *      neighbors each quantile interpolates between.
     *
-    * At 100 TB that is three columnar scans and a sort of a few
+    * At 100 TB that is four columnar scans and a sort of a few
     * hundred-thousandths of the data, vs. shuffling and sorting all of
     * it. Interpolation matches `percentile` / DuckDB `quantile_cont`
     * (continuous index `i = p·(n-1)`). Driver traffic is scalars only
@@ -105,18 +105,22 @@ object Scale {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     val v = col(valueCol).cast("double")
-    val eps = 2.0 / accuracy
+    // job 0: count — needed to size the probe slack: the sketch's rank
+    // error is n/accuracy, but its index convention can also differ
+    // from the continuous p·(n−1) by up to one element, so the probe
+    // offset must cover BOTH: max(2/accuracy, 3/n) guarantees the
+    // bracket spans the interpolation neighbors at any n
+    val n = df.agg(count(v)).collect()(0).getLong(0)
+    require(n > 0, s"exactGlobalQuantiles: no non-null $valueCol values")
+    val eps = math.max(2.0 / accuracy, 3.0 / n)
     val probes = ps.flatMap { case (_, p) =>
       Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)) }
-    // job 1: count + bracket sketch in one pass
+    // job 1: bracket sketch
     val head = df.agg(
-      count(v).as("n"),
       expr(s"approx_percentile(cast(`$valueCol` as double), " +
         s"array(${probes.mkString(",")}), $accuracy)").as("brackets"))
       .collect()(0)
-    val n = head.getLong(0)
-    require(n > 0, s"exactGlobalQuantiles: no non-null $valueCol values")
-    val bounds = head.getSeq[Double](1)
+    val bounds = head.getSeq[Double](0)
     val brackets = ps.indices.map(i => (bounds(2 * i), bounds(2 * i + 1)))
     // job 2: exact rank of each bracket's lower bound, one pass
     val belowAggs = brackets.zipWithIndex.map { case ((lo, _), i) =>
@@ -159,6 +163,153 @@ object Scale {
       org.apache.spark.sql.types.StructType(results.map { case (name, _) =>
         org.apache.spark.sql.types.StructField(name,
           org.apache.spark.sql.types.DoubleType, nullable = false) }))
+  }
+
+  /** Grouped form of [[exactGlobalQuantiles]] — exact per-group
+    * quantiles with NO per-group sort of the data. `exactPercentiles`
+    * is exact and spillable but sorts each group on one task; this
+    * variant keeps the scan-shaped jobs of the global form, with
+    * per-group sketches (one mergeable partial aggregate), per-group
+    * exact below-counts (one aggregate over a broadcast bounds join),
+    * and one ranking pass over only the bracket rows — per-group work
+    * no longer scales with group size, only with n/accuracy.
+    *
+    * Driver state is Θ(groups × quantiles) scalars — same order as the
+    * result itself. For group cardinalities where that's a problem,
+    * the window form (or a sketch) is the right tool; this is the
+    * few-huge-groups path, which is exactly where the window form
+    * serializes. Output schema and NULL semantics match
+    * [[exactPercentiles]] (all-NULL groups surface with NULL values).
+    */
+  def exactPercentilesBracket(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[(String, Double)],
+      accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val gField = df.schema(groupCol)
+
+    // job 0: per-group counts — each group's probe slack must cover
+    // the sketch rank error AND its index-convention offset (see
+    // exactGlobalQuantiles): eps_g = max(2/accuracy, 3/n_g)
+    val countRows = df.groupBy(col(groupCol)).agg(count(v).as("__n"))
+      .collect()
+    val emptyGroups = countRows.filter(_.getLong(1) == 0L).map(_.get(0))
+    val liveGroups = countRows.filter(_.getLong(1) > 0L)
+      .map(r => r.get(0) -> r.getLong(1))
+    // one shared probe array: group g's probes live at offset g·2P —
+    // each group's sketch evaluates all of them, G·2P quantile
+    // extracts per group, trivial for the modest group cardinalities
+    // this path targets
+    val probes = liveGroups.flatMap { case (_, n) =>
+      val eps = math.max(2.0 / accuracy, 3.0 / n)
+      ps.flatMap { case (_, p) =>
+        Seq(math.max(0.0, p - eps), math.min(1.0, p + eps)) }
+    }
+    val groupIdx = liveGroups.map(_._1).zipWithIndex.toMap
+
+    // job 1: per-group bracket sketch, one partial+final aggregate
+    // (the sketch is mergeable)
+    val head =
+      if (liveGroups.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else df.groupBy(col(groupCol)).agg(
+        expr(s"approx_percentile(cast(`$valueCol` as double), " +
+          s"array(${probes.mkString(",")}), $accuracy)").as("__b"))
+        .collect()
+    val liveN = liveGroups.toMap
+    val infos = head.filter(r => groupIdx.contains(r.get(0))).map { r =>
+      val off = groupIdx(r.get(0)) * 2 * ps.length
+      val b = r.getSeq[Double](1)
+      (r.get(0), liveN(r.get(0)),
+        ps.indices.map(i => b(off + 2 * i)).toArray,
+        ps.indices.map(i => b(off + 2 * i + 1)).toArray)
+    }
+    if (infos.isEmpty) {
+      val schema = StructType(gField +:
+        ps.map { case (n, _) => StructField(n, DoubleType) })
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(
+        emptyGroups.map(g => SRow.fromSeq(
+          g +: ps.map(_ => null))).toSeq.asJava, schema)
+    }
+
+    // bounds join table: group → lo_i / hi_i literals (broadcast)
+    val boundsSchema = StructType(gField +:
+      ps.indices.flatMap(i => Seq(StructField(s"__lo_$i", DoubleType),
+        StructField(s"__hi_$i", DoubleType))))
+    val boundsRows = infos.map { case (g, _, lo, hi) =>
+      SRow.fromSeq(g +: ps.indices.flatMap(i =>
+        Seq(lo(i): java.lang.Double, hi(i): java.lang.Double)))
+    }
+    import scala.jdk.CollectionConverters._
+    val bounds = broadcast(spark.createDataFrame(
+      boundsRows.toSeq.asJava, boundsSchema))
+    val withB = df.join(bounds, Seq(groupCol))
+
+    // job 2: exact rank of each bracket's lower bound, per group
+    val belowAggs = ps.indices.map(i =>
+      sum(when(v < col(s"__lo_$i"), 1L).otherwise(0L)).as(s"__below_$i"))
+    val below = withB.groupBy(col(groupCol))
+      .agg(belowAggs.head, belowAggs.tail: _*)
+      .collect()
+      .map(r => r.get(0) -> ps.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)).toArray)
+      .toMap
+
+    // in-bracket target ranks per (group, quantile)
+    val targetSchema = StructType(Seq(gField.copy(name = "__g"),
+      StructField("__t_tag", IntegerType), StructField("__t_rk", LongType)))
+    val targets = infos.flatMap { case (g, n, _, _) =>
+      ps.zipWithIndex.flatMap { case ((_, p), i) =>
+        val idx = p * (n - 1)
+        val b = below(g)(i)
+        Seq(math.floor(idx).toLong - b, math.ceil(idx).toLong - b)
+          .distinct.map(rk => SRow(g, i, rk))
+      }
+    }
+    val targetsDf = broadcast(spark.createDataFrame(
+      targets.toSeq.asJava, targetSchema))
+
+    // job 3: rank only bracket rows, keep the interpolation neighbors
+    val tagExprs = ps.indices.map(i =>
+      when(v >= col(s"__lo_$i") && v <= col(s"__hi_$i"), lit(i)))
+    val byTag = Window.partitionBy(col(groupCol), col("__tag"))
+      .orderBy(col("__v"))
+    val picked = withB
+      .select(col(groupCol), v.as("__v"),
+        explode(array(tagExprs: _*)).as("__tag"))
+      .filter(col("__tag").isNotNull)
+      .withColumn("__rk", row_number().over(byTag).cast("long") - 1)
+      .join(targetsDf,
+        col(groupCol) === col("__g") && col("__tag") === col("__t_tag")
+          && col("__rk") === col("__t_rk"))
+      .select(col(groupCol), col("__tag"), col("__rk"), col("__v"))
+      .collect()
+      .groupBy(_.get(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(1), r.getLong(2)) -> r.getDouble(3)).toMap).toMap
+
+    val out = infos.map { case (g, n, lo, hi) =>
+      val vals = ps.zipWithIndex.map { case ((name, p), i) =>
+        val idx = p * (n - 1)
+        val b = below(g)(i)
+        val kLo = math.floor(idx).toLong - b
+        val kHi = math.ceil(idx).toLong - b
+        val neighbors = picked.getOrElse(g, Map.empty[(Int, Long), Double])
+        require(neighbors.contains((i, kLo)) && neighbors.contains((i, kHi)),
+          s"sketch bracket [${lo(i)},${hi(i)}] missed rank for $name in " +
+            s"group $g — raise accuracy")
+        val vLo = neighbors((i, kLo))
+        val vHi = neighbors((i, kHi))
+        vLo + (vHi - vLo) * (idx - math.floor(idx))
+      }
+      SRow.fromSeq(g +: vals.map(x => x: java.lang.Double))
+    } ++ emptyGroups.map(g => SRow.fromSeq(g +: ps.map(_ => null)))
+    val outSchema = StructType(gField +:
+      ps.map { case (n, _) => StructField(n, DoubleType) })
+    spark.createDataFrame(out.toSeq.asJava, outSchema)
   }
 
   /** Salted replicated join for a fact table whose join key is heavily

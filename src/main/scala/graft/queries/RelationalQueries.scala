@@ -762,6 +762,20 @@ object RelationalQueries extends QuerySection {
         round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** The same grouped percentiles through the sketch-bracket refinement
+    * path (`Scale.exactPercentilesBracket`) — per-group work no longer
+    * scales with group size, so three huge return-flag groups don't
+    * serialize onto three tasks. Judged against the SAME oracle as
+    * `q_percentiles`, proving the two plans interchangeable. */
+  private def qPercentiles2(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.exactPercentilesBracket(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("l_returnflag"),
+        round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   /** Statistical aggregate family (engine extra past A1–A10):
     * correlation, covariance, population variance, the SQL-standard
     * linear-regression aggregates, and the boolean/conditional reducers
@@ -799,6 +813,7 @@ object RelationalQueries extends QuerySection {
     "w10_funnel" -> (w10Funnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles2" -> (qPercentiles2 _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
     "j6_asof_fwd" -> (j6AsofFwd _),
@@ -918,6 +933,14 @@ object RelationalQueries extends QuerySection {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles2" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

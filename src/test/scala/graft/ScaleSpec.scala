@@ -138,6 +138,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentilesBracket equals the window form (incl. NULL groups)") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val want = Scale.exactPercentiles(li, "l_returnflag",
+      "l_extendedprice", ps).orderBy("l_returnflag").collect()
+    val got = Scale.exactPercentilesBracket(li, "l_returnflag",
+      "l_extendedprice", ps).orderBy("l_returnflag").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      (1 to ps.length).foreach { i =>
+        assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"${a.getString(0)} q$i: ${a.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+    // an all-NULL group surfaces with NULL percentiles in both forms
+    val withNulls = Seq(("g1", Some(1.0)), ("g1", Some(2.0)),
+      ("gN", Option.empty[Double])).toDF("g", "x")
+    val b = Scale.exactPercentilesBracket(withNulls, "g", "x",
+      Seq("p50" -> 0.5)).orderBy("g").collect()
+    assert(b.length == 2 && b(0).getDouble(1) == 1.5 && b(1).isNullAt(1))
+  }
+
   test("exactGlobalQuantiles equals builtin percentile exactly") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val got = Scale.exactGlobalQuantiles(li, "l_extendedprice",
