@@ -218,6 +218,24 @@ object Sinks {
     (before.size, parquetFiles(root).size)
   }
 
+  /** Per-file statistics manifest — the Delta `stats` twin on plain
+    * Parquet: for each file, its row count and each named column's
+    * min/max. This is what makes data-skipping auditable: a scan with
+    * a predicate on a clustered column should prune every file whose
+    * [min, max] misses the predicate box (the property `ZOrderSpec`
+    * asserts; this surfaces the same numbers as a queryable table).
+    * One scan, grouped by `input_file_name` — aggregate-cardinality
+    * output (one row per file). */
+  def fileManifest(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Versioned lake writes — Delta-lite time travel on plain Parquet.
     * Every commit lands in its own `<path>/v=<n>` directory; a commit
     * is visible only once Spark's `_SUCCESS` marker exists, so readers

@@ -180,6 +180,33 @@ object Sources {
     }
   }
 
+  /** S11 — error-tolerant ingestion with quarantine: malformed records
+    * land in a corrupt-capture column instead of failing the job or
+    * silently vanishing (the engine-native form of the reference's
+    * clean-then-validate pass: PERMISSIVE parse + `_corrupt_record`).
+    * Returns (clean, quarantined) — clean rows typed to `schema`,
+    * quarantined rows as raw text for repair/replay. One scan feeds
+    * both sides (the split is a filter, not a re-read). At 100 TB a
+    * poison file costs its bad LINES, not the pipeline. */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCapture = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val parsed = spark.read
+      .schema(withCapture)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // Spark requires a materialization barrier between the corrupt
+      // column's population and filters that reference it
+      .cache()
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (clean, quarantined)
+  }
+
   /** S6 live fetch — GET with query params and headers, raise on
     * non-2xx, bounded retry with exponential backoff
     * (`base_extractors.py:245-253` `requests.get` + `raise_for_status`,

@@ -120,4 +120,48 @@ class SourcesSpec extends SparkSpec {
     val empty = Sources.incremental(ev, "ts", Some(lit("2099-01-01")))
     assert(Sources.nextBookmark(empty, "ts").isEmpty)
   }
+
+  test("S11 quarantine ingestion: bad lines captured, good lines typed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"id": 1, "v": "a"}
+        |this is not json at all
+        |{"id": 2, "v": "b"}
+        |{"id": "NOT_A_NUMBER", "v": "c"}
+        |{"id": 4, "v": "d"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val (clean, bad) = Sources.jsonWithQuarantine(spark, s"$dir/in.jsonl",
+      schema)
+    assert(clean.columns.toSeq == Seq("id", "v"))
+    assert(clean.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 4L))
+    val raws = bad.collect().map(_.getString(0))
+    assert(raws.length == 2)
+    assert(raws.exists(_.contains("not json")) &&
+      raws.exists(_.contains("NOT_A_NUMBER")))
+  }
+
+  test("file manifest: per-file row counts and min/max bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fm").toString
+    Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.parquet(s"$dir/t")
+    val m = graft.sinks.Sinks.fileManifest(spark, s"$dir/t",
+      Seq("o_orderkey")).collect()
+    assert(m.length == 4)
+    val total = Tables.load(spark, sf0001, "orders").count()
+    assert(m.map(_.getLong(1)).sum == total)
+    // range-partitioned files have DISJOINT key ranges — the skippable
+    // layout the manifest exists to audit
+    val ranges = m.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ =>
+    }
+  }
 }
