@@ -147,6 +147,27 @@ object Sinks {
     obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
   }
 
+  /** K9 twin for KEY LISTS — the right-to-be-forgotten delete: remove
+    * every row whose key appears in `keys` (typically a small erasure
+    * list → Catalyst broadcasts the anti-join side, so the rewrite is
+    * one scan + broadcast anti, no shuffle of the table). Returns the
+    * number of rows removed. On a key-partitioned or bucketed layout
+    * the rewrite touches only matching partitions/buckets; the Delta
+    * form is `DELETE WHERE key IN (...)` with the same plan. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Long = {
+    val df = spark.read.parquet(path)
+    val keySide = broadcast(
+      keys.select(col(keys.columns.head).as(keyCol)).distinct())
+    val obsAll = new org.apache.spark.sql.Observation("delkeys_total")
+    val obsKeep = new org.apache.spark.sql.Observation("delkeys_kept")
+    val keep = df.observe(obsAll, count(lit(1)).as("n"))
+      .join(keySide, Seq(keyCol), "left_anti")
+      .observe(obsKeep, count(lit(1)).as("n"))
+    writeSwap(spark, keep, path)
+    obsAll.get("n").asInstanceOf[Long] - obsKeep.get("n").asInstanceOf[Long]
+  }
+
   /** Overwriting a path we are also reading requires materializing away
     * from it first: write temp dir, swap atomically at the directory
     * level. */

@@ -166,6 +166,21 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 4)
   }
 
+  test("deleteKeys removes exactly the erasure list, broadcast-anti") {
+    val dir = tmp()
+    val path = s"$dir/t"
+    Tables.load(spark, sf0001, "customer").write.parquet(path)
+    val total = spark.read.parquet(path).count()
+    val erasure = Seq(3L, 7L, 11L, 999999L).toDF("c_custkey") // one absent
+    val removed = Sinks.deleteKeys(spark, path, "c_custkey", erasure)
+    assert(removed == 3)
+    val after = spark.read.parquet(path)
+    assert(after.count() == total - 3)
+    assert(after.filter($"c_custkey".isin(3L, 7L, 11L)).count() == 0)
+    // second pass is a no-op (idempotent)
+    assert(Sinks.deleteKeys(spark, path, "c_custkey", erasure) == 0)
+  }
+
   test("codec override: zstd writes smaller files than snappy") {
     import scala.jdk.CollectionConverters._
     def bytes(p: String): Long =
