@@ -197,6 +197,28 @@ object RelationalQueries extends QuerySection {
         .select(col("s_nationkey").as("nationkey")))
       .orderBy(col("nationkey"))
 
+  /** BAG-semantics set ops (`INTERSECT ALL` / `EXCEPT ALL`):
+    * multiplicities are min() / subtraction rather than membership —
+    * a genuinely different operator from the distinct forms (Spark
+    * plans it as a count-aggregated generate, not a semi/anti join).
+    * Judged on the multiplicity profile so the bag arithmetic itself
+    * is what's compared. */
+  private def setIntersectAll(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .intersectAll(Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("nationkey"))
+
+  private def setExceptAll(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey"))
+      .exceptAll(Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("nationkey"))
+
   /** A2 null-percentage profile (data_validators.py:163-169): one
     * aggregate pass, counts per column. */
   private def a2NullProfile(s: SparkSession, dir: String): DataFrame = {
@@ -852,6 +874,8 @@ object RelationalQueries extends QuerySection {
     "set_union" -> (setUnion _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
     "a2_null_profile" -> (a2NullProfile _),
     "a3_dup_stats" -> (a3DupStats _),
     "a4_variance" -> (a4Variance _),
@@ -1243,6 +1267,18 @@ object RelationalQueries extends QuerySection {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT nationkey, count(*) AS multiplicity FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT nationkey, count(*) AS multiplicity FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "a2_null_profile" ->
       """SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_event_id,
