@@ -463,6 +463,42 @@ object RelationalQueries extends QuerySection {
         concat_ws(",", expr("transform(s, x -> x.event_type)")).as("seq"))
       .orderBy(col("user_id")).limit(500)
 
+  /** Semi-structured analytics: a JSON payload column feeding a
+    * relational rollup — extraction stays a codegen'd projection
+    * (`get_json_object`), never a driver-side parse. At 100 TB the
+    * pattern argues for materializing hot JSON fields as columns;
+    * this is the read-side form when that hasn't happened yet. */
+  private def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), round(avg(col("k")), 4).as("k_avg"))
+      .orderBy(col("event_type"))
+
+  /** Calendar-function family over one projection: truncation,
+    * quarter/day-of-week/day-of-year extraction, month-end, month
+    * arithmetic (with end-of-month clamping), ISO week — exported as
+    * strings/longs so both engines' calendar conventions are compared
+    * value-for-value (Spark's 1-based Sunday dayofweek is shifted to
+    * DuckDB's 0-based). */
+  private def fxDatetimeFamily(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+          .as("plus3m"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .orderBy(col("o_orderkey"))
+
   /** W9 event-time RANGE frame: per-user rolling 1-hour sum — the
     * value-based frame (all rows within the interval), not a row-count
     * frame. Spark range frames need a numeric order key, so the frame
@@ -849,6 +885,8 @@ object RelationalQueries extends QuerySection {
     "w8_rank_family" -> (w8RankFamily _),
     "w9_range_frame" -> (w9RangeFrame _),
     "w11_value_family" -> (w11ValueFamily _),
+    "q_json_props" -> (qJsonProps _),
+    "fx_datetime_family" -> (fxDatetimeFamily _),
     "q_median_mode" -> (qMedianMode _),
     "q_string_agg" -> (qStringAgg _),
     "q_exists_subquery" -> (qExistsSubquery _),
@@ -1027,6 +1065,24 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS k_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "fx_datetime_family" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        |    AS month_start,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "w11_value_family" ->
       """SELECT event_id, user_id,
         |  first_value(value) OVER w AS first_v,
