@@ -499,6 +499,25 @@ object RelationalQueries extends QuerySection {
         weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
       .orderBy(col("o_orderkey"))
 
+  /** Time-series gap filling (`operators.GapFill`): a sparse daily
+    * rollup (3 users only, so most days have no purchases) densified
+    * onto the full January spine — counts zero-filled, averages
+    * carried forward. Judged against DuckDB generate_series + IGNORE
+    * NULLS last_value. */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("user_id") < 3)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+    graft.operators.GapFill.fillDaily(daily, "day", "event_type",
+        "2024-01-01", "2024-01-30",
+        zeroFill = Seq("n"), carryForward = Seq("avg_v"))
+      .select(col("day"), col("event_type"), col("n"),
+        col("avg_v").as("carried"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** W9 event-time RANGE frame: per-user rolling 1-hour sum — the
     * value-based frame (all rows within the interval), not a row-count
     * frame. Spark range frames need a numeric order key, so the frame
@@ -887,6 +906,7 @@ object RelationalQueries extends QuerySection {
     "w11_value_family" -> (w11ValueFamily _),
     "q_json_props" -> (qJsonProps _),
     "fx_datetime_family" -> (fxDatetimeFamily _),
+    "q_gap_fill" -> (qGapFill _),
     "q_median_mode" -> (qMedianMode _),
     "q_string_agg" -> (qStringAgg _),
     "q_exists_subquery" -> (qExistsSubquery _),
@@ -1065,6 +1085,23 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    count(*) AS n, round(avg(value), 4) AS avg_v
+        |  FROM events WHERE user_id < 3 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type
+        |  FROM generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 DAY) AS d(day)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events
+        |              WHERE user_id < 3) t)
+        |SELECT s.day, s.event_type, coalesce(n, 0) AS n,
+        |  last_value(avg_v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |    ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM spine s LEFT JOIN daily USING (day, event_type)
+        |ORDER BY s.day, s.event_type""".stripMargin,
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
