@@ -518,6 +518,56 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Cumulative DISTINCT count (running distinct users by day) — the
+    * expanding-window distinct that a naive `COUNT(DISTINCT) OVER
+    * (ORDER BY day)` would answer with quadratic state. The scalable
+    * identity: a user contributes from their FIRST day onward, so
+    * cumulative-distinct(day) = running sum of first-appearance
+    * counts — two hash aggregates and one tiny ordered window over
+    * day-cardinality rows. */
+  private def qCumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    firstDay
+      .withColumn("cumulative_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("day"))
+  }
+
+  /** Interval union ("active time"): merge each user's overlapping
+    * activity intervals ([ts, ts + value minutes]) and sum the merged
+    * durations — the island detection every session/coverage analysis
+    * needs. Islands open where the interval start exceeds the running
+    * max of previous ends (one keyed window), then one aggregate per
+    * island: overlap never double-counts. */
+  private def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"),
+        // round-then-cast, not bare cast: Spark casts truncate while
+        // DuckDB casts round, and the double product sits ε off an
+        // integer — round() agrees bit-for-bit in both engines
+        (unix_micros(col("ts").cast("timestamp")) +
+          round(col("value") * 60000000L).cast("long")).as("e"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val prevMaxEnd = max(col("e")).over(
+      byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("__new", when(prevMaxEnd.isNull ||
+        col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(byUser))
+    islands.groupBy(col("user_id"), col("__island"))
+      .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_e") - col("is_s")).as("active_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** W9 event-time RANGE frame: per-user rolling 1-hour sum — the
     * value-based frame (all rows within the interval), not a row-count
     * frame. Spark range frames need a numeric order key, so the frame
@@ -907,6 +957,8 @@ object RelationalQueries extends QuerySection {
     "q_json_props" -> (qJsonProps _),
     "fx_datetime_family" -> (fxDatetimeFamily _),
     "q_gap_fill" -> (qGapFill _),
+    "q_cumulative_distinct" -> (qCumulativeDistinct _),
+    "q_interval_union" -> (qIntervalUnion _),
     "q_median_mode" -> (qMedianMode _),
     "q_string_agg" -> (qStringAgg _),
     "q_exists_subquery" -> (qExistsSubquery _),
@@ -1085,6 +1137,39 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY user_id),
+        |nd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cumulative_users
+        |FROM nd ORDER BY day""".stripMargin,
+    "q_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+        |      THEN 1 ELSE 0 END AS new_i
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |isl AS (
+        |  SELECT user_id, s, e, sum(new_i) OVER w2 AS island
+        |  FROM flagged
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |merged AS (
+        |  SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(is_e - is_s) AS BIGINT) AS active_us
+        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_gap_fill" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
