@@ -42,6 +42,18 @@ object Curation {
     df.filter(hashPct(salt, col(keyCol)) < rate)
   }
 
+  /** Quality-weighted deterministic sampling: each row's keep
+    * probability is its own `ratePct` column (0–100) — the "keep
+    * high-quality documents preferentially" primitive (rate = a
+    * quality score mapped to a percentage), still a pure shuffle-free
+    * filter with hash-determinism: the same doc makes the same
+    * decision on any cluster, any rerun, any subset. Rates clamp to
+    * [0, 100]. */
+  def sampleByWeight(df: DataFrame, keyCol: String, salt: String,
+      ratePct: Column): DataFrame =
+    df.filter(hashPct(salt, col(keyCol)) <
+      least(greatest(ratePct, lit(0)), lit(100)))
+
   /** Deterministic train/val/test split assignment: each key's 28-bit
     * hash lands in exactly one band of the cumulative percentage layout
     * (e.g. train [0,90), val [90,95), test [95,100)). A pure projection

@@ -111,8 +111,21 @@ object CurationQueries extends QuerySection {
       .select(col("event_id"), round(col("clipped"), 4).as("clipped"))
       .orderBy(col("event_id")).limit(2000)
 
+  /** Quality-weighted sampling: keep probability rises with document
+    * length (rate = n_chars/5, capped at 100%) — judged on per-lang
+    * counts AND the kept side's average length, which must exceed the
+    * corpus average if the weighting actually biased the draw. */
+  private def curSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByWeight(docs(s, dir), "doc_id", "wt",
+        col("n_chars") / lit(5))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_chars")), 4).as("kept_avg_chars"))
+      .orderBy(col("lang"))
+
   def queries: Map[String, Q] = Map(
     "cur_split" -> (curSplit _),
+    "cur_sample_weighted" -> (curSampleWeighted _),
     "cur_sample_group" -> (curSampleGroup _),
     "cur_zscore" -> (curZscore _),
     "cur_winsorize" -> (curWinsorize _),
@@ -148,6 +161,13 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_sample_weighted" ->
+      s"""SELECT lang, count(*) AS n_kept,
+         |  round(avg(n_chars), 4) AS kept_avg_chars
+         |FROM documents
+         |WHERE ${pctSql("wt", "doc_id")} <
+         |  least(greatest(n_chars / 5, 0), 100)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "cur_sample_group" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

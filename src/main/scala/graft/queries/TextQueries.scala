@@ -177,7 +177,23 @@ object TextQueries extends QuerySection {
         round(avg(length(col("text"))), 4).as("avg_len"))
       .orderBy(col("lang"), col("source"))
 
+  /** Token-budget truncation (context-window prep): first 64 tokens,
+    * single-space rejoined; judged md5-exact on the truncated text like
+    * `t_scrub`, plus before/after counts. */
+  private def textTruncate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_before"),
+        TextAnalysis.truncateTokens(col("text"), 64).as("__t"))
+      .select(col("doc_id"), col("n_before"),
+        TextAnalysis.tokenCount(col("__t")).cast("long").as("n_after"),
+        md5(col("__t")).as("trunc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_truncate" -> (textTruncate _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -199,6 +215,12 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_truncate" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokensSql) AS BIGINT) AS n_before,
+         |  CAST(least(len($tokensSql), 64) AS BIGINT) AS n_after,
+         |  md5(array_to_string($tokensSql[1:64], ' ')) AS trunc_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
         |  FROM documents, unnest($tokensSql) AS t(term)

@@ -21,6 +21,13 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Token-budget truncation: keep the first `maxTokens` whitespace
+    * tokens, rejoined single-spaced (whitespace normalizes as a side
+    * effect — the usual contract when context windows are counted in
+    * tokens, not characters). Pure column expression, codegen HOFs. */
+  def truncateTokens(c: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(tokens(c), 1, maxTokens))
+
   /** BPE-ish subword proxy: alpha runs, digit runs, and single
     * non-alphanumeric marks — a cheap, deterministic stand-in for a
     * byte-pair tokenizer's piece count. */

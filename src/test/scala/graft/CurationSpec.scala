@@ -125,6 +125,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling: per-row rates bias the draw, clamped, deterministic") {
+    import graft.curation.Curation
+    // rate 0 keeps nothing, rate >= 100 keeps everything (clamped)
+    assert(Curation.sampleByWeight(docs, "doc_id", "w", lit(0)).count() == 0)
+    assert(Curation.sampleByWeight(docs, "doc_id", "w", lit(250)).count() ==
+      docs.count())
+    // length-weighted: kept docs are longer on average than the corpus
+    val kept = Curation.sampleByWeight(docs, "doc_id", "w",
+      col("n_chars") / lit(8))
+    val keptAvg = kept.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusAvg = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(keptAvg > corpusAvg,
+      s"weighting must bias toward long docs: $keptAvg vs $corpusAvg")
+    // deterministic
+    assert(kept.count() == Curation.sampleByWeight(docs, "doc_id", "w",
+      col("n_chars") / lit(8)).count())
+  }
+
   test("k-per-group sample: exact sizes, deterministic, uniform-ish") {
     val k = 25
     val sampled = Curation.sampleKPerGroup(docs, "lang", "doc_id", "kg", k)
