@@ -518,6 +518,26 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Retention cohort matrix: users grouped by first-seen day
+    * (cohort), activity counted by day offset from that cohort — the
+    * product-analytics staple. Two hash aggregates (user→cohort,
+    * then (cohort, offset)→distinct users) and one broadcast-friendly
+    * join of the user→cohort map back onto events; at 100 TB the
+    * user dimension is the broadcast side and the event scan stays
+    * shuffle-free up to the final aggregate. */
+  private def qRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_day"))
+    ev.join(cohorts, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .filter(col("day_offset").isin(0L, 1L, 7L, 14L, 21L))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** Cumulative DISTINCT count (running distinct users by day) — the
     * expanding-window distinct that a naive `COUNT(DISTINCT) OVER
     * (ORDER BY day)` would answer with quadratic state. The scalable
@@ -958,6 +978,7 @@ object RelationalQueries extends QuerySection {
     "fx_datetime_family" -> (fxDatetimeFamily _),
     "q_gap_fill" -> (qGapFill _),
     "q_cumulative_distinct" -> (qCumulativeDistinct _),
+    "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_interval_union" -> (qIntervalUnion _),
     "q_median_mode" -> (qMedianMode _),
     "q_string_agg" -> (qStringAgg _),
@@ -1137,6 +1158,18 @@ object RelationalQueries extends QuerySection {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |  CAST(d - cohort_day AS BIGINT) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2
+        |HAVING day_offset IN (0, 1, 7, 14, 21)
+        |ORDER BY cohort, day_offset""".stripMargin,
     "q_cumulative_distinct" ->
       """WITH fd AS (
         |  SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
