@@ -105,4 +105,27 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("bloom_filter_agg"), p)
     } finally saved.foreach { case (k, v) => c.set(k, v) }
   }
+
+  test("q_interval_union: islands + both aggregates over ONE keyed exchange") {
+    val p = plan("q_interval_union")
+    // window, island groupBy and final user groupBy all hash on user_id:
+    // Catalyst reuses a single exchange for the whole chain
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 keyed exchange, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_retention_cohorts: cohort map joins back without a cartesian") {
+    val p = plan("q_retention_cohorts")
+    assert(!p.contains("CartesianProduct"), p)
+    // the distinct-count is planned as partial+final aggregation
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_json_props: extraction is a projection over the scan, no UDF") {
+    val p = plan("q_json_props")
+    assert(p.contains("get_json_object") || p.contains("GetJsonObject"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
