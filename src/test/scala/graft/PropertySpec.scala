@@ -228,6 +228,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gap fill: spine complete, present cells untouched, carry monotone") {
+    val days = (1 to 9).map(d => f"2024-02-0$d%d")
+    val cells = samples(for {
+      d <- Gen.oneOf(days)
+      k <- Gen.oneOf("a", "b", "c")
+      n <- Gen.chooseNum(1L, 50L)
+      v <- Gen.chooseNum(1.0, 9.0)
+    } yield (d, k, n, v), 25).distinctBy(c => (c._1, c._2))
+    val daily = cells.toDF("day", "k", "n", "v")
+    val filled = graft.operators.GapFill.fillDaily(daily, "day", "k",
+      days.head, days.last, Seq("n"), Seq("v")).collect()
+    val keys = cells.map(_._2).distinct
+    assert(filled.length == days.length * keys.length) // complete grid
+    val present = cells.map(c => (c._1, c._2) -> (c._3, c._4)).toMap
+    val lastSeen = scala.collection.mutable.Map.empty[String, Double]
+    filled.sortBy(r => (r.getString(1), r.getString(0))).foreach { r =>
+      val (day, k) = (r.getString(0), r.getString(1))
+      present.get((day, k)) match {
+        case Some((n, v)) => // present cells pass through untouched
+          assert(r.getLong(2) == n && r.getDouble(3) == v)
+          lastSeen(k) = v
+        case None => // absent: zero count, carried (or null) value
+          assert(r.getLong(2) == 0L)
+          lastSeen.get(k) match {
+            case Some(v) => assert(r.getDouble(3) == v)
+            case None => assert(r.isNullAt(3))
+          }
+      }
+    }
+  }
+
   test("int8 quantization: reconstruction error bounded by qscale/2 per element") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, samples(Gen.chooseNum(-10.0f, 10.0f), 16, seed = 7L + i)
