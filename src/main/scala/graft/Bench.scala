@@ -58,27 +58,6 @@ object Bench {
     val io = scala.collection.mutable.Map
       .empty[String, org.apache.spark.graftx.StageMetrics.Totals]
     val raw = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (pass <- 1 to reps; (name, fn) <- names) {
-      val before =
-        if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
-          .totals(spark.sparkContext, ioAcc))
-        else None
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name pass $pass failed: ${e.getMessage}")
-      }
-      raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
-      before.foreach { b =>
-        io(name) = org.apache.spark.graftx.StageMetrics
-          .totals(spark.sparkContext, ioAcc) - b
-      }
-    }
-    val medians = names.map { case (name, _) =>
-      val ts = raw(name).sorted
-      name -> ts(ts.length / 2)
-    }
-    val total = medians.map(_._2).sum
 
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -86,41 +65,68 @@ object Bench {
       kvs.map { case (k, vs) =>
         "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
       }.mkString("{", ",", "}")
-
     def mb(v: Long): String = f"${v / 1048576.0}%.1f"
-    val ioJson = names.map { case (n, _) =>
-      val t = io.getOrElse(n,
-        org.apache.spark.graftx.StageMetrics.Totals(0, 0, 0))
-      "\"" + n + s"""\":{"in_rows":${t.inputRows},""" +
-        s""""shuffle_r_mb":${mb(t.shuffleRead)},""" +
-        s""""shuffle_w_mb":${mb(t.shuffleWrite)}}"""
-    }.mkString("{", ",", "}")
-    val shuffleTotalMb =
-      io.values.map(_.shuffleWrite).sum / 1048576.0
-    val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-        f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
-        f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
-        f""""io_pass1":$ioJson,""" +
-        f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
-        f""""sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
 
-    // compact stdout line: slowest queries first, under a byte budget
-    val budget = 1300
-    val slowest = medians.sortBy(-_._2)
-    val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
-    var used = 0
-    for (kv <- slowest if used + kv._1.length + 12 < budget) {
-      kept += kv; used += kv._1.length + 12
+    // emit after EVERY completed pass — medians over passes so far — so
+    // a consumer-side timeout mid-run still finds a complete, parseable
+    // line in the stdout tail (the last one printed wins the window)
+    def emit(passesDone: Int): Unit = {
+      val medians = names.map { case (name, _) =>
+        val ts = raw(name).sorted
+        name -> ts(ts.length / 2)
+      }
+      val total = medians.map(_._2).sum
+      val ioJson = names.map { case (n, _) =>
+        val t = io.getOrElse(n,
+          org.apache.spark.graftx.StageMetrics.Totals(0, 0, 0))
+        "\"" + n + s"""\":{"in_rows":${t.inputRows},""" +
+          s""""shuffle_r_mb":${mb(t.shuffleRead)},""" +
+          s""""shuffle_w_mb":${mb(t.shuffleWrite)}}"""
+      }.mkString("{", ",", "}")
+      val shuffleTotalMb = io.values.map(_.shuffleWrite).sum / 1048576.0
+      val fullJson =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
+          f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
+          f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
+          f""""io_pass1":$ioJson,""" +
+          f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+      val budget = 1300
+      val kept = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+      var used = 0
+      for (kv <- medians.sortBy(-_._2) if used + kv._1.length + 12 < budget) {
+        kept += kv; used += kv._1.length + 12
+      }
+      println(
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
+          f""""n_queries":${medians.length},""" +
+          f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""queries":${fmt(kept.toSeq)},""" +
+          f""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
     }
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,""" +
-        f""""n_queries":${medians.length},""" +
-        f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
-        f""""queries":${fmt(kept.toSeq)},""" +
-        f""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
+
+    for (pass <- 1 to reps) {
+      for ((name, fn) <- names) {
+        val before =
+          if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
+            .totals(spark.sparkContext, ioAcc))
+          else None
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name pass $pass failed: ${e.getMessage}")
+        }
+        raw(name) = raw.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e9
+        before.foreach { b =>
+          io(name) = org.apache.spark.graftx.StageMetrics
+            .totals(spark.sparkContext, ioAcc) - b
+        }
+      }
+      emit(pass)
+    }
     spark.stop()
   }
 }
