@@ -144,6 +144,32 @@ class EtlJobSpec extends SparkSpec {
     }
   }
 
+  test("versioned rollup snapshots: time travel to any maintenance state") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_vr").toString
+    val rollup = s"$base/rollup"
+    val versions = s"$base/versions"
+    val events = Tables.load(spark, sf0001, "events")
+    // cycle 1 → snapshot v0; cycle 2 → snapshot v1
+    val b1 = graft.etl.Incremental.dailyEventRollup(spark,
+      events.filter(col("ts") < lit("2024-01-15")), rollup, None)
+    graft.sinks.Sinks.Versioned.write(spark.read.parquet(rollup), versions)
+    graft.etl.Incremental.dailyEventRollup(spark, events, rollup, b1)
+    graft.sinks.Sinks.Versioned.write(spark.read.parquet(rollup), versions)
+    // v0 is exactly the mid-maintenance state (reproducible training
+    // inputs: "the rollup as it stood after the Jan-14 load")
+    val v0 = graft.sinks.Sinks.Versioned.read(spark, versions, Some(0L))
+    val expectedMid = events.filter(col("ts") < lit("2024-01-15"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type")).agg(count(lit(1)).as("n"))
+    assert(v0.count() == expectedMid.count())
+    assert(v0.agg(sum(col("n"))).head().getLong(0) ==
+      expectedMid.agg(sum(col("n"))).head().getLong(0))
+    // latest is the fully-maintained state
+    val latest = graft.sinks.Sinks.Versioned.read(spark, versions)
+    assert(latest.agg(sum(col("n"))).head().getLong(0) == events.count())
+  }
+
   test("backfill repairs only the named range — untouched days stay as-is") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_bf_spec")

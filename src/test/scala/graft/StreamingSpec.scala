@@ -166,4 +166,48 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
     assert(streamed === expected)
   }
+
+  test("left-outer stream-stream join: unmatched rows emit on eviction only") {
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_ssjo_unit")
+    def writeBatch(name: String, mtime: Long,
+        rows: Seq[(Long, String, Long, String)]): Unit = {
+      val gen = Files.createTempDirectory("graft_ssjo_gen")
+      rows.map { case (id, ts, uid, typ) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(gen.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(gen).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    // u1's view matches; u2's view has NO purchase in the horizon
+    writeBatch("a_data.parquet", 1000L, Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view"),
+      (2L, "2024-03-01 10:30:00", 1L, "purchase"),
+      (3L, "2024-03-01 11:00:00", 2L, "view")))
+    // flush batch: sentinels far past every eviction bound
+    writeBatch("b_flush.parquet", 2000L, Seq(
+      (-1L, "2024-03-05 00:00:00", -1L, "view"),
+      (-2L, "2024-03-05 00:00:00", -2L, "purchase")))
+    val events = Streaming.readEvents(spark, dir.toString,
+      maxFilesPerTrigger = Some(1))
+    val joined = Streaming.streamStreamJoin(
+      events.filter($"event_type" === "view"),
+      events.filter($"event_type" === "purchase"),
+      watermark = "1 minute", horizon = "1 hour",
+      joinType = "left_outer")
+    Streaming.runAvailableNow(joined, "ssjo_unit", outputMode = "append")
+    val out = spark.table("ssjo_unit").filter($"user_id" >= 0)
+      .select($"l_id", $"r_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    // matched pair emits; the unmatched view emits exactly once with a
+    // null right side (flushed by the sentinel watermark advance); the
+    // sentinel view itself stays in state and never emits
+    assert(out === Set((1L, Some(2L)), (3L, None)))
+  }
 }
