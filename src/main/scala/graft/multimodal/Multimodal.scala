@@ -170,4 +170,29 @@ object Multimodal {
         sum(col("duration_ms")).as("total_duration_ms"),
         max(col("width")).as("max_width"))
       .orderBy(col("media_type"))
+
+  /** Byte-level content dedup — the first dedup pass every multimodal
+    * corpus runs (identical files arrive via different crawls/paths):
+    * group by content digest, keep the lowest id. The digest is
+    * codegen'd md5 over the binary column — each executor hashes its
+    * own partitions, only (digest, id) pairs shuffle, never the media
+    * bytes. Perceptual (near-dup) matching layers on the feature
+    * vectors afterwards — same split as text exact-vs-MinHash. */
+  def dedupByContent(df: DataFrame, idCol: String = "media_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    df.withColumn("__digest", md5(col("content")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__digest", "__rk")
+  }
+
+  /** Duplicate-content groups (audit view of [[dedupByContent]]):
+    * digest, copy count, and the surviving id per duplicated blob. */
+  def duplicateContentGroups(df: DataFrame,
+      idCol: String = "media_id"): DataFrame =
+    df.groupBy(md5(col("content")).as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+      .filter(col("n_copies") > 1)
 }

@@ -55,7 +55,21 @@ object MultimodalQueries extends QuerySection {
         length(col("content")).cast("long").as("n_bytes"))
       .orderBy(col("media_id"), col("frame_no")).limit(500)
 
+  /** Byte-level content dedup audit: every 97th media item is planted
+    * a second time under a new id (the re-crawled-identical-file case),
+    * and the duplicate-content groups — digest, copy count, surviving
+    * id — must match DuckDB computing the identical md5 over the same
+    * bytes. */
+  private def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.demoMediaTable(s, dir)
+    val planted = media.filter(col("media_id") % 97 === 0)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    Multimodal.duplicateContentGroups(media.unionByName(planted))
+      .orderBy(col("content_md5"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "mm_dedup" -> (mmDedup _),
     "mm_stats" -> (mmStats _),
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
@@ -63,6 +77,16 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH all_media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 97 = 0)
+        |SELECT md5(text) AS content_md5, count(*) AS n_copies,
+        |  min(media_id) AS keeper
+        |FROM all_media GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY content_md5""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST(least(octet_length(encode(text)), 64) AS BIGINT)

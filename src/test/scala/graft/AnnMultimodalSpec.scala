@@ -201,6 +201,21 @@ class AnnMultimodalSpec extends SparkSpec {
     exactTop.zip(bruteTop).foreach { case (a, b) => assert(a <= b + 1e-9) }
   }
 
+  test("multimodal content dedup: planted identical blobs collapse to one") {
+    val media = Multimodal.demoMediaTable(spark, sf0001)
+    val planted = media.filter($"media_id" % 10 === 0)
+      .withColumn("media_id", $"media_id" + 5000L)
+    val doubled = media.unionByName(planted)
+    val deduped = Multimodal.dedupByContent(doubled)
+    // every planted copy removed, nothing else lost
+    assert(deduped.count() == media.count())
+    // survivors are the LOWEST id of each duplicate set
+    assert(deduped.filter($"media_id" >= 5000L).count() == 0)
+    val groups = Multimodal.duplicateContentGroups(doubled).collect()
+    assert(groups.length == planted.count().toInt)
+    assert(groups.forall(_.getLong(1) == 2L))
+  }
+
   test("multimodal: metadata-only plan prunes the binary column") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.demoMediaTable(spark, sf0001)
