@@ -76,8 +76,13 @@ object Scale {
     }
     val agged = ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     // restore all-NULL groups (dropped by the filter) with NULL results,
-    // as percentile()/quantile_cont would return for them
-    df.select(col(groupCol)).distinct().join(agged, Seq(groupCol), "left")
+    // as percentile()/quantile_cont would return for them; the restore
+    // join must be null-safe — a NULL group KEY with real values is a
+    // legitimate group (groupBy keeps it) and an equality join would
+    // never match it back
+    val keys = df.select(col(groupCol)).distinct()
+    keys.join(agged, keys(groupCol) <=> agged(groupCol), "left")
+      .select(keys(groupCol) +: ps.map { case (name, _) => agged(name) }: _*)
   }
 
   /** EXACT global (ungrouped) quantiles without a global sort — the
@@ -235,8 +240,12 @@ object Scale {
           g +: ps.map(_ => null))).toSeq.asJava, schema)
     }
 
-    // bounds join table: group → lo_i / hi_i literals (broadcast)
-    val boundsSchema = StructType(gField +:
+    // bounds join table: group → lo_i / hi_i literals (broadcast). The
+    // key is renamed so the join can be NULL-SAFE (`<=>`): a NULL group
+    // key is a real group here (job 0/1 registered it in liveGroups),
+    // and a plain equi-join would drop its rows, leaving `below(g)`
+    // without an entry and crashing the result assembly
+    val boundsSchema = StructType(gField.copy(name = "__gb") +:
       ps.indices.flatMap(i => Seq(StructField(s"__lo_$i", DoubleType),
         StructField(s"__hi_$i", DoubleType))))
     val boundsRows = infos.map { case (g, _, lo, hi) =>
@@ -246,7 +255,7 @@ object Scale {
     import scala.jdk.CollectionConverters._
     val bounds = broadcast(spark.createDataFrame(
       boundsRows.toSeq.asJava, boundsSchema))
-    val withB = df.join(bounds, Seq(groupCol))
+    val withB = df.join(bounds, col(groupCol) <=> col("__gb")).drop("__gb")
 
     // job 2: exact rank of each bracket's lower bound, per group
     val belowAggs = ps.indices.map(i =>
@@ -283,7 +292,7 @@ object Scale {
       .filter(col("__tag").isNotNull)
       .withColumn("__rk", row_number().over(byTag).cast("long") - 1)
       .join(targetsDf,
-        col(groupCol) === col("__g") && col("__tag") === col("__t_tag")
+        col(groupCol) <=> col("__g") && col("__tag") === col("__t_tag")
           && col("__rk") === col("__t_rk"))
       .select(col(groupCol), col("__tag"), col("__rk"), col("__v"))
       .collect()
@@ -366,9 +375,11 @@ object Scale {
     * (tie-broken `orderCols`) it is also deterministic regardless of
     * salt assignment.
     *
-    * The salt hashes the ORDER columns, not a random: retries and
-    * oracle comparisons see the same bucketing. Output = input columns
-    * + `rank`.
+    * The salt hashes the FULL ROW (every input column), not a random:
+    * retries and oracle comparisons see the same bucketing, and rows
+    * identical on the order columns but differing elsewhere may land in
+    * different buckets — harmless, since every bucket keeps its own
+    * top-k. Output = input columns + `rank`.
     */
   def groupedTopK(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], k: Int, saltBuckets: Int = 32): DataFrame = {

@@ -82,11 +82,47 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("vec_id"))
   }
 
+  /** PQ asymmetric-distance top-k — oracle-checked end to end: with
+    * `iters = 0` the sub-quantizer codebooks are the first-ksub corpus
+    * subvectors (deterministic, no k-means), so DuckDB can replay code
+    * assignment (argmax `dot − ‖c‖²/2`, ties → higher codeword id,
+    * matching the struct array_max), reconstruction (codeword concat)
+    * and the ADC cosine ranking exactly. The trained-codebook path
+    * shares every line of this pipeline except the Lloyd loop, which
+    * AnnMultimodalSpec pins separately. */
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Ann.pqCodebooks(e, "embedding", "vec_id", m = 4, ksub = 8,
+      iters = 0)
+    Ann.pqTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      k = 5, books)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ + exact re-rank — the full billion-scale retrieval shape,
+    * oracle-checked: cell probe (IVF) bounds which rows are scored, the
+    * m-byte PQ code bounds what each costs, and the exact re-rank over
+    * the top-20 ADC candidates restores true-cosine order for the
+    * final top-5. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Ann.pqCodebooks(e, "embedding", "vec_id", m = 4, ksub = 8,
+      iters = 0)
+    val cells = Ann.seedCodebook(e, "embedding", "vec_id", nlist = 8)
+    val q = e.filter(col("vec_id") < 10)
+    val cand = Ann.ivfPqTopK(q, e, "embedding", "vec_id", k = 20, books,
+      cells, nprobe = 3)
+    Ann.rerank(cand, q, e, "embedding", "vec_id", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_quantize" -> (annQuantize _),
     "ann_topk" -> (annTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> (annIvfPq _),
     "ann_centroids" -> (annCentroids _)
   )
 
@@ -149,7 +185,90 @@ object SimilarityQueries extends QuerySection {
       |FROM scored QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared DuckDB replica of the PQ coding pipeline (m=4 subspaces of
+    * 16 dims, ksub=8, seed codebooks = first-8 corpus subvectors):
+    * `recon(vec_id, r)` is each vector's codeword reconstruction.
+    * Code assignment replays Spark's argmax of `dot − ‖c‖²/2` with
+    * ties to the HIGHER codeword id (struct array_max is
+    * lexicographic) — both engines sum the products/squares in index
+    * order, so the doubles compare identically. */
+  private val pqRecon: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |subs AS (SELECT vec_id, s,
+      |    list_slice(v, s*16 + 1, s*16 + 16) AS sub
+      |  FROM e, (SELECT unnest(generate_series(0, 3)) AS s) g),
+      |cwids AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8),
+      |cw AS (SELECT subs.s,
+      |    row_number() OVER (PARTITION BY subs.s ORDER BY subs.vec_id) - 1
+      |      AS j,
+      |    subs.sub AS c
+      |  FROM subs JOIN cwids USING (vec_id)),
+      |codescore AS (SELECT subs.vec_id, subs.s, cw.j, cw.c,
+      |    list_inner_product(subs.sub, cw.c)
+      |      - list_inner_product(cw.c, cw.c) / 2 AS d
+      |  FROM subs JOIN cw ON subs.s = cw.s),
+      |codes AS (SELECT vec_id, s, j, c FROM codescore
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY d DESC, j DESC) = 1),
+      |recon AS (SELECT vec_id, flatten(list(c ORDER BY s)) AS r
+      |  FROM codes GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB replica of [[annPq]]: ADC scoring of every corpus code
+    * against the exact broadcast queries, rank ≤ 5. */
+  private def pqOracle: String =
+    s"""WITH $pqRecon,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT query_id, r.vec_id AS corpus_id,
+       |    round(list_cosine_similarity(qv, r.r), 6) AS cos
+       |  FROM q CROSS JOIN recon r WHERE query_id <> r.vec_id)
+       |SELECT query_id, corpus_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |FROM scored QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replica of [[annIvfPq]]: IVF cell assignment/probing (as in
+    * [[ivfOracle]]) over ADC code scores for the top-20 candidates,
+    * then exact-cosine re-rank to the final top-5. */
+  private def ivfPqOracle: String =
+    s"""WITH $pqRecon,
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+       |    v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 8),
+       |cellscore AS (SELECT e.vec_id, c.idx,
+       |    list_inner_product(e.v, c.cv) AS d
+       |  FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, idx AS cell FROM cellscore
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d DESC, idx DESC) = 1),
+       |probes AS (SELECT vec_id, idx AS cell FROM cellscore
+       |  WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d DESC, idx DESC) <= 3),
+       |adc AS (SELECT p.vec_id AS query_id, ce.vec_id AS corpus_id,
+       |    round(list_cosine_similarity(qe.v, r.r), 6) AS cos
+       |  FROM probes p
+       |  JOIN cells ce ON ce.cell = p.cell
+       |  JOIN e qe ON qe.vec_id = p.vec_id
+       |  JOIN recon r ON r.vec_id = ce.vec_id
+       |  WHERE p.vec_id <> ce.vec_id),
+       |cand AS (SELECT query_id, corpus_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id) <= 20),
+       |rr AS (SELECT c.query_id, c.corpus_id,
+       |    round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       |  FROM cand c
+       |  JOIN e qe ON qe.vec_id = c.query_id
+       |  JOIN e ce ON ce.vec_id = c.corpus_id)
+       |SELECT query_id, corpus_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |FROM rr QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ann_pq" -> pqOracle,
+    "ann_ivfpq" -> ivfPqOracle,
     "ann_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,

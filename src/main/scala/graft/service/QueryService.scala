@@ -84,23 +84,26 @@ final class QueryService(spark: SparkSession, sfDir: String) {
     * for determinism, as in `Sources.timeRange`. */
   def queryRange(measurement: String, tsCol: String, start: String = "-1h",
       stop: String = "now()", fields: Seq[String] = Nil,
-      now: Column = org.apache.spark.sql.functions.current_timestamp())
-      : Response = {
+      now: Column = org.apache.spark.sql.functions.current_timestamp(),
+      limit: Int = QueryService.DefaultLimit): Response = {
     val ranged = Sources.timeRange(spark, sfDir, measurement, tsCol,
       start, stop, now = now)
     val projected =
       if (fields.isEmpty) ranged
       else ranged.select((tsCol +: fields).distinct
         .map(org.apache.spark.sql.functions.col): _*)
-    Response("success", measurement, projected)
+    Response("success", measurement, projected.limit(limit))
   }
 
   /** Interactive SQL over the whole lake — the surface a reference user
     * reaches for when the canned endpoints don't fit; every table is a
-    * temp view, Catalyst owns the plan. */
-  def sql(text: String): Response = {
+    * temp view, Catalyst owns the plan. `limit` caps the RESPONSE page
+    * (so `records` is never an unbounded collect on a lake-scale
+    * result); it sits above the user's own LIMIT/aggregation and is a
+    * no-op when the query already returns fewer rows. */
+  def sql(text: String, limit: Int = QueryService.DefaultLimit): Response = {
     Tables.registerAll(spark, sfDir)
-    Response("success", "sql", spark.sql(text))
+    Response("success", "sql", spark.sql(text).limit(limit))
   }
 
   /** Engine extension the reference cannot offer: the optimized plan
@@ -129,4 +132,12 @@ final class QueryService(spark: SparkSession, sfDir: String) {
     val result = job.run(spark)
     ("success", result)
   }
+}
+
+object QueryService {
+  /** Default response-page cap for the free-form entry points (`sql`,
+    * `queryRange`) — the endpoints whose result size the service can't
+    * predict. Mirrors the canned endpoints' explicit `limit` so that
+    * `Response.records` is bounded on EVERY path. */
+  val DefaultLimit: Int = 10000
 }

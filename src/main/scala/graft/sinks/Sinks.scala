@@ -278,9 +278,28 @@ object Sinks {
         .toSeq.sorted
     }
 
-    /** Commit `df` as the next version; returns the version number. */
+    /** Every `v=*` directory, committed or not — a crashed writer's
+      * uncommitted directory must still claim its version number, or
+      * the next writer would target the same `v=N` and fail forever
+      * on ErrorIfExists. */
+    private def allVersions(path: String): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(path)
+      if (!Files.exists(root)) Seq.empty
+      else Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v=").toLong).toOption)
+        .toSeq.sorted
+    }
+
+    /** Commit `df` as the next version; returns the version number.
+      * `next` is allocated past ALL existing version directories —
+      * including uncommitted ones left by a crashed writer — so a
+      * crash is genuinely harmless: readers skip the `_SUCCESS`-less
+      * directory, and the next write lands beside it, never on it. */
     def write(df: DataFrame, path: String): Long = {
-      val next = committed(path).lastOption.fold(0L)(_ + 1)
+      val next = allVersions(path).lastOption.fold(0L)(_ + 1)
       df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v=$next")
       next
     }

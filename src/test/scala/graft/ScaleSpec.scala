@@ -183,6 +183,25 @@ class ScaleSpec extends SparkSpec {
     assert(edges.getDouble(1) == mm.getDouble(1))
   }
 
+  test("NULL group KEY is a real group in both percentile forms") {
+    // groupBy keeps a NULL key as its own group; the restore/bounds
+    // joins inside both forms must be null-safe or the NULL-keyed
+    // group would come back NULL (window form) or crash (bracket form)
+    val df = Seq((Some("g1"), Some(1.0)), (Some("g1"), Some(3.0)),
+      (Option.empty[String], Some(10.0)), (None, Some(20.0)),
+      (None, Some(30.0))).toDF("g", "x")
+    val ps = Seq("p50" -> 0.5)
+    val w = Scale.exactPercentiles(df, "g", "x", ps)
+      .orderBy($"g".asc_nulls_first).collect()
+    val b = Scale.exactPercentilesBracket(df, "g", "x", ps)
+      .orderBy($"g".asc_nulls_first).collect()
+    Seq(w, b).foreach { r =>
+      assert(r.length == 2)
+      assert(r(0).isNullAt(0) && r(0).getDouble(1) == 20.0)
+      assert(r(1).getString(0) == "g1" && r(1).getDouble(1) == 2.0)
+    }
+  }
+
   test("exactPercentiles matches builtin percentile under NULLs") {
     val df = Seq[(String, Option[Double])](
       ("g1", Some(1.0)), ("g1", None), ("g1", Some(3.0)), ("g1", Some(2.0)),

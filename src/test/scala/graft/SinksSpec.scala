@@ -214,11 +214,15 @@ class SinksSpec extends SparkSpec {
     java.nio.file.Files.writeString(half.resolve("junk.parquet"), "x")
     assert(Sinks.Versioned.versions(path) == Seq(0L, 1L))
     assert(Sinks.Versioned.read(spark, path).count() == 2) // still v1
+    // ...but the next write lands BESIDE the crashed directory (v=3),
+    // never on it — a crashed writer cannot brick the table
+    assert(Sinks.Versioned.write(v0, path) == 3L)
+    assert(Sinks.Versioned.versions(path) == Seq(0L, 1L, 3L))
     java.nio.file.Files.delete(half.resolve("junk.parquet"))
     java.nio.file.Files.delete(half)
     // vacuum keeps the newest, removes the rest
-    assert(Sinks.Versioned.vacuum(path, keep = 1) == Seq(0L))
-    assert(Sinks.Versioned.versions(path) == Seq(1L))
+    assert(Sinks.Versioned.vacuum(path, keep = 1) == Seq(0L, 1L))
+    assert(Sinks.Versioned.versions(path) == Seq(3L))
     intercept[IllegalArgumentException] {
       Sinks.Versioned.read(spark, path, Some(0L))
     }
