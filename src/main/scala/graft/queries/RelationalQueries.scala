@@ -114,6 +114,108 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("p_brand"))
   }
 
+  /** J11 — TPC-H Q3 shape (shipping priority): a 3-table selective
+    * join (filters on ALL THREE inputs reach their scans) into a
+    * high-cardinality aggregate and a top-10. The analytics query a
+    * reference user runs first against the star schema
+    * (`airflow/dags/multi_source_ingestion_dag.py:59`). Scale shape:
+    * customer is the small post-filter side (one segment ≈ 1/5),
+    * orders/lineitem shuffle on orderkey; the final top-10 is a
+    * TakeOrderedAndProject over the aggregate — never a global sort
+    * of the join output. */
+  private def j11ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** J12 — TPC-H Q5 shape (local supplier volume): the full 6-table
+    * star join — lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    * region — with the Q5 twist that the supplier must sit in the
+    * customer's own nation (the extra `c_nationkey = s_nationkey`
+    * equi-condition). Scale shape: nation/region broadcast (tiny at
+    * any SF), the three big tables shuffle on their join keys, the
+    * region filter prunes 4/5 of nations BEFORE the fact join via the
+    * broadcast, and the aggregate collapses to ≤25 rows. PlanSpec
+    * asserts the broadcasts and the absence of any cartesian. */
+  private def j12LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.load(s, dir, "customer")
+    val su = Tables.load(s, dir, "supplier")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val r = broadcast(Tables.load(s, dir, "region")
+      .filter(col("r_name") === "EUROPE"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(n, su("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  /** J13 — TPC-H Q8 shape (national market share): 7 relations
+    * (nation joined twice: once for the customer's region gate, once
+    * for the supplier's identity), part-type filter, two-year window,
+    * then one nation's share of yearly volume. The conditional-sum /
+    * total-sum division happens AFTER the aggregate collapses to one
+    * row per year — no re-join of aggregates. Scale shape: the selective
+    * part filter drives the fact reduction (join partkey first), dims
+    * broadcast, everything else shuffles on its key once. */
+  private def j13MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part").filter(col("p_type") === "PROMO")
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val c = Tables.load(s, dir, "customer")
+    val su = Tables.load(s, dir, "supplier")
+    val custNation = broadcast(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_nationkey"),
+        col("n_regionkey").as("cn_regionkey")))
+    val suppNation = broadcast(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_nationkey"),
+        col("n_name").as("supp_nation")))
+    val r = broadcast(Tables.load(s, dir, "region")
+      .filter(col("r_name") === "AMERICA"))
+    val vol = round(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(custNation, c("c_nationkey") === col("cn_nationkey"))
+      .join(r, col("cn_regionkey") === r("r_regionkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .join(suppNation, su("s_nationkey") === col("sn_nationkey"))
+      .select(year(col("o_orderdate")).as("o_year"), vol.as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_1", col("volume"))
+          .otherwise(0.0)), 2).as("nation_volume"),
+        round(sum(col("volume")), 2).as("total_volume"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 4))
+      .orderBy(col("o_year"))
+  }
+
   /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
     * merge of k·partitions rows, never a global sort. */
   private def w1TopK(s: SparkSession, dir: String): DataFrame =
@@ -997,6 +1099,9 @@ object RelationalQueries extends QuerySection {
     "j3_star_join" -> (j3StarJoin _),
     "j4_full_outer" -> (j4FullOuter _),
     "j5_theta" -> (j5Theta _),
+    "j11_shipping_priority" -> (j11ShippingPriority _),
+    "j12_local_supplier_volume" -> (j12LocalSupplierVolume _),
+    "j13_market_share" -> (j13MarketShare _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -1403,6 +1508,60 @@ object RelationalQueries extends QuerySection {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey LIMIT 100""".stripMargin,
+    "j11_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, order_date, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "j12_local_supplier_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "j13_market_share" ->
+      """WITH flat AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    round(l_extendedprice * (1 - l_discount), 6) AS volume,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |agged AS (
+        |  SELECT o_year,
+        |    round(sum(CASE WHEN supp_nation = 'NATION_1'
+        |      THEN volume ELSE 0.0 END), 2) AS nation_volume,
+        |    round(sum(volume), 2) AS total_volume
+        |  FROM flat GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        |  round(nation_volume / total_volume, 4) AS mkt_share
+        |FROM agged ORDER BY o_year""".stripMargin,
     "j3_star_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

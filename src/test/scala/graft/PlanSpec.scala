@@ -19,6 +19,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j11/j12/j13 multi-join workloads: dims broadcast, no cartesian") {
+    // Q3 shape: 3-way join, filters pushed to all scans, top-10 via
+    // TakeOrderedAndProject (never a global sort of the join output)
+    val q3 = plan("j11_shipping_priority")
+    assert(q3.contains("TakeOrderedAndProject"), q3)
+    assert(!q3.contains("CartesianProduct"), q3)
+    assert(q3.contains("PushedFilters: [IsNotNull(c_mktsegment)") ||
+      q3.contains("EqualTo(c_mktsegment,BUILDING)"), q3)
+    // Q5 shape: 6-table star — nation/region broadcast, everything
+    // keyed, no nested loop anywhere
+    val q5 = plan("j12_local_supplier_volume")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"), q5)
+    // Q8 shape: 7 relations incl. nation twice — still zero cartesian,
+    // both nation copies and region broadcast
+    val q8 = plan("j13_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(q8).size >= 3, q8)
+    assert(!q8.contains("CartesianProduct") &&
+      !q8.contains("BroadcastNestedLoopJoin"), q8)
+  }
+
   test("w1_topk is TakeOrderedAndProject, not a global sort") {
     val p = plan("w1_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
