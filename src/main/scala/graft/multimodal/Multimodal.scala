@@ -32,11 +32,46 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
+  /** The codec seam: everything a deployment swaps to move from the
+    * sandbox stub to JavaCV/ffmpeg/ImageIO — WITHOUT touching any
+    * pipeline stage (the stages take a `MediaCodec` parameter and
+    * default to [[StubCodec]]).
+    *
+    * Contract (pinned for any impl by `MultimodalSpec`'s
+    * `codecContract`):
+    *  - **Serializable** — instances ship inside task closures to
+    *    executors; hold native handles lazily/`@transient`.
+    *  - **Pure and deterministic** — same bytes in, same output out,
+    *    on every executor and every retry; Spark may re-run a task
+    *    after partial failure, and dedup/oracle comparisons assume
+    *    value-stable features.
+    *  - **Total on degenerate input** — `null`/empty bytes must return
+    *    a well-formed value (zero vector / empty payload / no frames),
+    *    never throw: one corrupt blob must not kill a 100 TB stage.
+    *  - **Bounded output** — `imageFeatures` returns exactly `dims`
+    *    floats; `resize`/`sampleFrames` outputs are bounded by the
+    *    target dimensions / frame size, independent of input size, so
+    *    task memory stays bounded at any blob size.
+    *  - **Thread-safe** — one executor JVM runs many tasks
+    *    concurrently against the same codec instance.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode + embed an image into exactly `dims` features. */
+    def imageFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float]
+    /** Re-encode an image at target dimensions. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Sample every `everyN`-th frame of a video payload. */
+    def sampleFrames(bytes: Array[Byte], everyN: Int,
+        frameSize: Int = 64): Seq[Array[Byte]]
+  }
+
   /** ======== STUB CODEC ========
-    * Deterministic fakes standing in for real decoders. Each derives its
-    * output purely from the input bytes, so pipelines are reproducible
-    * and testable without native media libraries. */
-  object StubCodec {
+    * The sandbox [[MediaCodec]]: deterministic fakes standing in for
+    * real decoders (this container has no media libraries). Each
+    * derives its output purely from the input bytes, so pipelines are
+    * reproducible and testable; at deploy time a JavaCV/ffmpeg impl of
+    * the same trait drops in via the stages' `codec` parameter. */
+  object StubCodec extends MediaCodec {
     /** STUB for image decode → fixed-length feature vector. Real impl:
       * decode + CNN embed. Here: 8 rolling byte statistics. */
     def imageFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
@@ -87,7 +122,7 @@ object Multimodal {
     * memory per task), features appended, binary dropped on output so
     * downstream stages go columnar. */
   def extractFeatures(df: DataFrame, batchSize: Int = 256,
-      dims: Int = 8): DataFrame = {
+      dims: Int = 8, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(
       df.schema.fields.filterNot(_.name == "content") :+
         StructField("features", ArrayType(FloatType), nullable = true))
@@ -102,7 +137,7 @@ object Multimodal {
         // native decode over the whole batch at once
         batch.iterator.map { row =>
           val bytes = row.getAs[Array[Byte]](contentIdx)
-          val feats = StubCodec.imageFeatures(bytes, dims)
+          val feats = codec.imageFeatures(bytes, dims)
           Row.fromSeq(keepIdx.map(row.get).toSeq :+ feats.toSeq)
         }
       }
@@ -112,7 +147,7 @@ object Multimodal {
   /** Resize stage: binary→binary map, metadata rewritten to the target
     * dimensions. */
   def resizeImages(df: DataFrame, w: Int, h: Int,
-      batchSize: Int = 256): DataFrame = {
+      batchSize: Int = 256, codec: MediaCodec = StubCodec): DataFrame = {
     val enc = ExpressionEncoder(RowEncoder.encoderFor(df.schema))
     val idx = df.schema.fieldNames.zipWithIndex.toMap
     val (ci, wi, hi, ti) = (idx("content"), idx("width"), idx("height"),
@@ -124,7 +159,7 @@ object Multimodal {
           else {
             val vals = row.toSeq.toArray
             val bytes = row.getAs[Array[Byte]](ci)
-            if (bytes != null) vals(ci) = StubCodec.resize(bytes, w, h)
+            if (bytes != null) vals(ci) = codec.resize(bytes, w, h)
             vals(wi) = w
             vals(hi) = h
             Row.fromSeq(vals.toIndexedSeq)
@@ -137,7 +172,7 @@ object Multimodal {
   /** Frame sampling: video rows explode into one row per sampled frame;
     * non-video rows pass through with frame_no 0. */
   def sampleVideoFrames(df: DataFrame, everyN: Int = 4,
-      batchSize: Int = 64): DataFrame = {
+      batchSize: Int = 64, codec: MediaCodec = StubCodec): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("frame_no", IntegerType, nullable = false))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -149,7 +184,7 @@ object Multimodal {
           if (row.getString(ti) != "video")
             Iterator.single(Row.fromSeq(row.toSeq :+ 0))
           else {
-            val frames = StubCodec.sampleFrames(
+            val frames = codec.sampleFrames(
               row.getAs[Array[Byte]](ci), everyN)
             frames.iterator.zipWithIndex.map { case (frame, i) =>
               val vals = row.toSeq.toArray

@@ -321,6 +321,39 @@ object Scale {
     spark.createDataFrame(out.toSeq.asJava, outSchema)
   }
 
+  /** Auto-dispatching grouped exact percentiles — callers should not
+    * have to know which regime they are in, so this entry point
+    * measures it: one cheap aggregate (group count + row count, a
+    * partial+final scan) and then
+    *
+    *  - FEW, HUGE groups (≤ `bracketMaxGroups` groups AND ≥
+    *    `bracketMinAvgRows` rows/group): [[exactPercentilesBracket]] —
+    *    scan-shaped jobs, no per-group sort; the window form would
+    *    serialize each giant group onto one task.
+    *  - otherwise: [[exactPercentiles]] — the spillable window form,
+    *    whose parallelism IS the group count and whose driver state is
+    *    zero; the bracket form's Θ(groups×quantiles) driver scalars
+    *    and per-group probe arrays stop paying once groups are many
+    *    and small.
+    *
+    * The default crossover (4M rows/group) is where a single-task sort
+    * of one group stops being comfortable; both forms return identical
+    * values and schema (ScaleSpec pins the two regimes against each
+    * other), so the dispatch changes only the plan. */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], bracketMaxGroups: Long = 1000,
+      bracketMinAvgRows: Long = 1L << 22,
+      accuracy: Int = 10000): DataFrame = {
+    val stats = df.agg(
+      countDistinct(col(groupCol)).as("g"),
+      count(col(valueCol).cast("double")).as("n")).first()
+    val groups = math.max(1L, stats.getLong(0))
+    val avgRows = stats.getLong(1) / groups
+    if (groups <= bracketMaxGroups && avgRows >= bracketMinAvgRows)
+      exactPercentilesBracket(df, groupCol, valueCol, ps, accuracy)
+    else exactPercentiles(df, groupCol, valueCol, ps)
+  }
+
   /** Salted replicated join for a fact table whose join key is heavily
     * skewed: the fact side gets a deterministic per-row salt in
     * [0, saltBuckets) (hashed from the full row, so retries and the

@@ -27,16 +27,35 @@ final class QueryService(spark: SparkSession, sfDir: String) {
 
   /** Response envelope (`main.py:168-173`): status + count + lazy data.
     * `count` triggers the one aggregating job; `records` collects the
-    * (limit-bounded) page for transport. */
-  final case class Response(status: String, source: String, data: DataFrame) {
-    lazy val count: Long = data.count()
+    * (limit-bounded) page for transport. Materialization runs in the
+    * response's request-class scheduler `pool`, so 100+ concurrent
+    * callers (the reference's claim, `docs/README.md:264`) share the
+    * cluster FAIRly instead of head-of-line blocking behind whoever
+    * submitted first. */
+  final case class Response(status: String, source: String, data: DataFrame,
+      pool: String = QueryService.InteractivePool) {
+    lazy val count: Long = inPool(pool)(data.count())
     /** Driver-side page materialization — bounded: every service entry
       * point applies a row limit before this. */
-    def records: Seq[Map[String, Any]] = {
+    def records: Seq[Map[String, Any]] = inPool(pool) {
       val cols = data.columns
       data.collect().toSeq
         .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
     }
+  }
+
+  /** Run `f`'s Spark jobs in the named scheduler pool. Pool membership
+    * is a thread-local property read at job-submit time, so each
+    * concurrent caller thread tags its own jobs; with
+    * `spark.scheduler.mode=FAIR` the pools then share executors by
+    * weight instead of FIFO. The previous value is restored so nested
+    * service calls (an ETL trigger issuing interactive lookups) keep
+    * their own class. */
+  def inPool[T](pool: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try f finally sc.setLocalProperty("spark.scheduler.pool", prev)
   }
 
   /** GET /health (`main.py:63-70`) — can the lake be planned against? */
@@ -120,7 +139,7 @@ final class QueryService(spark: SparkSession, sfDir: String) {
     * per-loader result dict. */
   def upload(data: DataFrame, targetPath: String,
       format: String = "parquet", ifExists: String = "append")
-      : Map[String, Any] = {
+      : Map[String, Any] = inPool(QueryService.BatchPool) {
     val n = Sinks.load(data, targetPath, format, ifExists)
     Map("status" -> "success", "records_loaded" -> n, "target" -> targetPath)
   }
@@ -128,10 +147,11 @@ final class QueryService(spark: SparkSession, sfDir: String) {
   /** POST /api/v1/etl/run (`main.py:224-271`): trigger an ETL job;
     * response mirrors the endpoint's `{status, extracted_count,
     * transformation_stats, load_results}`. */
-  def runEtl(job: EtlJob): (String, EtlResult) = {
-    val result = job.run(spark)
-    ("success", result)
-  }
+  def runEtl(job: EtlJob): (String, EtlResult) =
+    inPool(QueryService.BatchPool) {
+      val result = job.run(spark)
+      ("success", result)
+    }
 }
 
 object QueryService {
@@ -140,4 +160,12 @@ object QueryService {
     * predict. Mirrors the canned endpoints' explicit `limit` so that
     * `Response.records` is bounded on EVERY path. */
   val DefaultLimit: Int = 10000
+
+  /** Request-class scheduler pools (deploy with
+    * `spark.scheduler.mode=FAIR`): short interactive queries must not
+    * queue behind long ETL/upload jobs. Pools are created on first
+    * use; weights/minShare come from the deployment's fair-scheduler
+    * allocation file when one is configured. */
+  val InteractivePool = "graft-interactive"
+  val BatchPool = "graft-batch"
 }

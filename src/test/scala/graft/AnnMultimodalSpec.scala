@@ -94,6 +94,61 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(Ann.recall(ivf, brute) > 0.0)
   }
 
+  /** The MediaCodec CONTRACT — every property a deploy-time impl
+    * (JavaCV/ffmpeg) must uphold to drop into the pipeline stages
+    * unchanged. Run it against any new codec. */
+  private def codecContract(codec: Multimodal.MediaCodec,
+      name: String): Unit = {
+    val bytes = Array.tabulate(512)(i => (i * 31 % 251).toByte)
+    // deterministic: same bytes → same output, across calls
+    assert(codec.imageFeatures(bytes, 8).toSeq ==
+      codec.imageFeatures(bytes, 8).toSeq, name)
+    assert(codec.resize(bytes, 64, 64).toSeq ==
+      codec.resize(bytes, 64, 64).toSeq, name)
+    assert(codec.sampleFrames(bytes, 2).map(_.toSeq) ==
+      codec.sampleFrames(bytes, 2).map(_.toSeq), name)
+    // exact feature arity, at more than one dims
+    assert(codec.imageFeatures(bytes, 8).length == 8, name)
+    assert(codec.imageFeatures(bytes, 16).length == 16, name)
+    // total on degenerate input: null/empty never throw
+    assert(codec.imageFeatures(null, 8).length == 8, name)
+    assert(codec.imageFeatures(Array.empty, 8).length == 8, name)
+    assert(codec.sampleFrames(null, 2).isEmpty, name)
+    assert(codec.sampleFrames(Array.empty, 2).isEmpty, name)
+    // serializable: must survive the trip into a task closure
+    val out = new java.io.ObjectOutputStream(
+      new java.io.ByteArrayOutputStream())
+    out.writeObject(codec)
+    out.close()
+  }
+
+  test("MediaCodec contract: stub passes; an alternative impl drops in") {
+    codecContract(Multimodal.StubCodec, "StubCodec")
+    // a second impl (constant-feature fake standing in for a real
+    // decoder) passes the same contract and flows through the SAME
+    // pipeline code — proving the seam: only the codec changes
+    object AltCodec extends Multimodal.MediaCodec {
+      def imageFeatures(bytes: Array[Byte], dims: Int): Array[Float] =
+        Array.fill(dims)(if (bytes == null || bytes.isEmpty) 0f else 0.5f)
+      def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+        java.util.Arrays.copyOf(bytes, math.min(bytes.length, 16))
+      def sampleFrames(bytes: Array[Byte], everyN: Int,
+          frameSize: Int): Seq[Array[Byte]] =
+        if (bytes == null || bytes.isEmpty) Seq.empty
+        else Seq(java.util.Arrays.copyOf(bytes,
+          math.min(bytes.length, frameSize)))
+    }
+    codecContract(AltCodec, "AltCodec")
+    val media = Multimodal.demoMediaTable(spark, sf0001).limit(30)
+    val feats = Multimodal.extractFeatures(media, codec = AltCodec)
+      .select($"features").head().getSeq[Float](0)
+    assert(feats == Seq.fill(8)(0.5f))
+    val frames = Multimodal.sampleVideoFrames(media, everyN = 2,
+      codec = AltCodec)
+    assert(frames.filter($"media_type" === "video")
+      .agg(max($"frame_no")).head().getInt(0) == 0) // alt samples 1 frame
+  }
+
   test("multimodal: feature extraction keeps schema, drops binary") {
     val media = Multimodal.demoMediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, batchSize = 64)

@@ -183,6 +183,30 @@ class ScaleSpec extends SparkSpec {
     assert(edges.getDouble(1) == mm.getDouble(1))
   }
 
+  test("groupedPercentiles dispatches to both regimes with equal results") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val want = Scale.exactPercentiles(li, "l_returnflag",
+      "l_extendedprice", ps).orderBy("l_returnflag").collect()
+    // thresholds forcing each branch: (a) bracket (few huge groups —
+    // accept any avg size), (b) window (demand impossible avg size)
+    val viaBracket = Scale.groupedPercentiles(li, "l_returnflag",
+      "l_extendedprice", ps, bracketMaxGroups = 100,
+      bracketMinAvgRows = 1L).orderBy("l_returnflag").collect()
+    val viaWindow = Scale.groupedPercentiles(li, "l_returnflag",
+      "l_extendedprice", ps, bracketMaxGroups = 100,
+      bracketMinAvgRows = Long.MaxValue).orderBy("l_returnflag").collect()
+    Seq(viaBracket, viaWindow).foreach { got =>
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0))
+        (1 to ps.length).foreach { i =>
+          assert(math.abs(a.getDouble(i) - b.getDouble(i)) < 1e-9)
+        }
+      }
+    }
+  }
+
   test("NULL group KEY is a real group in both percentile forms") {
     // groupBy keeps a NULL key as its own group; the restore/bounds
     // joins inside both forms must be null-safe or the NULL-keyed

@@ -72,6 +72,59 @@ class ServiceSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
   }
 
+  test("concurrent callers: request-class FAIR pools, all answers correct") {
+    import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR")
+    // record which scheduler pool each submitted job actually carried
+    val seenPools = ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val p = Option(js.properties)
+          .flatMap(pr => Option(pr.getProperty("spark.scheduler.pool")))
+        p.foreach(seenPools.add)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val expected = Tables.load(spark, sf0001, "customer")
+        .filter(col("c_custkey") <= 100).count()
+      val pool = Executors.newFixedThreadPool(8)
+      val outDir = Files.createTempDirectory("graft_conc").toString
+      try {
+        // 8 parallel callers: 6 interactive reads + 2 batch uploads,
+        // each materializing on its own thread (pool tags are
+        // thread-local, read at job-submit time)
+        val interactive = (1 to 6).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              if (i % 2 == 0) svc.query("customer",
+                Some("c_custkey <= 100"), limit = 100000).count
+              else svc.sql(
+                "SELECT count(*) AS n FROM customer WHERE c_custkey <= 100")
+                .records.head("n").asInstanceOf[Long]
+          })
+        }
+        val batch = (1 to 2).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = svc.upload(
+              Seq((i.toLong, "x")).toDF("id", "v"), s"$outDir/u$i")(
+              "records_loaded").asInstanceOf[Long]
+          })
+        }
+        assert(interactive.forall(_.get(120, TimeUnit.SECONDS) == expected))
+        assert(batch.forall(_.get(120, TimeUnit.SECONDS) == 1L))
+      } finally pool.shutdown()
+      // both request classes reached the scheduler under their own pool
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((!seenPools.contains(QueryService.InteractivePool) ||
+          !seenPools.contains(QueryService.BatchPool)) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seenPools.contains(QueryService.InteractivePool), seenPools)
+      assert(seenPools.contains(QueryService.BatchPool), seenPools)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("upload + etl trigger round-trip through the lake") {
     val dir = Files.createTempDirectory("graft_svc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

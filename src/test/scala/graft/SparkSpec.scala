@@ -14,6 +14,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions",
         "org.apache.spark.sql.graftx.GraftExtensions")
+      // FAIR so ServiceSpec can prove request-class pool isolation;
+      // with every job in one pool this is FIFO-equivalent for the
+      // other suites
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
