@@ -20,6 +20,27 @@ import org.apache.spark.sql.SparkSession
   * working directory, and stdout gets ONE compact JSON line — total,
   * pass count, total shuffle, and the slowest queries that fit a fixed
   * byte budget — guaranteed to survive a 2000-char tail and parse.
+  *
+  * SCALING SLOPES (`SPARK_GRAFT_SLOPE`, default on): after the timing
+  * passes, every query is re-timed at the sibling scale factors
+  * (sf0.001 / sf0.01 next to `SPARK_GRAFT_SF_DIR`, two passes each,
+  * min wins — the JVM is hot by then, so the min isolates data-size
+  * effects from first-touch noise) and the per-query growth exponent
+  * over the top decade — `log10(t_main / t_mid)` — lands in
+  * `BENCH_FULL.json` as `slopes`, with `superlinear` listing queries
+  * whose exponent exceeds 1.15 (time growing faster than data). That
+  * turns "survives 100×" from plan inspection into a measured number:
+  * a linear-scan query shows ≤ 1.0, fixed-cost queries ~0, and
+  * anything above 1 is either quadratic-in-a-bucket by design (a
+  * documented candidate-pair stage) or a regression to chase. Small-SF
+  * times are overhead-dominated (fixed planning cost inflates the
+  * denominator), so the exponent UNDERSTATES asymptotic growth — which
+  * makes the >1.15 flag conservative in the right direction: anything
+  * it catches is really super-linear.
+  *
+  * IO REGRESSION GATE: pass-1 shuffle accounting (`io_pass1`) is the
+  * input to [[IoGate]], which compares each query against the
+  * committed `IO_BUDGET.json` — see its scaladoc.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,6 +88,10 @@ object Bench {
       }.mkString("{", ",", "}")
     def mb(v: Long): String = f"${v / 1048576.0}%.1f"
 
+    // the last compact total line — re-printed after the slope block so
+    // the stdout tail's LAST metric line is always the total
+    var lastCompact = ""
+
     // emit after EVERY completed pass — medians over passes so far — so
     // a consumer-side timeout mid-run still finds a complete, parseable
     // line in the stdout tail (the last one printed wins the window)
@@ -99,12 +124,13 @@ object Bench {
       for (kv <- medians.sortBy(-_._2) if used + kv._1.length + 12 < budget) {
         kept += kv; used += kv._1.length + 12
       }
-      println(
+      lastCompact =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
           f""""n_queries":${medians.length},""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
           f""""queries":${fmt(kept.toSeq)},""" +
-          f""""full":"BENCH_FULL.json","sf":"$sfDir"}""")
+          f""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      println(lastCompact)
     }
 
     for (pass <- 1 to reps) {
@@ -126,6 +152,65 @@ object Bench {
         }
       }
       emit(pass)
+    }
+
+    // ---- scaling slopes: re-time at the sibling SFs (see scaladoc) ----
+    if (sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") != "0") {
+      val sfOf = raw"sf([0-9.]+)$$".r
+      val mainSf = sfOf.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val siblings = Seq("sf0.001", "sf0.01")
+        .map(n => parent.resolve(n))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.toString != java.nio.file.Paths.get(sfDir).toAbsolutePath.toString)
+        .map(_.toString)
+      if (mainSf.nonEmpty && siblings.nonEmpty) {
+        val small = scala.collection.mutable
+          .Map.empty[String, Map[String, Double]] // name -> sf -> secs
+        for (dir <- siblings; p <- 1 to 2; (name, fn) <- names) {
+          val t0 = System.nanoTime()
+          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name slope@$dir failed: " +
+              e.getMessage)
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          val cur = small.getOrElse(name, Map.empty)
+          val key = dir.split('/').last
+          small(name) = cur.updated(key,
+            math.min(cur.getOrElse(key, Double.MaxValue), secs))
+        }
+        val midKey = siblings.map(_.split('/').last)
+          .sortBy(k => k.stripPrefix("sf").toDouble).last
+        val midSf = midKey.stripPrefix("sf").toDouble
+        val decade = math.log10(mainSf.get / midSf)
+        val slopes = names.flatMap { case (name, _) =>
+          for {
+            tMid <- small.get(name).flatMap(_.get(midKey))
+            tMain = raw(name).sorted.apply(raw(name).length / 2)
+            if tMid > 0 && tMain > 0
+          } yield name -> math.log10(tMain / tMid) / decade
+        }
+        val superlinear = slopes.filter(_._2 > 1.15).map(_._1)
+        val slopeJson = slopes.map { case (n, s) =>
+          "\"" + n + f"""\":$s%.3f""" }.mkString("{", ",", "}")
+        val smallJson = small.toSeq.sortBy(_._1).map { case (n, m) =>
+          "\"" + n + "\":" + m.toSeq.sortBy(_._1).map { case (k, v) =>
+            "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+        // splice the slope block into BENCH_FULL.json (keep it one doc)
+        val path = java.nio.file.Paths.get("BENCH_FULL.json")
+        val base = java.nio.file.Files.readString(path).trim.stripSuffix("}")
+        java.nio.file.Files.writeString(path,
+          base + s""","slopes":$slopeJson,"small_sf_secs":$smallJson,""" +
+            s""""superlinear":${superlinear.map("\"" + _ + "\"")
+              .mkString("[", ",", "]")}}\n""")
+        println(s"""{"metric":"slope","superlinear_n":${superlinear.length},""" +
+          s""""superlinear":${superlinear.map("\"" + _ + "\"")
+            .mkString("[", ",", "]")},"full":"BENCH_FULL.json"}""")
+        // keep the total line last in the tail window
+        if (lastCompact.nonEmpty) println(lastCompact)
+      }
     }
     spark.stop()
   }

@@ -114,6 +114,32 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Scoring sibling of [[contaminated]]: instead of the boolean
+    * "shares ≥1 shingle", every corpus document gets its overlap
+    * FRACTION — distinct shingles shared with the benchmark set over
+    * distinct shingles total. The number thresholding policies are
+    * written against (e.g. "drop > 10% overlap, flag > 1%") — a raw
+    * hit count can't distinguish a 10-shingle tweet quoting a
+    * benchmark line from a book with one coincidental trigram. Same
+    * plan shape as the boolean: broadcast benchmark shingles, one
+    * per-doc aggregate; zero-overlap docs are kept (score 0), docs
+    * with no shingles (< n tokens) have no denominator and drop. */
+  def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val corpusSh = graft.text.TextAnalysis
+      .shingleRows(corpus, idCol, textCol, n).distinct()
+    val benchSh = graft.text.TextAnalysis
+      .shingleRows(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    corpusSh
+      .join(broadcast(benchSh.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .withColumn("overlap", round(col("n_shared") / col("n_shingles"), 4))
+  }
+
   /** Curriculum binning: per-stratum quality quantiles via `ntile` —
     * each stratum sorts independently (bounded by stratum size, never a
     * global single-partition window). Ties broken by id for a

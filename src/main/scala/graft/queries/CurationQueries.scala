@@ -55,6 +55,19 @@ object CurationQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination overlap SCORE (thresholdable fraction, not the
+    * boolean): same bench/corpus split as cur_decontam, every corpus
+    * doc scored shared/total distinct trigrams. */
+  private def curOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    Curation.contaminationScore(corpus, bench, "doc_id", "text", n = 3)
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
+        col("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Curriculum binning: per-language quality quartiles (ntile over the
     * language stratum — bounded partitions, never a global window),
     * rolled up to (lang, bin) with order-insensitive bounds. */
@@ -133,6 +146,7 @@ object CurationQueries extends QuerySection {
     "cur_sample_stratified" -> (curSampleStratified _),
     "cur_shuffle" -> (curShuffle _),
     "cur_decontam" -> (curDecontam _),
+    "cur_overlap" -> (curOverlap _),
     "cur_curriculum" -> (curCurriculum _)
   )
 
@@ -223,6 +237,25 @@ object CurationQueries extends QuerySection {
         |FROM sh JOIN bench USING (t)
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cur_overlap" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT t FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN b.t IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared,
+        |  round(sum(CASE WHEN b.t IS NOT NULL THEN 1 ELSE 0 END)
+        |    / count(*), 4) AS overlap
+        |FROM sh s LEFT JOIN bench b ON s.t = b.t
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "cur_curriculum" ->
       s"""WITH scored AS (SELECT doc_id, lang, $qualitySql AS q
          |  FROM documents),

@@ -192,7 +192,23 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking (window 32, stride 24 — 8-token overlap)
+    * over the first 100 docs: chunk arity, per-chunk token counts and
+    * an md5 of every chunk's text, all replayed in DuckDB (list_slice
+    * + array_to_string over the same regex tokens). */
+  private def textChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.chunkTokens(
+      docs(s, dir).filter(col("doc_id") < 100), "text", "doc_id",
+      window = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"),
+        col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -215,6 +231,20 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_chunks" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $tokensSql AS tk FROM documents
+        |  WHERE doc_id < 100),
+        |n AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) > 0),
+        |starts AS (
+        |  SELECT doc_id, tk, nt, unnest(generate_series(0, nt - 1, 24))
+        |    AS s
+        |  FROM n)
+        |SELECT doc_id, CAST(s / 24 AS INT) AS chunk_id,
+        |  CAST(len(tk[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(tk[s + 1 : s + 32], ' ')) AS chunk_md5
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "text_truncate" ->
       s"""SELECT doc_id,
          |  CAST(len($tokensSql) AS BIGINT) AS n_before,

@@ -28,6 +28,36 @@ object TextAnalysis {
   def truncateTokens(c: Column, maxTokens: Int): Column =
     concat_ws(" ", slice(tokens(c), 1, maxTokens))
 
+  /** Context-window chunking with overlap — the pretraining-corpus
+    * reshape: every document splits into `window`-token chunks whose
+    * starts step by `stride` (stride < window ⇒ overlapping windows,
+    * the standard way not to lose cross-boundary context). The final
+    * chunk may be short (it keeps the document tail); empty documents
+    * produce no chunks. One projection + one explode — no shuffle, no
+    * UDF: at 100 TB this is a map stage whose output feeds packing
+    * ([[graft.queries.TextQueries]] `text_pack`) or tokenization
+    * directly. Output: input id column + `chunk_id` (0,1,…; start
+    * token = chunk_id·stride), `n_chunk_tokens`, `chunk_text`.
+    */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, window: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        slice(col("__toks"), col("__start") + 1, lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** BPE-ish subword proxy: alpha runs, digit runs, and single
     * non-alphanumeric marks — a cheap, deterministic stand-in for a
     * byte-pair tokenizer's piece count. */

@@ -144,4 +144,26 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
     assert(!pairs.exists(_._2 == 3L))
   }
+
+  test("chunkTokens: sliding windows cover every token, overlap = window - stride") {
+    import graft.text.TextAnalysis
+    val doc = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, "text", "doc_id",
+      window = 32, stride = 24).collect()
+    val d1 = chunks.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    // starts 0,24,48,72,96 → 5 chunks; sizes 32,32,32,28,4 (tail kept)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(32, 32, 32, 28, 4))
+    // consecutive chunks overlap by window - stride = 8 tokens
+    val c0 = d1(0).getString(3).split(" ")
+    val c1 = d1(1).getString(3).split(" ")
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+    // full coverage: union of chunk tokens = original tokens
+    assert(d1.flatMap(_.getString(3).split(" ")).distinct.length == 100)
+    // short doc → one short chunk; blank doc → no chunks
+    val d2 = chunks.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getInt(2) == 3)
+    assert(!chunks.exists(_.getLong(0) == 3L))
+  }
 }
