@@ -169,6 +169,43 @@ object Ann {
     centroids
   }
 
+  /** One spherical Lloyd step, exposed as a QUERY for oracle judgment
+    * (the [[trainCodebook]] loop is this step iterated): assign every
+    * vector to its max-dot seed cell, average per (cell, dimension),
+    * re-normalize to the unit sphere. Output one row per (cell, dim):
+    * `(cell, n_assigned, dim, c_val)` with `c_val` rounded so the
+    * distributed partial-sum order vs the oracle's sequential sum
+    * cannot flip the last ulp. Cells that attract no vectors emit no
+    * rows (the loop keeps their previous centroid). Plan shape: one
+    * narrow projection (nlist native dots per row) + two keyed
+    * aggregates — the same jobs the training loop pays per iteration
+    * at any scale. */
+  def kmeansStepDf(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int): DataFrame = {
+    val centroids = seedCodebook(corpus, vecCol, idCol, nlist).map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(org.apache.spark.sql.graftx.DotProduct(col("v"),
+        array(c.map(lit): _*)).as("d"), lit(i).as("i"))
+    }
+    val assigned = vecs.withColumn("cell",
+      array_max(array(scored: _*)).getField("i"))
+    val counts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_assigned"))
+    val dims = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy(col("cell"), col("dim0")).agg(avg(col("x")).as("m"))
+    val norms = dims.groupBy(col("cell"))
+      .agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+    dims.join(norms, "cell").join(counts, "cell")
+      .select(col("cell"), col("n_assigned"),
+        (col("dim0") + 1).as("dim"),
+        round(col("m") / col("nrm"), 6).as("c_val"))
+  }
+
   /** IVF (inverted-file) top-k: corpus vectors are assigned to their
     * nearest of `nlist` centroid cells; a query searches only its
     * `nprobe` closest cells. The 100 TB path when hyperplane LSH recall

@@ -103,6 +103,33 @@ class PropertySpec extends SparkSpec {
     ascii.foreach(s => assert(Unaccent.strip(s) === s))
   }
 
+  test("chunking reconstructs the document for arbitrary window/stride") {
+    // de-overlapped chunk concatenation must equal the original token
+    // stream for ANY 0 < stride <= window: chunk 0 contributes all its
+    // tokens, every later chunk contributes the tokens past the
+    // (window - stride)-token overlap with its predecessor
+    val cases = for {
+      (window, stride) <- Seq((8, 8), (8, 5), (16, 3), (5, 1), (32, 24))
+      nTokens <- Seq(1, 4, 7, 31, 100)
+    } yield (window, stride, nTokens)
+    cases.foreach { case (window, stride, nTokens) =>
+      val toks = (1 to nTokens).map(i => s"w$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.text.TextAnalysis
+        .chunkTokens(df, "text", "doc_id", window, stride)
+        .orderBy("chunk_id").collect()
+        .map(_.getString(3).split(" ").toSeq)
+      val rebuilt = chunks.head ++ chunks.tail.flatMap { c =>
+        // a successor starts stride tokens after its predecessor; if the
+        // predecessor was full-width the overlap is window - stride
+        c.drop(math.min(c.length, window - stride))
+      }
+      // tail chunks shorter than the overlap add nothing new — drop dups
+      assert(rebuilt.distinct == toks,
+        s"window=$window stride=$stride n=$nTokens")
+    }
+  }
+
   test("salted join equals plain join for arbitrary bucket counts") {
     val fact = Seq.tabulate(200)(i => ((i % 7).toLong, i.toDouble))
       .toDF("k", "v")
