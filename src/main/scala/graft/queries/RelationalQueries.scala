@@ -1025,6 +1025,22 @@ object RelationalQueries extends QuerySection {
         round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  /** The AUTO-DISPATCHED grouped percentiles (`Scale
+    * .groupedPercentiles` measures group count / avg size and picks
+    * window-rank vs bracket-refinement itself) judged against the same
+    * oracle as both manual forms — so the dispatcher, not just its two
+    * targets, carries a green CORRECTNESS row. At sf0.01 the stats
+    * (3 groups, ~20k rows each) choose the window path; the decision
+    * only changes the plan, never the values. */
+  private def qPercentilesAuto(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.groupedPercentiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("l_returnflag"),
+        round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"), round(col("p99"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   /** Statistical aggregate family (engine extra past A1–A10):
     * correlation, covariance, population variance, the SQL-standard
     * linear-regression aggregates, and the boolean/conditional reducers
@@ -1062,6 +1078,7 @@ object RelationalQueries extends QuerySection {
     "w10_funnel" -> (w10Funnel _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_percentiles" -> (qPercentiles _),
+    "q_percentiles_auto" -> (qPercentilesAuto _),
     "q_percentiles2" -> (qPercentiles2 _),
     "q1_agg" -> (q1Agg _),
     "j6_asof" -> (j6Asof _),
@@ -1201,6 +1218,14 @@ object RelationalQueries extends QuerySection {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_percentiles2" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles_auto" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

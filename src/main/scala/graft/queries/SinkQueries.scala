@@ -96,6 +96,30 @@ object SinkQueries extends QuerySection {
     perVersion.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** K20b versioned DIFF read-back: two commits with planted change
+    * classes — balances bumped for `custkey % 10 = 0` (changed), keys
+    * < 10 dropped (removed), keys + 1000 inserted (added) — then
+    * `Versioned.diff` classifies every key, judged against the same
+    * classification computed directly from the source table. */
+  private def kVersionedDiff(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_vdiff")
+      .toString + "/t"
+    val base = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val next = base.filter(col("c_custkey") >= 10)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, round(col("c_acctbal") + 100, 2))
+          .otherwise(col("c_acctbal")))
+      .unionByName(base.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000).as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    Sinks.Versioned.write(base, path)
+    Sinks.Versioned.write(next, path)
+    Sinks.Versioned.diff(s, path, "c_custkey", 0L, 1L)
+      .orderBy(col("c_custkey"))
+  }
+
   /** K9b key-list (erasure) delete READ-BACK: copy events to a scratch
     * table, erase every row for the key list `user_id % 13 = 0`, then
     * judge what the REWRITTEN table contains (plus the writer's own
@@ -382,6 +406,7 @@ object SinkQueries extends QuerySection {
     "k8_routing_counts" -> (k8RoutingCounts _),
     "k9_delete_range" -> (k9DeleteRange _),
     "k_versioned_tt" -> (kVersionedTt _),
+    "k_versioned_diff" -> (kVersionedDiff _),
     "k9b_delete_keys" -> (k9bDeleteKeys _),
     "k_ledger" -> (kLedger _),
     "k_compaction" -> (kCompaction _)
@@ -530,6 +555,15 @@ object SinkQueries extends QuerySection {
         |SELECT 2, count(*), round(sum(c_acctbal), 2)
         |FROM base WHERE c_custkey < 50
         |ORDER BY version""".stripMargin,
+    "k_versioned_diff" ->
+      """WITH base AS (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        |SELECT c_custkey, 'removed' AS change FROM base WHERE c_custkey < 10
+        |UNION ALL
+        |SELECT c_custkey, 'changed' FROM base
+        |WHERE c_custkey >= 10 AND c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000, 'added' FROM base WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "k9b_delete_keys" ->
       """SELECT
         |  CAST(sum(CASE WHEN user_id % 13 = 0 THEN 1 ELSE 0 END)

@@ -317,6 +317,38 @@ object Sinks {
 
     def versions(path: String): Seq[Long] = committed(path)
 
+    /** Row-level diff between two committed versions — the audit
+      * behind "what changed in the corpus since the last training
+      * run": keyed full-outer compare classifying every key as
+      * `added` / `removed` / `changed`; unchanged keys drop out.
+      * Rows reduce to (key, canonical-content hash) BEFORE the join —
+      * the full-outer shuffle carries two hash columns, never the
+      * row bodies, so diffing two 100 TB versions moves key+digest
+      * only. Content canonicalization uses the [[contentChecksum]]
+      * NULL sentinel, so rows differing only in WHICH column is NULL
+      * classify as changed. */
+    def diff(spark: SparkSession, path: String, keyCol: String,
+        vFrom: Long, vTo: Long): DataFrame = {
+      val a = read(spark, path, Some(vFrom))
+      val b = read(spark, path, Some(vTo))
+      require(a.columns.sameElements(b.columns),
+        s"schema drift between v=$vFrom ${a.columns.mkString(",")} and " +
+          s"v=$vTo ${b.columns.mkString(",")}")
+      def hashed(df: DataFrame, as: String): DataFrame = {
+        val cols = df.columns.filterNot(_ == keyCol).sorted.toSeq
+        df.select(col(keyCol), md5(concat_ws("|",
+          cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>")))
+            : _*)).as(as))
+      }
+      hashed(a, "__ha").join(hashed(b, "__hb"), Seq(keyCol), "full_outer")
+        .withColumn("change",
+          when(col("__ha").isNull, "added")
+            .when(col("__hb").isNull, "removed")
+            .when(col("__ha") =!= col("__hb"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(col(keyCol), col("change"))
+    }
+
     /** Retention: drop all but the newest `keep` committed versions.
       * Returns the versions removed. */
     def vacuum(path: String, keep: Int): Seq[Long] = {

@@ -228,6 +228,32 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("versioned diff: added/removed/changed classified, NULL position counts") {
+    val path = s"${tmp()}/t"
+    val v0 = Seq((1L, Some("a"), Option.empty[String]),
+      (2L, Some("b"), Some("x")), (3L, Some("c"), Some("y")))
+      .toDF("id", "c1", "c2")
+    val v1 = Seq((2L, Some("b"), Some("x")),          // unchanged
+      (3L, Some("c2"), Some("y")),                    // changed value
+      (4L, Some("d"), Some("z")),                     // added
+      (5L, Option.empty[String], Some("a")))          // (new, null c1)
+      .toDF("id", "c1", "c2")
+    Sinks.Versioned.write(v0, path)
+    Sinks.Versioned.write(v1, path)
+    val d = Sinks.Versioned.diff(spark, path, "id", 0L, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 3L -> "changed", 4L -> "added",
+      5L -> "added"))
+    // rows differing only in WHICH column is NULL classify as changed
+    val p2 = s"${tmp()}/u"
+    Sinks.Versioned.write(
+      Seq((1L, Some("x"), Option.empty[String])).toDF("id", "c1", "c2"), p2)
+    Sinks.Versioned.write(
+      Seq((1L, Option.empty[String], Some("x"))).toDF("id", "c1", "c2"), p2)
+    val d2 = Sinks.Versioned.diff(spark, p2, "id", 0L, 1L).collect()
+    assert(d2.length == 1 && d2(0).getString(1) == "changed")
+  }
+
   test("contentChecksum encodes NULL position (no concat_ws collision)") {
     // rows differ only in WHICH column is null; with bare concat_ws both
     // canonicalize to "x" and the checksums would collide
