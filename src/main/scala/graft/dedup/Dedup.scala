@@ -116,10 +116,15 @@ object Dedup {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      verifyThreshold: Double = 0.5,
-      portableHash: Boolean = false): DataFrame = {
+  /** (id, band, h) LSH bucket rows — the shared sketch build behind
+    * [[minhashLshPairs]] (self-join form) and the persisted
+    * incremental index ([[buildMinhashIndex]]). Per-document
+    * computation only, so buckets built over any partition of the
+    * corpus equal the corresponding slice of buckets built over the
+    * whole. */
+  def lshBucketRows(df: DataFrame, textCol: String, idCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      portableHash: Boolean): DataFrame = {
     val r = numHashes / bands
     // no distinct: min-aggregation is duplicate-insensitive, and the
     // dedupe would cost a full shuffle before the signature shuffle
@@ -155,28 +160,85 @@ object Dedup {
         comboHash((b * r until (b + 1) * r).map(i => col(s"m$i")))
           .as("h"))
     }
-    val buckets = sig.select(col("id"),
-      explode(array(bandCols: _*)).as("bh"))
-    val candidates = buckets.as("a").join(buckets.as("b"),
-        col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // token sets precomputed per DOCUMENT (O(n)), not per candidate pair
-    // (O(candidates) — candidates can be many multiples of n on a
-    // near-dup-heavy corpus)
-    val texts = df.select(col(idCol).as("id"),
-      array_distinct(tokens(lower(col(textCol)))).as("__tok"))
-    val verified = candidates
-      .join(texts.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("__tok", "tok_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("__tok", "tok_b"), "id_b")
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** Distinct lowercase token set per document — the exact-Jaccard
+    * verification payload; precomputed per DOCUMENT (O(n)), not per
+    * candidate pair. */
+  private[dedup] def tokenSets(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(tokens(lower(col(textCol)))).as("tok"))
+
+  private def verifyJaccard(candidates: DataFrame, toksA: DataFrame,
+      toksB: DataFrame, verifyThreshold: Double): DataFrame =
+    candidates
+      .join(toksA.select(col("id").as("id_a"), col("tok").as("tok_a")),
+        "id_a")
+      .join(toksB.select(col("id").as("id_b"), col("tok").as("tok_b")),
+        "id_b")
       .withColumn("__inter",
         size(array_intersect(col("tok_a"), col("tok_b"))).cast("double"))
       .withColumn("jaccard", round(col("__inter") /
         (size(col("tok_a")) + size(col("tok_b")) - col("__inter")), 6))
       .filter(col("jaccard") >= verifyThreshold)
-    verified.select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
+    val buckets = lshBucketRows(df, textCol, idCol, n, numHashes, bands,
+      portableHash)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val texts = tokenSets(df, textCol, idCol)
+    verifyJaccard(candidates, texts, texts, verifyThreshold)
+  }
+
+  /** Persist the MinHash-LSH INDEX of a corpus: flattened band buckets
+    * (`id, band, h` — a few dozen bytes/doc) and the verification
+    * token sets. This is what makes dedup INCREMENTAL at 100 TB: the
+    * daily increment is checked against the stored index
+    * ([[incrementalDupes]]) without rescanning or re-sketching a byte
+    * of the historical corpus; the increment's own buckets append to
+    * the index afterwards. */
+  def buildMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableHash: Boolean = false): Unit = {
+    lshBucketRows(df, textCol, idCol, n, numHashes, bands, portableHash)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    tokenSets(df, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/tokens")
+  }
+
+  /** Near-dups of a NEW batch against a stored corpus index: sketch
+    * only the new docs, equi-join their buckets against the index
+    * (shuffle carries bucket rows, never text), verify candidates with
+    * the STORED token sets. Returns (id_a = corpus doc, id_b = new
+    * doc, jaccard). New-vs-new duplicates are deliberately out of
+    * scope — run [[minhashLshPairs]] on the increment for those.
+    * Sketch params must match the ones the index was built with. */
+  def incrementalDupes(spark: org.apache.spark.sql.SparkSession,
+      newDf: DataFrame, textCol: String, idCol: String, indexPath: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5,
+      portableHash: Boolean = false): DataFrame = {
+    val newBuckets = lshBucketRows(newDf, textCol, idCol, n, numHashes,
+      bands, portableHash)
+      .select(col("band"), col("h"), col("id").as("id_b"))
+    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+      .select(col("band"), col("h"), col("id").as("id_a"))
+    val candidates = corpusBuckets.join(newBuckets, Seq("band", "h"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val corpusToks = spark.read.parquet(s"$indexPath/tokens")
+    val newToks = tokenSets(newDf, textCol, idCol)
+    verifyJaccard(candidates, corpusToks, newToks, verifyThreshold)
   }
 
   /** Exact token-set Jaccard of two texts (verification predicate). */

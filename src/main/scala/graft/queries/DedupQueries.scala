@@ -47,6 +47,27 @@ object DedupQueries extends QuerySection {
       portableHash = true)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** INCREMENTAL MinHash dedup — the daily-increment shape: the
+    * "historical corpus" (doc_id % 5 ≠ 0) is sketched ONCE into a
+    * persisted index (band buckets + token sets), then the "new batch"
+    * (doc_id % 5 = 0) is checked against the stored index without
+    * touching corpus text. Same portable sketch as dedup_minhash, so
+    * the oracle replays signatures for both sides and restricts the
+    * bucket join to corpus × new. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 200)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhidx")
+      .toString
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, portableHash = true)
+    Dedup.incrementalDupes(s, fresh, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash near-dup pairs — portable 60-bit variant so the whole
     * sketch (per-bit votes, fingerprint reassembly, 15-bit quadrant
     * buckets, Hamming verify) is oracle-checked in SQL. maxHamming = 3
@@ -124,6 +145,7 @@ object DedupQueries extends QuerySection {
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
@@ -131,7 +153,17 @@ object DedupQueries extends QuerySection {
   /** DuckDB replica of the portable minhash sketch (32 min-hashes from
     * the 2-universal family h1 + s·h2 over two 28-bit md5-bridge base
     * hashes, 8 bands of 4, bucket join, Jaccard ≥ 0.8 verify). */
-  private def minhashOracle: String = {
+  private def minhashOracle: String =
+    minhashOracleWith("a.doc_id < b.doc_id")
+
+  /** Same sketch replay with the bucket join restricted to corpus ×
+    * new-batch pairs — signatures are per-doc independent, so the
+    * stored-index form and the all-at-once form agree slice for
+    * slice. */
+  private def incrementalMinhashOracle: String =
+    minhashOracleWith("a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0")
+
+  private def minhashOracleWith(candCondition: String): String = {
     def mdInt(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
     def mdInt7(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
     val mins = (0 until 32)
@@ -154,7 +186,7 @@ object DedupQueries extends QuerySection {
        |$buckets),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM buckets a JOIN buckets b
-       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |    ON a.band = b.band AND a.h = b.h AND $candCondition),
        |ts AS (SELECT doc_id, list_distinct(string_split_regex(
        |  trim(lower(text)), '\\s+')) AS tk FROM d),
        |j AS (SELECT id_a, id_b,
@@ -263,6 +295,7 @@ object DedupQueries extends QuerySection {
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
+    "dedup_incremental" -> incrementalMinhashOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_pipeline" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),

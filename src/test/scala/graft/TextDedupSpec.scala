@@ -145,6 +145,31 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(_._2 == 3L))
   }
 
+  test("incremental index dedup equals the self-join restricted to corpus × new") {
+    val d = Tables.load(spark, sf0001, "documents")
+      .filter($"doc_id" < 100)
+    val corpus = d.filter($"doc_id" % 5 =!= 0)
+    val fresh = d.filter($"doc_id" % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhidx_t").toString
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx, n = 1,
+      numHashes = 32, bands = 8, portableHash = true)
+    val inc = Dedup.incrementalDupes(spark, fresh, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    // all-at-once self-join, kept only where the pair crosses the split
+    val full = Dedup.minhashLshPairs(d, "text", "doc_id", n = 1,
+      numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
+      .filter(($"id_a" % 5 === 0) =!= ($"id_b" % 5 === 0))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("chunkTokens: sliding windows cover every token, overlap = window - stride") {
     import graft.text.TextAnalysis
     val doc = (1 to 100).map(i => s"t$i").mkString(" ")
