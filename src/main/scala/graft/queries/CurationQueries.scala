@@ -90,6 +90,42 @@ object CurationQueries extends QuerySection {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** The END-TO-END curation pipeline judged as ONE query — the chain
+    * a pretraining corpus actually runs, each stage an already-judged
+    * operator: quality-score filter (≥ 0.5) → exact dedup (keep
+    * lowest id per content hash) → benchmark decontamination (drop
+    * docs sharing any trigram with the bench split) → deterministic
+    * 90/5/5 split assignment → per-split rollup. Every stage is a
+    * projection/aggregate/anti-join — the composition introduces no
+    * new shuffle class, which is the point: the full pipeline is as
+    * scalable as its worst stage. */
+  private def curPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val kept = corpus
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        TextAnalysis.tokens(col("text")).as("__t"),
+        TextAnalysis.tokens(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        round(TextAnalysis.qualityScoreOfTokens(
+          col("text"), col("__t"), col("__lt")), 6).as("q"))
+      .filter(col("q") >= 0.5)
+    val deduped = graft.dedup.Dedup.exactDedup(kept, "text", "doc_id")
+    val dirty = Curation.contaminated(deduped, bench, "doc_id", "text",
+        n = 3)
+      .select(col("id").as("doc_id"))
+    val clean = deduped.join(dirty, Seq("doc_id"), "left_anti")
+    Curation.assignSplit(clean, "doc_id", "tvt",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("q")), 4).as("avg_q"))
+      .orderBy(col("split"))
+  }
+
   /** Deterministic 90/5/5 train/val/test split — hash-banded, pure
     * projection; judged on per-split counts and sizes so the banding
     * itself is compared across engines. */
@@ -138,6 +174,7 @@ object CurationQueries extends QuerySection {
 
   def queries: Map[String, Q] = Map(
     "cur_split" -> (curSplit _),
+    "cur_pipeline" -> (curPipeline _),
     "cur_sample_weighted" -> (curSampleWeighted _),
     "cur_sample_group" -> (curSampleGroup _),
     "cur_zscore" -> (curZscore _),
@@ -237,6 +274,35 @@ object CurationQueries extends QuerySection {
         |FROM sh JOIN bench USING (t)
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cur_pipeline" ->
+      s"""WITH corpus AS (SELECT doc_id, text, n_chars, $qualitySql AS q
+        |    FROM documents WHERE doc_id % 97 <> 0),
+        |kept AS (SELECT * FROM corpus WHERE q >= 0.5),
+        |dedup AS (SELECT * FROM kept QUALIFY row_number()
+        |  OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tk) >= 3 THEN
+        |      list_transform(generate_series(1, len(tk) - 2),
+        |        i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE [] END)) AS t
+        |  FROM toks),
+        |benchsh AS (SELECT DISTINCT t FROM sh WHERE doc_id % 97 = 0),
+        |dirty AS (SELECT DISTINCT sh.doc_id FROM sh
+        |  JOIN benchsh USING (t)),
+        |clean AS (SELECT d.* FROM dedup d
+        |  LEFT JOIN dirty ON d.doc_id = dirty.doc_id
+        |  WHERE dirty.doc_id IS NULL),
+        |assigned AS (SELECT *,
+        |    CASE WHEN ${pctSql("tvt", "doc_id")} < 90 THEN 'train'
+        |      WHEN ${pctSql("tvt", "doc_id")} < 95 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM clean)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(q), 4) AS avg_q
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
     "cur_overlap" ->
       """WITH toks AS (SELECT doc_id,
         |    string_split_regex(trim(text), '\s+') AS tk FROM documents),
