@@ -216,6 +216,91 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("o_year"))
   }
 
+  /** J14 — TPC-H Q10 shape (returned-item reporting): which customers
+    * drove the most revenue in RETURNED items over a half-year window.
+    * 4-table join where the grain of the aggregate is the CUSTOMER
+    * (high cardinality — unlike j12/j13's ≤25-row nation rollups), so
+    * the group-by shuffle is the dominant exchange and the top-20 is a
+    * TakeOrderedAndProject over it. Scale shape: the `l_returnflag='R'`
+    * and half-year `o_orderdate` filters reach both fact scans
+    * (PushedFilters), nation broadcasts, customer shuffles once on
+    * custkey — the same exchange the aggregate reuses. */
+  private def j14ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01"))
+    val c = Tables.load(s, dir, "customer")
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** J15 — TPC-H Q18 shape (large-volume orders): a group-by-HAVING
+    * derived table (orders whose total quantity exceeds a threshold)
+    * semi-joined back into the 3-table detail join. Scale shape: the
+    * HAVING aggregate runs FIRST and collapses lineitem to ≤|orders|
+    * rows of (orderkey) — the semi-join probe side — so the expensive
+    * detail join only sees the ~1 % of orders that survive; both
+    * lineitem passes shuffle on orderkey and AQE can reuse the
+    * exchange. Never materializes the unfiltered 3-table join. */
+  private def j15BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+      .select(col("l_orderkey").as("big_orderkey"))
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    li.join(big, li("l_orderkey") === col("big_orderkey"), "left_semi")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .orderBy(desc("totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** J16 — TPC-H Q21 shape (suppliers who kept the order waiting):
+    * finished multi-supplier orders where EXACTLY ONE supplier shipped
+    * late — the classic exists/not-exists pair, re-expressed as ONE
+    * aggregate over the order (distinct suppliers vs distinct late
+    * suppliers) instead of two correlated self-joins of lineitem.
+    * Scale shape: Q21's textbook plan re-scans lineitem three times
+    * (base + exists + not-exists); this form scans it once, shuffles
+    * once on orderkey, and the `n_supp > 1 AND n_late = 1` filter plus
+    * `max(late suppkey)` recovers the sole culprit without a join
+    * back to the detail. Supplier names arrive by broadcast. */
+  private def j16WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    val li = Tables.load(s, dir, "lineitem")
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val culprit = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_suppkey"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    val su = broadcast(Tables.load(s, dir, "supplier"))
+    culprit.join(su, col("late_suppkey") === su("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .orderBy(desc("n_waiting_orders"), col("s_suppkey"))
+      .limit(50)
+  }
+
   /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
     * merge of k·partitions rows, never a global sort. */
   private def w1TopK(s: SparkSession, dir: String): DataFrame =
@@ -1119,6 +1204,9 @@ object RelationalQueries extends QuerySection {
     "j11_shipping_priority" -> (j11ShippingPriority _),
     "j12_local_supplier_volume" -> (j12LocalSupplierVolume _),
     "j13_market_share" -> (j13MarketShare _),
+    "j14_returned_items" -> (j14ReturnedItems _),
+    "j15_big_orders" -> (j15BigOrders _),
+    "j16_waiting_supplier" -> (j16WaitingSupplier _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -1587,6 +1675,52 @@ object RelationalQueries extends QuerySection {
         |SELECT o_year, nation_volume, total_volume,
         |  round(nation_volume / total_volume, 4) AS mkt_share
         |FROM agged ORDER BY o_year""".stripMargin,
+    "j14_returned_items" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "j15_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  round(o_totalprice, 2) AS totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY c_custkey, c_name, o_orderkey, order_date, totalprice
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "j16_waiting_supplier" ->
+      """WITH culprit AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+        |      + INTERVAL 60 DAY THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN l_shipdate > o_orderdate
+        |      + INTERVAL 60 DAY THEN l_suppkey END) AS late_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |    AND count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+        |      + INTERVAL 60 DAY THEN l_suppkey END) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_waiting_orders
+        |FROM culprit JOIN supplier ON late_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_waiting_orders DESC, s_suppkey
+        |LIMIT 50""".stripMargin,
     "j3_star_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
