@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.BloomFilterShim
+
+/** Bloom-filter semi-join reduction: filter the BIG (probe) side of a
+  * shuffle join with a bloom filter built from the SMALL-but-not-
+  * broadcastable (build) side's keys, BEFORE the probe side shuffles.
+  *
+  * Regime: at 100 TB the fact table's shuffle dominates a shuffled
+  * equi-join. When the dim side is selective (say 2 % of suppliers
+  * survive a filter) but still too large / too late-derived for a
+  * broadcast-hash join of the FACT (the fact side must shuffle anyway
+  * for the downstream aggregate), a ~1 MiB bloom of the dim keys
+  * prunes non-matching fact rows at the SCAN stage, shrinking the
+  * dominant exchange by the dim's selectivity. This is exactly the
+  * plan Spark's `InjectRuntimeFilter` builds when its heuristics fire
+  * (spark.sql.optimizer.runtime.bloomFilter.*); graft exposes it as an
+  * explicit operator for when the author knows better than the
+  * heuristic — the reference's "filter before merge" advice
+  * (data_transformers.py) made scale-honest.
+  *
+  * Semantics: the bloom has NO false negatives (both sides hash with
+  * the same seeded XxHash64), so `bloomReducedJoin(...)` ≡ the plain
+  * inner join — false positives survive the pre-filter but are
+  * eliminated by the real join. The judged query `j17_bloom_reduced`
+  * proves that equivalence against a plain-SQL oracle.
+  *
+  * Driver footprint: exactly `numBits / 8` bytes (default 1 MiB),
+  * independent of data size — the same bounded-scalar contract as the
+  * quantile brackets (plans/Scale.scala:88-102). The bloom build is
+  * one scan of the DIM side only.
+  */
+object BloomReduce {
+
+  /** Serialized bloom filter of `dim`'s `dimKey` column.
+    * One Spark job (dim-side scan + tree aggregate). */
+  def buildBloom(dim: DataFrame, dimKey: String,
+      expectedItems: Long = 1000000L, numBits: Long = 8388608L): Array[Byte] =
+    dim.select(BloomFilterShim.bloomAgg(col(dimKey), expectedItems, numBits)
+        .as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+
+  /** `fact` rows whose `factKey` might appear in `dim`'s `dimKey`
+    * (conservative: superset of the true semi-join). The filter is a
+    * scan-stage predicate — it runs before any exchange of `fact`. */
+  def prefilter(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame = {
+    val bloom = buildBloom(dim, dimKey, expectedItems, numBits)
+    fact.filter(BloomFilterShim.mightContain(lit(bloom), factKey))
+  }
+
+  /** Inner equi-join with the probe side bloom-reduced first.
+    * Result ≡ `fact.join(dim, factKey === dim(dimKey))`. */
+  def bloomReducedJoin(fact: DataFrame, factKey: Column, dim: DataFrame,
+      dimKey: String, expectedItems: Long = 1000000L,
+      numBits: Long = 8388608L): DataFrame =
+    prefilter(fact, factKey, dim, dimKey, expectedItems, numBits)
+      .join(dim, factKey === dim(dimKey))
+}

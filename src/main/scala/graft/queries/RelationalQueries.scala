@@ -301,6 +301,30 @@ object RelationalQueries extends QuerySection {
       .limit(50)
   }
 
+  /** J17 — bloom-filter semi-join reduction
+    * (`operators/BloomReduce.scala`): lineitem is pre-filtered by a
+    * 1 MiB bloom of the surviving suppliers' keys BEFORE its shuffle,
+    * then inner-joined and aggregated. The oracle is the PLAIN join —
+    * proving the bloom adds no false negatives and the join removes
+    * its false positives. Scale shape: at 100 TB the bloom prunes the
+    * fact exchange by the dim's selectivity at the scan stage; the
+    * dim is scanned once to build the filter (bounded 1 MiB driver
+    * object), and the plan's only wide exchanges are the reduced
+    * fact shuffle and the final ≤|supplier| aggregate. */
+  private def j17BloomReduced(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val su = Tables.load(s, dir, "supplier")
+      .filter(col("s_acctbal") > 6000)
+    graft.operators.BloomReduce
+      .bloomReducedJoin(li, col("l_suppkey"), su, "s_suppkey")
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), col("s_suppkey"))
+      .limit(20)
+  }
+
   /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
     * merge of k·partitions rows, never a global sort. */
   private def w1TopK(s: SparkSession, dir: String): DataFrame =
@@ -1207,6 +1231,7 @@ object RelationalQueries extends QuerySection {
     "j14_returned_items" -> (j14ReturnedItems _),
     "j15_big_orders" -> (j15BigOrders _),
     "j16_waiting_supplier" -> (j16WaitingSupplier _),
+    "j17_bloom_reduced" -> (j17BloomReduced _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -1721,6 +1746,15 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "j17_bloom_reduced" ->
+      """SELECT s_suppkey, s_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_acctbal > 6000
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY revenue DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
     "j3_star_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
