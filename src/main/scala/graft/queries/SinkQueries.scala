@@ -183,6 +183,37 @@ object SinkQueries extends QuerySection {
       .toDF("files_before", "files_after", "content_equal", "n_rows")
   }
 
+  /** K21 file-level data skipping READ-BACK
+    * (`sources/StatsSkipping.scala`): lineitem is range-clustered on
+    * l_shipdate into 16 files with a per-file min/max manifest, then a
+    * two-month window is answered from the MANIFEST-PRUNED file list.
+    * The judged rows are the window aggregate — identical to a plain
+    * full-scan filter (the oracle) — plus the file accounting
+    * (16 total / pruned subset read), proving the scan skipped most
+    * of the layout without changing the answer. At 100 TB this is the
+    * difference between listing 50k files and opening 1k. */
+  private def kStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.StatsSkipping
+    val path = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    val li = Tables.load(s, dir, "lineitem")
+    StatsSkipping.writeClustered(li, path, "l_shipdate", nFiles = 16,
+      manifestCols = Seq("l_shipdate"))
+    val lo = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-04-30 23:59:59")
+    val (kept, total) = StatsSkipping.pruneFiles(s, path, "l_shipdate", lo, hi)
+    val window = StatsSkipping.prunedRead(s, path, "l_shipdate", lo, hi)
+    window.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .withColumn("files_total", lit(total.toLong))
+      // a 2-month window over ~40 months range-clustered into 16 files
+      // must land in ≤3 files; the exact count depends on the range
+      // sampler's boundaries, so the judged fact is the bound, not the
+      // count
+      .withColumn("pruned", lit(kept.size <= 3))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** O2 flagship ETL job end-to-end (src/api/main.py:224-280): extract
     * events → clean → validate (value range) → route valid/invalid to
     * lake paths → report per-route loaded counts. The judged output is
@@ -409,7 +440,8 @@ object SinkQueries extends QuerySection {
     "k_versioned_diff" -> (kVersionedDiff _),
     "k9b_delete_keys" -> (k9bDeleteKeys _),
     "k_ledger" -> (kLedger _),
-    "k_compaction" -> (kCompaction _)
+    "k_compaction" -> (kCompaction _),
+    "k_stats_prune" -> (kStatsPrune _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,6 +614,16 @@ object SinkQueries extends QuerySection {
         |  CAST(1 AS BIGINT) AS files_after,
         |  TRUE AS content_equal,
         |  count(*) AS n_rows
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "k_stats_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(16 AS BIGINT) AS files_total,
+        |  TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate <= TIMESTAMP '1997-04-30 23:59:59'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }
