@@ -282,6 +282,68 @@ object StreamingQueries extends QuerySection {
         col("purchase_id").asc_nulls_first)
   }
 
+  /** CUSTOM-STATE sessionization (`Streaming.statefulSessions`):
+    * `flatMapGroupsWithState` + event-time TIMEOUT eviction, judged
+    * against the batch gap-sessionization oracle (same sessions
+    * `w6_sessions` computes with windows). Eviction needs the
+    * watermark to pass every real session's `last + gap`, and the
+    * watermark that gates batch N's timeouts is the PRE-batch one, so
+    * the bounded replay stages THREE mtime-ordered micro-batches:
+    * (1) the full events table (watermark still 0 — only data-path
+    * closes fire); (2) a far-future sentinel row — its batch runs with
+    * watermark `max(ts) − 1 min`, firing timeouts for all but the
+    * tail sessions; (3) a second sentinel at the SAME far-future ts —
+    * its batch runs with the sentinel-high watermark, firing every
+    * remaining real session. The sentinels' own open sessions never
+    * emit (the watermark never passes their bound) and are filtered by
+    * their negative user ids regardless. */
+  private def streamStatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_fmgws")
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val a = tmp.resolve("a_full.parquet")
+    Files.copy(src, a)
+    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(src.toString)
+    val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
+    val flushNanos = maxNanos + 3L * 24 * 3600 * 1000000000L
+    def sentinelFile(user: Long, name: String, mtime: Long): Unit = {
+      val gen = Files.createTempDirectory("graft_fmgws_gen")
+      s.range(1).select(
+          lit(-user).as("event_id"), lit(flushNanos).as("ts"),
+          lit(user).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .select(raw.columns.map(col): _*)
+        .coalesce(1).write.mode("overwrite").parquet(gen.toString)
+      val part = Files.list(gen).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = tmp.resolve(name)
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    sentinelFile(-1L, "b_flush1.parquet", 2000000L)
+    sentinelFile(-2L, "c_flush2.parquet", 3000000L)
+
+    val sessions = Streaming.statefulSessions(
+      Streaming.readEventsNanos(s, tmp.toString,
+        maxFilesPerTrigger = Some(1)),
+      gapMinutes = 30, watermark = "1 minute")
+    val name = "stream_stateful_sessions_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(sessions.toDF(), name,
+        outputMode = "append")
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinels' own sessions
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"),
+        round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   /** Stream-static enrichment join: the events STREAM joins the static
     * customer dim (broadcast — no stream-side state at all, the
     * canonical dimension-enrichment shape), then the enriched rows are
@@ -471,6 +533,7 @@ object StreamingQueries extends QuerySection {
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_pit_enrich" -> (streamPitEnrich _),
     "stream_attribution_full" -> (streamAttributionFull _),
+    "stream_stateful_sessions" -> (streamStatefulSessions _),
     "stream_upsert" -> (streamUpsert _)
   )
 
@@ -587,6 +650,25 @@ object StreamingQueries extends QuerySection {
         |SELECT w_start, event_type, n, total_value FROM w
         |WHERE w_start + INTERVAL 6 HOUR <=
         |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
-        |ORDER BY w_start, event_type""".stripMargin
+        |ORDER BY w_start, event_type""".stripMargin,
+    // every gap-session, closed via data path or timeout eviction —
+    // the flush sentinels guarantee the full set emits
+    "stream_stateful_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  max(us) AS session_end_us, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin
   )
 }

@@ -10,6 +10,16 @@ import org.apache.spark.sql.Row
 /** Output row of [[Streaming.statefulUserTotals]]. */
 final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Closed session emitted by [[Streaming.statefulSessions]] (bounds in
+  * epoch µs — the hash-stable export, same convention as SCD2's
+  * validity bounds). */
+final case class SessionAgg(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long, session_value: Double)
+
+/** Keyed state of one OPEN session in [[Streaming.statefulSessions]]. */
+private[streaming] final case class SessState(startUs: Long, lastUs: Long,
+    n: Long, sum: Double)
+
 /** Structured Streaming slice (SURVEY.md §2.11).
   *
   * The reference has no streaming engine — MQTT/OPC-UA exist only as
@@ -167,6 +177,79 @@ object Streaming {
           state.update((n, total))
           Iterator.single(UserTotals(user, n,
             math.rint(total * 100) / 100))
+      }
+  }
+
+  /** Sessionization with EXPLICIT keyed state and EVENT-TIME TIMEOUT
+    * eviction — the `flatMapGroupsWithState` twin of [[sessionize]]'s
+    * `session_window`, for when the per-session logic outgrows what a
+    * declarative aggregate can say (custom merge rules, emit-on-close
+    * side effects, multi-metric accumulators). Closed sessions emit on
+    * two paths with identical rows: (a) DATA path — a new event
+    * arrives more than `gapMinutes` after the open session's last
+    * event, closing it; (b) TIMEOUT path — the watermark passes
+    * `last event + gap`, proving no extender can still arrive, so the
+    * state-store entry is evicted and the final session emits. On a
+    * bounded replay the caller must push the watermark past the tail
+    * sessions' timeout bound with sentinel batches (same contract as
+    * the outer stream-stream joins; see `stream_stateful_sessions`).
+    *
+    * Scale: state is ONE open-session tuple per active user key —
+    * bounded by concurrent users, not history — partitioned by the
+    * groupByKey shuffle and evicted by the timeout; per-batch per-key
+    * rows are sorted in memory (bounded by a user's events within one
+    * micro-batch, not the stream). Session splits depend only on
+    * event-time gaps, so the emitted set is independent of the
+    * micro-batch layout — what makes the query judgeable against a
+    * batch oracle. */
+  def statefulSessions(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 minute"): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
+    def close(user: Long, st: SessState): SessionAgg =
+      SessionAgg(user, st.startUs, st.lastUs, st.n,
+        math.rint(st.sum * 100) / 100)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val closed = close(user, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = rows.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+            var open = state.getOption
+            val out = Seq.newBuilder[SessionAgg]
+            sorted.foreach { case (us, v) =>
+              open match {
+                case Some(st) if us - st.lastUs <= gapUs =>
+                  open = Some(SessState(st.startUs, math.max(st.lastUs, us),
+                    st.n + 1, st.sum + v))
+                case Some(st) =>
+                  out += close(user, st)
+                  open = Some(SessState(us, us, 1L, v))
+                case None =>
+                  open = Some(SessState(us, us, 1L, v))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              // strictly after the close bound; never behind the
+              // current watermark (setTimeoutTimestamp rejects that)
+              state.setTimeoutTimestamp(math.max(st.lastUs / 1000L + gapMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
       }
   }
 

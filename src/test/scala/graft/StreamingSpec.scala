@@ -121,6 +121,66 @@ class StreamingSpec extends SparkSpec {
     assert(latest.count() === expected.count())
   }
 
+  test("statefulSessions: both emission paths reproduce batch sessions") {
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_fmgws_spec").toString
+    val events = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+    // batch 1: all real events; batches 2+3: same-far-future sentinels
+    // that walk the watermark past every real session's timeout bound
+    events.coalesce(1).write.parquet(s"$dir/in")
+    // the real batch must be FIRST in mtime order or the sentinels'
+    // watermark drops every real row as late
+    locally {
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(s"$dir/in")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(Files.setLastModifiedTime(_, FileTime.fromMillis(1000000L)))
+    }
+    val flushTs = new java.sql.Timestamp(
+      events.agg(max($"ts")).head().getTimestamp(0).getTime
+        + 3L * 24 * 3600 * 1000)
+    var mtime = 2000000L
+    Seq(-1L, -2L).foreach { u =>
+      val gen = Files.createTempDirectory("graft_fmgws_gen").toString
+      Seq((u, flushTs, u, "view", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(gen)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(java.nio.file.Paths.get(gen)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"$dir/in/z_flush$u.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+      mtime += 1000000L
+    }
+    val sessions = Streaming.statefulSessions(
+      Streaming.readEvents(spark, s"$dir/in", maxFilesPerTrigger = Some(1)),
+      gapMinutes = 30, watermark = "1 minute")
+    Streaming.runAvailableNow(sessions.toDF(), "fmgws_sessions",
+      outputMode = "append")
+    val got = spark.table("fmgws_sessions").filter($"user_id" >= 0)
+    // batch truth: gap-split on the same 30-minute rule
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val expected = events
+      .withColumn("brk", when(unix_micros($"ts") -
+        unix_micros(lag($"ts", 1).over(w)) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min(unix_micros($"ts")).as("session_start_us"),
+        max(unix_micros($"ts")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+    assert(got.count() === expected.count(),
+      "every real session must emit exactly once (data path or timeout)")
+    val joined = got.join(expected,
+      Seq("user_id", "session_start_us", "session_end_us", "n_events"),
+      "left_anti")
+    assert(joined.count() === 0, "session bounds/counts must match batch")
+  }
+
   test("stream-static broadcast join enriches every matchable event") {
     import org.apache.spark.sql.functions.broadcast
     val src = stageEvents()
