@@ -45,6 +45,16 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact range search: all neighbors with cosine ≥ 0.25 of the first
+    * 10 vectors — the unknown-neighbor-count dual of `ann_topk`,
+    * oracle-checked pair-for-pair. */
+  private def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.rangeSearch(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      minCos = 0.25)
+      .orderBy(col("query_id"), col("corpus_id"))
+  }
+
   /** Label-centroid similarity: per-label mean embedding, then each
     * label pair's centroid cosine — a grouped vector aggregate. */
   private def annCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -130,6 +140,7 @@ object SimilarityQueries extends QuerySection {
     "ann_kmeans_step" -> (annKmeansStep _),
     "ann_quantize" -> (annQuantize _),
     "ann_topk" -> (annTopk _),
+    "ann_range" -> (annRange _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -338,6 +349,16 @@ object SimilarityQueries extends QuerySection {
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "ann_range" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings)
+        |SELECT query_id, corpus_id,
+        |  round(list_cosine_similarity(qv, cv), 6) AS cos
+        |FROM q JOIN c ON query_id <> corpus_id
+        |WHERE round(list_cosine_similarity(qv, cv), 6) >= 0.25
+        |ORDER BY query_id, corpus_id""".stripMargin,
     "ann_centroids" ->
       """WITH d AS (
         |  SELECT label, i, avg(embedding[i]) AS m

@@ -207,7 +207,20 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Cross-doc boilerplate mining (`TextAnalysis.boilerplateShingles`):
+    * bigrams present in ≥20 % of a source's documents — the
+    * high-document-frequency spans a per-document dedup never sees. */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    TextAnalysis.boilerplateShingles(docs(s, dir), "doc_id", "text",
+      "source", n = 2, minFrac = 0.2)
+      .select(col("source"), col("shingle"), col("n_docs"),
+        col("n_total"), col("doc_frac"))
+      .orderBy(col("source"), col("shingle"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
     "text_stats" -> (textStats _),
@@ -231,6 +244,24 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_boilerplate" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, source, $tokensSql AS ts FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    concat_ws(' ', ts[g], ts[g + 1]) AS shingle
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(len(ts) - 1, 0))) AS g) s),
+        |freq AS (
+        |  SELECT source, shingle, count(*) AS n_docs
+        |  FROM sh GROUP BY 1, 2),
+        |tot AS (SELECT source, count(*) AS n_total
+        |  FROM documents GROUP BY 1)
+        |SELECT source, shingle, n_docs, n_total,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 4) AS doc_frac
+        |FROM freq JOIN tot USING (source)
+        |WHERE n_docs >= ceil(n_total * 0.2)
+        |ORDER BY source, shingle""".stripMargin,
     "text_chunks" ->
       s"""WITH t AS (
         |  SELECT doc_id, $tokensSql AS tk FROM documents

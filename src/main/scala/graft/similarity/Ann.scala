@@ -392,6 +392,29 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Range (radius) search: every corpus vector with cosine ≥ `minCos`
+    * of each query — the "all sufficiently-similar neighbors" form of
+    * similarity search (top-k's dual; what near-dup mining and
+    * contamination sweeps actually want when the neighbor count is
+    * unknown a priori). Exact: broadcast the small query set, one
+    * codegen'd cosine per (query, corpus) pair, filter — embarrassingly
+    * parallel over corpus partitions, no shuffle at all until the
+    * caller aggregates. For query sets too big to broadcast, bucket
+    * both sides first (the `dedup/Dedup.embeddingPairs` LSH move) and
+    * accept bucket recall; this exact form is the oracle-able path and
+    * the per-bucket kernel of that scale form. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, minCos: Double): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    c.join(q, col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+  }
+
   /** Fraction of brute-force top-k pairs the ANN path recovered. */
   def recall(ann: DataFrame, brute: DataFrame): Double = {
     val hits = brute.select("query_id", "corpus_id")

@@ -245,6 +245,34 @@ object TextAnalysis {
         coalesce(col("fp"), array().cast("array<string>")).as("fp"))
   }
 
+  /** Cross-document boilerplate mining: word n-grams that recur in at
+    * least `minFrac` of a GROUP's documents (same site/source/template)
+    * — headers, footers, nav text, license blurbs. The training-data
+    * cleaning step that per-document dedup can't see: boilerplate is
+    * never a near-duplicate DOCUMENT, it's a high-document-frequency
+    * SPAN. Output is the mined phrase table (group, shingle, df); a
+    * removal pass is then a broadcast anti-join of this table against
+    * the shingle stream.
+    *
+    * Scale: one shuffle on (group, shingle) for the df count — shingle
+    * space is bounded by vocabulary, not corpus; the per-group totals
+    * side is ≤|groups| rows and broadcasts. No document ever compares
+    * to another document. */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 2, minFrac: Double = 0.2): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n)
+      .distinct() // set semantics: one vote per (doc, shingle)
+    val src = df.select(col(idCol).as("id"), col(groupCol))
+    val totals = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_total"))
+    sh.join(src, Seq("id"))
+      .groupBy(col(groupCol), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("n_docs") >= ceil(col("n_total") * minFrac))
+      .withColumn("doc_frac", round(col("n_docs") / col("n_total"), 4))
+  }
+
   /** [[simhash64]] as a table op: (id, sim) via exploded token hashes +
     * per-bit sum aggregates — all codegen, one shuffle on id.
     * `portableHash` switches the token hash to the 60-bit md5 bridge
