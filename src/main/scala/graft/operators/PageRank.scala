@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native PageRank — fixed-iteration power method over an
+  * edge list, the second iterative-graph primitive next to connected
+  * components (`dedup/Cluster.scala`). Centrality over entity graphs
+  * mined from the lake (co-purchase, citation, link graphs) is the
+  * standard "which nodes matter" rollup an analytics engine owes its
+  * users once it has join + aggregate.
+  *
+  * Simplified (no dangling-mass redistribution): callers hand in a
+  * graph where every node has out-degree ≥ 1 — e.g. symmetrized
+  * bipartite edges, as `graph_pagerank` does — and the recurrence is
+  * the textbook `r' = (1−d)/N + d·Σ r(src)/outdeg(src)`.
+  *
+  * Scale shape: per iteration ONE shuffle join of ranks onto edges
+  * (hash-partitioned by src) and ONE aggregate shuffle on dst — the
+  * same exchange pattern GraphX's Pregel emits per superstep, minus
+  * its RDD overhead. Ranks stay (node, double) narrow; edges carry a
+  * precomputed 1/outdeg so the loop never re-aggregates degrees. The
+  * deterministic fixed-iteration form (vs convergence-test) is what
+  * makes the result oracle-replayable; production callers loop until
+  * `Σ|Δ|` under a tolerance instead, checkpointing every ~10 rounds
+  * to cut the lineage (same move as `Cluster.distributedCC`).
+  */
+object PageRank {
+
+  /** `edges`: (src, dst) string node ids, pre-deduplicated. Returns
+    * (node, rank) after `iters` rounds from a uniform start. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // scalar: the only driver-side value
+    val teleport = (1.0 - damping) / n
+    // one aggregate, then ride along on every iteration's edge join
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contribEdges = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val sums = contribEdges.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w")).as("mass"))
+      ranks = nodes.join(sums, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("mass"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+}

@@ -325,6 +325,32 @@ object RelationalQueries extends QuerySection {
       .limit(20)
   }
 
+  /** Iterative-graph centrality (`operators/PageRank.scala`): PageRank
+    * over the symmetrized customer↔supplier co-purchase graph (edge =
+    * "this customer bought from this supplier", both directions, so
+    * every node has out-degree ≥ 1 and the simplified recurrence is
+    * exact). 3 fixed iterations from a uniform start, judged against
+    * the same power method unrolled as chained CTEs in DuckDB. Scale:
+    * the per-iteration cost is one ranks⋈edges shuffle join + one dst
+    * aggregate — supersteps, not supersteps² — and the edge list with
+    * precomputed 1/outdeg is built once. */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
+        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    graft.operators.PageRank.pageRank(edges, iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(desc("rank"), col("node"))
+      .limit(50)
+  }
+
   /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
     * merge of k·partitions rows, never a global sort. */
   private def w1TopK(s: SparkSession, dir: String): DataFrame =
@@ -1232,6 +1258,7 @@ object RelationalQueries extends QuerySection {
     "j15_big_orders" -> (j15BigOrders _),
     "j16_waiting_supplier" -> (j16WaitingSupplier _),
     "j17_bloom_reduced" -> (j17BloomReduced _),
+    "graph_pagerank" -> (graphPagerank _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -1755,6 +1782,38 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY revenue DESC, s_suppkey
         |LIMIT 20""".stripMargin,
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cnode,
+        |    's' || l_suppkey AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode, cnode FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |ce AS (
+        |  SELECT src, dst, 1.0 / deg AS w
+        |  FROM edges JOIN (SELECT src, count(*) AS deg FROM edges
+        |    GROUP BY 1) d USING (src)),
+        |r0 AS (SELECT node, 1.0 / (SELECT n FROM p) AS rank FROM nodes),
+        |r1 AS (SELECT node, 0.15 / (SELECT n FROM p) + 0.85 *
+        |    coalesce(m, 0) AS rank
+        |  FROM nodes LEFT JOIN (SELECT dst, sum(r0.rank * w) AS m
+        |    FROM ce JOIN r0 ON ce.src = r0.node GROUP BY dst) s
+        |  ON node = s.dst),
+        |r2 AS (SELECT node, 0.15 / (SELECT n FROM p) + 0.85 *
+        |    coalesce(m, 0) AS rank
+        |  FROM nodes LEFT JOIN (SELECT dst, sum(r1.rank * w) AS m
+        |    FROM ce JOIN r1 ON ce.src = r1.node GROUP BY dst) s
+        |  ON node = s.dst),
+        |r3 AS (SELECT node, 0.15 / (SELECT n FROM p) + 0.85 *
+        |    coalesce(m, 0) AS rank
+        |  FROM nodes LEFT JOIN (SELECT dst, sum(r2.rank * w) AS m
+        |    FROM ce JOIN r2 ON ce.src = r2.node GROUP BY dst) s
+        |  ON node = s.dst)
+        |SELECT node, round(rank, 6) AS rank FROM r3
+        |ORDER BY round(rank, 6) DESC, node LIMIT 50""".stripMargin,
     "j3_star_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
