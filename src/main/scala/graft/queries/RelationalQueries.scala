@@ -939,6 +939,49 @@ object RelationalQueries extends QuerySection {
         col("n"), col("total"))
       .orderBy(col("w_start"), col("event_type"))
 
+  /** Equi-width histogram: fixed [0, 500k) domain in 20 bins over
+    * order totals — one hash aggregate on the bin id (a pure
+    * projection), never a sort; the canonical distribution profile a
+    * quality dashboard draws. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    val o = Tables.load(s, dir, "orders")
+    val total = o.count().toDouble
+    o.withColumn("bin",
+        least(floor(col("o_totalprice") / width), lit(19.0)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), round(col("bin") * width, 1).as("bin_lo"),
+        round((col("bin") + 1) * width, 1).as("bin_hi"), col("n"),
+        round(col("n") / lit(total), 4).as("frac"))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-key EXPONENTIAL MOVING AVERAGE — an order-dependent recursive
+    * aggregate no window frame can express — via higher-order
+    * functions: collect each user's (ts, value) history, sort by time,
+    * and FOLD `acc ← 0.2·x + 0.8·acc` with `aggregate()` — all
+    * codegen'd expressions, zero UDFs, and the identical left fold
+    * replays in DuckDB's `list_reduce`, so the doubles match bit for
+    * bit. Scale: state is one array per user, bounded by a user's
+    * history (the `text_pack` caveat) — the per-key sequential
+    * dependence is irreducible, but keys distribute freely. */
+  private def qEma(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value"))))
+        .as("hist"))
+      .select(col("user_id"),
+        expr("transform(hist, p -> p.value)").as("vs"))
+      .select(col("user_id"), size(col("vs")).cast("long").as("n_events"),
+        round(expr(
+          """aggregate(slice(vs, 2, greatest(size(vs) - 1, 0)),
+            |  element_at(vs, 1),
+            |  (acc, x) -> 0.2d * x + 0.8d * acc)""".stripMargin), 6)
+          .as("ema"))
+      .orderBy(col("user_id"))
+  }
+
   /** Grouping sets — the explicit-sets member of the cube/rollup family
     * (SQL surface; Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -1239,6 +1282,8 @@ object RelationalQueries extends QuerySection {
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_sliding_window" -> (qSlidingWindow _),
+    "q_histogram" -> (qHistogram _),
+    "q_ema" -> (qEma _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -1596,6 +1641,25 @@ object RelationalQueries extends QuerySection {
         |  round(sum(value), 2) AS total
         |FROM w GROUP BY w_start, event_type
         |ORDER BY w_start, event_type""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT)
+        |    AS bin
+        |  FROM orders),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM orders)
+        |SELECT bin, round(bin * 25000, 1) AS bin_lo,
+        |  round((bin + 1) * 25000, 1) AS bin_hi,
+        |  count(*) AS n,
+        |  round(count(*) / (SELECT total FROM t), 4) AS frac
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_ema" ->
+      """WITH l AS (
+        |  SELECT user_id, list(value ORDER BY ts, value) AS vs
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+        |  round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+        |    AS ema
+        |FROM l ORDER BY user_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
