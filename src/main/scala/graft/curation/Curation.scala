@@ -75,6 +75,24 @@ object Curation {
     df.withColumn(splitCol, assign)
   }
 
+  /** TEMPORAL holdout split: within each entity's timeline, the last
+    * `testFrac` of records (by event time) become "test" — the
+    * forecasting / recommendation evaluation protocol, where a random
+    * split ([[assignSplit]]) silently leaks the future into training.
+    * Deterministic via `percent_rank` with an explicit unique
+    * tiebreaker. Scale: one window shuffle on the entity key — the
+    * history length per key bounds the sort run, not the corpus. */
+  def assignTemporalSplit(df: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, testFrac: Double = 0.2,
+      splitCol: String = "split"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn(splitCol,
+      when(percent_rank().over(w) < 1.0 - testFrac, lit("train"))
+        .otherwise(lit("test")))
+  }
+
   /** Deterministic global shuffle: order by a keyed hash. Executes as a
     * distributed range sort (sample → range-partition → local sort) —
     * the standard "shuffle the corpus before sharding" step, with no

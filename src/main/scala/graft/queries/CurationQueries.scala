@@ -172,7 +172,24 @@ object CurationQueries extends QuerySection {
         round(avg(col("n_chars")), 4).as("kept_avg_chars"))
       .orderBy(col("lang"))
 
+  /** Temporal (leakage-free) holdout: each user's LAST 20 % of events
+    * by time become test. Judged on per-user split sizes plus the
+    * no-leak invariant itself — every user's latest train event must
+    * precede their earliest test event. */
+  private def curSplitTemporal(s: SparkSession, dir: String): DataFrame =
+    Curation.assignTemporalSplit(Tables.load(s, dir, "events"),
+        "user_id", "ts", "event_id", testFrac = 0.2)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        (max(when(col("split") === "train", unix_micros(col("ts")))) <
+          min(when(col("split") === "test", unix_micros(col("ts")))))
+          .as("no_leak"))
+      .orderBy(col("user_id"))
+
   def queries: Map[String, Q] = Map(
+    "cur_split_temporal" -> (curSplitTemporal _),
     "cur_split" -> (curSplit _),
     "cur_pipeline" -> (curPipeline _),
     "cur_sample_weighted" -> (curSampleWeighted _),
@@ -212,6 +229,22 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_split_temporal" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN percent_rank() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) < 0.8 THEN 'train'
+        |    ELSE 'test' END AS split
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  max(CASE WHEN split = 'train' THEN epoch_us(ts) END) <
+        |    min(CASE WHEN split = 'test' THEN epoch_us(ts) END)
+        |    AS no_leak
+        |FROM ranked GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cur_sample_weighted" ->
       s"""SELECT lang, count(*) AS n_kept,
          |  round(avg(n_chars), 4) AS kept_avg_chars

@@ -55,6 +55,36 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("corpus_id"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-3 most-similar candidates with a DIFFERENT label
+    * — the pairs a metric-learning loss learns most from. Same
+    * broadcast-scored shape as `ann_topk` with a label gate in the
+    * pair predicate, so the label filter happens before ranking ever
+    * materializes a row. */
+  private def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"),
+        col("label").as("q_label")))
+    val c = e.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("cv"),
+      col("label").as("c_label"))
+    val scored = c.join(q, col("query_id") =!= col("corpus_id") &&
+        col("q_label") =!= col("c_label"))
+      .withColumn("cos", round(
+        org.apache.spark.sql.graftx.CosineSimilarity(col("qv"), col("cv")),
+        6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("q_label"), col("corpus_id"),
+        col("c_label"), col("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Label-centroid similarity: per-label mean embedding, then each
     * label pair's centroid cosine — a grouped vector aggregate. */
   private def annCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -141,6 +171,7 @@ object SimilarityQueries extends QuerySection {
     "ann_quantize" -> (annQuantize _),
     "ann_topk" -> (annTopk _),
     "ann_range" -> (annRange _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -359,6 +390,23 @@ object SimilarityQueries extends QuerySection {
         |FROM q JOIN c ON query_id <> corpus_id
         |WHERE round(list_cosine_similarity(qv, cv), 6) >= 0.25
         |ORDER BY query_id, corpus_id""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |    embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, label AS c_label,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, q_label, corpus_id, c_label,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id AND q_label <> c_label)
+        |SELECT query_id, q_label, corpus_id, c_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_centroids" ->
       """WITH d AS (
         |  SELECT label, i, avg(embedding[i]) AS m

@@ -219,7 +219,27 @@ object TextQueries extends QuerySection {
       .orderBy(col("source"), col("shingle"))
   }
 
+  /** Unigram language-model quality score — the KenLM-perplexity
+    * stand-in a no-external-models sandbox can defend: each document's
+    * mean token log-probability under the CORPUS unigram distribution
+    * (rare-token-soup docs score low, common-word prose scores high).
+    * Two aggregates: corpus term frequencies (vocabulary-bounded, not
+    * corpus-bounded), then a token→freq join and per-doc mean — the
+    * same shape at 100 TB with the vocab side broadcast. */
+  private def textUnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val toks = TextAnalysis.shingleRows(docs(s, dir), "doc_id", "text", 1)
+    val freq = toks.groupBy(col("shingle")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c"))).head.getLong(0).toDouble
+    toks.join(broadcast(freq), Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / lit(total))), 6).as("logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
@@ -244,6 +264,15 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+        |f AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(c / (SELECT total FROM tot))), 6) AS logprob
+        |FROM tok JOIN f USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_boilerplate" ->
       s"""WITH tok AS (
         |  SELECT doc_id, source, $tokensSql AS ts FROM documents),
