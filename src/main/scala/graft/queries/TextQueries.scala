@@ -238,7 +238,37 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Inverted-index keyword retrieval: conjunctive ("spark" AND
+    * "table") search ranked by tf·idf — the lake-side search primitive
+    * (build postings once, serve many queries). The postings build is
+    * one (term, doc) aggregate; the query touches ONLY the searched
+    * terms' postings (a selective filter that pushes to the postings
+    * scan when they're materialized), the per-term df side is
+    * term-bounded and broadcasts, and the AND gate is a
+    * count-distinct-terms filter — no self-join per term pair. */
+  private def textSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = docs(s, dir)
+    val terms = Seq("spark", "table")
+    val nDocs = d.count().toDouble
+    val post = TextAnalysis.shingleRows(d, "doc_id", "text", 1)
+      .filter(col("shingle").isin(terms: _*))
+      .groupBy(col("shingle"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("shingle"))
+      .agg(countDistinct(col("id")).as("dfc"))
+    post.join(broadcast(dfreq), Seq("shingle"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_terms"),
+        round(sum(col("tf") * log(lit(nDocs) / col("dfc"))), 6).as("score"))
+      .filter(col("n_terms") === terms.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   def queries: Map[String, Q] = Map(
+    "text_search" -> (textSearch _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
@@ -264,6 +294,21 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_search" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+        |post AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'table') GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS dfc
+        |  FROM post GROUP BY t),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id,
+        |  round(sum(tf * ln((SELECT n FROM tot) / dfc)), 6) AS score
+        |FROM post JOIN dfq USING (t)
+        |GROUP BY doc_id
+        |HAVING count(DISTINCT t) = 2
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "text_unigram_logprob" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
