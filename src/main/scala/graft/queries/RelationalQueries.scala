@@ -990,6 +990,30 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("user_id"))
   }
 
+  /** Pareto frontier (skyline): parts not dominated in (smaller size,
+    * higher price). The naïve form is an O(n²) self-join ("no other
+    * part is ≤ size AND ≥ price"); this plan is O(n log n) by the
+    * classic sweep — collapse to per-size maxima (|sizes| rows), take
+    * a running max over size order (a window over AGGREGATE-cardinality
+    * rows, the `q_cumulative_distinct` pattern — never over the raw
+    * table), keep strict improvements, join the frontier points back.
+    * At 100 TB the raw table only ever passes one hash aggregate. */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+    val bySize = p.groupBy(col("p_size"))
+      .agg(max(col("p_retailprice")).as("mp"))
+    val withPrev = bySize.withColumn("prev",
+      max(col("mp")).over(Window.orderBy(col("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val frontier = withPrev
+      .filter(col("prev").isNull || col("mp") > col("prev"))
+      .select(col("p_size").as("f_size"), col("mp"))
+    p.join(frontier, col("p_size") === col("f_size") &&
+        col("p_retailprice") === col("mp"))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_size"), col("p_partkey"))
+  }
+
   /** Grouping sets — the explicit-sets member of the cube/rollup family
     * (SQL surface; Catalyst Expand). */
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
@@ -1292,6 +1316,7 @@ object RelationalQueries extends QuerySection {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_histogram" -> (qHistogram _),
     "q_ema" -> (qEma _),
+    "q_skyline" -> (qSkyline _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -1668,6 +1693,19 @@ object RelationalQueries extends QuerySection {
         |  round(list_reduce(vs, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
         |    AS ema
         |FROM l ORDER BY user_id""".stripMargin,
+    "q_skyline" ->
+      """WITH m AS (
+        |  SELECT p_size, max(p_retailprice) AS mp FROM part GROUP BY 1),
+        |r AS (
+        |  SELECT p_size, mp, max(mp) OVER (ORDER BY p_size
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM m),
+        |f AS (SELECT p_size, mp FROM r
+        |  WHERE prev IS NULL OR mp > prev)
+        |SELECT p_partkey, p.p_size, p_retailprice
+        |FROM part p JOIN f ON p.p_size = f.p_size
+        |  AND p.p_retailprice = f.mp
+        |ORDER BY p.p_size, p_partkey""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

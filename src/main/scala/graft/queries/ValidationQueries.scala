@@ -89,7 +89,22 @@ object ValidationQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** V+ — distribution drift (PSI) between the first and second half
+    * of the ingest window, per event_type: the scorecard that catches
+    * a feed whose values shifted while every range rule still passes.
+    * 10 fixed-width bins over [0, 500); ε-floored fractions replayed
+    * exactly in the oracle. */
+  private def v6DriftPsi(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Drift.psi(Tables.load(s, dir, "events"),
+        "event_type", "value",
+        refCond = col("ts") < lit("2024-01-16"),
+        binWidth = 50.0, nBins = 10)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi"))
+      .orderBy(col("event_type"))
+
   def queries: Map[String, Q] = Map(
+    "v6_drift_psi" -> (v6DriftPsi _),
     "v1_flags" -> (v1Flags _),
     "v2_schema_counts" -> (v2SchemaCounts _),
     "v3_quality_metrics" -> (v3QualityMetrics _),
@@ -99,6 +114,31 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v6_drift_psi" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+        |      AS is_ref
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(is_ref) AS BIGINT) AS ref_n,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(sum(ref_n) AS BIGINT) AS n_ref,
+        |  CAST(sum(cur_n) AS BIGINT) AS n_cur,
+        |  round(sum(
+        |    (greatest(cur_n / cur_tot, 1e-6) -
+        |     greatest(ref_n / ref_tot, 1e-6)) *
+        |    ln(greatest(cur_n / cur_tot, 1e-6) /
+        |       greatest(ref_n / ref_tot, 1e-6))), 6) AS psi
+        |FROM cells JOIN tot USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "v5_anomaly_days" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -292,3 +292,50 @@ case class ValidationPipeline(validators: Seq[Validator]) {
     "total_warnings" -> results.values.map(_.warnings.size).sum,
     "validator_results" -> results)
 }
+
+/** Distribution-drift detection between two slices of one table —
+  * the deploy-time twin of the value-range validators above: a feed
+  * can stay 100 % rule-valid while its DISTRIBUTION quietly shifts
+  * (sensor recalibration, client version skew, upstream resampling).
+  * The standard scorecard number is the Population Stability Index
+  * over a fixed binning:
+  *
+  *   PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i)
+  *
+  * with p = reference-slice bin fraction, q = current-slice bin
+  * fraction, both ε-floored so one-sided-empty bins stay finite
+  * (< 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted — the usual
+  * credit-scoring thresholds).
+  *
+  * Scale: ONE pass over the table into a (group, bin) aggregate —
+  * bins are fixed-width (no quantile job), per-group totals ride a
+  * broadcast join, and the PSI fold is a ≤ nBins-row aggregate per
+  * group. Nothing about the shape changes at 100 TB.
+  */
+object Drift {
+
+  /** Per-group PSI of `valueCol` between the `refCond` slice and the
+    * rest. Returns (group, n_ref, n_cur, psi). */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+      refCond: Column, binWidth: Double, nBins: Int,
+      eps: Double = 1e-6): DataFrame = {
+    val binned = df.select(col(groupCol),
+      least(floor(col(valueCol) / binWidth), lit(nBins - 1.0))
+        .cast("long").as("__bin"),
+      when(refCond, 1L).otherwise(0L).as("__ref"))
+    val cells = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__ref")).as("ref_n"),
+        sum(lit(1L) - col("__ref")).as("cur_n"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"))
+    val p = greatest(col("ref_n") / col("ref_tot"), lit(eps))
+    val q = greatest(col("cur_n") / col("cur_tot"), lit(eps))
+    cells.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("ref_n"), col("cur_n"),
+        col("ref_tot"), col("cur_tot"),
+        ((q - p) * log(q / p)).as("__term"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("ref_n")).as("n_ref"), sum(col("cur_n")).as("n_cur"),
+        sum(col("__term")).as("psi"))
+  }
+}
