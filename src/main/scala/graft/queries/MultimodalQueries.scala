@@ -68,7 +68,31 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("content_md5"))
   }
 
+  /** FRAME-level cross-video dedup: re-encoded copies of a video share
+    * its frames even when the container bytes differ — so dedup must
+    * happen at the sampled-frame grain, not the file grain (`mm_dedup`).
+    * Planted copies of every 93rd video re-enter under new ids; the
+    * sampled frames are digested and every frame hash spanning ≥ 2
+    * media ids surfaces with its copy count and keeper id. Only
+    * (digest, media_id) pairs reach the exchange — frame bytes hash
+    * inside the scan stage, same contract as `mm_dedup`. */
+  private def mmFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.demoMediaTable(s, dir)
+      .filter(col("media_type") === "video")
+    val planted = media.filter(col("media_id") % 31 === 2)
+      .withColumn("media_id", col("media_id") + 1000000L)
+    Multimodal.sampleVideoFrames(media.unionByName(planted), everyN = 4)
+      .select(md5(col("content")).as("frame_md5"), col("media_id"))
+      .groupBy(col("frame_md5"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_frames"),
+        min(col("media_id")).as("keeper"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("frame_md5"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "mm_frame_dedup" -> (mmFrameDedup _),
     "mm_dedup" -> (mmDedup _),
     "mm_stats" -> (mmStats _),
     "mm_features" -> (mmFeatures _),
@@ -77,6 +101,25 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_frame_dedup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 3 = 2 AND doc_id % 31 = 2),
+        |chunks AS (
+        |  SELECT media_id, substr(text, ci * 64 + 1, 64) AS frame
+        |  FROM v, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1))
+        |    AS ci) c
+        |  WHERE ci % 4 = 0)
+        |SELECT md5(frame) AS frame_md5,
+        |  CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+        |  count(*) AS n_frames, min(media_id) AS keeper
+        |FROM chunks GROUP BY 1
+        |HAVING count(DISTINCT media_id) >= 2
+        |ORDER BY frame_md5""".stripMargin,
     "mm_dedup" ->
       """WITH all_media AS (
         |  SELECT doc_id AS media_id, text FROM documents
