@@ -990,6 +990,26 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing-window DISTINCT count (7-day active users per day) — the
+    * aggregate no window frame can host (`count(DISTINCT) OVER RANGE`
+    * is unsupported in Spark AND most engines, and a naive per-day
+    * self-join re-scans the table |days| times). The scalable shape:
+    * collapse to (user, active-day) once, EXPAND each activity day to
+    * the ≤7 window-end days it contributes to, then one hash
+    * countDistinct per day — work is |activity| × window/granularity,
+    * independent of raw event volume after the first aggregate. */
+  private def qRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    act.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .filter(col("day").between(lit("2024-01-01"), lit("2024-01-30")))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau_7d"))
+      .orderBy(col("day"))
+  }
+
   /** Pareto frontier (skyline): parts not dominated in (smaller size,
     * higher price). The naïve form is an O(n²) self-join ("no other
     * part is ≤ size AND ≥ price"); this plan is O(n log n) by the
@@ -1317,6 +1337,7 @@ object RelationalQueries extends QuerySection {
     "q_histogram" -> (qHistogram _),
     "q_ema" -> (qEma _),
     "q_skyline" -> (qSkyline _),
+    "q_rolling_distinct" -> (qRollingDistinct _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -1706,6 +1727,17 @@ object RelationalQueries extends QuerySection {
         |FROM part p JOIN f ON p.p_size = f.p_size
         |  AND p.p_retailprice = f.mp
         |ORDER BY p.p_size, p_partkey""".stripMargin,
+    "q_rolling_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |exp AS (
+        |  SELECT user_id, day + CAST(o AS INT) AS day2
+        |  FROM act, LATERAL (SELECT unnest(generate_series(0, 6)) AS o) s)
+        |SELECT day2 AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+        |FROM exp
+        |WHERE day2 BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty
