@@ -990,6 +990,48 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("user_id"))
   }
 
+  /** arg-max/arg-min aggregates (`max_by`/`min_by`): per event type,
+    * WHICH user produced the extreme values — the "who/what, not how
+    * much" rollup that otherwise costs a rank window over the whole
+    * table. One hash aggregate; ties broken deterministically by
+    * taking the extreme (user, value) PAIR, so equal values can't
+    * flip the answer between engines. */
+  private def qArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("value"), col("user_id")))
+          .as("top_user"),
+        round(max(col("value")), 2).as("top_value"),
+        min_by(col("user_id"), struct(col("value"), col("user_id") * -1))
+          .as("bottom_user"),
+        round(min(col("value")), 2).as("bottom_value"))
+      .orderBy(col("event_type"))
+
+  /** Gaps-and-islands: each user's LONGEST STREAK of consecutive
+    * active days — the canonical retention metric. The classic
+    * `day − dense_rank` trick: inside one keyed window pass,
+    * consecutive days share a constant (day − rank) island id, so the
+    * answer is two keyed aggregates and one keyed window — no
+    * self-join, no recursion, scales as |activity| after the first
+    * distinct. */
+  private def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = act
+      .withColumn("island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+    islands.groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("streak_start"), struct(col("len"), col("streak_start")))
+          .as("best_streak_start"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   /** Trailing-window DISTINCT count (7-day active users per day) — the
     * aggregate no window frame can host (`count(DISTINCT) OVER RANGE`
     * is unsupported in Spark AND most engines, and a naive per-day
@@ -1338,6 +1380,8 @@ object RelationalQueries extends QuerySection {
     "q_ema" -> (qEma _),
     "q_skyline" -> (qSkyline _),
     "q_rolling_distinct" -> (qRollingDistinct _),
+    "q_argmax" -> (qArgmax _),
+    "q_streaks" -> (qStreaks _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_approx_quantile" -> (qApproxQuantile _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -1738,6 +1782,44 @@ object RelationalQueries extends QuerySection {
         |FROM exp
         |WHERE day2 BETWEEN DATE '2024-01-01' AND DATE '2024-01-30'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_argmax" ->
+      """WITH m AS (
+        |  SELECT event_type, max(value) AS mx, min(value) AS mn
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT event_type, user_id FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, user_id DESC) = 1),
+        |b AS (SELECT event_type, user_id FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value ASC, user_id DESC) = 1)
+        |SELECT m.event_type, t.user_id AS top_user,
+        |  round(mx, 2) AS top_value,
+        |  b.user_id AS bottom_user, round(mn, 2) AS bottom_value
+        |FROM m JOIN t USING (event_type) JOIN b USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
+    "q_streaks" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day, day - CAST(row_number() OVER
+        |    (PARTITION BY user_id ORDER BY day) AS INT) AS island
+        |  FROM act),
+        |st AS (
+        |  SELECT user_id, island, count(*) AS len,
+        |    min(day) AS streak_start
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, streak_start FROM st
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY len DESC, streak_start DESC) = 1),
+        |agg AS (
+        |  SELECT user_id, max(len) AS longest_streak,
+        |    count(*) AS n_streaks
+        |  FROM st GROUP BY 1)
+        |SELECT agg.user_id, longest_streak,
+        |  best.streak_start AS best_streak_start, n_streaks
+        |FROM agg JOIN best USING (user_id)
+        |ORDER BY agg.user_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS qty

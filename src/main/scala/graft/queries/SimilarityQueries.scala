@@ -85,6 +85,31 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Maximum-inner-product top-k (MIPS) — the retrieval objective of
+    * dot-product-trained embedding models (recommenders, DPR-style
+    * retrievers), where the UNNORMALIZED inner product ranks, not
+    * cosine: a long vector should outrank a well-aligned short one.
+    * Same broadcast-scored kernel as `ann_topk`, ranking on the native
+    * codegen'd DotProduct. */
+  private def annMips(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.DotProduct
+    val e = emb(s, dir)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")))
+    val c = e.select(col("vec_id").as("corpus_id"),
+      col("embedding").cast("array<double>").as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("corpus_id"))
+      .withColumn("ip", round(DotProduct(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("ip"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("corpus_id"), col("ip"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Label-centroid similarity: per-label mean embedding, then each
     * label pair's centroid cosine — a grouped vector aggregate. */
   private def annCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -172,6 +197,7 @@ object SimilarityQueries extends QuerySection {
     "ann_topk" -> (annTopk _),
     "ann_range" -> (annRange _),
     "ann_hard_negatives" -> (annHardNegatives _),
+    "ann_mips" -> (annMips _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
@@ -406,6 +432,21 @@ object SimilarityQueries extends QuerySection {
         |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_mips" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_inner_product(qv, cv), 6) AS ip
+        |  FROM q JOIN c ON query_id <> corpus_id)
+        |SELECT query_id, corpus_id, ip,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ip DESC, corpus_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "ann_centroids" ->
       """WITH d AS (
