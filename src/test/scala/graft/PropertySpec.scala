@@ -286,6 +286,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom reduction ≡ plain join for arbitrary dim selectivities") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    samples(Gen.chooseNum(-900.0, 9500.0), 4, seed = 99L).foreach { thr =>
+      val dim = Tables.load(spark, sf0001, "supplier")
+        .filter(col("s_acctbal") > thr)
+      val viaBloom = graft.operators.BloomReduce
+        .bloomReducedJoin(li, col("l_suppkey"), dim, "s_suppkey")
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      val plain = li.join(dim, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      assert(viaBloom.exceptAll(plain).union(plain.exceptAll(viaBloom))
+        .count() === 0L, s"bloom join diverged at threshold $thr")
+    }
+  }
+
+  test("stats-pruned read ≡ full filter for arbitrary key ranges") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skip_prop").toString + "/t"
+    graft.sources.StatsSkipping.writeClustered(
+      Tables.load(spark, sf0001, "lineitem"), path, "l_orderkey",
+      nFiles = 8, manifestCols = Seq("l_orderkey"))
+    val ranges = samples(Gen.chooseNum(-100L, 1600L), 8, seed = 5L)
+      .grouped(2).map(p => (p.min, p.max)).toSeq
+    ranges.foreach { case (lo, hi) =>
+      val pruned = graft.sources.StatsSkipping
+        .prunedRead(spark, path, "l_orderkey", lo, hi)
+      val full = spark.read.parquet(path)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+      assert(pruned.count() === full.count(),
+        s"pruned read lost rows on [$lo, $hi]")
+    }
+  }
+
   test("int8 quantization: reconstruction error bounded by qscale/2 per element") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, samples(Gen.chooseNum(-10.0f, 10.0f), 16, seed = 7L + i)
