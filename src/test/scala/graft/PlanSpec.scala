@@ -150,4 +150,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("get_json_object") || p.contains("GetJsonObject"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("j14/j15/j16 Q10/Q18/Q21 shapes keep their scale invariants") {
+    // Q10: customer-grain top-20 rides TakeOrderedAndProject; the
+    // returnflag filter reaches the lineitem scan
+    val q10 = plan("j14_returned_items")
+    assert(q10.contains("TakeOrderedAndProject"), q10)
+    assert(q10.contains("EqualTo(l_returnflag,R)") ||
+      q10.contains("l_returnflag"), q10)
+    assert(!q10.contains("CartesianProduct"), q10)
+    // Q18: the HAVING table probes as a semi join — the detail join
+    // never sees unfiltered lineitem
+    val q18 = plan("j15_big_orders")
+    assert(q18.contains("LeftSemi"), q18)
+    assert(!q18.contains("CartesianProduct"), q18)
+    // Q21: ONE pass over lineitem⋈orders (no triple self-join) — at
+    // most the two base scans appear
+    val q21 = plan("j16_waiting_supplier")
+    assert("Scan parquet".r.findAllIn(q21).size <= 3, q21)
+    assert(!q21.contains("CartesianProduct"), q21)
+  }
+
+  test("q_ema folds inside the projection — no Window, one exchange") {
+    val p = plan("q_ema")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("aggregate("), p) // the higher-order fold
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q_rolling_distinct expands then aggregates — no Window operator") {
+    val p = plan("q_rolling_distinct")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("text_search: term filter prunes before any join; df side broadcasts") {
+    val p = plan("text_search")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
