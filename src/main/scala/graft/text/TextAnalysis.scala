@@ -265,10 +265,13 @@ object TextAnalysis {
     val src = df.select(col(idCol).as("id"), col(groupCol))
     val totals = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"))
+    // null-safe totals join: docs with a NULL group (unknown source)
+    // still form a group and get mined
+    val t = totals.withColumnRenamed(groupCol, "__g")
     sh.join(src, Seq("id"))
       .groupBy(col(groupCol), col("shingle"))
       .agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(totals), Seq(groupCol))
+      .join(broadcast(t), col(groupCol) <=> col("__g")).drop("__g")
       .filter(col("n_docs") >= ceil(col("n_total") * minFrac))
       .withColumn("doc_frac", round(col("n_docs") / col("n_total"), 4))
   }

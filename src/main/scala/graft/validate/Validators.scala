@@ -330,7 +330,10 @@ object Drift {
       .agg(sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"))
     val p = greatest(col("ref_n") / col("ref_tot"), lit(eps))
     val q = greatest(col("cur_n") / col("cur_tot"), lit(eps))
-    cells.join(broadcast(totals), Seq(groupCol))
+    // null-safe totals join: a NULL group key is still a group
+    // (the Scale.exactPercentiles lesson)
+    val t = totals.withColumnRenamed(groupCol, "__g")
+    cells.join(broadcast(t), col(groupCol) <=> col("__g")).drop("__g")
       .select(col(groupCol), col("ref_n"), col("cur_n"),
         col("ref_tot"), col("cur_tot"),
         ((q - p) * log(q / p)).as("__term"))

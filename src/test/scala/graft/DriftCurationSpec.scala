@@ -53,6 +53,26 @@ class DriftCurationSpec extends SparkSpec {
       perUser.filter($"n" >= 5 && $"n_test" > 0).count())
   }
 
+  test("psi keeps a NULL group key as a group") {
+    val df = Seq[(Option[String], Double, Boolean)](
+      (None, 5.0, true), (None, 15.0, false),
+      (Some("g"), 5.0, true), (Some("g"), 15.0, false))
+      .toDF("g", "v", "ref")
+    val out = Drift.psi(df, "g", "v", col("ref"), binWidth = 10.0,
+      nBins = 10)
+    assert(out.count() === 2, "NULL-keyed group must survive the totals join")
+    assert(out.filter($"g".isNull).count() === 1)
+  }
+
+  test("boilerplate mining keeps a NULL source as a group") {
+    val docs = Seq((1L, "a b a b", null.asInstanceOf[String]),
+      (2L, "a b c d", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val mined = TextAnalysis.boilerplateShingles(docs, "doc_id", "text",
+      "source", n = 2, minFrac = 0.9)
+    assert(mined.filter($"shingle" === "a b").count() === 1)
+  }
+
   test("boilerplate mining finds a planted template span") {
     val docs = (0 until 20).map { i =>
       (i.toLong, s"unique$i words here copyright acme corp footer " +
