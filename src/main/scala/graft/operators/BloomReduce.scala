@@ -49,7 +49,10 @@ object BloomReduce {
       dimKey: String, expectedItems: Long = 1000000L,
       numBits: Long = 8388608L): DataFrame = {
     val bloom = buildBloom(dim, dimKey, expectedItems, numBits)
-    fact.filter(BloomFilterShim.mightContain(lit(bloom), factKey))
+    // an empty/all-NULL dim aggregates to a NULL bloom: nothing can
+    // match, so short-circuit instead of probing a null literal
+    if (bloom == null) fact.filter(lit(false))
+    else fact.filter(BloomFilterShim.mightContain(lit(bloom), factKey))
   }
 
   /** Inner equi-join with the probe side bloom-reduced first.

@@ -45,6 +45,7 @@ object PageRank {
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count() // scalar: the only driver-side value
+    require(n > 0, "pageRank needs a non-empty edge list")
     val teleport = (1.0 - damping) / n
     // one aggregate, then ride along on every iteration's edge join
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))

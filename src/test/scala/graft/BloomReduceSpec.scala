@@ -42,6 +42,14 @@ class BloomReduceSpec extends SparkSpec {
     assert(plain.exceptAll(viaBloom).count() === 0L)
   }
 
+  test("empty dim side yields an empty join, not a null-literal probe") {
+    val none = Tables.load(spark, sf001, "supplier")
+      .filter(col("s_acctbal") > 1e9)
+    val out = BloomReduce.bloomReducedJoin(li, col("l_suppkey"), none,
+      "s_suppkey")
+    assert(out.count() === 0L)
+  }
+
   test("might_contain filter sits below the fact-side exchange") {
     val plan = BloomReduce
       .bloomReducedJoin(li, col("l_suppkey"), dim, "s_suppkey")
