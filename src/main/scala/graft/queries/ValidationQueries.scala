@@ -103,7 +103,37 @@ object ValidationQueries extends QuerySection {
         round(col("psi"), 6).as("psi"))
       .orderBy(col("event_type"))
 
+  /** V+ — drift between LAKE VERSIONS, end to end: commit the
+    * first-half feed as `v=0`, the full feed as `v=1`, read both
+    * versions back, isolate v1's new rows by anti-join on the key, and
+    * run the PSI scorecard with v0 as the reference. Composes
+    * `Sinks.Versioned` (write → `_SUCCESS`-gated read) with
+    * `Drift.psi`; the oracle computes the same drift straight from the
+    * source table, so equal hashes prove the whole
+    * version-write/read/diff path preserves the distributions it
+    * feeds into monitoring. */
+  private def v7DriftVersions(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Sinks
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vdrift").toString + "/t"
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    Sinks.Versioned.write(ev.filter(col("ts") < lit("2024-01-16")), path)
+    Sinks.Versioned.write(ev, path)
+    val v0 = Sinks.Versioned.read(s, path, Some(0L))
+    val v1New = Sinks.Versioned.read(s, path, Some(1L))
+      .join(v0.select(col("event_id")), Seq("event_id"), "left_anti")
+    val combined = v0.withColumn("__ref", lit(true))
+      .unionByName(v1New.withColumn("__ref", lit(false)))
+    graft.validate.Drift.psi(combined, "event_type", "value",
+        refCond = col("__ref"), binWidth = 50.0, nBins = 10)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(col("psi"), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "v7_drift_versions" -> (v7DriftVersions _),
     "v6_drift_psi" -> (v6DriftPsi _),
     "v1_flags" -> (v1Flags _),
     "v2_schema_counts" -> (v2SchemaCounts _),
@@ -114,6 +144,33 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical drift computed straight from the source halves — equal
+    // hashes prove the versioned write/read/anti-join-diff round-trip
+    "v7_drift_versions" ->
+      """WITH binned AS (
+        |  SELECT event_type,
+        |    CAST(least(floor(value / 50), 9) AS BIGINT) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+        |      AS is_ref
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(is_ref) AS BIGINT) AS ref_n,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+        |  FROM binned GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(ref_n) AS ref_tot, sum(cur_n) AS cur_tot
+        |  FROM cells GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(sum(ref_n) AS BIGINT) AS n_ref,
+        |  CAST(sum(cur_n) AS BIGINT) AS n_cur,
+        |  round(sum(
+        |    (greatest(cur_n / cur_tot, 1e-6) -
+        |     greatest(ref_n / ref_tot, 1e-6)) *
+        |    ln(greatest(cur_n / cur_tot, 1e-6) /
+        |       greatest(ref_n / ref_tot, 1e-6))), 6) AS psi
+        |FROM cells JOIN tot USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "v6_drift_psi" ->
       """WITH binned AS (
         |  SELECT event_type,
