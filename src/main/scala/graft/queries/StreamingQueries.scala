@@ -54,6 +54,39 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Streaming APPROXIMATE DISTINCT: per-window unique users via
+    * HLL++ (`approx_count_distinct`) — the only distinct aggregate
+    * Structured Streaming supports (exact `countDistinct` is
+    * unsupported in streaming, and at 100 TB the sketch is the right
+    * answer anyway: fixed-size register state per window, mergeable
+    * across partitions, order-independent and therefore
+    * deterministic). Judged like `q_approx_distinct`: the output
+    * carries the BATCH-exact count and the in-bound boolean, so the
+    * oracle needs no sketch replay. */
+  private def streamApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sad")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val approx = Streaming.readEventsNanos(s, tmp.toString)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+    val name = "stream_approx_distinct_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(approx, name, outputMode = "append")
+    }
+    val exact = graft.Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    s.table(name).join(exact, Seq("window"))
+      .select(col("window.start").as("w_start"), col("exact_users"),
+        // 2% rsd sketch: 3σ ≈ 6% + a small-count floor
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.06, lit(3.0))).as("within_bound"))
+      .orderBy(col("w_start"))
+  }
+
   /** Streaming DEDUP under a planted 2× duplication: the same events
     * file is symlinked twice into the stream directory, so every event
     * arrives exactly twice; `dropDuplicatesWithinWatermark` on event_id
@@ -534,6 +567,7 @@ object StreamingQueries extends QuerySection {
     "stream_pit_enrich" -> (streamPitEnrich _),
     "stream_attribution_full" -> (streamAttributionFull _),
     "stream_stateful_sessions" -> (streamStatefulSessions _),
+    "stream_approx_distinct" -> (streamApproxDistinct _),
     "stream_upsert" -> (streamUpsert _)
   )
 
@@ -669,6 +703,16 @@ object StreamingQueries extends QuerySection {
         |  max(us) AS session_end_us, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value
         |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    // append-mode emission: only watermark-closed windows surface
+    "stream_approx_distinct" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT w_start, exact_users, TRUE AS within_bound FROM w
+        |WHERE w_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events)
+        |ORDER BY w_start""".stripMargin
   )
 }
