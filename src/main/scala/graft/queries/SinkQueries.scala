@@ -214,6 +214,35 @@ object SinkQueries extends QuerySection {
       .orderBy(col("l_returnflag"))
   }
 
+  /** K22 DYNAMIC PARTITION OVERWRITE read-back: the
+    * reprocess-one-day lake op — an incoming batch carrying only two
+    * days replaces EXACTLY those two day-partitions
+    * (`partitionOverwriteMode=dynamic`) and must leave every other
+    * day byte-untouched; static overwrite mode would have truncated
+    * the whole table. Judged on the per-day read-back: the two
+    * replayed days carry doubled values, the rest the originals. At
+    * 100 TB this is the difference between rewriting 2 partitions and
+    * rewriting the lake. */
+  private def kDynOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dyno").toString + "/t"
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.partitionBy("day").parquet(path)
+    val redo = Seq("2024-01-05", "2024-01-10")
+    ev.filter(col("day").isin(redo: _*))
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
+    s.read.parquet(path)
+      // partition-column type inference reads the day string back as a
+      // timestamp; re-format for the hash-stable export
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("day"))
+  }
+
   /** O2 flagship ETL job end-to-end (src/api/main.py:224-280): extract
     * events → clean → validate (value range) → route valid/invalid to
     * lake paths → report per-route loaded counts. The judged output is
@@ -441,7 +470,8 @@ object SinkQueries extends QuerySection {
     "k9b_delete_keys" -> (k9bDeleteKeys _),
     "k_ledger" -> (kLedger _),
     "k_compaction" -> (kCompaction _),
-    "k_stats_prune" -> (kStatsPrune _)
+    "k_stats_prune" -> (kStatsPrune _),
+    "k_dyn_overwrite" -> (kDynOverwrite _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -624,6 +654,13 @@ object SinkQueries extends QuerySection {
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
         |  AND l_shipdate <= TIMESTAMP '1997-04-30 23:59:59'
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    "k_dyn_overwrite" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |  round(sum(CASE WHEN strftime(ts, '%Y-%m-%d')
+        |    IN ('2024-01-05', '2024-01-10')
+        |    THEN value * 2 ELSE value END), 2) AS total
+        |FROM events
+        |GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -204,6 +204,7 @@ object Streaming {
     * batch oracle. */
   def statefulSessions(events: DataFrame, gapMinutes: Int = 30,
       watermark: String = "1 minute"): Dataset[SessionAgg] = {
+    require(gapMinutes > 0, "session gap must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
