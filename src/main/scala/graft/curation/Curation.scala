@@ -116,6 +116,31 @@ object Curation {
         Seq(shuffleKey(salt, col(keyCol)).asc, col(keyCol).asc), k)
       .drop("rank")
 
+  /** Balanced class rebalancing: downsample every class to the size of
+    * the SMALLEST class — the classifier-training mix fix — with the
+    * cap derived from the data itself (one aggregate), not hand-picked
+    * like [[sampleKPerGroup]]'s k. Selection within a class is the
+    * smallest keyed hashes (deterministic, rerun-stable, oracle-
+    * replayable). Scale: one count aggregate, a 1-row broadcast of the
+    * cap, and one window shuffle on the class key; with few huge
+    * classes the per-class sort serializes — the price of an exact
+    * cap (a `hashPct`-style rate filter is the approximate fallback
+    * when classes are web-scale). */
+  def rebalanceToMinority(df: DataFrame, classCol: String, keyCol: String,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__rk") && !df.columns.contains("__cap"),
+      "columns __rk/__cap are reserved")
+    val cap = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__cap"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(shuffleKey(salt, col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("__rk") <= col("__cap"))
+      .drop("__rk", "__cap")
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any n-gram
     * shingle with the benchmark set. Returns (id, n_shared) per
     * contaminated doc. The benchmark shingle set is broadcast —

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: pairwise co-occurrence with
+  * support / confidence / lift — the "what sells together" rollup the
+  * reference's star schema exists to answer (orders × products,
+  * multi_source_ingestion_dag.py:59) but never computes.
+  *
+  * Scale shape: the pair generator is a SELF-JOIN ON THE BASKET KEY,
+  * not a cross join — each basket contributes C(k,2) pairs where k is
+  * its own item count. Retail-shaped data has small, bounded k
+  * (TPC-H: ≤ 7 lines/order), so the pair stage is linear in baskets
+  * with a constant factor of k²/2; the join is one hash shuffle on
+  * the basket id, and everything after is vocabulary²-bounded
+  * aggregates. A basket with pathological k would blow this up —
+  * cap it upstream (`maxBasketSize`) the way the shingle-frequency
+  * cap guards MinHash (dedup/Dedup.scala).
+  */
+object Association {
+
+  /** Pair-level association stats over `(basketCol, itemCol)` rows
+    * (duplicates collapsed first — a basket holds an item once).
+    *
+    * Output per unordered item pair (item_a < item_b):
+    * `n_co` (co-occurrence count), `support` = n_co / n_baskets,
+    * `confidence_ab` = n_co / n(item_a), and symmetric
+    * `lift` = n_baskets·n_co / (n(item_a)·n(item_b)) — lift > 1 means
+    * the pair co-occurs more than independence predicts. Doubles are
+    * rounded to `roundTo` so engine summation order can't flip an
+    * oracle hash. Baskets larger than `maxBasketSize` items are
+    * dropped whole (skew guard: one million-item basket would emit
+    * 5·10¹¹ pairs; a distinct-count pre-filter costs one aggregate).
+    */
+  def pairStats(df: DataFrame, basketCol: String, itemCol: String,
+      minCo: Long = 2L, maxBasketSize: Int = 1000,
+      roundTo: Int = 6): DataFrame = {
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    val sized = items.groupBy(col("b"))
+      .agg(count(lit(1)).as("__k"))
+      .filter(col("__k") <= maxBasketSize)
+      .select(col("b"))
+    val kept = items.join(sized, Seq("b"), "left_semi")
+
+    // scalar: basket universe size (post-cap), broadcast as a literal
+    // join — one number to the driver, same contract as the quantile
+    // brackets (plans/Scale.scala:88-102)
+    val nBaskets = kept.select(col("b")).distinct().count()
+    val freq = kept.groupBy(col("i")).agg(count(lit(1)).as("f"))
+
+    val pairs = kept.as("a")
+      .join(kept.as("c"), col("a.b") === col("c.b")
+        && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("item_a"), col("c.i").as("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+
+    pairs
+      .join(freq.select(col("i").as("item_a"), col("f").as("__fa")),
+        "item_a")
+      .join(freq.select(col("i").as("item_b"), col("f").as("__fb")),
+        "item_b")
+      .select(col("item_a"), col("item_b"), col("n_co"),
+        round(col("n_co").cast("double") / nBaskets, roundTo)
+          .as("support"),
+        round(col("n_co").cast("double") / col("__fa"), roundTo)
+          .as("confidence_ab"),
+        round(lit(nBaskets.toDouble) * col("n_co")
+          / (col("__fa") * col("__fb")), roundTo).as("lift"))
+  }
+}

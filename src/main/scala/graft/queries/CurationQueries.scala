@@ -145,6 +145,15 @@ object CurationQueries extends QuerySection {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Minority-class rebalancing: every language downsampled to the
+    * smallest language's size, cap data-derived (one aggregate + 1-row
+    * broadcast), membership by smallest keyed hash. Judged on the
+    * exact kept rows — the oracle replays cap and hash order. */
+  private def curRebalance(s: SparkSession, dir: String): DataFrame =
+    Curation.rebalanceToMinority(docs(s, dir), "lang", "doc_id", "bal")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Per-group z-score normalization of event values (population σ,
     * zero-variance groups → null). */
   private def curZscore(s: SparkSession, dir: String): DataFrame =
@@ -194,6 +203,7 @@ object CurationQueries extends QuerySection {
     "cur_pipeline" -> (curPipeline _),
     "cur_sample_weighted" -> (curSampleWeighted _),
     "cur_sample_group" -> (curSampleGroup _),
+    "cur_rebalance" -> (curRebalance _),
     "cur_zscore" -> (curZscore _),
     "cur_winsorize" -> (curWinsorize _),
     "cur_sample_hash" -> (curSampleHash _),
@@ -258,6 +268,15 @@ object CurationQueries extends QuerySection {
         |    ORDER BY md5('ks|' || doc_id), doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
+    "cur_rebalance" ->
+      """WITH cap AS (SELECT min(n) AS m FROM (
+        |  SELECT count(*) AS n FROM documents GROUP BY lang))
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('bal|' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= (SELECT m FROM cap)
+        |ORDER BY doc_id""".stripMargin,
     "cur_zscore" ->
       """SELECT event_id,
         |  CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL

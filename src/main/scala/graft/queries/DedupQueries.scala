@@ -33,6 +33,25 @@ object DedupQueries extends QuerySection {
       n = 1, threshold = 0.8, maxShingleFreq = 1000000L)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Prefix-filtered set-similarity JOIN (`operators/SetSimJoin.scala`)
+    * — cross-corpus Jaccard ≥ τ pairs (even doc_ids vs odd, the
+    * query-vs-corpus contamination shape) via PPJoin candidate
+    * generation instead of the all-pairs product. The oracle is the
+    * NAIVE all-pairs join: prefix filtering is candidate-complete, so
+    * the two must agree row for row — the judged query proves the
+    * pruning lossless, SetSimJoinSpec proves it against a Spark cross
+    * join and that prefixes genuinely shrink. */
+  private def ssjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis.tokens
+    val d = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.operators.SetSimJoin.jaccardJoin(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "toks", tau = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** MinHash+LSH near-dup pairs — the full sketch pipeline (seeded
     * min-hashes → banding → bucket join → exact-Jaccard verify) is
     * oracle-checked: the portable md5-bridge hash computes identically
@@ -144,6 +163,7 @@ object DedupQueries extends QuerySection {
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_ngram" -> (dedupNgram _),
+    "ssjoin_prefix" -> (ssjoinPrefix _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -350,6 +370,26 @@ object DedupQueries extends QuerySection {
         |JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
         |  >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ssjoin_prefix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(
+        |    trim(text), '\s+'))) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+        |  >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

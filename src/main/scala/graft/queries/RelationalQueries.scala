@@ -359,6 +359,84 @@ object RelationalQueries extends QuerySection {
       .limit(50)
   }
 
+  /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
+    * "suppliers achieving the per-part minimum" subquery, decorrelated
+    * into aggregate + equi-join. The cost relation is lineitem's unit
+    * price (this data model has no partsupp; reference star schema
+    * joins the same way, multi_source_ingestion_dag.py:59). Scale
+    * shape: region/nation broadcast into supplier, the supplier set
+    * broadcasts into lineitem (scan-stage filter — non-European rows
+    * never shuffle), and both the per-(part,supplier) aggregate and
+    * the per-part minimum hash on l_partkey so AQE reuses one
+    * exchange; the min is joined back by (part, rounded cost) — the
+    * classic decorrelation, no row ever compared twice. */
+  private def j18MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(Tables.load(s, dir, "nation"))
+    val r = broadcast(Tables.load(s, dir, "region")
+      .filter(col("r_name") === "EUROPE"))
+    val su = Tables.load(s, dir, "supplier")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_partkey") < 500 && col("l_quantity") > 0)
+    // per-(part, supplier) best unit price — rounded BEFORE the min so
+    // the equality join-back and the oracle see identical doubles
+    val cost = li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+        .as("unit_cost"))
+    val best = cost.groupBy(col("l_partkey").as("__pk"))
+      .agg(min(col("unit_cost")).as("__min_cost"))
+    cost.join(best, col("l_partkey") === col("__pk")
+        && col("unit_cost") === col("__min_cost"))
+      .join(broadcast(Tables.load(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("partkey"), col("p_name"),
+        col("s_suppkey"), col("s_name"), col("n_name"), col("unit_cost"))
+      .orderBy(col("partkey"), col("s_suppkey"))
+  }
+
+  /** J19 — blocked fuzzy join (entity resolution): near-identical part
+    * names found by BLOCKING on the first name token and refining each
+    * block's pairs with codegen'd Levenshtein ≤ 3. Scale shape: the
+    * all-pairs product never forms — candidate pairs come from one
+    * hash shuffle on the block key, quadratic only WITHIN a block
+    * (bounded by the adjective vocabulary's fan-out; the same
+    * bounded-bucket contract as LSH banding, dedup/Dedup.scala). The
+    * oracle replays block + refine, the judged output aggregates to
+    * per-block pair counts so result size is vocabulary-bounded. */
+  private def j19FuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("block"))
+    p.as("a").join(p.as("b"),
+        col("a.block") === col("b.block")
+          && col("a.p_partkey") < col("b.p_partkey")
+          && col("a.p_name") =!= col("b.p_name")
+          && levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
+      .groupBy(col("a.block").as("block"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long")
+          .as("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("a.p_partkey")).as("n_left"))
+      .orderBy(col("block"), col("dist"))
+  }
+
+  /** Market-basket association (`operators/Association.scala`): pair
+    * support / confidence / lift over order baskets. The pair stage is
+    * a self-join on l_orderkey — per-basket quadratic (k ≤ 13 here),
+    * corpus-linear — then two broadcast joins against the item
+    * frequency table; ordered by rounded lift so both engines cut the
+    * same top rows. */
+  private def qMarketBasket(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.pairStats(
+      Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      minCo = 3L)
+      .orderBy(desc("lift"), col("item_a"), col("item_b"))
+      .limit(100)
+
   /** W2 top-k: TakeOrderedAndProject — per-partition top-k then driver
     * merge of k·partitions rows, never a global sort. */
   private def w1TopK(s: SparkSession, dir: String): DataFrame =
@@ -1401,6 +1479,9 @@ object RelationalQueries extends QuerySection {
     "j15_big_orders" -> (j15BigOrders _),
     "j16_waiting_supplier" -> (j16WaitingSupplier _),
     "j17_bloom_reduced" -> (j17BloomReduced _),
+    "j18_min_cost_supplier" -> (j18MinCostSupplier _),
+    "j19_fuzzy_blocked" -> (j19FuzzyBlocked _),
+    "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
@@ -1997,6 +2078,62 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "j18_min_cost_supplier" ->
+      """WITH su AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (
+        |  SELECT l_partkey, s_suppkey, s_name, n_name,
+        |    min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+        |  FROM lineitem JOIN su ON l_suppkey = s_suppkey
+        |  WHERE l_partkey < 500 AND l_quantity > 0
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT l_partkey AS partkey, p_name, s_suppkey, s_name, n_name,
+        |  unit_cost
+        |FROM cost
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE unit_cost = (SELECT min(unit_cost) FROM cost c2
+        |  WHERE c2.l_partkey = cost.l_partkey)
+        |ORDER BY partkey, s_suppkey""".stripMargin,
+    "j19_fuzzy_blocked" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS block
+        |  FROM part)
+        |SELECT a.block AS block, levenshtein(a.p_name, b.p_name) AS dist,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT a.p_partkey) AS n_left
+        |FROM p a JOIN p b ON a.block = b.block
+        |  AND a.p_partkey < b.p_partkey
+        |  AND a.p_name <> b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+        |freq AS (SELECT i, count(*) AS f FROM items GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_co
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT item_a, item_b, n_co,
+        |  round(CAST(n_co AS DOUBLE) / nb.n, 6) AS support,
+        |  round(CAST(n_co AS DOUBLE) / fa.f, 6) AS confidence_ab,
+        |  round(nb.n * CAST(n_co AS DOUBLE) / (fa.f * fb.f), 6) AS lift
+        |FROM pairs
+        |CROSS JOIN nb
+        |JOIN freq fa ON fa.i = item_a
+        |JOIN freq fb ON fb.i = item_b
+        |ORDER BY lift DESC, item_a, item_b
+        |LIMIT 100""".stripMargin,
     "j17_bloom_reduced" ->
       """SELECT s_suppkey, s_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
