@@ -48,4 +48,32 @@ object Features {
       .withColumn(outCol, least(greatest(v, col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Equal-frequency discretization: bin a numeric column into
+    * `nBins` quantile buckets with EXACT interpolated boundaries —
+    * the feature-engineering binning that `ntile` only approximates
+    * (ntile's cut points depend on row order among ties; boundary
+    * binning depends only on values). Boundaries come from the
+    * scan-shaped exact-quantile path (`Scale.exactGlobalQuantiles` —
+    * no global sort, see its scaladoc) and are ROUNDED to `roundTo`
+    * before comparison so an oracle replaying `quantile_cont` bins
+    * ties identically. A row lands in bin b = #(boundaries ≤ v),
+    * b ∈ [0, nBins−1]; null values get bin null.
+    *
+    * Scale: the boundary row is a 1-row broadcast; binning is a pure
+    * projection over the scan — the discretized column costs nothing
+    * beyond the quantile probe jobs. */
+  def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
+      binCol: String = "bin", roundTo: Int = 6): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val ps = (1 until nBins).map(i => s"__q$i" -> i.toDouble / nBins)
+    val bounds = graft.plans.Scale.exactGlobalQuantiles(df, valueCol, ps)
+    val v = col(valueCol).cast("double")
+    val bin = ps.map { case (name, _) =>
+      when(v >= round(col(name), roundTo), 1).otherwise(0) }
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(binCol, when(v.isNotNull, bin))
+      .drop(ps.map(_._1): _*)
+  }
 }

@@ -45,10 +45,13 @@ object Association {
       .select(col("b"))
     val kept = items.join(sized, Seq("b"), "left_semi")
 
-    // scalar: basket universe size (post-cap), broadcast as a literal
-    // join — one number to the driver, same contract as the quantile
-    // brackets (plans/Scale.scala:88-102)
-    val nBaskets = kept.select(col("b")).distinct().count()
+    // scalar: basket universe size (post-cap) as a 1-row broadcast —
+    // keeping it IN the plan (vs a driver-side count action) means one
+    // job, and AQE reuses the kept-items exchange between the scalar,
+    // the frequency table, and the pair stage instead of recomputing
+    // the whole subtree for a separate count job
+    val nBaskets = kept.agg(
+      count_distinct(col("b")).cast("double").as("__nb"))
     val freq = kept.groupBy(col("i")).agg(count(lit(1)).as("f"))
 
     val pairs = kept.as("a")
@@ -63,12 +66,13 @@ object Association {
         "item_a")
       .join(freq.select(col("i").as("item_b"), col("f").as("__fb")),
         "item_b")
+      .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_co"),
-        round(col("n_co").cast("double") / nBaskets, roundTo)
+        round(col("n_co").cast("double") / col("__nb"), roundTo)
           .as("support"),
         round(col("n_co").cast("double") / col("__fa"), roundTo)
           .as("confidence_ab"),
-        round(lit(nBaskets.toDouble) * col("n_co")
+        round(col("__nb") * col("n_co")
           / (col("__fa") * col("__fb")), roundTo).as("lift"))
   }
 }

@@ -154,6 +154,17 @@ object CurationQueries extends QuerySection {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Equal-frequency decile binning (`Features.quantileBins`): exact
+    * interpolated boundaries from the scan-shaped global-quantile path
+    * (no global sort), rounded before comparison so DuckDB's
+    * `quantile_cont` bins ties identically; judged on per-bin counts,
+    * which must come out ~n/10 each. */
+  private def curQuantileBins(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.quantileBins(
+        Tables.load(s, dir, "events"), "value", nBins = 10)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+
   /** Per-group z-score normalization of event values (population σ,
     * zero-variance groups → null). */
   private def curZscore(s: SparkSession, dir: String): DataFrame =
@@ -204,6 +215,7 @@ object CurationQueries extends QuerySection {
     "cur_sample_weighted" -> (curSampleWeighted _),
     "cur_sample_group" -> (curSampleGroup _),
     "cur_rebalance" -> (curRebalance _),
+    "cur_quantile_bins" -> (curQuantileBins _),
     "cur_zscore" -> (curZscore _),
     "cur_winsorize" -> (curWinsorize _),
     "cur_sample_hash" -> (curSampleHash _),
@@ -277,6 +289,17 @@ object CurationQueries extends QuerySection {
         |  FROM documents)
         |WHERE rk <= (SELECT m FROM cap)
         |ORDER BY doc_id""".stripMargin,
+    "cur_quantile_bins" ->
+      """WITH b AS (SELECT quantile_cont(CAST(value AS DOUBLE),
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM events)
+        |SELECT bin, count(*) AS n FROM (
+        |  SELECT CASE WHEN value IS NOT NULL THEN
+        |    CAST(list_sum(list_transform((SELECT q FROM b),
+        |      x -> CASE WHEN CAST(value AS DOUBLE) >= round(x, 6)
+        |        THEN 1 ELSE 0 END)) AS INTEGER) END AS bin
+        |  FROM events)
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "cur_zscore" ->
       """SELECT event_id,
         |  CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL

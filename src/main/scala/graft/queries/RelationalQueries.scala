@@ -402,26 +402,71 @@ object RelationalQueries extends QuerySection {
     * names found by BLOCKING on the first name token and refining each
     * block's pairs with codegen'd Levenshtein ≤ 3. Scale shape: the
     * all-pairs product never forms — candidate pairs come from one
-    * hash shuffle on the block key, quadratic only WITHIN a block
-    * (bounded by the adjective vocabulary's fan-out; the same
-    * bounded-bucket contract as LSH banding, dedup/Dedup.scala). The
-    * oracle replays block + refine, the judged output aggregates to
-    * per-block pair counts so result size is vocabulary-bounded. */
+    * hash shuffle on the block key, quadratic only WITHIN a block.
+    * Because this corpus's blocking key is a FIXED vocabulary (TPC-H
+    * p_name's ~90 first words), block size grows with the data and
+    * the refine dominates — so the refine is staged cheap-to-costly:
+    * a length-gap guard first (|len a − len b| ≤ 3 is NECESSARY for
+    * edit distance ≤ 3, one subtraction kills most pairs), then the
+    * THRESHOLD form `levenshtein(a, b, 3)` whose banded DP does
+    * O(k·n) work and early-exits instead of the full O(n²) matrix —
+    * same values ≤ k, so the oracle's plain levenshtein agrees. On a
+    * real ER corpus the blocking key is high-cardinality (names) and
+    * blocks stay small — the same bounded-bucket contract as LSH
+    * banding (dedup/Dedup.scala). The oracle replays block + refine;
+    * the judged output aggregates to per-block pair counts so result
+    * size is vocabulary-bounded. */
   private def j19FuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_name"),
         split(col("p_name"), " ").getItem(0).as("block"))
-    p.as("a").join(p.as("b"),
+    val lenGap =
+      abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3
+    // threshold levenshtein: returns the exact distance when ≤ 3 and
+    // -1 once the band is exceeded — `between` excludes the -1s
+    val dist3 = levenshtein(col("a.p_name"), col("b.p_name"), 3)
+    // parallelism: the dim side broadcasts (it's tiny), so the refine's
+    // task count is the PROBE side's partitioning — and a 20k-row
+    // parquet scan is one input split, i.e. one task grinding every
+    // pair. Repartitioning the probe side by its unique key spreads the
+    // quadratic refine evenly over the cluster; each task probes the
+    // broadcast block table locally, no block-key skew possible (the
+    // block key here has ~8 values, so hash-partitioning by BLOCK would
+    // cap parallelism at 8 — partitioning by the unique key while the
+    // block table broadcasts is the skew-proof layout). The partition
+    // count is EXPLICIT: this shuffle is bytes-tiny (narrow rows) but
+    // compute-heavy downstream, exactly the case AQE's byte-based
+    // partition coalescing gets wrong — it would merge the 20k rows
+    // back into one task; an explicit count opts this exchange out.
+    p.repartition(64, col("p_partkey")).as("b")
+      .join(broadcast(p).as("a"),
         col("a.block") === col("b.block")
           && col("a.p_partkey") < col("b.p_partkey")
           && col("a.p_name") =!= col("b.p_name")
-          && levenshtein(col("a.p_name"), col("b.p_name")) <= 3)
-      .groupBy(col("a.block").as("block"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long")
-          .as("dist"))
+          && lenGap && dist3.between(0, 3))
+      .groupBy(col("a.block").as("block"), dist3.cast("long").as("dist"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("a.p_partkey")).as("n_left"))
       .orderBy(col("block"), col("dist"))
+  }
+
+  /** Triangle census (`operators/Triangles.scala`) of the part
+    * co-purchase graph (edge = two parts share ≥ 2 orders): count by
+    * DEGREE-ORDERED orientation — per-node wedge work bounded O(√m)
+    * regardless of hub skew — while the oracle counts the same graph
+    * with the naive id-ordered three-way join; any total order yields
+    * the same census, which is exactly what the compare proves. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+      .distinct()
+    val edges = items.as("a")
+      .join(items.as("c"), col("a.b") === col("c.b")
+        && col("a.i") < col("c.i"))
+      .groupBy(col("a.i").as("u"), col("c.i").as("v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    graft.operators.Triangles.census(edges, "u", "v")
   }
 
   /** Market-basket association (`operators/Association.scala`): pair
@@ -1483,6 +1528,7 @@ object RelationalQueries extends QuerySection {
     "j19_fuzzy_blocked" -> (j19FuzzyBlocked _),
     "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2078,6 +2124,26 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS u, c.i AS v, count(*) AS co
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT x, count(*) AS d FROM (
+        |  SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |w AS (SELECT CAST(sum(d * (d - 1)) AS DOUBLE) / 2.0 AS wedges
+        |  FROM deg)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  round(3.0 * (SELECT t FROM tri) / (SELECT wedges FROM w), 6)
+        |    AS clustering""".stripMargin,
     "j18_min_cost_supplier" ->
       """WITH su AS (
         |  SELECT s_suppkey, s_name, n_name

@@ -30,6 +30,15 @@ object TextQueries extends QuerySection {
         round(avgWordLenOfTokens(col("__toks")), 4).as("avg_word_len"))
       .orderBy(col("doc_id")).limit(500)
 
+  /** One corpus-scale BPE merge step ([[bpePairCounts]]): top adjacent
+    * character pairs weighted by word frequency — the tokenizer-
+    * training inner loop, reduced over the word VOCABULARY rather than
+    * the corpus. The argmax row is the next merge. */
+  private def textBpeStep(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(docs(s, dir), "text")
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(20)
+
   /** Heuristic quality signals (stopword/punct/digit ratios, composite
     * score); raw + lowercase token arrays materialized once per doc. */
   private def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -274,6 +283,7 @@ object TextQueries extends QuerySection {
     "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
     "text_stats" -> (textStats _),
+    "text_bpe_step" -> (textBpeStep _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -405,6 +415,21 @@ object TextQueries extends QuerySection {
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY pack_id""".stripMargin,
+    "text_bpe_step" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT f, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> substring(w, i, 1) || ' ' || substring(w, i + 1, 1)))
+        |      AS pair
+        |  FROM words)
+        |SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
         |  CAST(len($tokensSql) AS INT) AS n_tokens,

@@ -276,6 +276,35 @@ object TextAnalysis {
       .withColumn("doc_frac", round(col("n_docs") / col("n_total"), 4))
   }
 
+  /** One BPE merge step at corpus scale: the adjacent-symbol pair
+    * counts that drive byte-pair-encoding vocabulary induction
+    * (Sennrich et al., ACL'16 — the tokenizer-training inner loop).
+    * Returns (pair, cnt): every adjacent character pair inside each
+    * distinct word, weighted by the word's corpus frequency — the
+    * argmax row IS the next merge.
+    *
+    * Scale shape: the expensive reduction is over the WORD VOCABULARY,
+    * not the corpus — one explode+aggregate collapses the corpus to
+    * (word, freq), character pairs expand each distinct word by
+    * |word|−1 (bounded), and the pair aggregate is alphabet²-sized.
+    * This is why corpus-scale BPE trainers operate on word-frequency
+    * tables; subsequent merge iterations rewrite the (bounded) vocab
+    * table only and never rescan the corpus. All pure column
+    * expressions — `Column.substr` keeps the per-position slicing
+    * inside codegen. */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("f"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => concat(col("w").substr(i, lit(1)), lit(" "),
+            col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
+
   /** [[simhash64]] as a table op: (id, sim) via exploded token hashes +
     * per-bit sum aggregates — all codegen, one shuffle on id.
     * `portableHash` switches the token hash to the 60-bit md5 bridge
