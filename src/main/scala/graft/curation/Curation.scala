@@ -54,6 +54,51 @@ object Curation {
     df.filter(hashPct(salt, col(keyCol)) <
       least(greatest(ratePct, lit(0)), lit(100)))
 
+  /** Temperature-scaled domain mixture: resample so the corpus mixture
+    * follows p_i ∝ n_i^alpha — the pretraining data-mix primitive
+    * (alpha < 1 flattens the distribution toward low-resource domains;
+    * alpha = 1 is a no-op; alpha = 0 targets uniform). Downsample-only:
+    * the domain with the largest n^(alpha−1) (the SMALLEST domain when
+    * alpha < 1) keeps everything and every other domain keeps
+    * rate_i = (n_i / n_ref)^(alpha−1), so no row is ever duplicated.
+    *
+    * Determinism/portability: membership is a keyed-hash Bernoulli at
+    * parts-per-million resolution (the 28-bit md5 bridge mod 1e6, same
+    * value in any engine). alpha = 0.5 computes the rate via `sqrt`,
+    * which IEEE-754 REQUIRES to be correctly rounded — bit-identical
+    * across engines — while generic `pow` is only ~1 ulp; rates are
+    * additionally rounded to 6 dp before the compare so a last-ulp
+    * libm disagreement cannot flip a row.
+    *
+    * Scale: one domain-count aggregate (domain-bounded), rates
+    * broadcast back onto the scan, then a pure filter — the corpus
+    * itself never shuffles. */
+  def temperatureMixture(df: DataFrame, domainCol: String, keyCol: String,
+      salt: String, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"need alpha in [0,1], got $alpha")
+    require(!df.columns.contains("__rate"), "column __rate is reserved")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nRef = counts.agg(min(col("__n")).as("__nref"))
+    val ratio = col("__nref").cast("double") / col("__n")  // ≤ 1
+    val rate = alpha match {
+      case 1.0 => lit(1.0)
+      case 0.5 => sqrt(ratio)
+      case 0.0 => ratio
+      case a   => pow(ratio, 1.0 - a)
+    }
+    val rates = counts.crossJoin(broadcast(nRef))
+      .select(col(domainCol), round(rate, 6).as("__rate"))
+    val ppm = pmod(conv(substring(md5(concat(lit(salt), lit("|"),
+      col(keyCol).cast("string"))), 1, 7), 16, 10).cast("long"),
+      lit(1000000L))
+    // long-vs-double compare on purpose: a cast of rate·1e6 to integer
+    // TRUNCATES in Spark but ROUNDS in DuckDB — comparing in double
+    // space sidesteps the entire class of cast-direction mismatches
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(ppm < col("__rate") * 1e6)
+      .drop("__rate")
+  }
+
   /** Deterministic train/val/test split assignment: each key's 28-bit
     * hash lands in exactly one band of the cumulative percentage layout
     * (e.g. train [0,90), val [90,95), test [95,100)). A pure projection

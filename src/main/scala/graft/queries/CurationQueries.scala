@@ -154,6 +154,19 @@ object CurationQueries extends QuerySection {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled domain mixture (alpha = 0.5): resample so the
+    * language mix follows p ∝ n^0.5 — the pretraining data-mix move
+    * that upweights low-resource languages. Downsample-only (smallest
+    * language keeps 100%), membership a ppm-resolution keyed-hash
+    * Bernoulli; alpha = 0.5 rates go through `sqrt`, which IEEE
+    * requires correctly rounded, so both engines compute bit-identical
+    * rates. Judged on the exact kept rows. */
+  private def curMixture(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(docs(s, dir), "lang", "doc_id", "mixT",
+        alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Equal-frequency decile binning (`Features.quantileBins`): exact
     * interpolated boundaries from the scan-shaped global-quantile path
     * (no global sort), rounded before comparison so DuckDB's
@@ -215,6 +228,7 @@ object CurationQueries extends QuerySection {
     "cur_sample_weighted" -> (curSampleWeighted _),
     "cur_sample_group" -> (curSampleGroup _),
     "cur_rebalance" -> (curRebalance _),
+    "cur_mixture" -> (curMixture _),
     "cur_quantile_bins" -> (curQuantileBins _),
     "cur_zscore" -> (curZscore _),
     "cur_winsorize" -> (curWinsorize _),
@@ -289,6 +303,17 @@ object CurationQueries extends QuerySection {
         |  FROM documents)
         |WHERE rk <= (SELECT m FROM cap)
         |ORDER BY doc_id""".stripMargin,
+    "cur_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |  GROUP BY lang),
+        |r AS (SELECT lang, round(sqrt(
+        |    CAST((SELECT min(n) FROM c) AS DOUBLE) / n), 6) AS rate
+        |  FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5('mixT|' || d.doc_id), 1, 7)
+        |    AS BIGINT) % 1000000 < rate * 1000000
+        |ORDER BY d.doc_id""".stripMargin,
     "cur_quantile_bins" ->
       """WITH b AS (SELECT quantile_cont(CAST(value AS DOUBLE),
         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q

@@ -1309,6 +1309,33 @@ object RelationalQueries extends QuerySection {
     * in, users out. Timestamps are exported as epoch millis (the
     * events fixture is ns-precision, which the two engines truncate
     * differently at full resolution). */
+  /** Markov transition matrix over each user's event sequence: for
+    * every adjacent (event, next-event) pair, the count and the
+    * conditional probability P(next | current) — the behavioral-model
+    * primitive funnels ([[w10Funnel]]) hand-pick two steps of. Scale
+    * shape: ONE window exchange on user_id (per-user history bounds
+    * the sort run, not the corpus) feeding an event-type²-bounded
+    * aggregate; the per-source totals for the conditional ride a
+    * second window over that tiny aggregate, not the data. Ties on ts
+    * are broken by event_id so the sequence — and the oracle's — is
+    * total-ordered. */
+  private def qTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val wTot = Window.partitionBy(col("from_type"))
+    steps.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(wTot), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
@@ -1529,6 +1556,7 @@ object RelationalQueries extends QuerySection {
     "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "q_transition_matrix" -> (qTransitionMatrix _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2124,6 +2152,18 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH steps AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*))
+        |    OVER (PARTITION BY from_type), 6) AS p
+        |FROM steps WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY from_type, to_type""".stripMargin,
     "graph_triangles" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

@@ -276,8 +276,43 @@ object TextQueries extends QuerySection {
       .limit(20)
   }
 
+  /** BM25-ranked disjunctive retrieval — the standard lexical ranking
+    * function (Robertson-Spärck Jones; k1 = 1.2, b = 0.75), OR
+    * semantics where [[textSearch]] is AND-gated tf·idf. Per (term,
+    * doc): idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * idf = ln(1 + (N − df + ½)/(df + ½)). Scale shape: postings touch
+    * only the searched terms, the df table and the (N, avgdl) scalar
+    * row broadcast, and doc length comes from a (doc, len) aggregate —
+    * at serving scale that table is precomputed once per corpus, here
+    * it shares the postings' explode. */
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val terms = Seq("spark", "data", "pipeline")
+    val (k1, b) = (1.2, 0.75)
+    val toks = TextAnalysis.shingleRows(docs(s, dir), "doc_id", "text", 1)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl")).as("avgdl"))
+    val post = toks.filter(col("shingle").isin(terms: _*))
+      .groupBy(col("shingle"), col("id")).agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("shingle"))
+      .agg(countDistinct(col("id")).as("dfc"))
+    val idf = log(lit(1.0)
+      + (col("nd") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    post.join(broadcast(dfreq), Seq("shingle"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("id").as("doc_id"))
+      .agg(round(sum(idf * col("tf") * (k1 + 1.0) / norm), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(25)
+  }
+
   def queries: Map[String, Q] = Map(
     "text_search" -> (textSearch _),
+    "text_bm25" -> (textBm25 _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
@@ -319,6 +354,26 @@ object TextQueries extends QuerySection {
         |GROUP BY doc_id
         |HAVING count(DISTINCT t) = 2
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_bm25" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |post AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'data', 'pipeline') GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS dfc
+        |  FROM post GROUP BY t)
+        |SELECT doc_id,
+        |  round(sum(
+        |    ln(1.0 + ((SELECT nd FROM st) - dfc + 0.5) / (dfc + 0.5))
+        |    * tf * (1.2 + 1.0)
+        |    / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))),
+        |    6) AS score
+        |FROM post JOIN dfq USING (t) JOIN dl USING (doc_id)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "text_unigram_logprob" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),

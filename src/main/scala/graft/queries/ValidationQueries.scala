@@ -132,7 +132,21 @@ object ValidationQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** V+ — k-anonymity re-identification audit
+    * (`validate.Privacy.kAnonymityRisk`): equivalence classes of the
+    * quasi-identifier tuple (nation, market segment) smaller than
+    * k = 8 — the extract-release governance check; the risky classes
+    * are the minority the release process must suppress or generalize.
+    * One hash aggregate; output is equivalence-class-bounded. */
+  private def v8Kanon(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Privacy.kAnonymityRisk(
+        Tables.load(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        k = 8L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   def queries: Map[String, Q] = Map(
+    "v8_kanon" -> (v8Kanon _),
     "v7_drift_versions" -> (v7DriftVersions _),
     "v6_drift_psi" -> (v6DriftPsi _),
     "v1_flags" -> (v1Flags _),
@@ -144,6 +158,12 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v8_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(*) < 8
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // identical drift computed straight from the source halves — equal
     // hashes prove the versioned write/read/anti-join-diff round-trip
     "v7_drift_versions" ->

@@ -342,3 +342,28 @@ object Drift {
         sum(col("__term")).as("psi"))
   }
 }
+
+/** Re-identification risk audit for a lake that serves extracts: the
+  * k-anonymity census over a quasi-identifier column set (Sweeney '02
+  * — a row is k-anonymous when at least k−1 others share its full
+  * quasi-identifier tuple; the groups BELOW k are the ones a joiner
+  * with an external dataset can single out).
+  *
+  * Scale: one hash aggregate over the quasi-identifier columns —
+  * equivalence-class-bounded output, the same shape as any groupBy
+  * rollup; no row-level data leaves the executors.
+  */
+object Privacy {
+
+  /** Equivalence classes below `k`: one row per risky quasi-identifier
+    * tuple with its class size `n` (1 = unique, the worst). Generalize
+    * a column (band a number, truncate a zip) by passing an expression
+    * in `quasiIds`. */
+  def kAnonymityRisk(df: DataFrame, quasiIds: Seq[Column],
+      k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+}

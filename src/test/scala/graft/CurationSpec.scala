@@ -192,4 +192,42 @@ class CurationSpec extends SparkSpec {
       Features.winsorize(df, "g", "v", 0.9, 0.1)
     }
   }
+
+  test("temperatureMixture: alpha=1 no-op, alpha=0.5 flattens, smallest kept") {
+    import spark.implicits._
+    import graft.curation.Curation
+    val df = ((1 to 900).map(i => (i, "big")) ++
+      (901 to 1000).map(i => (i, "small"))).toDF("id", "dom")
+    // alpha = 1: identity mixture, every row survives
+    assert(Curation.temperatureMixture(df, "dom", "id", "t1", 1.0)
+      .count() === 1000L)
+    val half = Curation.temperatureMixture(df, "dom", "id", "t5", 0.5)
+    val n = half.groupBy($"dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest domain keeps rate 1.0 => all 100 rows
+    assert(n("small") === 100L)
+    // big keeps ~sqrt(100/900)=1/3 of 900 = ~300 (hash-Bernoulli, wide band)
+    assert(n("big") > 200L && n("big") < 400L)
+    // deterministic: same salt, same survivors
+    val again = Curation.temperatureMixture(df, "dom", "id", "t5", 0.5)
+    assert(again.select($"id").except(half.select($"id")).count() === 0L)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(df, "dom", "id", "x", 1.5)
+    }
+  }
+
+  test("kAnonymityRisk flags exactly the classes below k") {
+    import spark.implicits._
+    import graft.validate.Privacy
+    val df = Seq(("US", "a"), ("US", "a"), ("US", "a"),
+      ("US", "b"), ("DE", "a")).toDF("country", "seg")
+    val risky = Privacy.kAnonymityRisk(df,
+        Seq(col("country"), col("seg")), k = 3L)
+      .orderBy($"country", $"seg").collect()
+    assert(risky.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq === Seq(("DE", "a", 1L), ("US", "b", 1L)))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymityRisk(df, Seq.empty, 3L)
+    }
+  }
 }
