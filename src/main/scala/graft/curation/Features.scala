@@ -63,6 +63,40 @@ object Features {
     * Scale: the boundary row is a 1-row broadcast; binning is a pure
     * projection over the scan — the discretized column costs nothing
     * beyond the quantile probe jobs. */
+  /** Robust per-group outlier flagging by MEDIAN absolute deviation —
+    * the outlier detector that survives its own outliers (a z-score's
+    * mean and σ are dragged by the very points being hunted; the
+    * median and MAD have a 50% breakdown point — Hampel's rule). A
+    * row is an outlier when |v − median| > `cut` · MAD; MAD = 0
+    * groups (constant-valued) flag nothing, and NULL values pass
+    * through unflagged.
+    *
+    * Scale: two exact-median jobs on the windowed-rank path
+    * (`Scale.exactPercentiles` — per-group sort bounded by group size)
+    * with the per-group scalars joined back null-safely; the flag
+    * itself is a pure projection. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      cut: Double = 3.5, outCol: String = "is_outlier",
+      roundTo: Int = 6): DataFrame = {
+    require(Seq("__med", "__dev", "__mad").forall(!df.columns.contains(_)),
+      "columns __med/__dev/__mad are reserved")
+    val v = col(valueCol).cast("double")
+    val med = graft.plans.Scale.exactPercentiles(df, groupCol, valueCol,
+      Seq("__med" -> 0.5)).withColumnRenamed(groupCol, "__g1")
+    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__g1"))
+      .drop("__g1")
+      .withColumn("__dev", abs(v - col("__med")))
+    val mad = graft.plans.Scale.exactPercentiles(withMed, groupCol,
+      "__dev", Seq("__mad" -> 0.5)).withColumnRenamed(groupCol, "__g2")
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__g2"))
+      .drop("__g2")
+      .withColumn(outCol, when(v.isNotNull,
+        col("__dev") > lit(cut) * col("__mad")))
+      .withColumn("median", round(col("__med"), roundTo))
+      .withColumn("mad", round(col("__mad"), roundTo))
+      .drop("__med", "__dev", "__mad")
+  }
+
   def quantileBins(df: DataFrame, valueCol: String, nBins: Int,
       binCol: String = "bin", roundTo: Int = 6): DataFrame = {
     require(nBins >= 2, s"need nBins >= 2, got $nBins")

@@ -35,17 +35,25 @@ object Triangles {
     */
   def census(edges: DataFrame, srcCol: String, dstCol: String,
       roundTo: Int = 6): DataFrame = {
-    // canonicalize: undirected edge stored once as (lo, hi), loops out
+    import org.apache.spark.storage.StorageLevel
+    // canonicalize: undirected edge stored once as (lo, hi), loops out.
+    // The canonical edge list feeds FOUR consumers (degree table,
+    // orientation, wedge close, edge count) across separate jobs —
+    // persist it (spill-safe) so the upstream edge construction runs
+    // once, the standard lineage cut every distributed graph engine
+    // makes before iterating/fanning out. Same for the degree table.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")
         && col("u").isNotNull && col("v").isNotNull)
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val deg = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // orient by (degree, id): src ≺ dst. The degree join is two hash
     // joins against a node-cardinality table.
@@ -78,13 +86,19 @@ object Triangles {
     val nTri = closed.count()
     val nEdges = e.count()
     // wedge census for the clustering coefficient: Σ d(d−1)/2 over
-    // the UNDIRECTED degrees (open + closed wedges)
-    val nWedges = deg.agg(sum(col("d") * (col("d") - 1)).cast("double"))
-      .head.getDouble(0) / 2.0
-    deg.agg(count(lit(1)).as("n_nodes"))
-      .select(col("n_nodes"), lit(nEdges).as("n_edges"),
+    // the UNDIRECTED degrees (open + closed wedges); node count rides
+    // the same tiny aggregate
+    val degRow = deg.agg(count(lit(1)).as("__nn"),
+      sum(col("d") * (col("d") - 1)).cast("double").as("__w")).head
+    val nNodes = degRow.getLong(0)
+    val nWedges = degRow.getDouble(1) / 2.0
+    e.unpersist()
+    deg.unpersist()
+    val out = e.sparkSession.range(1)
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
         lit(nTri).as("n_triangles"),
         round(lit(if (nWedges == 0) 0.0 else 3.0 * nTri / nWedges),
           roundTo).as("clustering"))
+    out
   }
 }

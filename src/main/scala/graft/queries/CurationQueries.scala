@@ -178,6 +178,18 @@ object CurationQueries extends QuerySection {
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
 
+  /** Robust MAD outlier flags (`Features.madOutliers`): per-event-type
+    * median + MAD with Hampel's |v − med| > 3.5·MAD rule — the outlier
+    * detector whose reference points can't be dragged by the outliers
+    * themselves (contrast [[curZscore]]'s mean/σ). Judged on every
+    * row's flag and the per-group scalars. */
+  private def curMadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.madOutliers(
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")
+      .orderBy(col("event_id"))
+
   /** Per-group z-score normalization of event values (population σ,
     * zero-variance groups → null). */
   private def curZscore(s: SparkSession, dir: String): DataFrame =
@@ -230,6 +242,7 @@ object CurationQueries extends QuerySection {
     "cur_rebalance" -> (curRebalance _),
     "cur_mixture" -> (curMixture _),
     "cur_quantile_bins" -> (curQuantileBins _),
+    "cur_mad_outliers" -> (curMadOutliers _),
     "cur_zscore" -> (curZscore _),
     "cur_winsorize" -> (curWinsorize _),
     "cur_sample_hash" -> (curSampleHash _),
@@ -325,6 +338,24 @@ object CurationQueries extends QuerySection {
         |        THEN 1 ELSE 0 END)) AS INTEGER) END AS bin
         |  FROM events)
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+    "cur_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5)
+        |    AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |d AS (
+        |  SELECT event_id, e.event_type, value, m,
+        |    abs(CAST(value AS DOUBLE) - m) AS dev
+        |  FROM events e LEFT JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS md
+        |  FROM d WHERE dev IS NOT NULL GROUP BY event_type)
+        |SELECT event_id, d.event_type, value,
+        |  CASE WHEN value IS NOT NULL THEN dev > 3.5 * md END
+        |    AS is_outlier,
+        |  round(m, 6) AS median, round(md, 6) AS mad
+        |FROM d LEFT JOIN mad USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "cur_zscore" ->
       """SELECT event_id,
         |  CASE WHEN stddev_pop(value) OVER w = 0 THEN NULL

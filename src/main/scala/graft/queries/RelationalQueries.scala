@@ -1336,6 +1336,28 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Top-k behavioral paths: the most common 3-step event sequences
+    * across user timelines — the path-mining generalization of
+    * [[qTransitionMatrix]] (which keeps only order-1 structure). Same
+    * single window exchange on user_id; two `lead`s build the trigram
+    * in one pass, the path aggregate is event-type³-bounded, and the
+    * final cut is `TakeOrderedAndProject`. */
+  private def qTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(concat_ws(" > ", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
@@ -1557,6 +1579,7 @@ object RelationalQueries extends QuerySection {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "q_transition_matrix" -> (qTransitionMatrix _),
+    "q_top_paths" -> (qTopPaths _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2152,6 +2175,18 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "q_top_paths" ->
+      """WITH steps AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+        |  count(*) AS n
+        |FROM steps WHERE e3 IS NOT NULL
+        |GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_transition_matrix" ->
       """WITH steps AS (
         |  SELECT event_type AS from_type,

@@ -145,7 +145,21 @@ object ValidationQueries extends QuerySection {
         k = 8L)
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** V+ — chi-squared independence (`validate.Dependence.chiSquare`):
+    * is event type independent of the value band? The stratification /
+    * drift-triage diagnostic; NULL values form a real 'na' band. One
+    * cell aggregate; everything after is contingency-table-bounded. */
+  private def v9Chi2(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Dependence.chiSquare(
+      Tables.load(s, dir, "events").withColumn("band",
+        when(col("value").isNull, "na")
+          .when(col("value") < 100, "lo")
+          .when(col("value") < 300, "mid")
+          .otherwise("hi")),
+      "event_type", "band")
+
   def queries: Map[String, Q] = Map(
+    "v9_chi2" -> (v9Chi2 _),
     "v8_kanon" -> (v8Kanon _),
     "v7_drift_versions" -> (v7DriftVersions _),
     "v6_drift_psi" -> (v6DriftPsi _),
@@ -158,6 +172,28 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v9_chi2" ->
+      """WITH b AS (
+        |  SELECT event_type AS a,
+        |    CASE WHEN value IS NULL THEN 'na'
+        |      WHEN value < 100 THEN 'lo'
+        |      WHEN value < 300 THEN 'mid'
+        |      ELSE 'hi' END AS bnd
+        |  FROM events),
+        |cells AS (SELECT a, bnd, count(*) AS o FROM b GROUP BY 1, 2),
+        |at AS (SELECT a, sum(o) AS na FROM cells GROUP BY a),
+        |bt AS (SELECT bnd, sum(o) AS nb FROM cells GROUP BY bnd),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+        |ks AS (SELECT (SELECT count(*) FROM at) AS ka,
+        |  (SELECT count(*) FROM bt) AS kb)
+        |SELECT CAST(tot.n AS BIGINT) AS n,
+        |  (ks.ka - 1) * (ks.kb - 1) AS dof,
+        |  round(sum((o - na * nb / tot.n) * (o - na * nb / tot.n)
+        |    / (na * nb / tot.n)), 6) AS chi2
+        |FROM cells
+        |JOIN at USING (a) JOIN bt USING (bnd)
+        |CROSS JOIN tot CROSS JOIN ks
+        |GROUP BY 1, 2""".stripMargin,
     "v8_kanon" ->
       """SELECT c_nationkey, c_mktsegment, count(*) AS n
         |FROM customer

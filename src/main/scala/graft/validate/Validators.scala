@@ -367,3 +367,53 @@ object Privacy {
       .filter(col("n") < k)
   }
 }
+
+/** Categorical-dependence diagnostics: Pearson's chi-squared test of
+  * independence over a two-column contingency table — the "is this
+  * dimension actually independent of that outcome" check behind
+  * stratification choices and drift triage ([[Drift]] compares one
+  * distribution over time; this compares two columns at rest).
+  *
+  * Scale: one (a, b) cell aggregate (cell-bounded from there on);
+  * marginals derive from the cells and ride broadcast joins. No
+  * p-value lookup — returning (chi2, dof) keeps it distribution-free;
+  * judge against the chi-squared critical value offline.
+  */
+object Dependence {
+
+  /** One row: `n`, `dof` = (|A|−1)(|B|−1), and `chi2` = Σ (O−E)²/E
+    * with E = rowTot·colTot/n. NULL categories count as a real level
+    * (they form a row/column of the table). */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val aTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__na"))
+    val bTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__nb"))
+    // level counts come from the marginal tables, not countDistinct —
+    // count(DISTINCT x) ignores NULL, but a NULL level has a row of
+    // marginals and belongs in dof
+    val n = cells.agg(sum(col("__o")).cast("double").as("__n"))
+      .crossJoin(broadcast(aTot.agg(count(lit(1)).as("__ka"))))
+      .crossJoin(broadcast(bTot.agg(count(lit(1)).as("__kb"))))
+    // double-space product: long·long marginals overflow int64 once
+    // row counts pass ~3e9; doubles are exact below 2^53 and the
+    // oracle's HUGEINT product converts to the same double
+    val e = col("__na").cast("double") * col("__nb") / col("__n")
+    // marginal joins are null-safe: a NULL category is a real level
+    // and an equality join would silently drop its row of the table
+    // (the Scale.exactPercentiles lesson)
+    cells
+      .join(broadcast(aTot.withColumnRenamed("__a", "__a2")),
+        col("__a") <=> col("__a2")).drop("__a2")
+      .join(broadcast(bTot.withColumnRenamed("__b", "__b2")),
+        col("__b") <=> col("__b2")).drop("__b2")
+      .crossJoin(broadcast(n))
+      .select(col("__n"), col("__ka"), col("__kb"),
+        ((col("__o") - e) * (col("__o") - e) / e).as("__term"))
+      .groupBy(col("__n"), col("__ka"), col("__kb"))
+      .agg(round(sum(col("__term")), roundTo).as("chi2"))
+      .select(col("__n").cast("long").as("n"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
+  }
+}

@@ -230,4 +230,27 @@ class CurationSpec extends SparkSpec {
       Privacy.kAnonymityRisk(df, Seq.empty, 3L)
     }
   }
+
+  test("madOutliers flags by Hampel rule and survives nulls") {
+    import spark.implicits._
+    import graft.curation.Features
+    // group g: 1..9 plus a wild 1000; median 5.5, dev of 1000=994.5,
+    // MAD = median of sorted devs (0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,
+    // 4.5,994.5) = 2.5
+    val df = (((1 to 9).map(_.toDouble) :+ 1000.0).map(v => ("g", Some(v)))
+      :+ ("g", None)).toDF("k", "v")
+    val out = Features.madOutliers(df, "k", "v")
+    val flagged = out.filter($"is_outlier").select($"v").collect()
+    assert(flagged.map(_.getDouble(0)).toSeq === Seq(1000.0))
+    val r = out.filter($"v" === 5.0).head
+    assert(r.getAs[Double]("median") === 5.5)
+    assert(r.getAs[Double]("mad") === 2.5)
+    // null value: flag stays null, row retained
+    assert(out.filter($"v".isNull).head.isNullAt(
+      out.columns.indexOf("is_outlier")))
+    // constant group: MAD 0 flags nothing
+    val const = Seq(("c", 7.0), ("c", 7.0), ("c", 7.0)).toDF("k", "v")
+    assert(Features.madOutliers(const, "k", "v")
+      .filter($"is_outlier").count() === 0L)
+  }
 }

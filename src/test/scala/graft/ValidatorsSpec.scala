@@ -84,4 +84,24 @@ class ValidatorsSpec extends SparkSpec {
     val s = p.summary(results)
     assert(s("overall_valid") == false)
   }
+
+  test("chiSquare matches the hand-computed 2x2 table, keeps null levels") {
+    import spark.implicits._
+    import graft.validate.Dependence
+    // 2x2: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; n=80
+    // E = 20 everywhere, chi2 = 4 * (10^2/20) = 20, dof = 1
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val r = Dependence.chiSquare(rows.toDF("a", "b"), "a", "b").head
+    assert(r.getAs[Long]("n") === 80L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 20.0)
+    // a NULL category is a level: 2x2 with one null a-level
+    val withNull = Seq((Some("x"), "p"), (Some("x"), "q"),
+      (None, "p"), (None, "q")).toDF("a", "b")
+    val r2 = Dependence.chiSquare(withNull, "a", "b").head
+    assert(r2.getAs[Long]("dof") === 1L)
+    assert(r2.getAs[Long]("n") === 4L)
+    assert(r2.getAs[Double]("chi2") === 0.0)
+  }
 }
