@@ -1358,6 +1358,57 @@ object RelationalQueries extends QuerySection {
       .limit(20)
   }
 
+  /** Daily OHLC candles per event type — open/high/low/close, the
+    * time-bucketed first/last/extremes rollup every metrics store
+    * serves. First/last are tie-broken by (ts, event_id) so both
+    * engines pick the same row; the two row_number windows share ONE
+    * exchange (same partition keys, opposite sort), and the candle
+    * aggregate is (day × type)-bounded. */
+  private def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val part = Seq(col("day"), col("event_type"))
+    val wAsc = Window.partitionBy(part: _*)
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(part: _*)
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("rd", row_number().over(wDesc))
+      .groupBy(col("day"), col("event_type"))
+      .agg(max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Time-weighted average value per (event type, day) — each reading
+    * weighted by how long it was current (until the next reading; the
+    * day's last reading carries no weight). The metric that makes
+    * irregular samples comparable — a plain AVG over-counts bursts.
+    * Micros arithmetic via `unix_micros` ↔ DuckDB `epoch_us` (the
+    * k_scd2_history bridge). One window exchange; the ratio aggregate
+    * is (type × day)-bounded. */
+  private def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("dur",
+        (unix_micros(lead(col("ts"), 1).over(w))
+          - unix_micros(col("ts"))).cast("double"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value") * col("dur")) / sum(col("dur")), 6)
+        .as("twap"), count(lit(1)).as("n_intervals"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
@@ -1580,6 +1631,8 @@ object RelationalQueries extends QuerySection {
     "graph_triangles" -> (graphTriangles _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
+    "q_ohlc" -> (qOhlc _),
+    "q_twap" -> (qTwap _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2175,6 +2228,38 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "q_ohlc" ->
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
+        |    value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM t)
+        |SELECT day, event_type,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "q_twap" ->
+      """WITH t AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value,
+        |    CAST(epoch_us(lead(ts) OVER (PARTITION BY event_type,
+        |        CAST(ts AS DATE) ORDER BY ts, event_id)
+        |      - ts) AS DOUBLE) AS dur
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, day,
+        |  round(sum(value * dur) / sum(dur), 6) AS twap,
+        |  count(*) AS n_intervals
+        |FROM t WHERE dur IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     "q_top_paths" ->
       """WITH steps AS (
         |  SELECT event_type AS e1,

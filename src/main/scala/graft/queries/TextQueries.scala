@@ -310,9 +310,21 @@ object TextQueries extends QuerySection {
       .limit(25)
   }
 
+  /** Feature hashing ([[graft.text.TextAnalysis.hashFeatures]]): every
+    * token mapped to one of 64 slots by the portable keyed hash —
+    * fixed-width sparse vectorization with no vocabulary table, judged
+    * on each document's exact (slot, count) pairs. */
+  private def textFeatureHash(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.hashFeatures(
+        docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text",
+        nBuckets = 64, salt = "fh")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("bucket"))
+
   def queries: Map[String, Q] = Map(
     "text_search" -> (textSearch _),
     "text_bm25" -> (textBm25 _),
+    "text_feature_hash" -> (textFeatureHash _),
     "text_unigram_logprob" -> (textUnigramLogprob _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
@@ -354,6 +366,16 @@ object TextQueries extends QuerySection {
         |GROUP BY doc_id
         |HAVING count(DISTINCT t) = 2
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "text_feature_hash" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, unnest($tokensSql) AS t
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5('fh|' || t), 1, 7) AS BIGINT) % 64
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM tok GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
     "text_bm25" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),

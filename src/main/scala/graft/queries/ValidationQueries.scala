@@ -158,7 +158,18 @@ object ValidationQueries extends QuerySection {
           .otherwise("hi")),
       "event_type", "band")
 
+  /** V+ — column profiling (`validate.Profile.columnProfile`): null
+    * share, cardinality, and Shannon entropy per column — the catalog
+    * scorecard. One unpivot + one (column, value) aggregate; rollups
+    * are cardinality-bounded. */
+  private def v10Profile(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Profile.columnProfile(
+        Tables.load(s, dir, "customer"),
+        Seq("c_name", "c_mktsegment", "c_nationkey"))
+      .orderBy(col("col_name"))
+
   def queries: Map[String, Q] = Map(
+    "v10_profile" -> (v10Profile _),
     "v9_chi2" -> (v9Chi2 _),
     "v8_kanon" -> (v8Kanon _),
     "v7_drift_versions" -> (v7DriftVersions _),
@@ -172,6 +183,27 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v10_profile" ->
+      """WITH p AS (
+        |  SELECT 'c_name' AS col_name, CAST(c_name AS VARCHAR) AS val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', CAST(c_mktsegment AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |  FROM customer),
+        |f AS (SELECT col_name, val, count(*) AS c FROM p GROUP BY 1, 2),
+        |t AS (SELECT col_name, CAST(sum(c) AS DOUBLE) AS nn
+        |  FROM f WHERE val IS NOT NULL GROUP BY 1)
+        |SELECT f.col_name, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(CASE WHEN val IS NULL THEN c END), 0)
+        |    AS BIGINT) AS n_null,
+        |  count(CASE WHEN val IS NOT NULL THEN 1 END) AS n_distinct,
+        |  round(coalesce(-sum(CASE WHEN val IS NOT NULL
+        |    THEN c / nn * ln(c / nn) END), 0.0), 6) AS entropy
+        |FROM f LEFT JOIN t USING (col_name)
+        |GROUP BY 1 ORDER BY col_name""".stripMargin,
     "v9_chi2" ->
       """WITH b AS (
         |  SELECT event_type AS a,

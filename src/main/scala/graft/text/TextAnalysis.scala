@@ -305,6 +305,25 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
 
+  /** The hashing trick (feature hashing, Weinberger et al. '09): map
+    * each token to one of `nBuckets` feature slots by keyed hash and
+    * count per (doc, slot) — fixed-width sparse vectorization with NO
+    * vocabulary table, no fit step, no driver state; the classic way
+    * to featurize unbounded token spaces at corpus scale. Collisions
+    * are the accepted trade (bounded by 1/nBuckets); the hash is the
+    * portable md5 bridge so any engine assigns identical slots.
+    * Output: (id, bucket, n) — one explode + one aggregate. */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int, salt: String): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    shingleRows(df, idCol, textCol, 1)
+      .groupBy(col("id"),
+        pmod(conv(substring(md5(concat(lit(salt), lit("|"),
+          col("shingle"))), 1, 7), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** [[simhash64]] as a table op: (id, sim) via exploded token hashes +
     * per-bit sum aggregates — all codegen, one shuffle on id.
     * `portableHash` switches the token hash to the 60-bit md5 bridge

@@ -417,3 +417,45 @@ object Dependence {
         ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"), col("chi2"))
   }
 }
+
+/** One-pass column profiling: the per-column quality scorecard (null
+  * share, cardinality, Shannon entropy) a lake catalog shows next to
+  * every table — [[SchemaValidator]] checks a contract, this MEASURES
+  * the distribution.
+  *
+  * Scale: the wide table unpivots to (column, value) pairs — rows ×
+  * |cols| — then ONE (column, value) aggregate; per-column rollups and
+  * the entropy fold run over the value-frequency table, which is
+  * cardinality-bounded, not corpus-bounded. Values profile as strings
+  * (one unpivoted type); numerics keep their parquet text form.
+  */
+object Profile {
+
+  /** Per listed column: `n`, `n_null`, `n_distinct` (non-null),
+    * `entropy` = −Σ p·ln p over the non-null value distribution
+    * (0 for constant columns, ln(k) for uniform k-valued ones),
+    * rounded to `roundTo`. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      roundTo: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"),
+        col(c).cast("string").as("__val"))): _*)).as("__p"))
+      .select(col("__p.col_name").as("col_name"), col("__p.__val"))
+    val freq = pairs.groupBy(col("col_name"), col("__val"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = freq.filter(col("__val").isNotNull)
+      .groupBy(col("col_name").as("__cn"))
+      .agg(sum(col("__c")).cast("double").as("__nn"))
+    freq
+      .join(broadcast(tot), col("col_name") === col("__cn"), "left")
+      .groupBy(col("col_name"))
+      .agg(sum(col("__c")).as("n"),
+        coalesce(sum(when(col("__val").isNull, col("__c"))), lit(0L))
+          .as("n_null"),
+        count(when(col("__val").isNotNull, lit(1))).as("n_distinct"),
+        round(coalesce(-sum(when(col("__val").isNotNull,
+          col("__c") / col("__nn") * log(col("__c") / col("__nn")))),
+          lit(0.0)), roundTo).as("entropy"))
+  }
+}

@@ -191,4 +191,24 @@ class TextDedupSpec extends SparkSpec {
     assert(d2.length == 1 && d2(0).getInt(2) == 3)
     assert(!chunks.exists(_.getLong(0) == 3L))
   }
+
+  test("hashFeatures buckets deterministically and conserves token mass") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "a b a c"), (2L, "a a")).toDF("id", "text")
+    val out = TextAnalysis.hashFeatures(df, "id", "text", 64, "fh")
+    // token mass conserved: counts sum to the token count per doc
+    val mass = out.groupBy($"id").sum("n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass === Map(1L -> 4L, 2L -> 2L))
+    // same token, same bucket across docs: doc2's only bucket is one
+    // of doc1's 'a' bucket
+    val b2 = out.filter($"id" === 2L).select($"bucket").head.getLong(0)
+    assert(out.filter($"id" === 1L && $"bucket" === b2).count() >= 1L)
+    // buckets stay inside [0, 64)
+    assert(out.filter($"bucket" < 0 || $"bucket" >= 64).count() === 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashFeatures(df, "id", "text", 0, "fh")
+    }
+  }
 }

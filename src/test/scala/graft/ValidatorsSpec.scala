@@ -104,4 +104,25 @@ class ValidatorsSpec extends SparkSpec {
     assert(r2.getAs[Long]("n") === 4L)
     assert(r2.getAs[Double]("chi2") === 0.0)
   }
+
+  test("columnProfile measures nulls, cardinality, entropy per column") {
+    import spark.implicits._
+    import graft.validate.Profile
+    val df = Seq((Some("a"), "x"), (Some("a"), "x"), (Some("b"), "x"),
+      (Some("b"), "x"), (None, "x")).toDF("u", "k")
+    val out = Profile.columnProfile(df, Seq("u", "k"))
+      .orderBy($"col_name").collect()
+    val k = out(0); val u = out(1)
+    assert(k.getAs[String]("col_name") === "k")
+    assert(k.getAs[Long]("n") === 5L && k.getAs[Long]("n_null") === 0L)
+    assert(k.getAs[Long]("n_distinct") === 1L)
+    assert(k.getAs[Double]("entropy") === 0.0) // constant column
+    assert(u.getAs[Long]("n") === 5L && u.getAs[Long]("n_null") === 1L)
+    assert(u.getAs[Long]("n_distinct") === 2L)
+    // two non-null values, 2 each: uniform over 2 levels -> ln 2
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(2.0)) < 1e-6)
+    intercept[IllegalArgumentException] {
+      Profile.columnProfile(df, Seq.empty)
+    }
+  }
 }
