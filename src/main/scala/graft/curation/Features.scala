@@ -110,4 +110,62 @@ object Features {
       .withColumn(binCol, when(v.isNotNull, bin))
       .drop(ps.map(_._1): _*)
   }
+
+  /** Cumulative Poisson(λ=1) CDF at k = 0..8 as shared literals —
+    * both engines compare the SAME doubles, so weight assignment is
+    * bit-identical across Spark and the oracle. P(X>8) ≈ 1.1e-6. */
+  private[curation] val poisson1Cdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988885102237)
+
+  /** Poisson-bootstrap confidence intervals — the ONLY bootstrap that
+    * works at lake scale. Classic resampling draws n rows with
+    * replacement per replicate: n·R row movements and a shuffle per
+    * replicate. The Poisson trick (Chamandy et al., Google 2012):
+    * each row independently carries a Poisson(1) count PER replicate
+    * (for large n, multinomial resampling ≈ independent Poisson), so
+    * ALL R replicates compute in one scan — explode R weight slots
+    * per row straight into a partial+final (group, rep) aggregate;
+    * nothing is ever materialized at n·R, no row is resampled across
+    * the cluster.
+    *
+    * Weights are DETERMINISTIC: the portable md5 bridge hashes
+    * (salt, row key, replicate) to a 28-bit uniform, inverted through
+    * [[poisson1Cdf]] — any engine, any retry, any cluster assigns the
+    * same weight, which is what lets a bootstrap (of all things) be
+    * hash-judged against an oracle.
+    *
+    * Output per group: `n`, the point-estimate `mean`, and the
+    * [lo, hi] percentile CI of the R replicate weighted means —
+    * replicate means are exact-percentiled per group (R values each,
+    * R-bounded, `percentile`'s linear interpolation = DuckDB
+    * `quantile_cont`). */
+  def poissonBootstrapCI(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, reps: Int = 100, lo: Double = 0.025,
+      hi: Double = 0.975, salt: String = "boot",
+      roundTo: Int = 4): DataFrame = {
+    require(reps >= 2, s"need reps >= 2, got $reps")
+    val v = col(valueCol).cast("double")
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      col(keyCol).cast("string"), lit("|"), col("__rep"))), 1, 7),
+      16, 10).cast("double") / lit(268435456.0)
+    val w = poisson1Cdf.zipWithIndex.foldRight(lit(9): Column) {
+      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+    }
+    val repMeans = df.filter(v.isNotNull)
+      .select(col(groupCol), col(keyCol), v.as("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
+      .groupBy(col(groupCol), col("__rep"))
+      .agg((sum(col("__v") * w) / sum(w)).as("__m"))
+    val base = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(count(v).as("n"), round(avg(v), roundTo).as("mean"))
+    val ci = repMeans.groupBy(col(groupCol))
+      .agg(percentile(col("__m"), lit(lo)).as("__lo"),
+        percentile(col("__m"), lit(hi)).as("__hi"))
+    base.join(ci, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("mean"),
+        round(col("__lo"), roundTo).as("ci_lo"),
+        round(col("__hi"), roundTo).as("ci_hi"))
+  }
 }

@@ -233,7 +233,21 @@ object CurationQueries extends QuerySection {
           .as("no_leak"))
       .orderBy(col("user_id"))
 
+  /** Poisson-bootstrap 95% CI of the mean event value per type
+    * ([[graft.curation.Features.poissonBootstrapCI]]): 100 replicates
+    * in ONE scan — each row explodes 100 deterministic Poisson(1)
+    * weights (portable md5 bridge) straight into a (type, replicate)
+    * partial+final aggregate; the CI is the exact 2.5/97.5 percentile
+    * of the 100 replicate means, computed over an R-bounded frame.
+    * No resample shuffle exists anywhere in the plan. */
+  private def curBootstrap(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.poissonBootstrapCI(
+        Tables.load(s, dir, "events"), "event_type", "event_id", "value",
+        reps = 100)
+      .orderBy(col("event_type"))
+
   def queries: Map[String, Q] = Map(
+    "cur_bootstrap" -> (curBootstrap _),
     "cur_split_temporal" -> (curSplitTemporal _),
     "cur_split" -> (curSplit _),
     "cur_pipeline" -> (curPipeline _),
@@ -278,6 +292,44 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_bootstrap" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |x AS (
+        |  SELECT event_type, rep, v,
+        |    CAST(CAST('0x' || substr(md5('boot|'
+        |        || CAST(event_id AS VARCHAR) || '|'
+        |        || CAST(rep AS VARCHAR)), 1, 7) AS BIGINT) AS DOUBLE)
+        |      / 268435456.0 AS u
+        |  FROM e CROSS JOIN (SELECT unnest(range(100)) AS rep)),
+        |w AS (
+        |  SELECT event_type, rep, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238462 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.9999167588507119 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      WHEN u < 0.9999988885102237 THEN 8
+        |      ELSE 9 END AS w
+        |  FROM x),
+        |m AS (
+        |  SELECT event_type, rep, sum(v * w) / sum(w) AS m
+        |  FROM w GROUP BY 1, 2),
+        |ci AS (
+        |  SELECT event_type, quantile_cont(m, 0.025) AS lo,
+        |    quantile_cont(m, 0.975) AS hi
+        |  FROM m GROUP BY 1),
+        |b AS (
+        |  SELECT event_type, count(v) AS n, round(avg(v), 4) AS mean
+        |  FROM e GROUP BY 1)
+        |SELECT b.event_type, n, mean, round(lo, 4) AS ci_lo,
+        |  round(hi, 4) AS ci_hi
+        |FROM b JOIN ci USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "cur_split_temporal" ->
       """WITH ranked AS (
         |  SELECT user_id, ts,

@@ -359,6 +359,39 @@ object RelationalQueries extends QuerySection {
       .limit(50)
   }
 
+  /** Bounded-depth BFS reachability (`operators/Reachability.scala`):
+    * hop distance from every nation-7 customer through the
+    * high-volume (qty > 45) co-purchase graph, depth ≤ 3 — the
+    * recursive-CTE workload (lineage, blast radius, escalation paths)
+    * expressed as frontier supersteps, judged against DuckDB's actual
+    * `WITH RECURSIVE` + min(depth). Scale: each superstep joins only
+    * the frontier against edges; visited is the anti-join build side;
+    * loop-invariant frames are checkpointed once. */
+  private def graphReachability(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    val sources = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.operators.Reachability.hopDistances(edges, sources, maxDepth = 3)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2)
+          .cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("depth"))
+      .orderBy(col("depth"), col("node"))
+  }
+
   /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
     * "suppliers achieving the per-part minimum" subquery, decorrelated
     * into aggregate + equi-join. The cost relation is lineitem's unit
@@ -1629,6 +1662,7 @@ object RelationalQueries extends QuerySection {
     "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_reachability" -> (graphReachability _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
@@ -2369,6 +2403,28 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY revenue DESC, s_suppkey
         |LIMIT 20""".stripMargin,
+    "graph_reachability" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 45),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode, cnode FROM pairs),
+        |reach(node, depth) AS (
+        |  SELECT c_custkey * 2, 0 FROM customer WHERE c_nationkey = 7
+        |  UNION
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  CAST(min(depth) AS INT) AS depth
+        |FROM reach GROUP BY node
+        |ORDER BY CAST(min(depth) AS INT),
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS cnode,

@@ -168,7 +168,18 @@ object ValidationQueries extends QuerySection {
         Seq("c_name", "c_mktsegment", "c_nationkey"))
       .orderBy(col("col_name"))
 
+  /** V+ — A/B readout (`validate.Experiment.welchPairs`): Welch's
+    * unequal-variance t-test over every pair of event-type arms on
+    * the value metric. One partial+final aggregate reduces each arm
+    * to (n, mean, var); the arms² pair expansion never re-touches
+    * row data. */
+  private def v11AbWelch(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Experiment.welchPairs(
+        Tables.load(s, dir, "events"), "event_type", "value")
+      .orderBy(col("arm_a"), col("arm_b"))
+
   def queries: Map[String, Q] = Map(
+    "v11_ab_welch" -> (v11AbWelch _),
     "v10_profile" -> (v10Profile _),
     "v9_chi2" -> (v9Chi2 _),
     "v8_kanon" -> (v8Kanon _),
@@ -183,6 +194,21 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v11_ab_welch" ->
+      """WITH arms AS (
+        |  SELECT event_type AS arm, count(value) AS n,
+        |    avg(value) AS mean, var_samp(value) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1 HAVING count(value) >= 2)
+        |SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS na, b.n AS nb,
+        |  round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+        |  round(a.mean - b.mean, 6) AS diff,
+        |  round((a.mean - b.mean) / sqrt(a.v / a.n + b.v / b.n), 6) AS t,
+        |  round(pow(a.v / a.n + b.v / b.n, 2)
+        |    / (pow(a.v / a.n, 2) / (a.n - 1)
+        |      + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS dof
+        |FROM arms a JOIN arms b ON a.arm < b.arm
+        |ORDER BY arm_a, arm_b""".stripMargin,
     "v10_profile" ->
       """WITH p AS (
         |  SELECT 'c_name' AS col_name, CAST(c_name AS VARCHAR) AS val

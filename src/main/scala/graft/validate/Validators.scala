@@ -459,3 +459,49 @@ object Profile {
           lit(0.0)), roundTo).as("entropy"))
   }
 }
+
+/** A/B experiment analysis — Welch's unequal-variance t-test over
+  * every pair of arms, the readout step of any experimentation
+  * pipeline the lake hosts. Welch (not Student) because lake arms are
+  * never variance-matched: each arm keeps its own variance and the
+  * Welch–Satterthwaite approximation supplies the degrees of freedom.
+  *
+  * Scale shape: ONE partial+final aggregate over the fact table
+  * reduces each arm to (n, mean, var) — three doubles — and the pair
+  * expansion is a self-join of that arm summary with itself, bounded
+  * by arms², never touching row data again. The t statistic and dof
+  * are closed-form arithmetic on the summaries.
+  */
+object Experiment {
+
+  /** Per unordered arm pair (a < b): sizes, means, the mean
+    * difference, Welch `t`, and Welch–Satterthwaite `dof`, rounded to
+    * `roundTo`. Arms with fewer than 2 non-null metric rows cannot
+    * carry a variance and are excluded (their pairs with everyone
+    * drop too, matching the oracle's HAVING). */
+  def welchPairs(df: DataFrame, armCol: String, metricCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val m = col(metricCol).cast("double")
+    val arms = df.filter(m.isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(m).as("n"), avg(m).as("mean"), var_samp(m).as("v"))
+      .filter(col("n") >= 2)
+    val a = arms.select(col("arm").as("arm_a"), col("n").as("na"),
+      col("mean").as("ma"), col("v").as("va"))
+    val b = arms.select(col("arm").as("arm_b"), col("n").as("nb"),
+      col("mean").as("mb"), col("v").as("vb"))
+    val sea = col("va") / col("na")
+    val seb = col("vb") / col("nb")
+    // arms² theta-join over the 3-double summaries — the nested-loop
+    // side is the bounded arm table, never row data
+    a.join(broadcast(b), col("arm_a") < col("arm_b"))
+      .select(col("arm_a"), col("arm_b"), col("na"), col("nb"),
+        round(col("ma"), roundTo).as("mean_a"),
+        round(col("mb"), roundTo).as("mean_b"),
+        round(col("ma") - col("mb"), roundTo).as("diff"),
+        round((col("ma") - col("mb")) / sqrt(sea + seb), roundTo).as("t"),
+        round(pow(sea + seb, 2) /
+          (pow(sea, 2) / (col("na") - 1) + pow(seb, 2) / (col("nb") - 1)),
+          roundTo).as("dof"))
+  }
+}

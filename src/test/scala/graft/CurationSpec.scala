@@ -253,4 +253,35 @@ class CurationSpec extends SparkSpec {
     assert(Features.madOutliers(const, "k", "v")
       .filter($"is_outlier").count() === 0L)
   }
+
+  test("poissonBootstrapCI brackets the mean deterministically") {
+    import spark.implicits._
+    import graft.curation.Features
+    // two groups with distinct scales; a null value row is ignored
+    val rows = (1 to 200).map(i => ("lo", i.toLong, Some(i % 10 + 1.0))) ++
+      (1 to 200).map(i => ("hi", 1000L + i, Some(i % 10 + 100.0))) :+
+      (("lo", 9999L, Option.empty[Double]))
+    val df = rows.toDF("g", "k", "v")
+    val out = Features.poissonBootstrapCI(df, "g", "k", "v", reps = 50)
+      .orderBy($"g").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") === 200L)
+      val (m, lo, hi) = (r.getAs[Double]("mean"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      // the point estimate sits inside a proper, tight interval
+      assert(lo < m && m < hi && hi - lo < 2.0)
+    }
+    // i % 10 over 1..200 averages 4.5 → means 104.5 and 5.5
+    assert(out(0).getAs[String]("g") === "hi"
+      && out(0).getAs[Double]("mean") === 104.5)
+    assert(out(1).getAs[Double]("mean") === 5.5)
+    // hash-derived weights: a second run is bit-identical
+    val again = Features.poissonBootstrapCI(df, "g", "k", "v", reps = 50)
+      .orderBy($"g").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    intercept[IllegalArgumentException] {
+      Features.poissonBootstrapCI(df, "g", "k", "v", reps = 1)
+    }
+  }
 }

@@ -125,4 +125,25 @@ class ValidatorsSpec extends SparkSpec {
       Profile.columnProfile(df, Seq.empty)
     }
   }
+
+  test("welchPairs matches the hand-computed unequal-variance test") {
+    import spark.implicits._
+    import graft.validate.Experiment
+    // A=[1,2,3]: n=3 mean=2 var=1; B=[2,4,6,8]: n=4 mean=5 var=20/3;
+    // C=[7]: n=1, excluded (no variance); one NULL metric row ignored
+    val df = Seq(("A", Some(1.0)), ("A", Some(2.0)), ("A", Some(3.0)),
+      ("B", Some(2.0)), ("B", Some(4.0)), ("B", Some(6.0)),
+      ("B", Some(8.0)), ("C", Some(7.0)), ("A", None))
+      .toDF("arm", "m")
+    val out = Experiment.welchPairs(df, "arm", "m").collect()
+    assert(out.length === 1) // C pairs drop with C
+    val r = out(0)
+    assert(r.getAs[String]("arm_a") === "A" && r.getAs[String]("arm_b") === "B")
+    assert(r.getAs[Long]("na") === 3L && r.getAs[Long]("nb") === 4L)
+    assert(r.getAs[Double]("diff") === -3.0)
+    // t = -3/sqrt(1/3 + 5/3) = -3/sqrt(2)
+    assert(math.abs(r.getAs[Double]("t") - (-3.0 / math.sqrt(2))) < 1e-6)
+    // dof = 4 / ((1/3)^2/2 + (5/3)^2/3) = 4.0754716...
+    assert(math.abs(r.getAs[Double]("dof") - 4.075472) < 1e-6)
+  }
 }
