@@ -414,6 +414,50 @@ object Scale {
     * different buckets — harmless, since every bucket keeps its own
     * top-k. Output = input columns + `rank`.
     */
+  /** Distributed GLOBAL prefix sum — the scalable form of
+    * `sum(v) OVER (ORDER BY …)`. A bare global ordered window funnels
+    * the ENTIRE table through ONE task (Spark plans it as a
+    * single-partition Window — the canonical 100 TB scale killer,
+    * and exactly what `graft.Audit` flags); this is the classic
+    * two-phase scan instead:
+    *
+    *   1. `repartitionByRange` on the order columns — every partition
+    *      holds a contiguous key range, partitions are mutually
+    *      ordered, and each sorts/sums LOCALLY in parallel;
+    *   2. per-partition totals (one tiny aggregate, ≤ numPartitions
+    *      rows) cumulate into per-partition OFFSETS — the only
+    *      global window in the plan runs over that bounded frame —
+    *      and re-enter via broadcast join;
+    *   3. global running sum = local running sum + partition offset.
+    *
+    * Correct for ANY range-boundary placement (the window orders
+    * within partitions; ranges are ordered across them), so range
+    * sampling cannot affect values; `orderCols` must be a TOTAL order
+    * (tie-break with a key) for the per-row result to be well-defined
+    * at all — same contract as any ordered window. Inclusive frame,
+    * matching `RANGE UNBOUNDED PRECEDING` with distinct keys. */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+      sumCol: String = "cum_sum", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "need at least one order column")
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val local = parted
+      .withColumn("__local", sum(col(valueCol)).over(wLocal))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .select(col("__pid").as("__opid"),
+        coalesce(sum(col("__psum")).over(wOff), lit(0)).as("__off"))
+    local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(sumCol, col("__local") + col("__off"))
+      .drop("__pid", "__opid", "__local", "__off")
+  }
+
   def groupedTopK(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], k: Int, saltBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

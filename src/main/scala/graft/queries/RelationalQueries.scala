@@ -1442,6 +1442,59 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ABC / Pareto classification over a distributed GLOBAL running
+    * total (`plans/Scale.prefixSum`): parts ranked by revenue, A = the
+    * head covering 70% of revenue, B = to 90%, C = the tail. The
+    * cumulative share is the two-phase range-partitioned prefix sum —
+    * NOT a single-partition global window — so the plan survives a
+    * parts table of any size; the oracle is DuckDB's plain ordered
+    * window, proving the two forms identical. */
+  private def qAbcPareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    val cum = graft.plans.Scale.prefixSum(rev,
+      Seq(col("revenue").desc, col("l_partkey")), "revenue",
+      sumCol = "cum_rev")
+    val total = rev.agg(sum(col("revenue")).as("__tot"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(col("cum_rev") / col("__tot") <= 0.7, "A")
+          .when(col("cum_rev") / col("__tot") <= 0.9, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("revenue")) / max(col("__tot")), 6)
+          .as("revenue_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** CUSUM change-point detection per event-type series: cumulative
+    * sum of (daily mean − series mean), the day with the largest
+    * |CUSUM| excursion is the most likely level shift. All windows
+    * partition by series (days-bounded frames); the series mean rides
+    * the same partition — no global exchange anywhere. */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("m"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wCum = wType.orderBy(col("day"))
+    val wPick = wType.orderBy(
+      abs(col("cusum")).desc, col("day"))
+    daily
+      .withColumn("mu", avg(col("m")).over(wType))
+      .withColumn("n_days", count(lit(1)).over(wType))
+      .withColumn("cusum", sum(col("m") - col("mu")).over(wCum))
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        round(abs(col("cusum")), 4).as("max_excursion"), col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
@@ -1667,6 +1720,8 @@ object RelationalQueries extends QuerySection {
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
     "q_twap" -> (qTwap _),
+    "q_abc_pareto" -> (qAbcPareto _),
+    "q_cusum" -> (qCusum _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2262,6 +2317,44 @@ object RelationalQueries extends QuerySection {
         |GROUP BY s_suppkey, s_name
         |ORDER BY n_waiting_orders DESC, s_suppkey
         |LIMIT 50""".stripMargin,
+    "q_abc_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(revenue) AS tot FROM rev),
+        |c AS (
+        |  SELECT revenue,
+        |    sum(revenue) OVER (ORDER BY revenue DESC, l_partkey)
+        |      / (SELECT tot FROM t) AS cshare
+        |  FROM rev)
+        |SELECT CASE WHEN cshare <= 0.7 THEN 'A'
+        |    WHEN cshare <= 0.9 THEN 'B' ELSE 'C' END AS abc_class,
+        |  count(*) AS n_parts,
+        |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c0 AS (
+        |  SELECT event_type, day, m,
+        |    avg(m) OVER (PARTITION BY event_type) AS mu,
+        |    count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |c AS (
+        |  SELECT event_type, day, n_days,
+        |    sum(m - mu) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS cusum
+        |  FROM c0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, day) AS rk
+        |  FROM c)
+        |SELECT event_type, day AS cp_day,
+        |  round(abs(cusum), 4) AS max_excursion, n_days
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
     "q_ohlc" ->
       """WITH t AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,

@@ -178,7 +178,28 @@ object ValidationQueries extends QuerySection {
         Tables.load(s, dir, "events"), "event_type", "value")
       .orderBy(col("arm_a"), col("arm_b"))
 
+  /** V+ — pairwise correlation matrix
+    * (`validate.NumericProfile.corrMatrix`): all 6 pairs of the four
+    * lineitem measures in ONE aggregate pass; the unpivot runs on the
+    * 1-row summary. */
+  private def v12CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.validate.NumericProfile.corrMatrix(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy(col("col_a"), col("col_b"))
+
+  /** V+ — Benford first-digit audit
+    * (`validate.NumericProfile.benford`) on order totals: natural
+    * spending amounts should track log10(1+1/d); a flat or spiked
+    * digit histogram flags synthetic or tampered data. */
+  private def v13Benford(s: SparkSession, dir: String): DataFrame =
+    graft.validate.NumericProfile.benford(
+        Tables.load(s, dir, "orders"), "o_totalprice")
+      .orderBy(col("digit"))
+
   def queries: Map[String, Q] = Map(
+    "v12_corr_matrix" -> (v12CorrMatrix _),
+    "v13_benford" -> (v13Benford _),
     "v11_ab_welch" -> (v11AbWelch _),
     "v10_profile" -> (v10Profile _),
     "v9_chi2" -> (v9Chi2 _),
@@ -194,6 +215,40 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v12_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT
+        |    corr(l_quantity, l_extendedprice) AS c_qe,
+        |    corr(l_quantity, l_discount) AS c_qd,
+        |    corr(l_quantity, l_tax) AS c_qt,
+        |    corr(l_extendedprice, l_discount) AS c_ed,
+        |    corr(l_extendedprice, l_tax) AS c_et,
+        |    corr(l_discount, l_tax) AS c_dt
+        |  FROM lineitem)
+        |SELECT col_a, col_b, round(v, 6) AS corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    c_qe AS v FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c_qd FROM c
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c_qt FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c_ed FROM c
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c_et FROM c
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c_dt FROM c)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "v13_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(regexp_extract(CAST(CAST(round(
+        |      CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2))
+        |      AS VARCHAR), '([1-9])', 1) AS INT) AS digit
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND regexp_extract(CAST(CAST(round(
+        |      CAST(o_totalprice AS DOUBLE), 2) AS DECIMAL(18,2))
+        |      AS VARCHAR), '([1-9])', 1) <> ''),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g)
+        |SELECT digit, n, round(n / (SELECT tot FROM t), 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected
+        |FROM g ORDER BY digit""".stripMargin,
     "v11_ab_welch" ->
       """WITH arms AS (
         |  SELECT event_type AS arm, count(value) AS n,

@@ -460,6 +460,62 @@ object Profile {
   }
 }
 
+/** Numeric-profile extensions of [[Profile]]: one-pass pairwise
+  * correlation and the Benford first-digit audit. Both reduce the
+  * fact table in a single partial+final aggregate; outputs are
+  * pair²- / digit-bounded. */
+object NumericProfile {
+
+  /** Pairwise Pearson correlation of `cols` — ALL k·(k−1)/2 pairs in
+    * ONE aggregate pass over the data (each pair is one codegen'd
+    * `corr` agg expression; Spark's partial aggregation keeps the
+    * scan single), then the 1-row wide result unpivots to the long
+    * (col_a, col_b, corr) matrix the catalog UI wants. No shuffle
+    * ever carries row data — only the k²-bounded summary. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      roundTo: Int = 6): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a).cast("double"), col(b).cast("double")), roundTo)
+        .as(s"$a|$b") }
+    val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', `$a|$b`" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)")
+  }
+
+  /** Benford's-law first-digit audit — the classic fraud/garbage
+    * detector for naturally-occurring amounts: the share of values
+    * whose first significant digit is d should track log10(1 + 1/d).
+    * The digit is extracted from the value's DECIMAL(18,2) string
+    * form (portable: both engines print decimals identically, and no
+    * float log10 can misround a power of ten into the wrong digit).
+    * One scan → digit-bounded aggregate; the total re-enters as a
+    * broadcast scalar. */
+  def benford(df: DataFrame, valueCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val digit = regexp_extract(
+      round(col(valueCol).cast("double"), 2).cast("decimal(18,2)")
+        .cast("string"), "([1-9])", 1)
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .select(digit.as("__d"))
+      .filter(col("__d") =!= "") // |x| < 0.005 rounds to 0.00: no digit
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__tot"), roundTo).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), roundTo)
+          .as("expected"))
+  }
+}
+
 /** A/B experiment analysis — Welch's unequal-variance t-test over
   * every pair of arms, the readout step of any experimentation
   * pipeline the lake hosts. Welch (not Student) because lake arms are

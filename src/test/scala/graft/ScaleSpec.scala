@@ -248,4 +248,32 @@ class ScaleSpec extends SparkSpec {
       }
     }
   }
+
+  test("prefixSum equals the single-partition global window") {
+    import org.apache.spark.sql.expressions.Window
+    // 100 rows, deliberately more partitions than natural; includes
+    // duplicate values (tie-broken by id) and a long-typed measure
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toDouble))
+      .toDF("id", "v")
+    val got = Scale.prefixSum(df, Seq($"v".desc, $"id"), "v",
+        sumCol = "cs", numPartitions = 8)
+      .orderBy($"v".desc, $"id")
+      .select($"id", $"cs").collect()
+    val want = df
+      .withColumn("cs", sum($"v").over(
+        Window.orderBy($"v".desc, $"id")))
+      .orderBy($"v".desc, $"id")
+      .select($"id", $"cs").collect()
+    assert(got.map(_.getLong(0)).toSeq === want.map(_.getLong(0)).toSeq)
+    got.zip(want).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(1) - b.getDouble(1)) < 1e-9) }
+    // more partitions than rows: empty ranges must not shift offsets
+    val tiny = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val t = Scale.prefixSum(tiny, Seq($"id"), "v", numPartitions = 8)
+      .orderBy($"id").select($"cum_sum").collect().map(_.getDouble(0))
+    assert(t.toSeq === Seq(10.0, 30.0, 60.0))
+    intercept[IllegalArgumentException] {
+      Scale.prefixSum(tiny, Seq.empty, "v")
+    }
+  }
 }

@@ -146,4 +146,38 @@ class ValidatorsSpec extends SparkSpec {
     // dof = 4 / ((1/3)^2/2 + (5/3)^2/3) = 4.0754716...
     assert(math.abs(r.getAs[Double]("dof") - 4.075472) < 1e-6)
   }
+
+  test("corrMatrix: one pass, all pairs, exact on constructed data") {
+    import spark.implicits._
+    import graft.validate.NumericProfile
+    // b = 2a (corr +1), c = -a (corr -1), d uncorrelated-ish
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 4.0), (4.0, 8.0, -4.0, 2.0))
+      .toDF("a", "b", "c", "d")
+    val m = NumericProfile.corrMatrix(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(m.size === 3)
+    assert(m(("a", "b")) === 1.0 && m(("a", "c")) === -1.0
+      && m(("b", "c")) === -1.0)
+    intercept[IllegalArgumentException] {
+      NumericProfile.corrMatrix(df, Seq("a"))
+    }
+  }
+
+  test("benford: decimal-string digit extraction survives the edges") {
+    import spark.implicits._
+    import graft.validate.NumericProfile
+    // powers of ten stay digit 1 (no float-log10 misround), negatives
+    // use |x|'s digit, 0.05 -> 5, |x| < 0.005 and NULL drop out
+    val df = Seq(Some(1000.0), Some(10.0), Some(-123.45), Some(0.05),
+      Some(0.001), Some(900.0), None).toDF("v")
+    val out = NumericProfile.benford(df, "v").orderBy($"digit")
+      .collect()
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit === Map(1 -> 3L, 5 -> 1L, 9 -> 1L))
+    val d1 = out.find(_.getInt(0) == 1).get
+    assert(d1.getAs[Double]("share") === 0.6)
+    assert(math.abs(d1.getAs[Double]("expected") - 0.30103) < 1e-6)
+  }
 }
