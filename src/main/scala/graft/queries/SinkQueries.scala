@@ -451,7 +451,40 @@ object SinkQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Materialized-view rewrite, end to end
+    * (`org.apache.spark.sql.graftx.MvRewrite`): a (type, user)
+    * summary of events is built and registered, then a COARSER
+    * per-type rollup over the BASE table is planned — the optimizer
+    * rule re-targets every aggregate onto the summary's partial
+    * columns, and the query `require`s the rewrite actually fired
+    * (optimized plan scans the summary, not the base). The oracle
+    * computes from the base table in DuckDB, proving the rewrite
+    * semantically lossless; at 100 TB this is a fact-scan → summary
+    * -scan substitution on every matching dashboard rollup. */
+  private def mvRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.MvRegistry
+    val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    MvRegistry.clear()
+    val base = Tables.load(s, dir, "events")
+    MvRegistry.buildSummary(base, s"$out/by_type_user",
+      groupCols = Seq("event_type", "user_id"),
+      measureCols = Seq("value"))
+    val q = base.groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 4).as("sum_value"),
+        count(col("value")).as("n_values"),
+        count(lit(1)).as("n_rows"),
+        round(min(col("value")), 4).as("min_value"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("event_type"))
+    val roots = MvRegistry.scanRoots(q.queryExecution.optimizedPlan)
+    require(roots.exists(_.contains(out)) &&
+      !roots.exists(_.contains("events.parquet")),
+      s"MV rewrite did not fire; scans = $roots")
+    q
+  }
+
   def queries: Map[String, Q] = Map(
+    "mv_rewrite" -> (mvRewrite _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
@@ -475,6 +508,14 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mv_rewrite" ->
+      """SELECT event_type,
+        |  round(sum(value), 4) AS sum_value,
+        |  count(value) AS n_values,
+        |  count(*) AS n_rows,
+        |  round(min(value), 4) AS min_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "o4_backfill_repair" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

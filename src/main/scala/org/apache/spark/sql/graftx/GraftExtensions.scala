@@ -55,6 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Unaccent(args(0))
       }: Expression))
     ext.injectOptimizerRule(_ => DeferExpensiveProjection)
+    ext.injectOptimizerRule(_ => MvRewrite)
   }
 }
 
