@@ -483,8 +483,37 @@ object SinkQueries extends QuerySection {
     q
   }
 
+  /** The subsumed-filter shape of [[mvRewrite]]: a WHERE on a GROUP
+    * column (the dashboard norm) keeps or drops whole summary groups,
+    * so the rule replays it over the summary and still fires — the
+    * in-query `require` pins that, the base-table oracle pins
+    * exactness. */
+  private def mvRewriteFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.MvRegistry
+    val out = java.nio.file.Files.createTempDirectory("graft_mvf").toString
+    MvRegistry.clear()
+    val base = Tables.load(s, dir, "events")
+    MvRegistry.buildSummary(base, s"$out/by_type_user",
+      groupCols = Seq("event_type", "user_id"),
+      measureCols = Seq("value"))
+    val q = base
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("user_id") % 2 === 0)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(round(sum(col("value")), 4).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"), col("user_id"))
+      .limit(500)
+    val roots = MvRegistry.scanRoots(q.queryExecution.optimizedPlan)
+    require(roots.exists(_.contains(out)) &&
+      !roots.exists(_.contains("events.parquet")),
+      s"MV filtered rewrite did not fire; scans = $roots")
+    q
+  }
+
   def queries: Map[String, Q] = Map(
     "mv_rewrite" -> (mvRewrite _),
+    "mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
@@ -516,6 +545,14 @@ object SinkQueries extends QuerySection {
         |  round(min(value), 4) AS min_value,
         |  round(max(value), 4) AS max_value
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "mv_rewrite_filtered" ->
+      """SELECT event_type, user_id,
+        |  round(sum(value), 4) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND user_id % 2 = 0
+        |GROUP BY 1, 2 ORDER BY event_type, user_id
+        |LIMIT 500""".stripMargin,
     "o4_backfill_repair" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total

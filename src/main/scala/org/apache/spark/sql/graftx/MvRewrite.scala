@@ -84,12 +84,17 @@ object MvRegistry {
   * here as a ~100-line Catalyst `Rule[LogicalPlan]` injected via
   * [[GraftExtensions]].
   *
-  * Matches `Aggregate(G, aggs, [Project(attrs)] Scan(base))` where
+  * Matches `Aggregate(G, aggs, [Project] [Filter] Scan(base))` where
   *  - every grouping expression is a bare column ⊆ the view's group
   *    columns (any COARSER grouping re-aggregates correctly — that is
   *    what the partial decomposition is for),
   *  - every aggregate is a plain (non-distinct, unfiltered)
   *    sum/count/min/max of a measure column or count(*),
+  *  - the optional WHERE references group columns only (predicate
+  *    subsumption: such a filter keeps or drops whole summary groups,
+  *    so it replays verbatim over the summary; a measure predicate
+  *    would select rows the summary already merged and rejects the
+  *    rewrite),
   * and rewrites `sum(c) → sum(__sum_c)`, `count(c) → sum(__cnt_c)`,
   * `count(*) → sum(__cnt_star)`, `min(c) → min(__min_c)`,
   * `max(c) → max(__max_c)` over the summary scan. Output attribute
@@ -109,6 +114,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
+  }
+
+  /** Peel the optional pure-attribute Project and an optional Filter
+    * off the aggregate's child. The filter is returned for
+    * SUBSUMPTION: a predicate over GROUP columns only partitions
+    * whole summary groups, so re-applying it verbatim over the
+    * summary is exact (a predicate touching measure columns selects
+    * individual base rows the summary has already merged — not
+    * subsumable, the caller must reject it). */
+  private def peel(plan: LogicalPlan)
+      : (Option[Expression], LogicalPlan) = plan match {
+    case Project(list, child)
+        if list.forall(_.isInstanceOf[AttributeReference]) =>
+      child match {
+        case Filter(cond, grand) => (Some(cond), grand)
+        case other => (None, other)
+      }
+    case Filter(cond, child) => (Some(cond), unproject(child))
+    case other => (None, other)
   }
 
   /** The scan under an optional pure-attribute Project. */
@@ -150,11 +174,16 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = {
-    val scan = unproject(agg.child)
+    val (filter, scan) = peel(agg.child)
     if (!scan.isInstanceOf[LogicalRelation]) return None
     val roots = MvRegistry.scanRoots(scan)
-    val entry = MvRegistry.all.find(e =>
-      e.baseRoots == roots && matches(agg, e)).getOrElse(return None)
+    val entry = MvRegistry.all.find { e =>
+      // a filter is subsumable only when it is deterministic and
+      // references the view's GROUP columns exclusively
+      val filterOk = filter.forall(f => f.deterministic && f.references
+        .forall(a => e.groupCols.contains(a.name)))
+      e.baseRoots == roots && filterOk && matches(agg, e)
+    }.getOrElse(return None)
     val sOut = entry.summary.output.map(a => a.name -> a).toMap
     val groupNames = agg.groupingExpressions.collect {
       case a: AttributeReference => a.name
@@ -180,10 +209,19 @@ object MvRewrite extends Rule[LogicalPlan] {
         case named: NamedExpression => named
       }
     }
+    // re-bind the subsumed filter onto summary attributes and keep it
+    // under the aggregate, where the parquet source can push it down
+    val newChild = filter match {
+      case Some(cond) => Filter(cond.transformUp {
+        case a: AttributeReference => sOut(a.name)
+      }, entry.summary)
+      case None => entry.summary
+    }
     // prune the summary scan to what the rewrite references
-    val needed = (newGroup ++ newAggs).flatMap(_.references).distinct
+    val needed = (newGroup ++ newAggs ++ newChild.expressions)
+      .flatMap(_.references).distinct
     val rewritten = Aggregate(newGroup, newAggs,
-      Project(needed, entry.summary))
+      Project(needed, newChild))
     // the summary must answer with EXACTLY the original schema —
     // widening types (decimal re-sums) or unresolved refs mean bail
     if (rewritten.resolved &&

@@ -53,9 +53,19 @@ class MvRewriteSpec extends SparkSpec {
       // avg: not registered as a partial pair in v1
       assert(!scanPaths(base.groupBy($"g").agg(avg($"v")))
         .exists(_.contains(sumPath)))
-      // filter between aggregate and scan: would need predicate
-      // subsumption, so the rule must not fire
-      assert(!scanPaths(base.filter($"u" > 2).groupBy($"g")
+      // filter on a GROUP column subsumes: whole summary groups are
+      // kept or dropped, so the rewrite fires and stays exact
+      val filtered = base.filter($"u" > 2).groupBy($"g")
+        .agg(sum($"v").as("sv")).orderBy($"g")
+      assert(scanPaths(filtered).exists(_.contains(sumPath)))
+      MvRegistry.clear()
+      val directF = base.filter($"u" > 2).groupBy($"g")
+        .agg(sum($"v").as("sv")).orderBy($"g")
+      assert(filtered.collect().toSeq === directF.collect().toSeq)
+      MvRegistry.buildSummary(base, sumPath, Seq("g", "u"), Seq("v"))
+      // filter on a MEASURE column selects individual base rows the
+      // summary already merged — not subsumable, must not fire
+      assert(!scanPaths(base.filter($"v" > 2).groupBy($"g")
         .agg(sum($"v"))).exists(_.contains(sumPath)))
       // grouping by a non-view column
       assert(!scanPaths(base.groupBy($"v").agg(count(lit(1))))
