@@ -1495,6 +1495,35 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each day's mean as the
+    * value seven days earlier, score MAPE / sMAPE / bias per series —
+    * the baseline every forecasting pipeline must beat, and the
+    * backtest harness that proves it. The week-ago value arrives by an
+    * exact (series, day−7) equi-join — NOT a 7-row lag, which silently
+    * misaligns across calendar gaps; the join shuffles (type, day)
+    * rollups, never raw events, and all scoring aggregates are
+    * series-bounded. Zero-mean days are excluded under the same
+    * literal guard in both engines (no division-by-zero semantics
+    * dependence). */
+  private def qForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("m"))
+    val lagged = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("m").as("f"))
+    daily.join(lagged, Seq("event_type", "day"))
+      .filter(abs(col("m")) > 1e-12 && abs(col("f")) > 1e-12)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        round(avg(abs(col("m") - col("f")) / abs(col("m"))), 6)
+          .as("mape"),
+        round(avg(lit(2) * abs(col("m") - col("f"))
+          / (abs(col("m")) + abs(col("f")))), 6).as("smape"),
+        round(avg(col("f") - col("m")), 4).as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   private def w10Funnel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
     Tables.load(s, dir, "events")
@@ -1722,6 +1751,7 @@ object RelationalQueries extends QuerySection {
     "q_twap" -> (qTwap _),
     "q_abc_pareto" -> (qAbcPareto _),
     "q_cusum" -> (qCusum _),
+    "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
     "w3_lag" -> (w3Lag _),
@@ -2355,6 +2385,20 @@ object RelationalQueries extends QuerySection {
         |SELECT event_type, day AS cp_day,
         |  round(abs(cusum), 4) AS max_excursion, n_days
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.m, f.m AS f
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND f.day + 7 = a.day
+        |  WHERE abs(a.m) > 1e-12 AND abs(f.m) > 1e-12)
+        |SELECT event_type, count(*) AS n_scored,
+        |  round(avg(abs(m - f) / abs(m)), 6) AS mape,
+        |  round(avg(2 * abs(m - f) / (abs(m) + abs(f))), 6) AS smape,
+        |  round(avg(f - m), 4) AS bias
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_ohlc" ->
       """WITH t AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, ts, event_id,
