@@ -79,6 +79,10 @@ object Bench {
     val io = scala.collection.mutable.Map
       .empty[String, org.apache.spark.graftx.StageMetrics.Totals]
     val raw = scala.collection.mutable.Map.empty[String, List[Double]]
+    // queries that threw on any pass: recorded in BOTH JSON outputs and
+    // turned into a non-zero exit, so a partially-failed run can never
+    // read as clean from its timing totals alone
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
 
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
@@ -109,12 +113,14 @@ object Bench {
           s""""shuffle_w_mb":${mb(t.shuffleWrite)}}"""
       }.mkString("{", ",", "}")
       val shuffleTotalMb = io.values.map(_.shuffleWrite).sum / 1048576.0
+      val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val fullJson =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
           f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
           f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
           f""""io_pass1":$ioJson,""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
@@ -128,6 +134,7 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
           f""""n_queries":${medians.length},""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""queries":${fmt(kept.toSeq)},""" +
           f""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
       println(lastCompact)
@@ -142,6 +149,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed += name
           System.err.println(
             s"[bench] $name pass $pass failed: ${e.getMessage}")
         }
@@ -171,6 +179,7 @@ object Bench {
           val t0 = System.nanoTime()
           try fn(spark, dir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
+            failed += name
             System.err.println(s"[bench] $name slope@$dir failed: " +
               e.getMessage)
           }
@@ -213,5 +222,12 @@ object Bench {
       }
     }
     spark.stop()
+    // a run with any thrown query is NOT a clean benchmark: the JSON
+    // carries the names, the exit code makes the harness notice
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: " +
+        failed.mkString(", "))
+      sys.exit(2)
+    }
   }
 }

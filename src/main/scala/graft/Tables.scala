@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Lake-table registry over the plain-Parquet lake layout.
   *
@@ -29,10 +29,16 @@ object Tables {
     * broadcast sides at 100 TB; their joins are AQE's call. */
   val smallDims: Set[String] = Set("region", "nation")
 
-  /** Columns stored as TIMESTAMP(NANOS), which Spark's Parquet reader
-    * rejects (Spark timestamps are µs). Read as long ns + truncate to µs
-    * — the same truncation DuckDB applies, so oracle compares align. */
-  private val nanosColumns: Map[String, Seq[String]] =
+  /** Event-time columns whose PHYSICAL parquet layout is a generator
+    * detail we must not depend on. Observed layouts across testdata
+    * generations: TIMESTAMP(NANOS) (read as long ns + truncate to µs —
+    * the same truncation DuckDB applies), TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ — reinterpreted in
+    * the session zone, which the engine pins to UTC), and plain
+    * µs-LTZ. All three normalize to session-UTC `TimestampType`, so
+    * every downstream cast/epoch/window sees one type regardless of
+    * which generator wrote the lake. */
+  private val eventTimeColumns: Map[String, Seq[String]] =
     Map("events" -> Seq("ts"))
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
@@ -51,18 +57,27 @@ object Tables {
 
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
-    val nanos = nanosColumns.getOrElse(name, Nil)
-    if (nanos.nonEmpty)
+    val tsCols = eventTimeColumns.getOrElse(name, Nil)
+    if (tsCols.nonEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, name))
-    val fixed = nanos.foldLeft(raw) { (d, c) =>
+    val fixed = tsCols.foldLeft(raw)((d, c) => normalizeEventTime(d, c))
+    if (smallDims.contains(name)) broadcast(fixed) else fixed
+  }
+
+  /** Normalize one event-time column to session-UTC `TimestampType`
+    * whatever the reader produced (see [[eventTimeColumns]]). */
+  private[graft] def normalizeEventTime(d: DataFrame, c: String): DataFrame =
+    d.schema.fields.find(_.name == c).map(_.dataType) match {
       // integer `div`, not `/`: epoch-ns exceeds double's 2^53 mantissa,
       // so float division would corrupt the low microsecond digits.
-      if (d.schema.fields.exists(f => f.name == c && f.dataType == LongType))
+      case Some(LongType) =>
         d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
-      else d
-    }
-    if (smallDims.contains(name)) broadcast(fixed) else fixed
+      // NTZ → LTZ is a pure reinterpretation under the engine's pinned
+      // UTC session zone: same wall-clock digits, same epoch micros.
+      case Some(TimestampNTZType) =>
+        d.withColumn(c, col(c).cast(TimestampType))
+      case _ => d
   }
 
   /** Register every table as a temp view (schema-on-read catalog,

@@ -151,13 +151,32 @@ object Features {
       col(keyCol).cast("string"), lit("|"), col("__rep"))), 1, 7),
       16, 10).cast("double") / lit(268435456.0)
     val w = poisson1Cdf.zipWithIndex.foldRight(lit(9): Column) {
-      case ((t, k), acc) => when(u < t, lit(k)).otherwise(acc)
+      case ((t, k), acc) => when(col("__u") < t, lit(k)).otherwise(acc)
     }
-    val repMeans = df.filter(v.isNotNull)
-      .select(col(groupCol), col(keyCol), v.as("__v"),
+    // Repartition BEFORE the explode: the replicate fan-out multiplies
+    // per-row work by R (hash + weight per replicate), so input
+    // parallelism — not input size — bounds the wall clock. A compact
+    // lake table can arrive as one file = one partition, serializing
+    // R·n hashes onto a single core; redistributing the n input rows
+    // (cheap, pre-explosion) lets every core take an equal slice. Hash
+    // weights are content-keyed, so placement never changes results.
+    val spread = df.filter(v.isNotNull)
+      .select(col(groupCol), col(keyCol), v.as("__v"))
+      .repartition(col(keyCol))
+    // Materialize the uniform and the weight as NAMED projections:
+    // `w` references `u` in all ~10 CaseWhen branch conditions, and
+    // branch expressions are conditional to codegen — no subexpression
+    // elimination — so inlining would re-run the md5 chain per branch
+    // per (row, replicate). As columns each is computed once; the
+    // weight's double use in the aggregate also keeps CollapseProject
+    // from folding the hash back in (non-cheap, referenced twice).
+    val repMeans = spread
+      .select(col(groupCol), col(keyCol), col("__v"),
         explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
       .groupBy(col(groupCol), col("__rep"))
-      .agg((sum(col("__v") * w) / sum(w)).as("__m"))
+      .agg((sum(col("__v") * col("__w")) / sum(col("__w"))).as("__m"))
     val base = df.filter(v.isNotNull).groupBy(col(groupCol))
       .agg(count(v).as("n"), round(avg(v), roundTo).as("mean"))
     val ci = repMeans.groupBy(col(groupCol))

@@ -34,6 +34,38 @@ object StreamingQueries extends QuerySection {
     try body finally s.conf.set(key, saved)
   }
 
+  /** Stage `df` as ONE parquet file at `dst` with a pinned mtime — the
+    * building block of every bounded-replay harness here: the file
+    * source orders files by mtime, so a sequence of staged files with
+    * increasing mtimes plus `maxFilesPerTrigger=1` is a deterministic
+    * micro-batch schedule. Files are written through Spark (canonical
+    * µs-UTC timestamp layout), never byte-copied from the raw lake, so
+    * every staged stream has ONE schema no matter which generator wrote
+    * the source table — see [[graft.Tables]] on layout drift. */
+  private def stageOne(df: DataFrame, dst: java.nio.file.Path,
+      mtime: Long): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val gen = Files.createTempDirectory("graft_stage_gen")
+    df.coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    val part = Files.list(gen).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    ()
+  }
+
+  /** (min, max) event time of the normalized events table — replay
+    * cutoffs and flush sentinels derive from these two scalars, so the
+    * harnesses track whatever time range the testdata generator used. */
+  private def eventTimeBounds(s: SparkSession,
+      dir: String): (java.sql.Timestamp, java.sql.Timestamp) = {
+    val row = graft.Tables.load(s, dir, "events")
+      .agg(min(col("ts")), max(col("ts"))).collect()(0)
+    (row.getTimestamp(0), row.getTimestamp(1))
+  }
+
   private def streamWindowCounts(s: SparkSession, dir: String): DataFrame = {
     // the file source wants a directory; symlink the single events file
     // into a temp dir instead of rewriting ~all event rows to staging
@@ -42,7 +74,7 @@ object StreamingQueries extends QuerySection {
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val agg = Streaming.windowedCounts(
-      Streaming.readEventsNanos(s, tmp.toString),
+      Streaming.readEventsAuto(s, tmp.toString),
       window_ = "6 hours", watermark = "1 minute")
     val name = "stream_window_counts_sink"
     withStatePartitions(s, 4) {
@@ -68,7 +100,7 @@ object StreamingQueries extends QuerySection {
     val tmp = Files.createTempDirectory("graft_sad")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
-    val approx = Streaming.readEventsNanos(s, tmp.toString)
+    val approx = Streaming.readEventsAuto(s, tmp.toString)
       .withWatermark("ts", "1 minute")
       .groupBy(window(col("ts"), "6 hours"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
@@ -101,7 +133,7 @@ object StreamingQueries extends QuerySection {
     Files.createSymbolicLink(tmp.resolve("copy_a.parquet"), src)
     Files.createSymbolicLink(tmp.resolve("copy_b.parquet"), src)
     val deduped = Streaming.dedupStream(
-      Streaming.readEventsNanos(s, tmp.toString),
+      Streaming.readEventsAuto(s, tmp.toString),
       Seq("event_id"), watermark = "1 minute")
     val agg = Streaming.windowAgg(deduped, window_ = "6 hours")
     val name = "stream_dedup_counts_sink"
@@ -126,39 +158,28 @@ object StreamingQueries extends QuerySection {
     * window counts: if the drop failed, every early window's n/total
     * would double. */
   private def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_late")
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    // batch 1: the full table (copied so its mtime is settable)
-    val a = tmp.resolve("a_full.parquet")
-    Files.copy(src, a)
-    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
-    // replays keep ts as raw int64 nanos so all files share one schema
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(src.toString)
-    def replayFile(cond: org.apache.spark.sql.Column,
-        name: String, mtime: Long): Unit = {
-      val gen = Files.createTempDirectory("graft_late_gen")
-      raw.filter(cond).coalesce(1)
-        .write.mode("overwrite").parquet(gen.toString)
-      val part = Files.list(gen).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = tmp.resolve(name)
-      Files.copy(part, dst)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-    }
-    // batch 2: final-window rows only (that window never emits, so the
-    // duplication is invisible) — advances the late-event watermark
-    val jan30_18Nanos = 1706637600L * 1000000000L // 2024-01-30T18:00:00Z
-    replayFile(col("ts") >= lit(jan30_18Nanos), "b_tail.parquet", 2000000L)
-    // batch 3: the pure-late replay that must vanish
-    val jan10Nanos = 1704844800L * 1000000000L // 2024-01-10T00:00:00Z
-    replayFile(col("ts") < lit(jan10Nanos), "c_late.parquet", 3000000L)
+    val ev = graft.Tables.load(s, dir, "events")
+    val (mn, mx) = eventTimeBounds(s, dir)
+    // batch 1: the full events table
+    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
+    // batch 2: final-window rows only (tumbling 6h windows are epoch-
+    // aligned, so the last window starts at max(ts) floored to the 6h
+    // grid; that window never emits, making the duplication invisible)
+    // — advances the late-event watermark one batch
+    val sixH = 6L * 3600 * 1000
+    val tailStart = new java.sql.Timestamp(mx.getTime / sixH * sixH)
+    stageOne(ev.filter(col("ts") >= lit(tailStart)),
+      tmp.resolve("b_tail.parquet"), 2000000L)
+    // batch 3: the pure-late replay that must vanish — the first day's
+    // events, far below the late-event watermark (max(ts) − 1 minute)
+    val dayOne = new java.sql.Timestamp(mn.getTime + 24L * 3600 * 1000)
+    stageOne(ev.filter(col("ts") < lit(dayOne)),
+      tmp.resolve("c_late.parquet"), 3000000L)
 
     val agg = Streaming.windowedCounts(
-      Streaming.readEventsNanos(s, tmp.toString, maxFilesPerTrigger = Some(1)),
+      Streaming.readEventsAuto(s, tmp.toString, maxFilesPerTrigger = Some(1)),
       window_ = "6 hours", watermark = "1 minute")
     val name = "stream_late_drop_sink"
     withStatePartitions(s, 4) {
@@ -180,7 +201,7 @@ object StreamingQueries extends QuerySection {
     val tmp = Files.createTempDirectory("graft_ssj")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
-    val events = Streaming.readEventsNanos(s, tmp.toString)
+    val events = Streaming.readEventsAuto(s, tmp.toString)
     val joined = Streaming.streamStreamJoin(
       events.filter(col("event_type") === "view"),
       events.filter(col("event_type") === "purchase"),
@@ -209,35 +230,23 @@ object StreamingQueries extends QuerySection {
     * complete batch LEFT JOIN — matched pairs AND every unmatched view
     * — proving no row was stranded and no null-row emitted twice. */
   private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_ssjo")
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val a = tmp.resolve("a_full.parquet")
-    Files.copy(src, a)
-    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(src.toString)
-    val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-    val flushNanos = maxNanos + 3L * 24 * 3600 * 1000000000L
-    val gen = Files.createTempDirectory("graft_ssjo_gen")
-    s.range(2).select(
+    val ev = graft.Tables.load(s, dir, "events")
+    val (_, mx) = eventTimeBounds(s, dir)
+    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
+    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+    val flush = s.range(2).select(
         (col("id") * -1 - 1).as("event_id"), // negative: outside real ids
-        lit(flushNanos).as("ts"),
+        lit(flushTs).as("ts"),
         (col("id") * -1 - 1).as("user_id"), // -1 and -2: match nothing
         when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
           .as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
-      .select(raw.columns.map(col): _*) // exact source column order
-      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
-    val part = Files.list(gen).iterator().asScala
-      .find(_.toString.endsWith(".parquet")).get
-    val b = tmp.resolve("b_flush.parquet")
-    Files.copy(part, b)
-    Files.setLastModifiedTime(b, FileTime.fromMillis(2000000L))
+      .select(ev.columns.map(col): _*) // exact source column order
+    stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
 
-    val events = Streaming.readEventsNanos(s, tmp.toString,
+    val events = Streaming.readEventsAuto(s, tmp.toString,
       maxFilesPerTrigger = Some(1))
     val joined = Streaming.streamStreamJoin(
       events.filter(col("event_type") === "view"),
@@ -267,35 +276,23 @@ object StreamingQueries extends QuerySection {
     * against the batch FULL JOIN with the identical time-range
     * condition. */
   private def streamAttributionFull(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_ssjf")
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val a = tmp.resolve("a_full.parquet")
-    Files.copy(src, a)
-    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(src.toString)
-    val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-    val flushNanos = maxNanos + 3L * 24 * 3600 * 1000000000L
-    val gen = Files.createTempDirectory("graft_ssjf_gen")
-    s.range(2).select(
+    val ev = graft.Tables.load(s, dir, "events")
+    val (_, mx) = eventTimeBounds(s, dir)
+    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
+    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+    val flush = s.range(2).select(
         (col("id") * -1 - 1).as("event_id"),
-        lit(flushNanos).as("ts"),
+        lit(flushTs).as("ts"),
         (col("id") * -1 - 1).as("user_id"), // -1, -2: match nothing
         when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
           .as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
-      .select(raw.columns.map(col): _*)
-      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
-    val part = Files.list(gen).iterator().asScala
-      .find(_.toString.endsWith(".parquet")).get
-    val b = tmp.resolve("b_flush.parquet")
-    Files.copy(part, b)
-    Files.setLastModifiedTime(b, FileTime.fromMillis(2000000L))
+      .select(ev.columns.map(col): _*)
+    stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
 
-    val events = Streaming.readEventsNanos(s, tmp.toString,
+    val events = Streaming.readEventsAuto(s, tmp.toString,
       maxFilesPerTrigger = Some(1))
     val joined = Streaming.streamStreamJoin(
       events.filter(col("event_type") === "view"),
@@ -331,37 +328,25 @@ object StreamingQueries extends QuerySection {
     * emit (the watermark never passes their bound) and are filtered by
     * their negative user ids regardless. */
   private def streamStatefulSessions(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import java.nio.file.attribute.FileTime
-    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_fmgws")
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath
-    val a = tmp.resolve("a_full.parquet")
-    Files.copy(src, a)
-    Files.setLastModifiedTime(a, FileTime.fromMillis(1000000L))
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(src.toString)
-    val maxNanos = raw.agg(max(col("ts"))).collect()(0).getLong(0)
-    val flushNanos = maxNanos + 3L * 24 * 3600 * 1000000000L
-    def sentinelFile(user: Long, name: String, mtime: Long): Unit = {
-      val gen = Files.createTempDirectory("graft_fmgws_gen")
-      s.range(1).select(
-          lit(-user).as("event_id"), lit(flushNanos).as("ts"),
-          lit(user).as("user_id"), lit("view").as("event_type"),
-          lit(0.0).as("value"), lit("{}").as("props"))
-        .select(raw.columns.map(col): _*)
-        .coalesce(1).write.mode("overwrite").parquet(gen.toString)
-      val part = Files.list(gen).iterator().asScala
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = tmp.resolve(name)
-      Files.copy(part, dst)
-      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
-    }
+    val ev = graft.Tables.load(s, dir, "events")
+    val (_, mx) = eventTimeBounds(s, dir)
+    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
+    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+    def sentinelFile(user: Long, name: String, mtime: Long): Unit =
+      stageOne(
+        s.range(1).select(
+            lit(-user).as("event_id"), lit(flushTs).as("ts"),
+            lit(user).as("user_id"), lit("view").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .select(ev.columns.map(col): _*),
+        tmp.resolve(name), mtime)
     sentinelFile(-1L, "b_flush1.parquet", 2000000L)
     sentinelFile(-2L, "c_flush2.parquet", 3000000L)
 
     val sessions = Streaming.statefulSessions(
-      Streaming.readEventsNanos(s, tmp.toString,
+      Streaming.readEventsAuto(s, tmp.toString,
         maxFilesPerTrigger = Some(1)),
       gapMinutes = 30, watermark = "1 minute")
     val name = "stream_stateful_sessions_sink"
@@ -388,7 +373,7 @@ object StreamingQueries extends QuerySection {
     val tmp = Files.createTempDirectory("graft_ssd")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
-    val events = Streaming.readEventsNanos(s, tmp.toString)
+    val events = Streaming.readEventsAuto(s, tmp.toString)
     val dim = graft.Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = events.join(broadcast(dim),
@@ -420,7 +405,7 @@ object StreamingQueries extends QuerySection {
     val tmp = Files.createTempDirectory("graft_spit")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
-    val events = Streaming.readEventsNanos(s, tmp.toString)
+    val events = Streaming.readEventsAuto(s, tmp.toString)
     val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
     val c = graft.Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -498,7 +483,7 @@ object StreamingQueries extends QuerySection {
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val totals = Streaming.statefulUserTotals(
-      Streaming.readEventsNanos(s, tmp.toString))
+      Streaming.readEventsAuto(s, tmp.toString))
     val name = "stream_user_totals_sink"
     withStatePartitions(s, 4) {
       Streaming.runAvailableNow(totals.toDF(), name, outputMode = "update")
@@ -522,7 +507,7 @@ object StreamingQueries extends QuerySection {
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val sess = Streaming.sessionize(
-      Streaming.readEventsNanos(s, tmp.toString),
+      Streaming.readEventsAuto(s, tmp.toString),
       gap = "30 minutes", watermark = "1 hour")
     val name = "stream_sessions_sink"
     withStatePartitions(s, 4) {
@@ -546,7 +531,7 @@ object StreamingQueries extends QuerySection {
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val base = Files.createTempDirectory("graft_srt_lake").toString
     val q = Streaming.routeStream(
-      Streaming.readEventsNanos(s, tmp.toString), base).start()
+      Streaming.readEventsAuto(s, tmp.toString), base).start()
     q.awaitTermination()
     s.read.parquet(s"$base/archive")
       .groupBy(col("event_type"))

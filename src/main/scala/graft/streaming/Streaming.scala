@@ -51,19 +51,27 @@ object Streaming {
       reader.option("maxFilesPerTrigger", n)).parquet(dir)
   }
 
-  /** [[readEvents]] over files whose ts is TIMESTAMP(NANOS) (the raw
-    * testdata layout): read as long ns, truncate to µs — same contract
-    * as [[graft.Tables.load]]'s batch path, streaming form. */
-  def readEventsNanos(spark: SparkSession, dir: String,
+  /** [[readEvents]] over RAW lake files whose ts layout is a generator
+    * detail (TIMESTAMP(NANOS) → long ns, µs-NTZ, or µs-LTZ — the
+    * layouts [[graft.Tables]] documents): the parquet FOOTER of the
+    * currently-present files is probed once with a batch reader (no
+    * data scan), the stream schema is pinned to what the scanner will
+    * actually produce, and the column is normalized to session-UTC
+    * `TimestampType` with the same rules as the batch path. A stream
+    * must declare its schema up front, so hardcoding any one layout
+    * silently corrupts event time when the lake's writer changes —
+    * probing is the only stable contract. */
+  def readEventsAuto(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val reader = spark.readStream.schema(nanosSchema)
+    val tsType = spark.read.parquet(dir).schema.fields
+      .find(_.name == "ts").map(_.dataType).getOrElse(TimestampType)
+    val probedSchema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val reader = spark.readStream.schema(probedSchema)
     val paced = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    paced.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTime(paced.parquet(dir), "ts")
   }
 
   /** Tumbling/sliding watermarked window aggregate — the streaming form
