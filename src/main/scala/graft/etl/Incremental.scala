@@ -42,6 +42,40 @@ object Incremental {
     graft.sinks.Sinks.writeSwap(spark, combined, path)
   }
 
+  /** [[mergeAdditive]] generalized to the full MERGEABLE-aggregate
+    * algebra: each value column carries its own combine function —
+    * `sum` (counts/sums), `min`, `max` — and the fold stays correct
+    * under any batch split because all three commute and associate.
+    * This is the algebra every incremental MV engine settles on:
+    * additive partials for sum/count, semilattice partials for
+    * min/max, ratios (avg) derived at READ time from the stored
+    * sum+count, and distinct counts riding sketch union
+    * (`q_hll_union`) — the non-mergeable aggregates (median, exact
+    * distinct) are exactly the ones such systems decline to maintain.
+    * At 100 TB the increment is batch-sized and the rollup is
+    * aggregate-cardinality; history is never rescanned. */
+  def mergeMergeable(spark: SparkSession, path: String, partial: DataFrame,
+      keys: Seq[String], merges: Seq[(String, String)]): Unit = {
+    val mergeFn: Map[String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] =
+      Map("sum" -> sum _, "min" -> min _, "max" -> max _)
+    val bad = merges.collect { case (c, f) if !mergeFn.contains(f) => s"$c:$f" }
+    require(bad.isEmpty, s"unsupported merge fns: ${bad.mkString(",")}")
+    if (!Files.exists(Paths.get(path))) {
+      partial.write.mode(SaveMode.ErrorIfExists).parquet(path)
+      return
+    }
+    val target = spark.read.parquet(path)
+    require(target.columns.sorted.sameElements(partial.columns.sorted),
+      s"rollup schema drift: table ${target.columns.mkString(",")} vs " +
+        s"partial ${partial.columns.mkString(",")}")
+    val aggs = merges.map { case (c, f) => mergeFn(f)(col(c)).as(c) }
+    val combined = target.unionByName(partial)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    graft.sinks.Sinks.writeSwap(spark, combined, path)
+  }
+
   /** Backfill — the repair tool incremental maintenance needs: when a
     * range of days is wrong (a double-applied batch, a late source
     * correction), recompute exactly `[fromDay, toDay]` from source and

@@ -52,9 +52,21 @@ object PageRank {
     val contribEdges = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint()
+    // The superstep join's SMALL side is the rank vector — (node,
+    // double), 16 bytes a row — while the edge list is the frame that
+    // must never move. A checkpoint erases the edge frame's partitioning
+    // metadata, so a shuffle join would re-exchange ALL edges every
+    // iteration; broadcasting the ranks instead leaves edges in place
+    // (scan → broadcast-hash probe → map-side partial aggregate, one
+    // small exchange of per-partition partial masses per superstep).
+    // A rank vector fits a broadcast up to ~10M nodes (~160 MB); past
+    // that the shuffle join is the right plan, so dispatch on n — the
+    // scalar this function already computes.
+    val hintRanks: DataFrame => DataFrame =
+      if (n <= 10_000_000L) broadcast else identity
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val sums = contribEdges.join(ranks, col("src") === col("node"))
+      val sums = contribEdges.join(hintRanks(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w")).as("mass"))
       ranks = nodes.join(sums, col("node") === col("dst"), "left")

@@ -216,6 +216,50 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("o_year"))
   }
 
+  /** J20 — TPC-H Q7 shape (volume shipping): bilateral trade between
+    * two chosen nations by ship year — supplier in one, customer in
+    * the other, BOTH directions, so the nation pair is part of the
+    * group key and the two dim filters compose with OR across sides.
+    * Scale shape: both nation dims broadcast with their side filter
+    * ALREADY applied (each keeps 2 of 25 rows), so supplier and
+    * customer shrink at their own joins BEFORE touching the fact;
+    * lineitem's ship-date filter is scan-pushed; the OR-of-pairs
+    * predicate evaluates on broadcast columns at probe time, never a
+    * shuffle; the final aggregate is (2 pairs × years)-bounded. */
+  private def j20VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val nA = "NATION_3"
+    val nB = "NATION_7"
+    val suppNation = broadcast(Tables.load(s, dir, "nation")
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")))
+    val custNation = broadcast(Tables.load(s, dir, "nation")
+      .filter(col("n_name").isin(nA, nB))
+      .select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation")))
+    val su = Tables.load(s, dir, "supplier")
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = Tables.load(s, dir, "customer")
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter((col("supp_nation") === nA && col("cust_nation") === nB) ||
+        (col("supp_nation") === nB && col("cust_nation") === nA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** J14 — TPC-H Q10 shape (returned-item reporting): which customers
     * drove the most revenue in RETURNED items over a half-year window.
     * 4-table join where the grain of the aggregate is the CUSTOMER
@@ -1741,6 +1785,7 @@ object RelationalQueries extends QuerySection {
     "j17_bloom_reduced" -> (j17BloomReduced _),
     "j18_min_cost_supplier" -> (j18MinCostSupplier _),
     "j19_fuzzy_blocked" -> (j19FuzzyBlocked _),
+    "j20_volume_shipping" -> (j20VolumeShipping _),
     "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
@@ -2276,6 +2321,22 @@ object RelationalQueries extends QuerySection {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "j20_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7') OR
+        |       (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "j13_market_share" ->
       """WITH flat AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,

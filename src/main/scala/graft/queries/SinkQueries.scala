@@ -451,6 +451,44 @@ object SinkQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** O5 — incrementally maintained MV over the FULL mergeable-aggregate
+    * algebra (`Incremental.mergeMergeable`): a per-(priority, status)
+    * order summary holding count, sum, min and max is built from the
+    * first half of orders and then maintained with two delta folds
+    * (second half split again, proving fold order doesn't matter);
+    * avg is derived at read time from the stored sum+count. Judged
+    * against the one-shot aggregate over all orders — the increments
+    * must reconstruct it exactly, including the semilattice (min/max)
+    * columns the additive-only rollup (O3) can't carry. At 100 TB each
+    * fold touches one batch + the aggregate-cardinality rollup. */
+  private def o5MvMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_mvm")
+      .toString + "/rollup"
+    val orders = Tables.load(s, dir, "orders")
+    def partial(from: String, until: String): DataFrame = orders
+      .filter(col("o_orderdate") >= from && col("o_orderdate") < until)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    val merges = Seq("n" -> "sum", "total" -> "sum",
+      "min_price" -> "min", "max_price" -> "max")
+    val keys = Seq("o_orderpriority", "o_orderstatus")
+    graft.etl.Incremental.mergeMergeable(s, out,
+      partial("0000-01-01", "1998-01-01"), keys, merges)
+    graft.etl.Incremental.mergeMergeable(s, out,
+      partial("1998-01-01", "2000-01-01"), keys, merges)
+    graft.etl.Incremental.mergeMergeable(s, out,
+      partial("2000-01-01", "9999-12-31"), keys, merges)
+    s.read.parquet(out)
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        round(col("total"), 2).as("total"),
+        round(col("min_price"), 2).as("min_price"),
+        round(col("max_price"), 2).as("max_price"),
+        round(col("total") / col("n"), 4).as("avg_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
   /** Materialized-view rewrite, end to end
     * (`org.apache.spark.sql.graftx.MvRewrite`): a (type, user)
     * summary of events is built and registered, then a COARSER
@@ -515,6 +553,7 @@ object SinkQueries extends QuerySection {
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
+    "o5_mv_merge" -> (o5MvMerge _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
     "k_zorder_box" -> (kZorderBox _),
@@ -561,6 +600,14 @@ object SinkQueries extends QuerySection {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "o5_mv_merge" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(sum(o_totalprice) / count(*), 4) AS avg_price
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "k_checksum" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST('0x' || substr(md5(

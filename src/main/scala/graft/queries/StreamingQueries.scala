@@ -217,6 +217,35 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** SEMI stream-stream join — the existence-probe form of attribution:
+    * each view emits ONCE iff some purchase by the same user lands
+    * within the horizon, with no purchase columns in the output (the
+    * streaming twin of `j2_semi`). State-wise this is cheaper than the
+    * inner join: a view is dropped from state at its FIRST match (no
+    * further matches can re-emit it), and the right side buffers only
+    * within the watermark. A matched row emits when its match arrives,
+    * so the completed bounded replay equals the batch EXISTS — no flush
+    * sentinel needed. */
+  private def streamSemiAttribution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_ssjs")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val events = Streaming.readEventsAuto(s, tmp.toString)
+    val joined = Streaming.streamStreamJoin(
+      events.filter(col("event_type") === "view"),
+      events.filter(col("event_type") === "purchase"),
+      watermark = "1 minute", horizon = "1 hour", joinType = "left_semi")
+    val name = "stream_semi_attribution_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(joined, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("l_id").as("view_id"), col("user_id"),
+        unix_micros(col("l_ts")).as("view_us"))
+      .orderBy(col("view_id"))
+  }
+
   /** LEFT-OUTER stream-stream join: attribution where views with NO
     * purchase inside the horizon must ALSO emit (null purchase) — the
     * semantics inner joins silently drop. Unmatched-left emission rides
@@ -547,6 +576,7 @@ object StreamingQueries extends QuerySection {
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
     "stream_attribution" -> (streamStreamAttribution _),
+    "stream_semi_attribution" -> (streamSemiAttribution _),
     "stream_attribution_outer" -> (streamAttributionOuter _),
     "stream_static_enrich" -> (streamStaticEnrich _),
     "stream_pit_enrich" -> (streamPitEnrich _),
@@ -624,6 +654,15 @@ object StreamingQueries extends QuerySection {
         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |ORDER BY view_id, purchase_id""".stripMargin,
+    "stream_semi_attribution" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+        |  epoch_us(v.ts) AS view_us
+        |FROM events v
+        |WHERE v.event_type = 'view' AND EXISTS (
+        |  SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+        |ORDER BY view_id""".stripMargin,
     // the flush batch pushes the watermark past every view's eviction
     // bound, so the completed stream equals the full batch LEFT JOIN
     "stream_attribution_outer" ->

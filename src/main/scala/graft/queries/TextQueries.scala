@@ -30,6 +30,45 @@ object TextQueries extends QuerySection {
         round(avgWordLenOfTokens(col("__toks")), 4).as("avg_word_len"))
       .orderBy(col("doc_id")).limit(500)
 
+  /** PMI collocations — which adjacent word pairs co-occur far more
+    * than their parts predict (`ln(p(ab) / (p(a)·p(b)))`), the
+    * standard phrase-mining signal (Church & Hanks 1990) a tokenizer
+    * or phrase-vocab pipeline runs before merging multiword units.
+    * One tokenize pass feeds BOTH the unigram and bigram corpora;
+    * counts aggregate to vocabulary cardinality before any join, the
+    * two scalar totals ride broadcast, and the unigram table joins the
+    * bigram table per-part on vocab keys. A min-support filter (n_ab ≥
+    * 5) runs BEFORE the joins — rare-pair noise (PMI's known failure
+    * mode) never reaches the join stage. Ordered by rounded PMI so
+    * both engines cut the identical top rows. */
+  private def textPmi(s: SparkSession, dir: String,
+      minCo: Long = 5L, topK: Int = 25): DataFrame = {
+    val tk = docs(s, dir).select(tokens(col("text")).as("__toks"))
+    val uni = tk.select(explode(col("__toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val totTok = uni.agg(sum(col("n_t")).cast("double").as("n_tok"))
+    val bg = tk.select(explode(shinglesOfTokens(col("__toks"), 2))
+        .as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCo)
+      .select(split(col("bigram"), " ").getItem(0).as("a"),
+        split(col("bigram"), " ").getItem(1).as("b"),
+        col("n_ab"))
+    val totBg = tk.select(
+        sum(greatest(size(col("__toks")) - 1, lit(0))).cast("double")
+          .as("n_bg"))
+    bg.join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(totTok))
+      .crossJoin(broadcast(totBg))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab") / col("n_bg")) /
+          ((col("n_a") / col("n_tok")) * (col("n_b") / col("n_tok")))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** One corpus-scale BPE merge step ([[bpePairCounts]]): top adjacent
     * character pairs weighted by word frequency — the tokenizer-
     * training inner loop, reduced over the word VOCABULARY rather than
@@ -337,6 +376,7 @@ object TextQueries extends QuerySection {
     "text_rollup" -> (textRollup _),
     "text_tfidf" -> (textTfidf _),
     "text_bigrams" -> (textBigrams _),
+    "text_pmi" -> ((s: SparkSession, dir: String) => textPmi(s, dir)),
     "text_repetition" -> (textRepetition _),
     "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
@@ -471,6 +511,30 @@ object TextQueries extends QuerySection {
         |    round(1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl), 4)
         |  ELSE 0.0 END AS rep_ratio
         |FROM sh ORDER BY doc_id LIMIT 500""".stripMargin,
+    "text_pmi" ->
+      s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
+        |uni AS (
+        |  SELECT t, count(*) AS n_t
+        |  FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
+        |tot AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n_tok FROM uni),
+        |bgtot AS (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS DOUBLE)
+        |    AS n_bg FROM toks),
+        |bg AS (
+        |  SELECT string_split(bigram, ' ')[1] AS a,
+        |    string_split(bigram, ' ')[2] AS b, count(*) AS n_ab
+        |  FROM (SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+        |        list_transform(generate_series(1, len(tk) - 1),
+        |          i -> array_to_string(tk[i:i+1], ' '))
+        |      ELSE [] END) AS bigram FROM toks)
+        |  GROUP BY bigram HAVING count(*) >= 5)
+        |SELECT a, b, n_ab,
+        |  round(ln((n_ab / (SELECT n_bg FROM bgtot)) /
+        |    ((ua.n_t / (SELECT n_tok FROM tot)) *
+        |     (ub.n_t / (SELECT n_tok FROM tot)))), 6) AS pmi
+        |FROM bg
+        |JOIN uni ua ON ua.t = a
+        |JOIN uni ub ON ub.t = b
+        |ORDER BY pmi DESC, a, b LIMIT 25""".stripMargin,
     "text_bigrams" ->
       s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
         |sh AS (SELECT unnest(CASE WHEN len(tk) >= 2 THEN

@@ -197,7 +197,22 @@ object ValidationQueries extends QuerySection {
         Tables.load(s, dir, "orders"), "o_totalprice")
       .orderBy(col("digit"))
 
+  /** V+ — functional-dependency audit (`validate.Dependence.fdAudit`):
+    * three schema claims over orders — the natural key determines its
+    * customer and status (must hold), while customer → priority is a
+    * deliberately false claim the audit must quantify, not just flag.
+    * Per claim: one (lhs, rhs) pair aggregate + per-key rollup; the
+    * judged row carries key/violator counts and the verdict. */
+  private def v14FdAudit(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Dependence.fdAudit(
+        Tables.load(s, dir, "orders"),
+        Seq("o_orderkey" -> "o_custkey",
+          "o_orderkey" -> "o_orderstatus",
+          "o_custkey" -> "o_orderpriority"))
+      .orderBy(col("fd"))
+
   def queries: Map[String, Q] = Map(
+    "v14_fd_audit" -> (v14FdAudit _),
     "v12_corr_matrix" -> (v12CorrMatrix _),
     "v13_benford" -> (v13Benford _),
     "v11_ab_welch" -> (v11AbWelch _),
@@ -215,6 +230,28 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v14_fd_audit" ->
+      """WITH audit AS (
+        |  SELECT 'o_orderkey->o_custkey' AS fd, o_orderkey AS lhs,
+        |    coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') AS rhs
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_orderkey->o_orderstatus', o_orderkey,
+        |    coalesce(o_orderstatus, '<NULL>')
+        |  FROM orders WHERE o_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority', o_custkey,
+        |    coalesce(o_orderpriority, '<NULL>')
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |per_key AS (
+        |  SELECT fd, lhs, count(DISTINCT rhs) AS variants
+        |  FROM audit GROUP BY fd, lhs)
+        |SELECT fd, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  max(variants) AS max_variants,
+        |  sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        |FROM per_key GROUP BY fd ORDER BY fd""".stripMargin,
     "v12_corr_matrix" ->
       """WITH c AS (
         |  SELECT

@@ -381,6 +381,40 @@ object Privacy {
   */
 object Dependence {
 
+  /** FUNCTIONAL-DEPENDENCY audit: for each claimed `lhs → rhs`, does
+    * every lhs key map to exactly one rhs value? The schema contracts
+    * a lake inherits (natural keys, 1:1 code tables, SCD1 attributes)
+    * are all FDs, and checking them is the first thing a data-quality
+    * pass owes: one row per claim with the key count, the number of
+    * VIOLATING keys (more than one distinct rhs), the worst key's
+    * variant count, and the verdict. NULL lhs rows are excluded (no
+    * key, no claim); NULL rhs counts as a variant via the sentinel
+    * grouping below.
+    *
+    * Scale: one hash aggregate per claim on (lhs, rhs) — pairs, not
+    * rows, after map-side combine — then a per-lhs rollup and a
+    * 4-scalar reduce. Nothing is ever collected; the exact distinct
+    * is per-key (bounded by that key's variants), never global. */
+  def fdAudit(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
+    fds.map { case (l, r) =>
+      df.filter(col(l).isNotNull)
+        // two-level aggregate: distinct (lhs, rhs) pairs first, so the
+        // per-key variant count is a cheap count(*), not a
+        // count(distinct) carrying row-cardinality state
+        .groupBy(col(l).as("__lhs"),
+          coalesce(col(r).cast("string"), lit("<NULL>")).as("__rhs"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__lhs"))
+        .agg(count(lit(1)).as("__variants"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__variants") > 1, 1L).otherwise(0L))
+            .as("n_violating"),
+          max(col("__variants")).as("max_variants"))
+        .select(lit(s"$l->$r").as("fd"), col("n_keys"),
+          col("n_violating"), col("max_variants"),
+          (col("n_violating") === 0).as("holds"))
+    }.reduce(_.unionByName(_))
+
   /** One row: `n`, `dof` = (|A|−1)(|B|−1), and `chi2` = Σ (O−E)²/E
     * with E = rowTot·colTot/n. NULL categories count as a real level
     * (they form a row/column of the table). */

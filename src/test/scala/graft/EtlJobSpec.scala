@@ -144,6 +144,43 @@ class EtlJobSpec extends SparkSpec {
     }
   }
 
+  test("mergeable MV: min/max/sum folds reconstruct the one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvm_spec")
+      .toString + "/rollup"
+    val orders = Tables.load(spark, sf0001, "orders")
+    def partial(cond: org.apache.spark.sql.Column) = orders.filter(cond)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    val merges = Seq("n" -> "sum", "total" -> "sum",
+      "lo" -> "min", "hi" -> "max")
+    // uneven thirds, folded out of date order — merge fns commute
+    graft.etl.Incremental.mergeMergeable(spark, dir,
+      partial(col("o_orderdate") >= "1999-01-01"), Seq("o_orderstatus"),
+      merges)
+    graft.etl.Incremental.mergeMergeable(spark, dir,
+      partial(col("o_orderdate") < "1997-01-01"), Seq("o_orderstatus"),
+      merges)
+    graft.etl.Incremental.mergeMergeable(spark, dir,
+      partial(col("o_orderdate") >= "1997-01-01" &&
+        col("o_orderdate") < "1999-01-01"), Seq("o_orderstatus"), merges)
+    val rolled = spark.read.parquet(dir).orderBy("o_orderstatus").collect()
+    val oneShot = partial(lit(true)).orderBy("o_orderstatus").collect()
+    assert(rolled.length == oneShot.length && rolled.nonEmpty)
+    rolled.zip(oneShot).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1))
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-6)
+      assert(a.getDouble(3) == b.getDouble(3)) // min: exact, order-free
+      assert(a.getDouble(4) == b.getDouble(4)) // max: exact, order-free
+    }
+    // unknown merge functions are loud
+    intercept[IllegalArgumentException] {
+      graft.etl.Incremental.mergeMergeable(spark, dir,
+        partial(lit(true)), Seq("o_orderstatus"), Seq("n" -> "avg"))
+    }
+  }
+
   test("versioned rollup snapshots: time travel to any maintenance state") {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files.createTempDirectory("graft_vr").toString

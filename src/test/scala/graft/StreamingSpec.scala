@@ -270,4 +270,31 @@ class StreamingSpec extends SparkSpec {
     // sentinel view itself stays in state and never emits
     assert(out === Set((1L, Some(2L)), (3L, None)))
   }
+
+  test("semi stream-stream join: one emission per matched left, ever") {
+    val dir = Files.createTempDirectory("graft_ssjs_unit")
+    // u1's view has TWO in-horizon purchases (must emit ONCE);
+    // u2's view has none (must not emit at all)
+    Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view"),
+      (2L, "2024-03-01 10:10:00", 1L, "purchase"),
+      (3L, "2024-03-01 10:30:00", 1L, "purchase"),
+      (4L, "2024-03-01 11:00:00", 2L, "view"))
+      .map { case (id, ts, uid, typ) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir.resolve("events").toString)
+    val events = Streaming.readEvents(spark, dir.resolve("events").toString)
+    val joined = Streaming.streamStreamJoin(
+      events.filter($"event_type" === "view"),
+      events.filter($"event_type" === "purchase"),
+      watermark = "1 minute", horizon = "1 hour",
+      joinType = "left_semi")
+    Streaming.runAvailableNow(joined, "ssjs_unit", outputMode = "append")
+    val out = spark.table("ssjs_unit").select($"l_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L), "exactly one row, for the matched view")
+    // semi output carries LEFT columns only
+    assert(spark.table("ssjs_unit").columns.toSet ===
+      Set("l_id", "user_id", "l_ts"))
+  }
 }

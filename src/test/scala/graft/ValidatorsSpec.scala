@@ -165,6 +165,25 @@ class ValidatorsSpec extends SparkSpec {
     }
   }
 
+  test("FD audit: holds/violations quantified; null lhs out, null rhs in") {
+    import spark.implicits._
+    import graft.validate.Dependence
+    val df = Seq(
+      (Some(1L), "a", Some("x")), (Some(1L), "a", Some("y")), // k→attr2 2-way
+      (Some(2L), "b", Some("x")), (Some(2L), "b", Some("x")), // consistent
+      (Some(3L), "c", None),      (Some(3L), "c", Some("x")), // NULL variant
+      (None,     "d", Some("z"))                              // no key: out
+    ).toDF("k", "attr1", "attr2")
+    val out = Dependence.fdAudit(df,
+        Seq("k" -> "attr1", "k" -> "attr2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // k→attr1 holds over the 3 non-null keys
+    assert(out("k->attr1") === ((3L, 0L, 1L, true)))
+    // k→attr2: keys 1 (x,y) and 3 (NULL,x) violate; worst has 2 variants
+    assert(out("k->attr2") === ((3L, 2L, 2L, false)))
+  }
+
   test("benford: decimal-string digit extraction survives the edges") {
     import spark.implicits._
     import graft.validate.NumericProfile
