@@ -16,6 +16,43 @@ import org.apache.spark.sql.functions._
   */
 object Features {
 
+  /** ε-differentially-private COUNT release: per-group counts with
+    * Laplace(1/ε) noise — the governance primitive for publishing
+    * usage/cohort statistics off a lake without exposing any single
+    * row's presence (count sensitivity = 1, so scale b = 1/ε).
+    *
+    * The noise is DETERMINISTIC-per-release: the uniform comes from
+    * the portable md5 bridge over (salt, group) — same mechanism as
+    * the Poisson bootstrap's weights — inverted through the Laplace
+    * CDF (`x = −b·sign(u−½)·ln(1−2|u−½|)`). Determinism is what makes
+    * a noisy release operationally sane (re-running the job republishes
+    * identical numbers, no averaging-attack across retries) and what
+    * lets a DP mechanism, of all things, be hash-judged against an
+    * oracle. Fresh release ⇒ fresh salt ⇒ fresh ε budget accounting —
+    * the caller's ledger, not this function's.
+    *
+    * Scale: one hash aggregate to group cardinality; the noise is a
+    * projection on the aggregate output. True counts never leave the
+    * plan. */
+  def dpCountRelease(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String = "dp", roundTo: Int = 4): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val u = conv(substring(md5(concat(lit(salt), lit("|"),
+      col(groupCol).cast("string"))), 1, 7), 16, 10)
+      .cast("double") / lit(268435456.0)
+    val centered = col("__u") - lit(0.5)
+    // clamp |u−½| off exactly ½ so ln(1−2|·|) can't hit −∞ (a 28-bit
+    // u CAN be exactly 0)
+    val mag = least(abs(centered), lit(0.49999999))
+    val noise = lit(-1.0 / epsilon) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * mag)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__u", u)
+      .select(col(groupCol), lit(epsilon).as("epsilon"),
+        round(col("__n") + noise, roundTo).as("noisy_n"))
+  }
+
   /** Per-group z-score: (v − μ_g) / σ_g, population σ. Groups with
     * zero variance (σ = 0) yield null — the column carries no signal
     * there, and silently emitting 0 would hide that. One exchange on

@@ -246,7 +246,18 @@ object CurationQueries extends QuerySection {
         reps = 100)
       .orderBy(col("event_type"))
 
+  /** ε-DP noisy release of per-type event counts
+    * (`Features.dpCountRelease`, ε = 0.5): deterministic Laplace
+    * noise from the md5 bridge, judged by replaying the inverse-CDF
+    * arithmetic in DuckDB — the release the mechanism would actually
+    * publish, true counts never surfacing. */
+  private def curDpRelease(s: SparkSession, dir: String): DataFrame =
+    graft.curation.Features.dpCountRelease(
+        Tables.load(s, dir, "events"), "event_type", epsilon = 0.5)
+      .orderBy(col("event_type"))
+
   def queries: Map[String, Q] = Map(
+    "cur_dp_release" -> (curDpRelease _),
     "cur_bootstrap" -> (curBootstrap _),
     "cur_split_temporal" -> (curSplitTemporal _),
     "cur_split" -> (curSplit _),
@@ -292,6 +303,18 @@ object CurationQueries extends QuerySection {
       .stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "cur_dp_release" ->
+      """WITH n AS (
+        |  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, cnt,
+        |    CAST(CAST('0x' || substr(md5('dp|' || event_type), 1, 7)
+        |      AS BIGINT) AS DOUBLE) / 268435456.0 - 0.5 AS c
+        |  FROM n)
+        |SELECT event_type, 0.5 AS epsilon,
+        |  round(cnt + (-1.0 / 0.5) * sign(c) *
+        |    ln(1.0 - 2.0 * least(abs(c), 0.49999999)), 4) AS noisy_n
+        |FROM u ORDER BY event_type""".stripMargin,
     "cur_bootstrap" ->
       """WITH e AS (
         |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v

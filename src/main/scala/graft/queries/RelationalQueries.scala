@@ -1539,6 +1539,34 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** Autocorrelation function — ACF at lags 1..7 of the daily mean
+    * value per series: the seasonality detector that motivates
+    * `q_forecast`'s day−7 baseline (a weekly cycle shows as an ACF
+    * spike at lag 7). Pearson correlation between the series and its
+    * day−k shift, one lag per row; like the forecast backtest the
+    * shifted value arrives by an exact (series, day−k) equi-join on
+    * the DAILY rollup — never a row-offset lag (calendar gaps would
+    * misalign it) and never raw events (the rollup is days×series
+    * sized, so even the 7-way lag expansion is tiny next to the
+    * scan). `corr` is a single-pass aggregate per (series, lag). */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("m"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+    val shifted = daily.select(col("event_type").as("e2"),
+      col("day").as("day2"), col("m").as("m_lag"))
+    daily.crossJoin(broadcast(lags))
+      .join(shifted,
+        col("event_type") === col("e2") &&
+          col("day2") === date_sub(col("day"), col("lag")))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("m"), col("m_lag")), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's mean as the
     * value seven days earlier, score MAPE / sMAPE / bias per series —
     * the baseline every forecasting pipeline must beat, and the
@@ -1796,6 +1824,7 @@ object RelationalQueries extends QuerySection {
     "q_twap" -> (qTwap _),
     "q_abc_pareto" -> (qAbcPareto _),
     "q_cusum" -> (qCusum _),
+    "q_acf" -> (qAcf _),
     "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
@@ -2424,6 +2453,19 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag)
+        |SELECT d.event_type, CAST(l.lag AS INT) AS lag,
+        |  count(*) AS n_pairs,
+        |  round(corr(d.m, p.m), 6) AS acf
+        |FROM daily d
+        |CROSS JOIN lags l
+        |JOIN daily p ON p.event_type = d.event_type
+        |  AND p.day = d.day - CAST(l.lag AS INT)
+        |GROUP BY 1, 2 ORDER BY d.event_type, lag""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

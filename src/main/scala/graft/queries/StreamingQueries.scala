@@ -549,6 +549,40 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** DYNAMIC-GAP streaming sessionization
+    * (`Streaming.sessionizeDynamic`): purchases hold a session open
+    * for 60 minutes, every other event for 30 — the engagement-model
+    * nuance a fixed gap can't express. `session_window(ts, gapExpr)`
+    * merges overlapping per-event extents `[ts, ts+gap)`; the oracle
+    * replays that merge batch-wise as running-max island detection
+    * (new session iff ts ≥ max of all previous events' extent ends —
+    * prior sessions' ends can never exceed a later session's start,
+    * so the GLOBAL running max is safe) plus the same append-mode
+    * emission cutoff (session end ≤ final watermark). */
+  private def streamSessionsDynamic(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_swd")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    // interval STRINGS, not INTERVAL literals: the dynamic-gap overload
+    // wants CalendarIntervalType (or a castable string), and a typed
+    // INTERVAL literal parses to DayTimeIntervalType, which it rejects
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val sess = Streaming.sessionizeDynamic(
+      Streaming.readEventsAuto(s, tmp.toString),
+      gap, watermark = "1 hour")
+    val name = "stream_sessions_dynamic_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(sess, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** End-to-end stream → routed lake load (foreachBatch reusing the K8
     * batch routing fan-out): every event lands in the archive route; the
     * judged output aggregates the read-back archive table and must equal
@@ -572,6 +606,7 @@ object StreamingQueries extends QuerySection {
     "stream_late_drop" -> (streamLateDrop _),
     "stream_routing" -> (streamRouting _),
     "stream_sessions" -> (streamSessions _),
+    "stream_sessions_dynamic" -> (streamSessionsDynamic _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_window_counts" -> (streamWindowCounts _),
     "stream_dedup_counts" -> (streamDedupCounts _),
@@ -631,6 +666,35 @@ object StreamingQueries extends QuerySection {
         |  FROM sess GROUP BY user_id, sid)
         |SELECT user_id, session_start, n_events, session_value FROM agg
         |WHERE s_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
+    // dynamic-gap merge replayed as running-max island detection;
+    // emission = session end (max event extent) past the final watermark
+    "stream_sessions_dynamic" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000
+        |      ELSE 1800000000 END AS gap_us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, value, gap_us,
+        |    max(epoch_us(ts) + gap_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        |  FROM g),
+        |f AS (
+        |  SELECT *, CASE WHEN run_end IS NULL OR epoch_us(ts) >= run_end
+        |    THEN 1 ELSE 0 END AS new_s FROM r),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    count(*) AS n_events, round(sum(value), 2) AS session_value,
+        |    max(epoch_us(ts) + gap_us) AS s_end_us
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n_events, session_value FROM agg
+        |WHERE s_end_us <=
+        |  (SELECT epoch_us(max(ts)) - 3600000000 FROM events)
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,

@@ -211,7 +211,24 @@ object ValidationQueries extends QuerySection {
           "o_custkey" -> "o_orderpriority"))
       .orderBy(col("fd"))
 
+  /** V+ — referential-integrity audit (`validate.Dependence.fkAudit`):
+    * the star schema's three FK spokes — lineitem→orders,
+    * orders→customer, events→customer — checked for orphans in one
+    * pass each (child FK left-joined to the parent's distinct keys).
+    * The multi-source consistency check the reference's separate
+    * stores (SQL/Mongo/Influx) could never run in one engine. */
+  private def v15RefIntegrity(s: SparkSession, dir: String): DataFrame =
+    graft.validate.Dependence.fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", Tables.load(s, dir, "lineitem"),
+          "l_orderkey", Tables.load(s, dir, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", Tables.load(s, dir, "orders"),
+          "o_custkey", Tables.load(s, dir, "customer"), "c_custkey"),
+        ("events.user_id->customer", Tables.load(s, dir, "events"),
+          "user_id", Tables.load(s, dir, "customer"), "c_custkey")))
+      .orderBy(col("relation"))
+
   def queries: Map[String, Q] = Map(
+    "v15_ref_integrity" -> (v15RefIntegrity _),
     "v14_fd_audit" -> (v14FdAudit _),
     "v12_corr_matrix" -> (v12CorrMatrix _),
     "v13_benford" -> (v13Benford _),
@@ -230,6 +247,28 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v15_ref_integrity" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_orphans
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_custkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer', count(*),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE e.user_id IS NOT NULL)
+        |SELECT relation, n_rows, n_orphans, n_orphans = 0 AS ok
+        |FROM checks ORDER BY relation""".stripMargin,
     "v14_fd_audit" ->
       """WITH audit AS (
         |  SELECT 'o_orderkey->o_custkey' AS fd, o_orderkey AS lhs,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -97,6 +97,20 @@ object Streaming {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  /** [[sessionize]] with a PER-EVENT gap expression — `session_window`'s
+    * dynamic-gap form: each event extends its session to `[ts,
+    * ts + gap(event))` and overlapping extents merge, so e.g. a
+    * purchase can hold a session open longer than a view. Same state
+    * bound (watermark + max gap); the merge rule means the emitted
+    * session set depends only on event times and gaps, never on
+    * micro-batch layout — what keeps the dynamic form batch-judgeable
+    * (the oracle replays the merge as a running-max island detection). */
+  def sessionizeDynamic(events: DataFrame, gapExpr: Column,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gapExpr), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
 
   /** Streaming exact deduplication on key columns (the training-data

@@ -381,6 +381,30 @@ object Privacy {
   */
 object Dependence {
 
+  /** REFERENTIAL-INTEGRITY audit: for each claimed FK relationship
+    * `(child.fk → parent.pk)`, how many child rows point at no parent?
+    * The multi-source lake's first consistency question — ingestion
+    * order, partial loads, and source drift all surface as orphans
+    * before they surface anywhere else. NULL FKs are excluded (SQL FK
+    * semantics: null references nothing and violates nothing).
+    *
+    * Scale: per relation one left join of the child's FK column
+    * against the parent's DISTINCT key set — the parent side reduces
+    * to key cardinality before the join (broadcast for dims, shuffle
+    * for fact-to-fact) — then a 2-scalar reduce. The child is never
+    * re-scanned per metric. */
+  def fkAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    rels.map { case (name, child, fk, parent, pk) =>
+      child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as("__pk")).distinct(),
+          col(fk) === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
+          (col("n_orphans") === 0).as("ok"))
+    }.reduce(_.unionByName(_))
+
   /** FUNCTIONAL-DEPENDENCY audit: for each claimed `lhs → rhs`, does
     * every lhs key map to exactly one rhs value? The schema contracts
     * a lake inherits (natural keys, 1:1 code tables, SCD1 attributes)

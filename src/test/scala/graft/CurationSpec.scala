@@ -284,4 +284,31 @@ class CurationSpec extends SparkSpec {
       Features.poissonBootstrapCI(df, "g", "k", "v", reps = 1)
     }
   }
+
+  test("dpCountRelease: deterministic noise, scale tracks 1/epsilon") {
+    import spark.implicits._
+    import graft.curation.Features
+    val df = (1 to 100).map(i => (if (i % 2 == 0) "a" else "b", i))
+      .toSeq.toDF("g", "v")
+    def release(eps: Double, salt: String = "dp") =
+      Features.dpCountRelease(df, "g", eps, salt).orderBy($"g")
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val r1 = release(0.5)
+    // identical rerun — republishing can't leak via averaging
+    assert(release(0.5) === r1)
+    // a fresh salt is a fresh draw (with these salts the noise differs)
+    assert(release(0.5, salt = "dp2") !== r1)
+    // noise is bounded by b·ln(1/(2·2^-28)) ≈ 37 at eps=0.5 — and the
+    // noisy counts stay in a sane band around the true count of 50
+    r1.values.foreach(v => assert(math.abs(v - 50.0) < 40.0))
+    // tighter epsilon (bigger b) must move at least one group further
+    val r01 = release(0.1)
+    assert(r01.keys == r1.keys)
+    val drift1 = r1.map { case (k, v) => math.abs(v - 50.0) }.sum
+    val drift01 = r01.map { case (k, v) => math.abs(v - 50.0) }.sum
+    assert(drift01 > drift1, "Laplace scale must grow as epsilon shrinks")
+    intercept[IllegalArgumentException] {
+      Features.dpCountRelease(df, "g", epsilon = 0.0)
+    }
+  }
 }

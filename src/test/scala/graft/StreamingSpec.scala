@@ -271,6 +271,35 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, Some(2L)), (3L, None)))
   }
 
+  test("dynamic-gap sessions: a purchase holds its session open longer") {
+    val dir = Files.createTempDirectory("graft_swd_unit")
+    // u1: view at 10:00 (30 min extent → closes 10:30), next event
+    //     10:40 → TWO sessions.
+    // u2: purchase at 10:00 (60 min extent → open till 11:00), next
+    //     event 10:40 falls inside → ONE merged session.
+    // u3: far-future row that only pushes the watermark past everything.
+    Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view"),
+      (2L, "2024-03-01 10:40:00", 1L, "view"),
+      (3L, "2024-03-01 10:00:00", 2L, "purchase"),
+      (4L, "2024-03-01 10:40:00", 2L, "view"),
+      (5L, "2024-03-09 00:00:00", 3L, "view"))
+      .map { case (id, ts, uid, typ) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid, typ, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir.resolve("events").toString)
+    val gap = when($"event_type" === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val sess = Streaming.sessionizeDynamic(
+      Streaming.readEvents(spark, dir.resolve("events").toString),
+      gap, watermark = "1 minute")
+    Streaming.runAvailableNow(sess, "swd_unit", outputMode = "append")
+    val out = spark.table("swd_unit").filter($"user_id" < 3L)
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out === Seq((1L, 1L), (1L, 1L), (2L, 2L)))
+  }
+
   test("semi stream-stream join: one emission per matched left, ever") {
     val dir = Files.createTempDirectory("graft_ssjs_unit")
     // u1's view has TWO in-horizon purchases (must emit ONCE);
