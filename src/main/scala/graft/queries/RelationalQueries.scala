@@ -1567,6 +1567,32 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Theil–Sen robust trend — the MEDIAN of all pairwise day-to-day
+    * slopes per series (29.3% breakdown point vs OLS's zero: a bad
+    * ingest day drags a least-squares slope arbitrarily, but not the
+    * pair-slope median — the trend estimator a monitoring pipeline
+    * should alert on). The pair expansion runs on the DAILY rollup
+    * (days² per series, corpus-independent), never raw events; the
+    * median is the exact interpolated percentile over that bounded
+    * frame. */
+  private def qTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(avg(col("value")).as("m"))
+    val later = daily.select(col("event_type").as("e2"),
+      col("day").as("day2"), col("m").as("m2"))
+    daily.join(later,
+        col("event_type") === col("e2") && col("day2") > col("day"))
+      .select(col("event_type"),
+        ((col("m2") - col("m")) / datediff(col("day2"), col("day")))
+          .as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("theil_sen"))
+      .orderBy(col("event_type"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's mean as the
     * value seven days earlier, score MAPE / sMAPE / bias per series —
     * the baseline every forecasting pipeline must beat, and the
@@ -1825,6 +1851,7 @@ object RelationalQueries extends QuerySection {
     "q_abc_pareto" -> (qAbcPareto _),
     "q_cusum" -> (qCusum _),
     "q_acf" -> (qAcf _),
+    "q_trend_slope" -> (qTrendSlope _),
     "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
@@ -2453,6 +2480,16 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT a.event_type, count(*) AS n_pairs,
+        |  round(quantile_cont((b.m - a.m) / (b.day - a.day), 0.5), 6)
+        |    AS theil_sen
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND b.day > a.day
+        |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
     "q_acf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m

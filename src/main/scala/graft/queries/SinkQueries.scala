@@ -451,6 +451,38 @@ object SinkQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** K-WAP — write-audit-publish (`Sinks.writeAuditPublish`): a
+    * corrupted candidate (planted negative-value rows) is staged,
+    * audited AGAINST THE STAGED FILES, vetoed — the live table must
+    * stay untouched — then the clean candidate passes and publishes
+    * via atomic swap. The judged read-back aggregates the PUBLISHED
+    * table: only the clean rows can be present, and the first
+    * (pre-veto) publish of the base frame must have survived the
+    * failed attempt in between. */
+  private def kWap(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_wap")
+      .toString + "/events_clean"
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    def audit(staged: DataFrame): Option[String] = {
+      val bad = staged.filter(col("value") < 0).count()
+      if (bad > 0) Some(s"$bad negative-value rows") else None
+    }
+    // publish 1: the real table passes
+    val first = graft.sinks.Sinks.writeAuditPublish(s, events, path, audit)
+    require(first.isRight, s"clean publish vetoed: $first")
+    // publish 2: a corrupted candidate must be vetoed, live table kept
+    val corrupted = events.unionByName(
+      events.limit(5).withColumn("value", lit(-1.0)))
+    val second = graft.sinks.Sinks.writeAuditPublish(s, corrupted, path, audit)
+    require(second.isLeft, "corrupted publish was not vetoed")
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type"))
+  }
+
   /** O5 — incrementally maintained MV over the FULL mergeable-aggregate
     * algebra (`Incremental.mergeMergeable`): a per-(priority, status)
     * order summary holding count, sum, min and max is built from the
@@ -554,6 +586,7 @@ object SinkQueries extends QuerySection {
     "mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
     "o5_mv_merge" -> (o5MvMerge _),
+    "k_wap" -> (kWap _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
     "k_zorder_box" -> (kZorderBox _),
@@ -600,6 +633,10 @@ object SinkQueries extends QuerySection {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "k_wap" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "o5_mv_merge" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

@@ -378,6 +378,51 @@ object Sinks {
     }
   }
 
+  /** WRITE-AUDIT-PUBLISH: the lakehouse promotion protocol — data is
+    * staged beside the live table, the audit runs against the STAGED
+    * files (what readers would actually see, not the in-memory frame
+    * that produced them), and only a passing audit swaps staging into
+    * the live path ([[writeSwap]] — readers never observe a partial
+    * table). A failing audit leaves the live table untouched and
+    * returns the reason; staging is removed either way.
+    *
+    * `audit` returns None to approve or Some(reason) to veto — the
+    * caller plugs in the engine's validators (`validate.Validators`,
+    * row-count deltas, [[contentChecksum]]). At 100 TB this is the
+    * same protocol Iceberg/Delta WAP branches implement with snapshot
+    * refs; on plain parquet the staged directory plays the branch. */
+  def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
+      audit: DataFrame => Option[String]): Either[String, Long] = {
+    val staging = path + ".__staging__"
+    df.write.mode(SaveMode.Overwrite).parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val verdict =
+      try audit(staged)
+      catch { case e: Exception => Some(s"audit threw: ${e.getMessage}") }
+    val result = verdict match {
+      case Some(reason) => Left(reason)
+      case None => Right(staged.count())
+    }
+    result match {
+      case Right(_) =>
+        // promote the already-written staged files; no second write
+        val p = Paths.get(path)
+        val del = Paths.get(path + ".__old__")
+        if (Files.exists(p)) Files.move(p, del, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(Paths.get(staging), p, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(del)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(del).iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+        }
+      case Left(_) =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(Paths.get(staging)).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+    }
+    result
+  }
+
   /** K5 — points load: declared tag columns (stringified) + field
     * columns + time column; when no field list is given, every numeric
     * non-tag non-time column becomes a field

@@ -31,4 +31,21 @@ class PageRankSpec extends SparkSpec {
     val d = 0.85
     assert(math.abs(r("h") - (1 + 4 * d) / (5 * (1 + d))) < 0.02)
   }
+
+  test("small rank vectors broadcast: no per-superstep edge shuffle") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src", "dst")
+    val plan = PageRank.pageRank(edges, iters = 3)
+      .queryExecution.executedPlan.toString
+    // every superstep's ranks⋈edges must be a broadcast-hash join — a
+    // shuffle join there would re-exchange the checkpointed edge list
+    // (whose partitioning a checkpoint erases) once per iteration.
+    // (The small nodes⋈sums LEFT join may still print as SMJ pre-AQE;
+    // both its sides are rank-vector-sized, so it's not the frame that
+    // matters and AQE converts it at runtime.)
+    val bhjCount = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhjCount >= 3,
+      s"expected >= 3 broadcast superstep joins, got $bhjCount:\n$plan")
+  }
 }

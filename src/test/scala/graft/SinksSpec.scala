@@ -268,4 +268,29 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.contentChecksum(two, Seq("id", "v")).collect().head ==
       Sinks.contentChecksum(swapped, Seq("id", "v")).collect().head)
   }
+
+  test("writeAuditPublish: veto and audit-crash leave the live table intact") {
+    import java.nio.file.{Files, Paths}
+    val path = Files.createTempDirectory("graft_wap_spec").toString + "/t"
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val bad = Seq((3L, -1.0)).toDF("k", "v")
+    def noNegatives(df: org.apache.spark.sql.DataFrame): Option[String] = {
+      val n = df.filter($"v" < 0).count()
+      if (n > 0) Some(s"$n negative rows") else None
+    }
+    // clean publish goes live
+    assert(Sinks.writeAuditPublish(spark, good, path, noNegatives) ==
+      Right(2L))
+    assert(spark.read.parquet(path).count() == 2)
+    // vetoed publish: live table untouched, staging cleaned up
+    val veto = Sinks.writeAuditPublish(spark, bad, path, noNegatives)
+    assert(veto.isLeft && veto.swap.toOption.get.contains("negative"))
+    assert(spark.read.parquet(path).count() == 2)
+    assert(!Files.exists(Paths.get(path + ".__staging__")))
+    // an audit that THROWS is a veto, not a publish
+    val crash = Sinks.writeAuditPublish(spark, good, path,
+      _ => throw new IllegalStateException("boom"))
+    assert(crash.isLeft && crash.swap.toOption.get.contains("boom"))
+    assert(spark.read.parquet(path).count() == 2)
+  }
 }
