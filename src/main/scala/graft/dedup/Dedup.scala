@@ -44,7 +44,40 @@ object Dedup {
     * guard that keeps bucket sizes bounded at corpus scale.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double, maxShingleFreq: Long = 1000L): DataFrame = {
+      n: Int, threshold: Double, maxShingleFreq: Long = 1000L): DataFrame =
+    sizedPairCounts(df, textCol, idCol, n, maxShingleFreq)
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Asymmetric CONTAINMENT near-dup — `common / min(|A|, |B|)`: the
+    * quote-inclusion detector Jaccard structurally misses. A short doc
+    * embedded verbatim in a long one scores Jaccard ≈ |B|/|A| (low for
+    * a big size gap — below any sane threshold) but containment 1.0;
+    * training corpora are full of exactly that shape (quoted posts,
+    * boilerplate-wrapped articles, doc+appendix), and keeping both
+    * members double-counts the shared text. Same capped shingle-join
+    * skeleton as [[ngramJaccardPairs]] — the metric, not the plan,
+    * is what changes — and the judged output carries BOTH scores so
+    * the divergence is visible in the result. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, maxShingleFreq: Long = 1000L): DataFrame =
+    sizedPairCounts(df, textCol, idCol, n, maxShingleFreq)
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("sz_a"), col("sz_b")), 6))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+
+  /** Shared candidate-pair skeleton of the shingle-overlap family:
+    * distinct shingles per doc, over-frequent-shingle cap, one
+    * shingle-keyed self-join to (id_a < id_b, common) counts, doc
+    * sizes joined back. Quadratic only within a shingle's posting
+    * list, which the cap bounds. */
+  private def sizedPairCounts(df: DataFrame, textCol: String, idCol: String,
+      n: Int, maxShingleFreq: Long): DataFrame = {
     val sh = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
       .distinct()
     // stopword-shingle guard as a broadcast anti-join: the over-frequent
@@ -57,19 +90,14 @@ object Dedup {
       .select(col("shingle"))
     val capped = sh.join(broadcast(overCap), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = capped.as("a").join(capped.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("sz_a") + col("sz_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ── MinHash + LSH ──────────────────────────────────────────────────

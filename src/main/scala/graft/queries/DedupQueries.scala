@@ -33,6 +33,16 @@ object DedupQueries extends QuerySection {
       n = 1, threshold = 0.8, maxShingleFreq = 1000000L)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Asymmetric containment pairs ([[Dedup.containmentPairs]], τ=0.9):
+    * the quote-inclusion shape Jaccard misses — the judged rows carry
+    * both scores, so pairs with containment ≥ 0.9 but low Jaccard are
+    * visible evidence of the asymmetric detector earning its keep. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      docs(s, dir).filter(col("doc_id") < 300), "text", "doc_id",
+      n = 1, threshold = 0.9, maxShingleFreq = 1000000L)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Prefix-filtered set-similarity JOIN (`operators/SetSimJoin.scala`)
     * — cross-corpus Jaccard ≥ τ pairs (even doc_ids vs odd, the
     * query-vs-corpus contamination shape) via PPJoin candidate
@@ -163,6 +173,7 @@ object DedupQueries extends QuerySection {
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_containment" -> (dedupContainment _),
     "ssjoin_prefix" -> (ssjoinPrefix _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -352,6 +363,26 @@ object DedupQueries extends QuerySection {
         |QUALIFY row_number() OVER (PARTITION BY md5(text)
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id LIMIT 200""".stripMargin,
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split_regex(
+        |    trim(text), '\s+'))) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(common AS DOUBLE) / least(sa.sz, sb.sz), 6)
+        |    AS containment,
+        |  round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(CAST(common AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split_regex(

@@ -16,6 +16,36 @@ object SimilarityQueries extends QuerySection {
     Tables.load(s, dir, "embeddings")
 
   /** Exact top-5 neighbors for the first 10 vectors. */
+  /** kNN LABEL PROPAGATION — the auto-labeling primitive of a
+    * training-data pipeline: each "unlabeled" vector (vec_id < 30
+    * plays that role) takes the majority label of its k=5 exact-cosine
+    * neighbors among the labeled rest, ties broken by summed neighbor
+    * similarity then label. Same broadcast-scored kernel as `ann_topk`
+    * plus a label join on the neighbor ids; votes and vote weight ride
+    * one (query, label)-bounded aggregate. The weight tie-break is
+    * cross-engine safe: summands are already rounded to 6 decimals, so
+    * the exact sum is a multiple of 1e-6 and re-rounding absorbs float
+    * association error. At scale the brute kernel swaps for the IVF/PQ
+    * path — the vote logic doesn't change. */
+  private def annKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 30)
+    val corpus = e.filter(col("vec_id") >= 30)
+    val nn = Ann.bruteTopK(queries, corpus, "embedding", "vec_id", k = 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("votes"), desc("weight"), col("label"))
+    nn.join(corpus.select(col("vec_id").as("corpus_id"), col("label")),
+        "corpus_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), round(sum(col("cos")), 6).as("weight"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("label").as("predicted"),
+        col("votes"), col("weight"))
+      .orderBy(col("query_id"))
+  }
+
   private def annTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ann.bruteTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
@@ -194,6 +224,7 @@ object SimilarityQueries extends QuerySection {
   def queries: Map[String, Q] = Map(
     "ann_kmeans_step" -> (annKmeansStep _),
     "ann_quantize" -> (annQuantize _),
+    "ann_knn_classify" -> (annKnnClassify _),
     "ann_topk" -> (annTopk _),
     "ann_range" -> (annRange _),
     "ann_hard_negatives" -> (annHardNegatives _),
@@ -391,6 +422,28 @@ object SimilarityQueries extends QuerySection {
         |FROM d ORDER BY vec_id""".stripMargin,
     "ann_lsh" -> lshOracle,
     "ann_ivf" -> ivfOracle,
+    "ann_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 30),
+        |c AS (SELECT vec_id AS corpus_id, label,
+        |    embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 30),
+        |scored AS (
+        |  SELECT query_id, corpus_id, label,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id),
+        |nn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rnk
+        |  FROM scored QUALIFY rnk <= 5),
+        |votes AS (
+        |  SELECT query_id, label, count(*) AS votes,
+        |    round(sum(cos), 6) AS weight
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT query_id, label AS predicted, votes, weight FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY votes DESC, weight DESC, label) = 1
+        |ORDER BY query_id""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 10),
