@@ -105,6 +105,36 @@ object Scale {
     * (continuous index `i = p·(n-1)`). Driver traffic is scalars only
     * (count, bracket bounds, neighbor values).
     */
+  /** WEIGHTED per-group quantiles — each row counts `weightCol` times
+    * (the weighted median of unit price by quantity answers "what does
+    * the typical UNIT sell at", where the unweighted median answers
+    * "what does the typical line-item row say" — different statistics
+    * whenever weight correlates with value). Lower weighted-quantile
+    * convention: the smallest value whose cumulative weight reaches
+    * q·total. One keyed exchange serves the cumulative AND total
+    * windows plus the final aggregate; with integer-valued double
+    * weights the running sums are exact in binary, so the q·total
+    * threshold compare is engine-independent (no interpolation, no
+    * float-association hazard). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty, "need at least one quantile")
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = byGroup.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = df
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("double").as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
+      .withColumn("__cumw", sum(col("__w")).over(cum))
+      .withColumn("__totw", sum(col("__w")).over(byGroup))
+    val aggs = qs.map { case (name, q) =>
+      min(when(col("__cumw") >= lit(q) * col("__totw"), col("__v"))).as(name)
+    }
+    c.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def exactGlobalQuantiles(df: DataFrame, valueCol: String,
       ps: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
     val spark = df.sparkSession

@@ -1710,6 +1710,19 @@ object RelationalQueries extends QuerySection {
     * in-memory value buffer). Shares the linear-interpolation
     * definition with DuckDB's `quantile_cont`, so the values
     * hash-compare after rounding. */
+  /** Weighted grouped quantiles (`Scale.weightedQuantiles`): unit
+    * price weighted by quantity — the "typical unit" vs "typical row"
+    * distinction the unweighted percentile family can't express. */
+  private def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.weightedQuantiles(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        "l_quantity",
+        Seq("wq25" -> 0.25, "wq50" -> 0.5, "wq75" -> 0.75))
+      .select(col("l_returnflag"),
+        round(col("wq25"), 2).as("wq25"), round(col("wq50"), 2).as("wq50"),
+        round(col("wq75"), 2).as("wq75"))
+      .orderBy(col("l_returnflag"))
+
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     graft.plans.Scale.exactPercentiles(
         Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
@@ -1852,6 +1865,7 @@ object RelationalQueries extends QuerySection {
     "q_cusum" -> (qCusum _),
     "q_acf" -> (qAcf _),
     "q_trend_slope" -> (qTrendSlope _),
+    "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
     "w2_latest_per_customer" -> (w2LatestPerCustomer _),
@@ -2480,6 +2494,20 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_quantiles" ->
+      """WITH c AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL)
+        |SELECT g AS l_returnflag,
+        |  round(min(CASE WHEN cumw >= 0.25 * totw THEN v END), 2) AS wq25,
+        |  round(min(CASE WHEN cumw >= 0.50 * totw THEN v END), 2) AS wq50,
+        |  round(min(CASE WHEN cumw >= 0.75 * totw THEN v END), 2) AS wq75
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
     "q_trend_slope" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS m

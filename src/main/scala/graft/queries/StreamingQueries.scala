@@ -500,6 +500,40 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING SCD2 (`Streaming.scd2Stream`): the events stream is
+    * staged as a two-batch time-split change log; each batch folds
+    * into a Type-2 history of every user's event_type — batch 2 must
+    * CLOSE versions batch 1 left open (valid_to stamped, is_current
+    * flipped) and append the new ones. Judged against the one-shot
+    * SCD2 SQL over all events: the incremental stream and the batch
+    * rebuild must produce byte-identical history. */
+  private def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sscd")
+    val stage = Files.createDirectory(tmp.resolve("changes"))
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val mid = "2024-01-16 00:00:00"
+    stageOne(ev.filter(col("ts") < lit(mid)),
+      stage.resolve("b0_early.parquet"), 1000000L)
+    stageOne(ev.filter(col("ts") >= lit(mid)),
+      stage.resolve("b1_late.parquet"), 2000000L)
+    val hist = tmp.resolve("history").toString
+    val q = Streaming.scd2Stream(
+      Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
+      hist, key = "user_id", ts = "ts", tie = "event_id",
+      attrs = Seq("event_type"),
+      checkpoint = tmp.resolve("ckpt").toString).start()
+    q.awaitTermination()
+    s.read.parquet(hist)
+      .select(col("user_id"), col("event_type"),
+        col("version").cast("long").as("version"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   /** Custom keyed state (`flatMapGroupsWithState`): running per-user
     * event counts/value totals emitted in update mode. The judged
     * output takes each user's LAST emission — selected by max n_events,
@@ -618,7 +652,8 @@ object StreamingQueries extends QuerySection {
     "stream_attribution_full" -> (streamAttributionFull _),
     "stream_stateful_sessions" -> (streamStatefulSessions _),
     "stream_approx_distinct" -> (streamApproxDistinct _),
-    "stream_upsert" -> (streamUpsert _)
+    "stream_upsert" -> (streamUpsert _),
+    "stream_scd2" -> (streamScd2 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -632,6 +667,24 @@ object StreamingQueries extends QuerySection {
         |SELECT user_id, event_id, event_type,
         |  round(value, 2) AS value, epoch_ms(ts) AS ts_ms
         |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the incremental two-batch stream must equal the one-shot SCD2
+    "stream_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT * FROM ordered WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  row_number() OVER w AS version,
+        |  epoch_us(ts) AS from_us,
+        |  epoch_us(coalesce(lead(ts) OVER w,
+        |           TIMESTAMP '9999-12-31 00:00:00')) AS to_us,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // single-copy counts: the pure-late replay batch must vanish
     "stream_late_drop" ->
       """WITH w AS (

@@ -305,6 +305,54 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
 
+  /** STREAMING SCD2 APPLY — full change HISTORY maintained from a
+    * stream, where [[upsertStream]] keeps only each key's latest row:
+    * every micro-batch folds into a Type-2 dimension via
+    * [[graft.operators.Scd2.fromChangeLog]]. The incremental trick:
+    * history rows ARE a minimal changelog (each version's original
+    * (ts, tie, attrs) is retained, and consecutive duplicate states
+    * were already collapsed), so the apply replays ONLY the affected
+    * keys' version rows + the batch through the one-pass builder and
+    * splices untouched keys back — correct even for out-of-order
+    * batches, because the builder re-sorts per key.
+    *
+    * Scale: per batch one semi/anti join pair on affected keys + one
+    * keyed window over affected logs. The plain-parquet swap rewrites
+    * the table like K4's upsert; bucket the history by key (K11) and
+    * the rewrite degrades to the touched buckets only. */
+  def scd2Stream(changes: DataFrame, historyPath: String, key: String,
+      ts: String, tie: String, attrs: Seq[String],
+      checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2ApplyBatch(batch.sparkSession, historyPath, batch,
+          key, ts, tie, attrs)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
+  private[graft] def scd2ApplyBatch(spark: SparkSession, path: String,
+      batch: DataFrame, key: String, ts: String, tie: String,
+      attrs: Seq[String]): Unit = {
+    val cols = (Seq(key, ts, tie) ++ attrs).map(col)
+    val incoming = batch.select(cols: _*)
+    val history =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        val hist = spark.read.parquet(path)
+        val affected = incoming.select(col(key)).distinct()
+        val untouched = hist.join(affected, Seq(key), "left_anti")
+        val replayed = hist.join(affected, Seq(key), "left_semi")
+          .select(cols: _*)
+        untouched.unionByName(
+          graft.operators.Scd2.fromChangeLog(
+            replayed.unionByName(incoming), key, ts, tie, attrs))
+      } else {
+        graft.operators.Scd2.fromChangeLog(incoming, key, ts, tie, attrs)
+      }
+    graft.sinks.Sinks.writeSwap(spark, history, path)
+  }
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (the hourly-DAG equivalent) into an in-memory table. */
   def runAvailableNow(df: DataFrame, queryName: String,

@@ -276,4 +276,25 @@ class ScaleSpec extends SparkSpec {
       Scale.prefixSum(tiny, Seq.empty, "v")
     }
   }
+
+  test("weightedQuantiles: smallest value whose cumulative weight reaches q·tot") {
+    import spark.implicits._
+    // g: total weight 10 — wq25 needs cumw ≥ 2.5 (v=2, cumw 9),
+    // wq50 needs ≥ 5 (still v=2), wq99 needs ≥ 9.9 (v=10)
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 8.0), ("g", 10.0, 1.0),
+      ("h", 5.0, 1.0), ("h", null.asInstanceOf[Any], 9.0))
+      .map { case (g, v, w) => (g, Option(v).map(_.asInstanceOf[Double]), w) }
+      .toDF("g", "v", "w")
+    val out = Scale.weightedQuantiles(df, "g", "v", "w",
+        Seq("wq25" -> 0.25, "wq50" -> 0.5, "wq99" -> 0.99))
+      .orderBy($"g").collect()
+    assert(out(0).getString(0) == "g" && out(0).getDouble(1) == 2.0 &&
+      out(0).getDouble(2) == 2.0 && out(0).getDouble(3) == 10.0)
+    // h: null value row drops entirely; the single 5.0 answers all qs
+    assert(out(1).getString(0) == "h" && out(1).getDouble(1) == 5.0 &&
+      out(1).getDouble(3) == 5.0)
+    intercept[IllegalArgumentException] {
+      Scale.weightedQuantiles(df, "g", "v", "w", Seq.empty)
+    }
+  }
 }

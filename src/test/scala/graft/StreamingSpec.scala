@@ -271,6 +271,42 @@ class StreamingSpec extends SparkSpec {
     assert(out === Set((1L, Some(2L)), (3L, None)))
   }
 
+  test("scd2ApplyBatch: out-of-order incremental folds equal the one-shot") {
+    val dir = Files.createTempDirectory("graft_scd2_unit").toString + "/h"
+    def log(rows: (Long, String, Long, String)*) =
+      rows.map { case (id, ts, uid, st) =>
+        (id, java.sql.Timestamp.valueOf(ts), uid, st)
+      }.toDF("event_id", "ts", "user_id", "state")
+    val early = log(
+      (1L, "2024-01-01 00:00:00", 1L, "a"),
+      (2L, "2024-01-02 00:00:00", 1L, "b"),
+      (3L, "2024-01-01 00:00:00", 2L, "x"))
+    val late = log(
+      (4L, "2024-01-03 00:00:00", 1L, "b"), // duplicate state: no version
+      (5L, "2024-01-04 00:00:00", 1L, "c"),
+      (6L, "2024-01-05 00:00:00", 2L, "y"))
+    // LATE batch applied FIRST: the rebuild must still converge because
+    // the builder re-sorts each affected key's replayed log
+    Streaming.scd2ApplyBatch(spark, dir, late,
+      "user_id", "ts", "event_id", Seq("state"))
+    Streaming.scd2ApplyBatch(spark, dir, early,
+      "user_id", "ts", "event_id", Seq("state"))
+    val oneShot = graft.operators.Scd2.fromChangeLog(
+      early.unionByName(late), "user_id", "ts", "event_id", Seq("state"))
+    val got = spark.read.parquet(dir)
+      .select($"user_id", $"state", $"version", $"valid_from", $"valid_to",
+        $"is_current")
+      .orderBy($"user_id", $"version").collect().toSeq
+    val want = oneShot
+      .select($"user_id", $"state", $"version", $"valid_from", $"valid_to",
+        $"is_current")
+      .orderBy($"user_id", $"version").collect().toSeq
+    assert(got === want)
+    // user 1: a, b, c (the duplicate b collapsed); user 2: x, y
+    assert(got.count(_.getLong(0) == 1L) == 3)
+    assert(got.count(_.getLong(0) == 2L) == 2)
+  }
+
   test("dynamic-gap sessions: a purchase holds its session open longer") {
     val dir = Files.createTempDirectory("graft_swd_unit")
     // u1: view at 10:00 (30 min extent → closes 10:30), next event
