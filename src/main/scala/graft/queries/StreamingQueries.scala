@@ -534,6 +534,93 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** STREAMING QUALITY GATE (`Streaming.auditedAppendStream`): three
+    * staged micro-batches — clean early slice, a CORRUPTED middle
+    * slice (values flipped negative), clean late slice. The corrupted
+    * batch must divert to quarantine wholesale; the judged read-back
+    * aggregates target AND quarantine (diverted/kept row counts per
+    * event_type), proving nothing was silently dropped and nothing
+    * dirty landed. */
+  private def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sqg")
+    val stage = Files.createDirectory(tmp.resolve("changes"))
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val cut1 = "2024-01-11 00:00:00"
+    val cut2 = "2024-01-21 00:00:00"
+    stageOne(ev.filter(col("ts") < lit(cut1)),
+      stage.resolve("b0_clean.parquet"), 1000000L)
+    stageOne(
+      ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2))
+        .withColumn("value", -abs(col("value")) - lit(1.0)),
+      stage.resolve("b1_bad.parquet"), 2000000L)
+    stageOne(ev.filter(col("ts") >= lit(cut2)),
+      stage.resolve("b2_clean.parquet"), 3000000L)
+    val target = tmp.resolve("target").toString
+    val quarantine = tmp.resolve("quarantine").toString
+    def audit(batch: DataFrame): Option[String] = {
+      val bad = batch.filter(col("value") < 0).count()
+      if (bad > 0) Some(s"$bad negative-value rows") else None
+    }
+    val q = Streaming.auditedAppendStream(
+      Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
+      target, quarantine, audit,
+      checkpoint = tmp.resolve("ckpt").toString).start()
+    q.awaitTermination()
+    val kept = s.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(sum(col("value")), 2).as("kept_total"))
+    val held = s.read.parquet(quarantine)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_quarantined"))
+    kept.join(held, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_kept"), col("kept_total"),
+        coalesce(col("n_quarantined"), lit(0L)).as("n_quarantined"))
+      .orderBy(col("event_type"))
+  }
+
+  /** STREAMING INCREMENTAL MV (`Streaming.mvMergeStream`): the
+    * events stream folds per-batch (event_type) partials — count,
+    * sum, min, max — into a maintained rollup; avg derives at read.
+    * Two time-split batches; the judged rollup must equal the
+    * one-shot aggregate over all events (the streaming twin of
+    * `o5_mv_merge`). */
+  private def streamMvMerge(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_smvm")
+    val stage = Files.createDirectory(tmp.resolve("changes"))
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val mid = "2024-01-16 00:00:00"
+    stageOne(ev.filter(col("ts") < lit(mid)),
+      stage.resolve("b0_early.parquet"), 1000000L)
+    stageOne(ev.filter(col("ts") >= lit(mid)),
+      stage.resolve("b1_late.parquet"), 2000000L)
+    val rollup = tmp.resolve("rollup").toString
+    val q = Streaming.mvMergeStream(
+      Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
+      rollup,
+      partialOf = b => b.filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("value")).as("lo"), max(col("value")).as("hi")),
+      keys = Seq("event_type"),
+      merges = Seq("n" -> "sum", "total" -> "sum",
+        "lo" -> "min", "hi" -> "max"),
+      checkpoint = tmp.resolve("ckpt").toString).start()
+    q.awaitTermination()
+    s.read.parquet(rollup)
+      .select(col("event_type"), col("n"),
+        round(col("total"), 2).as("total"),
+        round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"),
+        round(col("total") / col("n"), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Custom keyed state (`flatMapGroupsWithState`): running per-user
     * event counts/value totals emitted in update mode. The judged
     * output takes each user's LAST emission — selected by max n_events,
@@ -653,7 +740,9 @@ object StreamingQueries extends QuerySection {
     "stream_stateful_sessions" -> (streamStatefulSessions _),
     "stream_approx_distinct" -> (streamApproxDistinct _),
     "stream_upsert" -> (streamUpsert _),
-    "stream_scd2" -> (streamScd2 _)
+    "stream_scd2" -> (streamScd2 _),
+    "stream_quality_gate" -> (streamQualityGate _),
+    "stream_mv_merge" -> (streamMvMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -667,6 +756,32 @@ object StreamingQueries extends QuerySection {
         |SELECT user_id, event_id, event_type,
         |  round(value, 2) AS value, epoch_ms(ts) AS ts_ms
         |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // corrupted middle slice diverted wholesale; clean slices kept
+    "stream_quality_gate" ->
+      """WITH kept AS (
+        |  SELECT event_type, count(*) AS n_kept,
+        |    round(sum(value), 2) AS kept_total
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-11 00:00:00'
+        |     OR ts >= TIMESTAMP '2024-01-21 00:00:00'
+        |  GROUP BY 1),
+        |held AS (
+        |  SELECT event_type, count(*) AS n_quarantined FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |  GROUP BY 1)
+        |SELECT k.event_type, n_kept, kept_total,
+        |  coalesce(n_quarantined, 0) AS n_quarantined
+        |FROM kept k LEFT JOIN held h ON k.event_type = h.event_type
+        |ORDER BY k.event_type""".stripMargin,
+    // per-batch partials folded into the MV must equal the one-shot
+    "stream_mv_merge" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+        |  round(sum(value) / count(*), 4) AS avg_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // the incremental two-batch stream must equal the one-shot SCD2
     "stream_scd2" ->
       """WITH ordered AS (

@@ -353,6 +353,58 @@ object Streaming {
     graft.sinks.Sinks.writeSwap(spark, history, path)
   }
 
+  /** STREAMING QUALITY GATE — audited append: every micro-batch is
+    * audited BEFORE it can land; a passing batch appends to the
+    * target, a failing batch lands in the quarantine directory (with
+    * the veto reason stamped on every row) and the target never sees
+    * it. This is the streaming form of [[graft.sinks.Sinks
+    * .writeAuditPublish]] + the S11 quarantine contract: bad data is
+    * never dropped silently and never pollutes the serving table —
+    * the two failure modes a naive `writeStream.parquet` has to pick
+    * between. Audit functions are the same pluggable
+    * `DataFrame => Option[String]` as the batch WAP. */
+  def auditedAppendStream(changes: DataFrame, targetPath: String,
+      quarantinePath: String, audit: DataFrame => Option[String],
+      checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdict =
+          try audit(batch)
+          catch { case e: Exception => Some(s"audit threw: ${e.getMessage}") }
+        verdict match {
+          case None =>
+            batch.write.mode("append").parquet(targetPath)
+          case Some(reason) =>
+            batch
+              .withColumn("_quarantine_reason", lit(reason))
+              .withColumn("_batch_id", lit(batchId))
+              .write.mode("append").parquet(quarantinePath)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
+  /** STREAMING INCREMENTAL MV — the streaming twin of the O5 mergeable
+    * rollup: each micro-batch reduces to its additive/semilattice
+    * partial and folds into the maintained aggregate via
+    * [[graft.etl.Incremental.mergeMergeable]]; the MV is always
+    * batch-consistent and history is never rescanned. `partialOf`
+    * computes the batch partial (same schema every batch), `merges`
+    * names each value column's combine fn. */
+  def mvMergeStream(changes: DataFrame, rollupPath: String,
+      partialOf: DataFrame => DataFrame, keys: Seq[String],
+      merges: Seq[(String, String)], checkpoint: String)
+      : DataStreamWriter[Row] =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Incremental.mergeMergeable(batch.sparkSession,
+          rollupPath, partialOf(batch), keys, merges)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
   /** Run a streaming DataFrame to completion against currently-available
     * input (the hourly-DAG equivalent) into an in-memory table. */
   def runAvailableNow(df: DataFrame, queryName: String,
