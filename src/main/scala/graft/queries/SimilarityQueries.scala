@@ -53,6 +53,40 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN RECALL REPORT — the evaluation harness as a first-class
+    * judged operator: per query, how many of the exact top-5 does
+    * each approximate path (LSH buckets, IVF cell probes) actually
+    * return? Recall@k is THE number an ANN deployment is tuned by
+    * (planes/nlist/nprobe trade recall for scan fraction), and
+    * computing it is just the three kernels this module already has
+    * plus two semi-join overlap counts on (query, neighbor) pairs.
+    * The oracle recomputes all three paths in SQL — reusing the very
+    * replicas that judge them individually — so even the evaluator is
+    * evaluated. */
+  private def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("corpus_id"))
+    val exact = pairs(Ann.bruteTopK(q, e, "embedding", "vec_id", k = 5))
+    val lsh = pairs(Ann.lshTopK(q, e, "embedding", "vec_id", k = 5,
+      numPlanes = 6, dim = 64))
+      .withColumn("__l", lit(1))
+    val ivf = pairs(Ann.ivfTopK(q, e, "embedding", "vec_id", k = 5,
+      nlist = 8, nprobe = 3))
+      .withColumn("__i", lit(1))
+    exact
+      .join(lsh, Seq("query_id", "corpus_id"), "left")
+      .join(ivf, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("__l").isNotNull, 1L).otherwise(0L)).as("lsh_hits"),
+        sum(when(col("__i").isNotNull, 1L).otherwise(0L)).as("ivf_hits"))
+      .select(col("query_id"), col("lsh_hits"), col("ivf_hits"),
+        round(col("lsh_hits") / 5.0, 4).as("recall_lsh"),
+        round(col("ivf_hits") / 5.0, 4).as("recall_ivf"))
+      .orderBy(col("query_id"))
+  }
+
   /** LSH-bucketed top-k — oracle-checked: the seeded hyperplanes inline
     * into the SQL as double literals, DuckDB's list_inner_product sums
     * in the same index order as the native DotProduct loop, so bucket
@@ -225,6 +259,7 @@ object SimilarityQueries extends QuerySection {
     "ann_kmeans_step" -> (annKmeansStep _),
     "ann_quantize" -> (annQuantize _),
     "ann_knn_classify" -> (annKnnClassify _),
+    "ann_recall" -> (annRecall _),
     "ann_topk" -> (annTopk _),
     "ann_range" -> (annRange _),
     "ann_hard_negatives" -> (annHardNegatives _),
@@ -235,6 +270,42 @@ object SimilarityQueries extends QuerySection {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_centroids" -> (annCentroids _)
   )
+
+  /** Recall@5 of the LSH and IVF paths vs exact — built FROM the same
+    * SQL replicas that judge each path on its own, so the evaluator's
+    * oracle can't drift from the operators'. */
+  private def recallOracle: String = {
+    val exactSql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id)
+        |SELECT query_id, corpus_id FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cos DESC, corpus_id) <= 5""".stripMargin
+    s"""WITH exact AS (SELECT * FROM ($exactSql)),
+       |lshp AS (SELECT query_id, corpus_id FROM ($lshOracle)),
+       |ivfp AS (SELECT query_id, corpus_id FROM ($ivfOracle))
+       |SELECT e.query_id,
+       |  CAST(sum(CASE WHEN l.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS lsh_hits,
+       |  CAST(sum(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS ivf_hits,
+       |  round(sum(CASE WHEN l.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    / 5.0, 4) AS recall_lsh,
+       |  round(sum(CASE WHEN i.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    / 5.0, 4) AS recall_ivf
+       |FROM exact e
+       |LEFT JOIN lshp l ON l.query_id = e.query_id
+       |  AND l.corpus_id = e.corpus_id
+       |LEFT JOIN ivfp i ON i.query_id = e.query_id
+       |  AND i.corpus_id = e.corpus_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
 
   /** DuckDB replica of the hyperplane bucketing + in-bucket exact rank.
     * Plane values come from the same seeded generator the query uses;
@@ -421,6 +492,7 @@ object SimilarityQueries extends QuerySection {
         |  TRUE AS in_range
         |FROM d ORDER BY vec_id""".stripMargin,
     "ann_lsh" -> lshOracle,
+    "ann_recall" -> recallOracle,
     "ann_ivf" -> ivfOracle,
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -286,6 +286,35 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM PERPLEXITY — the model-free cousin of LM-based quality
+    * filtering: a corpus-trained bigram model with add-k smoothing
+    * (k=0.5) scores every document, `ppl = exp(−avg ln P(b|a))`, and
+    * outlier perplexity flags boilerplate (too predictable) or noise
+    * (too surprising) for the curation pass. Counts aggregate to
+    * vocabulary/bigram cardinality before any join; the per-doc score
+    * is one aggregate over the doc's bigram rows joined to those
+    * count tables; V rides as a scalar. Sub-2-token docs carry no
+    * bigram and drop from both engines identically. */
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = docs(s, dir)
+    val bg = TextAnalysis.shingleRows(d, "doc_id", "text", 2)
+    val uni = TextAnalysis.shingleRows(d, "doc_id", "text", 1)
+    val cAb = bg.groupBy(col("shingle")).agg(count(lit(1)).as("c_ab"))
+    val cA = uni.select(col("shingle").as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val v = cA.count().toDouble // vocabulary size: the one driver scalar
+    val k = 0.5
+    bg.join(cAb, Seq("shingle"))
+      .withColumn("a", split(col("shingle"), " ").getItem(0))
+      .join(cA, Seq("a"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(log((col("c_ab") + lit(k)) /
+          (col("c_a") + lit(k * v))))), 4).as("ppl"))
+      .orderBy(col("doc_id")).limit(500)
+  }
+
   /** Inverted-index keyword retrieval: conjunctive ("spark" AND
     * "table") search ranked by tf·idf — the lake-side search primitive
     * (build postings once, serve many queries). The postings build is
@@ -377,6 +406,7 @@ object TextQueries extends QuerySection {
     "text_tfidf" -> (textTfidf _),
     "text_bigrams" -> (textBigrams _),
     "text_pmi" -> ((s: SparkSession, dir: String) => textPmi(s, dir)),
+    "text_perplexity" -> (textPerplexity _),
     "text_repetition" -> (textRepetition _),
     "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
@@ -511,6 +541,24 @@ object TextQueries extends QuerySection {
         |    round(1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / len(shl), 4)
         |  ELSE 0.0 END AS rep_ratio
         |FROM sh ORDER BY doc_id LIMIT 500""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' '))
+        |    ELSE [] END) AS bigram
+        |  FROM toks),
+        |cab AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY 1),
+        |uni AS (SELECT unnest(tk) AS t FROM toks),
+        |ca AS (SELECT t, count(*) AS c_a FROM uni GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ca)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(exp(-avg(ln((c_ab + 0.5) /
+        |    (c_a + 0.5 * (SELECT v FROM vv))))), 4) AS ppl
+        |FROM bg
+        |JOIN cab USING (bigram)
+        |JOIN ca ON ca.t = string_split(bigram, ' ')[1]
+        |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin,
     "text_pmi" ->
       s"""WITH toks AS (SELECT $tokensSql AS tk FROM documents),
         |uni AS (
