@@ -1593,6 +1593,16 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** Skew diagnostics, JUDGED (was spec-only): the top-10 heaviest
+    * join/agg keys and their row share — the report that decides
+    * whether a key needs salting (`j8`/`q_salted_agg`) before the
+    * shuffle that would otherwise strand its partition. One keyed
+    * aggregate + a broadcast scalar total. */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Scale.skewReport(
+        Tables.load(s, dir, "lineitem"), "l_suppkey", topK = 10)
+      .orderBy(desc("n"), col("l_suppkey"))
+
   /** Seasonal-naive forecast backtest: predict each day's mean as the
     * value seven days earlier, score MAPE / sMAPE / bias per series —
     * the baseline every forecasting pipeline must beat, and the
@@ -1865,6 +1875,7 @@ object RelationalQueries extends QuerySection {
     "q_cusum" -> (qCusum _),
     "q_acf" -> (qAcf _),
     "q_trend_slope" -> (qTrendSlope _),
+    "q_skew_report" -> (qSkewReport _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
@@ -2494,6 +2505,13 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM lineitem)
+        |SELECT l_suppkey, n,
+        |  round(n / (SELECT total FROM t), 6) AS share
+        |FROM c ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
     "q_weighted_quantiles" ->
       """WITH c AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,

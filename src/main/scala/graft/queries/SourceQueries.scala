@@ -157,7 +157,44 @@ object SourceQueries extends QuerySection {
       .orderBy(col("priority"))
   }
 
+  /** S11 quarantine ingestion, JUDGED (was spec-only): an NDJSON stage
+    * of 2000 events is written with every 20th line deliberately
+    * truncated mid-object; `Sources.jsonWithQuarantine` must route
+    * exactly the broken lines to quarantine and parse the rest — the
+    * judged row carries both counts plus the clean-side value sum, so
+    * a dropped-or-misrouted line breaks the hash. The corruption is
+    * keyed on event_id (not line position), so the check is
+    * write-order-independent. */
+  private def s11Quarantine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
+    val ev = graft.Tables.load(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val lines = ev.select(
+      when(col("event_id") % 20 === 0,
+        // truncate mid-object: unparseable under any JSON reader
+        concat(substring(to_json(struct(ev.columns.map(col): _*)), 1, 10),
+          lit("{")))
+        .otherwise(to_json(struct(ev.columns.map(col): _*)))
+        .as("value"))
+    lines.coalesce(1).write.mode("overwrite").text(s"$tmp/stage")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val (clean, quarantined) =
+      graft.sources.Sources.jsonWithQuarantine(s, s"$tmp/stage", schema)
+    clean.agg(count(lit(1)).as("n_clean"),
+        round(sum(col("value")), 2).as("clean_value"))
+      .crossJoin(broadcast(
+        quarantined.agg(count(lit(1)).as("n_quarantined"))))
+      .select(col("n_clean"), col("n_quarantined"), col("clean_value"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s11_quarantine" -> (s11Quarantine _),
     "s10_schema_evolution" -> (s10SchemaEvolution _),
     "s4_file_roundtrip" -> (s4FileRoundtrip _),
     "s5_yaml_roundtrip" -> (s5YamlRoundtrip _),
@@ -171,6 +208,15 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s11_quarantine" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN event_id % 20 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN event_id % 20 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  round(sum(CASE WHEN event_id % 20 <> 0 THEN value END), 2)
+        |    AS clean_value
+        |FROM events WHERE event_id < 2000""".stripMargin,
     "s8_discovery" ->
       """SELECT table_name, column_name,
         |  CAST(ordinal_position AS BIGINT) AS ordinal,
