@@ -1593,6 +1593,81 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer, the standard lifecycle-marketing rollup: one customer
+    * aggregate (3 metrics in one pass), then three `ntile(5)` windows
+    * that SHARE the same unpartitioned ordering requirement only
+    * per-metric — each is a global quantile assignment, computed here
+    * with ntile over (metric, custkey) so ties split identically in
+    * any engine. Global ntile is a single-partition sort at 100 TB;
+    * the customer-grain rollup it runs on is |customers| rows (three
+    * orders of magnitude under the fact table), which is the point of
+    * aggregating first. */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val mx = orders.agg(max(col("o_orderdate")).as("__mx"))
+    val base = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(broadcast(mx)) // 1-row scalar: anchor date stays a plan
+      .withColumn("recency_days", datediff(col("__mx"), col("__last")))
+    // lower recency is BETTER: rank ascending so quintile 1 = freshest
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(desc("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(desc("monetary"), col("o_custkey"))
+    base
+      .withColumn("r", ntile(5).over(rW).cast("long"))
+      .withColumn("f", ntile(5).over(fW).cast("long"))
+      .withColumn("m", ntile(5).over(mW).cast("long"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("monetary")), 2).as("segment_value"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Cohort LTV curves — cumulative revenue per cohort customer by
+    * account age: cohort = month of first order, age = months since,
+    * LTV(cohort, age) = running revenue / cohort size. The money twin
+    * of `q_retention_cohorts` (that one counts activity, this one
+    * accumulates value — the curve a growth model is fit to). Two
+    * customer-grain aggregates + one (cohort × age)-bounded running
+    * window; no raw order ever enters a window frame. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val cohorts = o.groupBy(col("o_custkey"))
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+    // accumulate in exact integer CENTS: per-row cents are exact
+    // integer-valued doubles, so every sum is association-order-free
+    // and both engines hand the SAME double to the final division —
+    // a raw double cumsum drifts in the last ulp and flips half-cent
+    // roundings between engines
+    val aged = o.join(cohorts, "o_custkey")
+      .groupBy(col("cohort"),
+        months_between(date_trunc("month", col("o_orderdate")),
+          col("cohort")).cast("int").as("age"))
+      .agg(sum(round(col("o_totalprice") * 100)).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LTV at 4 decimals by pure INTEGER arithmetic — truncating long
+    // division, then one exact scaling. A rounded float quotient can
+    // land exactly on a half-cent (cohort sizes divide evenly), where
+    // the engines' round() implementations disagree in the last ulp;
+    // integer division has no boundary to disagree on.
+    aged
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w).cast("long"))
+      .join(sizes, "cohort")
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort"),
+        col("age"), col("n_customers"),
+        (expr("(cum_cents * 100) div n_customers") / lit(10000.0))
+          .as("ltv"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   /** Skew diagnostics, JUDGED (was spec-only): the top-10 heaviest
     * join/agg keys and their row share — the report that decides
     * whether a key needs salting (`j8`/`q_salted_agg`) before the
@@ -1876,6 +1951,8 @@ object RelationalQueries extends QuerySection {
     "q_acf" -> (qAcf _),
     "q_trend_slope" -> (qTrendSlope _),
     "q_skew_report" -> (qSkewReport _),
+    "q_rfm" -> (qRfm _),
+    "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_forecast" -> (qForecast _),
     "w1_topk" -> (w1TopK _),
@@ -2505,6 +2582,48 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH cohorts AS (
+        |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+        |  FROM orders GROUP BY 1),
+        |sizes AS (SELECT cohort, count(*) AS n_customers
+        |  FROM cohorts GROUP BY 1),
+        |aged AS (
+        |  SELECT c.cohort,
+        |    CAST(date_diff('month', c.cohort,
+        |      date_trunc('month', o.o_orderdate)) AS INT) AS age,
+        |    sum(round(o.o_totalprice * 100)) AS rev_cents
+        |  FROM orders o JOIN cohorts c USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cohort, age,
+        |    sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  FROM aged)
+        |SELECT strftime(cohort, '%Y-%m') AS cohort, age, n_customers,
+        |  (CAST(cum_cents AS BIGINT) * 100 // n_customers) / 10000.0
+        |    AS ltv
+        |FROM cum JOIN sizes USING (cohort)
+        |ORDER BY cohort, age""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST((SELECT max(o_orderdate) FROM orders) AS DATE)
+        |      - CAST(max(o_orderdate) AS DATE) AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |scored AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey)
+        |      AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+        |      AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey)
+        |      AS BIGINT) AS m
+        |  FROM base)
+        |SELECT r, f, m, count(*) AS n_customers,
+        |  round(sum(monetary), 2) AS segment_value
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (
         |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
