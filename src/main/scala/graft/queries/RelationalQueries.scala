@@ -1593,6 +1593,50 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"))
   }
 
+  /** J21 — TPC-H Q20 shape (excess-stock suppliers): suppliers who
+    * shipped MORE THAN 60 units of some PROMO part during 1997 — a
+    * SEMI join over an aggregated subquery over a semi-filtered part
+    * set, the double-nested decorrelation Q20 exists to exercise.
+    * Scale shape: the part filter broadcasts into lineitem at the
+    * scan (non-PROMO rows never shuffle), the date filter pushes to
+    * parquet, the (supp, part) aggregate is the only wide exchange,
+    * and the final SEMI against supplier touches each supplier once —
+    * no row from the aggregate ever duplicates a supplier. */
+  private def j21ExcessShippers(s: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.load(s, dir, "part")
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val shipped = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 60)
+      .select(col("l_suppkey")).distinct()
+    Tables.load(s, dir, "supplier")
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Day-of-week seasonality index — per series, each weekday's mean
+    * value relative to the series' overall mean (index 1.0 = flat;
+    * the weekly-cycle profile `q_acf`'s lag-7 spike summarizes into
+    * one number per day). Two rollup-sized aggregates + a broadcast
+    * join; integer dow from both engines' ISO convention. */
+  private def qDowSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events").filter(col("value").isNotNull)
+    val overall = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"))
+    ev.groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("dmu"))
+      .join(broadcast(overall), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        round(col("dmu") / col("mu"), 6).as("seasonality_idx"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, the standard lifecycle-marketing rollup: one customer
     * aggregate (3 metrics in one pass), then three `ntile(5)` windows
@@ -1952,6 +1996,8 @@ object RelationalQueries extends QuerySection {
     "q_trend_slope" -> (qTrendSlope _),
     "q_skew_report" -> (qSkewReport _),
     "q_rfm" -> (qRfm _),
+    "j21_excess_shippers" -> (j21ExcessShippers _),
+    "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_forecast" -> (qForecast _),
@@ -2582,6 +2628,29 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j21_excess_shippers" ->
+      """WITH shipped AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING sum(l_quantity) > 60))
+        |SELECT s_suppkey, s_name FROM supplier
+        |JOIN shipped ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_dow_seasonality" ->
+      """WITH overall AS (
+        |  SELECT event_type, avg(value) AS mu FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  count(*) AS n,
+        |  round(avg(value) / mu, 6) AS seasonality_idx
+        |FROM events e JOIN overall o ON e.event_type = o.event_type
+        |WHERE value IS NOT NULL
+        |GROUP BY e.event_type, dow, mu
+        |ORDER BY e.event_type, dow""".stripMargin,
     "q_cohort_ltv" ->
       """WITH cohorts AS (
         |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
