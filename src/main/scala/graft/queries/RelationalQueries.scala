@@ -457,13 +457,18 @@ object RelationalQueries extends QuerySection {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
     val li = Tables.load(s, dir, "lineitem")
       .filter(col("l_partkey") < 500 && col("l_quantity") > 0)
-    // per-(part, supplier) best unit price — rounded BEFORE the min so
-    // the equality join-back and the oracle see identical doubles
+    // per-(part, supplier) best unit price at 4 decimals via INTEGER
+    // arithmetic (exact cents × 100, truncating long division): a
+    // rounded float quotient can land exactly on a half-ten-thousandth
+    // where engine round() implementations split — the equality
+    // join-back and the oracle must see bit-identical doubles
+    val unitCost = expr(
+      "(CAST(round(l_extendedprice * 100) AS BIGINT) * 100) div " +
+        "CAST(l_quantity AS BIGINT)") / lit(10000.0)
     val cost = li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("s_suppkey"), col("s_name"),
         col("n_name"))
-      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
-        .as("unit_cost"))
+      .agg(min(unitCost).as("unit_cost"))
     val best = cost.groupBy(col("l_partkey").as("__pk"))
       .agg(min(col("unit_cost")).as("__min_cost"))
     cost.join(best, col("l_partkey") === col("__pk")
@@ -2858,7 +2863,8 @@ object RelationalQueries extends QuerySection {
         |  WHERE r_name = 'EUROPE'),
         |cost AS (
         |  SELECT l_partkey, s_suppkey, s_name, n_name,
-        |    min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+        |    min((CAST(round(l_extendedprice * 100) AS BIGINT) * 100
+        |      // CAST(l_quantity AS BIGINT)) / 10000.0) AS unit_cost
         |  FROM lineitem JOIN su ON l_suppkey = s_suppkey
         |  WHERE l_partkey < 500 AND l_quantity > 0
         |  GROUP BY 1, 2, 3, 4)
