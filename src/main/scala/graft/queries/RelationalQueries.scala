@@ -1642,6 +1642,39 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Gini coefficient of customer-revenue concentration per nation —
+    * the inequality index behind `q_abc_pareto`'s banding: G =
+    * 2·Σᵢ(i·xᵢ) / (n·Σx) − (n+1)/n over rank-sorted revenues. Every
+    * intermediate is EXACT: revenue accumulates in integer cents, the
+    * rank product sums as a long (≤ ~1e16, inside int64), and the
+    * final ratio divides identical exact integers in both engines —
+    * ordering ties can't flip (cents are exact, custkey breaks the
+    * rest). One customer-grain aggregate, one nation-keyed window,
+    * one nation-bounded reduce. */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100)).cast("long")
+        .as("rev_cents"))
+      .join(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("rev_cents"), col("o_custkey"))
+    rev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_cents")).as("t"),
+        sum(col("i") * col("rev_cents")).as("s"))
+      .select(col("c_nationkey"), col("n_customers"),
+        round(col("t") / 100.0, 2).as("total_revenue"),
+        round(lit(2.0) * col("s") / (col("n_customers") * col("t")) -
+          (col("n_customers") + lit(1.0)) / col("n_customers"), 6)
+          .as("gini"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, the standard lifecycle-marketing rollup: one customer
     * aggregate (3 metrics in one pass), then three `ntile(5)` windows
@@ -2001,6 +2034,7 @@ object RelationalQueries extends QuerySection {
     "q_trend_slope" -> (qTrendSlope _),
     "q_skew_report" -> (qSkewReport _),
     "q_rfm" -> (qRfm _),
+    "q_gini" -> (qGini _),
     "j21_excess_shippers" -> (j21ExcessShippers _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
@@ -2633,6 +2667,25 @@ object RelationalQueries extends QuerySection {
         |  count(*) AS n_parts,
         |  round(sum(revenue) / (SELECT tot FROM t), 6) AS revenue_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_nationkey, o_custkey, rev_cents
+        |  FROM rev JOIN customer ON o_custkey = c_custkey),
+        |ranked AS (
+        |  SELECT c_nationkey, rev_cents,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY rev_cents, o_custkey) AS BIGINT) AS i
+        |  FROM j)
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  round(sum(rev_cents) / 100.0, 2) AS total_revenue,
+        |  round(2.0 * CAST(sum(i * rev_cents) AS BIGINT)
+        |      / (count(*) * CAST(sum(rev_cents) AS BIGINT))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM ranked GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     "j21_excess_shippers" ->
       """WITH shipped AS (
         |  SELECT DISTINCT l_suppkey FROM (
