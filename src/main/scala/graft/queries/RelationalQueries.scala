@@ -1625,6 +1625,120 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("s_suppkey"))
   }
 
+  /** J22 — TPC-H Q9 shape (product-type profit): profit by SUPPLIER
+    * nation and order year for one part family, the widest judged join
+    * (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders). The testdata has
+    * no partsupp table, so unit cost is proxied as 10% of the part's
+    * retail price — the join/agg shape Q9 exists to exercise is
+    * unchanged. Profit accumulates in EXACT integer cents (the
+    * `q_gini`/`j18` idiom: round each term to cents first, sum longs)
+    * so Spark/DuckDB float summation order can't flip the hash.
+    * Scale shape: the name-filtered part set broadcasts (non-widget
+    * rows never shuffle), nation broadcasts, lineitem shuffles once on
+    * l_orderkey for the orders join, and the (nation × year) aggregate
+    * is a few dozen rows. */
+  private def j22ProfitByNation(s: SparkSession, dir: String): DataFrame = {
+    val widget = Tables.load(s, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val li = Tables.load(s, dir, "lineitem")
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    li.withColumn("profit_cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long") -
+        round(col("p_retailprice") * 10).cast("long") *
+          col("l_quantity").cast("long"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("profit_cents")) / 100.0, 2).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), desc("o_year"))
+  }
+
+  /** J23 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    * join with the filter INSIDE the join condition (customers whose
+    * every order is urgent/high still count, with c_count = 0 — a
+    * WHERE would silently drop them), then a two-level aggregate:
+    * per-customer count, then histogram of customers per count.
+    * Scale shape: orders shuffles once on o_custkey; the second
+    * aggregate runs on |customers| rows; the histogram is ≤ max
+    * order-count rows. */
+  private def j23OrderCountDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+      .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** J24 — TPC-H Q19 shape (disjunctive discounted revenue): three
+    * OR'd (brand, size-range, quantity-range) blocks across the
+    * lineitem ⋈ part boundary. The per-side conjuncts Catalyst can
+    * derive from the disjunction (brand ∈ {…}, size ≤ 35, quantity ≤
+    * 30) push to the scans; the residual OR evaluates post-join.
+    * Revenue accumulates in exact integer cents — a single-row result
+    * has no ordering to hide a last-ulp sum difference behind. */
+  private def j24DisjunctiveRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#24") &&
+        col("p_size").between(1, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val blocks =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(blocks)
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")) / 100.0, 2).as("revenue"))
+  }
+
+  /** J25 — TPC-H Q22 shape (idle rich customers): market segments
+    * instead of phone country codes (no c_phone in the lake), "idle" =
+    * no order in the final data year (every customer here has SOME
+    * order). The threshold compare is EXACT: instead of
+    * `c_acctbal > avg(...)` (whose last ulp depends on summation
+    * order), both sides multiply through — cents(balance) · n >
+    * Σcents — so the boundary customer can't flip between engines.
+    * Scale shape: the scalar aggregate broadcasts, recent orders
+    * shrink to a distinct custkey set before the ANTI join, and the
+    * output is one row per segment. */
+  private def j25IdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment").isin(segs: _*))
+      .withColumn("bal_cents", round(col("c_acctbal") * 100).cast("long"))
+    val thresh = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("bal_cents")).as("__tot"), count(lit(1)).as("__n"))
+    val recent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thresh)) // 1-row scalar threshold
+      .filter(col("bal_cents") * col("__n") > col("__tot"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("bal_cents")) / 100.0, 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Day-of-week seasonality index — per series, each weekday's mean
     * value relative to the series' overall mean (index 1.0 = flat;
     * the weekly-cycle profile `q_acf`'s lag-7 spike summarizes into
@@ -2036,6 +2150,10 @@ object RelationalQueries extends QuerySection {
     "q_rfm" -> (qRfm _),
     "q_gini" -> (qGini _),
     "j21_excess_shippers" -> (j21ExcessShippers _),
+    "j22_profit_by_nation" -> (j22ProfitByNation _),
+    "j23_order_count_dist" -> (j23OrderCountDist _),
+    "j24_disjunctive_revenue" -> (j24DisjunctiveRevenue _),
+    "j25_idle_rich_customers" -> (j25IdleRichCustomers _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -2698,6 +2816,60 @@ object RelationalQueries extends QuerySection {
         |SELECT s_suppkey, s_name FROM supplier
         |JOIN shipped ON s_suppkey = l_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    "j22_profit_by_nation" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  round(CAST(sum(
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |    - CAST(round(p_retailprice * 10) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) / 100.0, 2)
+        |    AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "j23_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "j24_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "j25_idle_rich_customers" ->
+      """WITH seg AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    c_acctbal
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')),
+        |thresh AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS tot,
+        |    count(*) AS n FROM seg WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  round(CAST(sum(bal_cents) AS BIGINT) / 100.0, 2) AS totacctbal
+        |FROM seg, thresh
+        |WHERE bal_cents * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q_dow_seasonality" ->
       """WITH overall AS (
         |  SELECT event_type, avg(value) AS mu FROM events

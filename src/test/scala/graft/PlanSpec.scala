@@ -41,6 +41,35 @@ class PlanSpec extends SparkSpec {
       !q8.contains("BroadcastNestedLoopJoin"), q8)
   }
 
+  test("j22/j23/j24/j25 analytics shapes: pushdown, join-side filter, " +
+      "derived disjunction, anti join — no cartesian anywhere") {
+    // Q9 shape: the name filter reaches the part scan and the filtered
+    // part set broadcasts into lineitem
+    val q9 = plan("j22_profit_by_nation")
+    assert(q9.contains("StringContains(p_name,widget)"), q9)
+    assert(q9.contains("BroadcastHashJoin"), q9)
+    assert(!q9.contains("CartesianProduct") &&
+      !q9.contains("BroadcastNestedLoopJoin"), q9)
+    // Q13 shape: the priority filter lives in the JOIN (pushed to the
+    // orders scan), never a WHERE that would drop zero-order customers
+    val q13 = plan("j23_order_count_dist")
+    assert(q13.contains("Not(In(o_orderpriority"), q13)
+    assert(q13.contains("LeftOuter"), q13)
+    // Q19 shape: Catalyst derives per-side conjuncts from the OR'd
+    // blocks and pushes them into BOTH scans; the residual disjunction
+    // evaluates at the join, not as a filter over a cartesian
+    val q19 = plan("j24_disjunctive_revenue")
+    assert(q19.contains("In(p_brand, [Brand#12,Brand#23,Brand#24])"), q19)
+    assert(q19.contains("LessThanOrEqual(l_quantity,30.0)"), q19)
+    assert(!q19.contains("CartesianProduct") &&
+      !q19.contains("BroadcastNestedLoopJoin"), q19)
+    // Q22 shape: idle probe is an ANTI join against the shrunken
+    // recent-orders set; the scalar threshold broadcasts one row
+    val q22 = plan("j25_idle_rich_customers")
+    assert(q22.contains("LeftAnti"), q22)
+    assert(!q22.contains("CartesianProduct"), q22)
+  }
+
   test("w1_topk is TakeOrderedAndProject, not a global sort") {
     val p = plan("w1_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
