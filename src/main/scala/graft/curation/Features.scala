@@ -168,10 +168,15 @@ object Features {
     * the cluster.
     *
     * Weights are DETERMINISTIC: the portable md5 bridge hashes
-    * (salt, row key, replicate) to a 28-bit uniform, inverted through
-    * [[poisson1Cdf]] — any engine, any retry, any cluster assigns the
-    * same weight, which is what lets a bootstrap (of all things) be
-    * hash-judged against an oracle.
+    * (salt, row key, replicate BLOCK) and slices the 32-hex digest
+    * into FOUR independent 28-bit uniforms — one per replicate in the
+    * block — each inverted through [[poisson1Cdf]]. Any engine, any
+    * retry, any cluster assigns the same weight, which is what lets a
+    * bootstrap (of all things) be hash-judged against an oracle; the
+    * 4-way slicing matters because the md5-of-concat is the hot
+    * expression (R·n of them dominated the wall clock measured at
+    * sf0.1) and one digest legitimately carries 112 of its 128 bits
+    * as four disjoint uniforms.
     *
     * Output per group: `n`, the point-estimate `mean`, and the
     * [lo, hi] percentile CI of the R replicate weighted means —
@@ -184,9 +189,6 @@ object Features {
       roundTo: Int = 4): DataFrame = {
     require(reps >= 2, s"need reps >= 2, got $reps")
     val v = col(valueCol).cast("double")
-    val u = conv(substring(md5(concat(lit(salt), lit("|"),
-      col(keyCol).cast("string"), lit("|"), col("__rep"))), 1, 7),
-      16, 10).cast("double") / lit(268435456.0)
     val w = poisson1Cdf.zipWithIndex.foldRight(lit(9): Column) {
       case ((t, k), acc) => when(col("__u") < t, lit(k)).otherwise(acc)
     }
@@ -197,20 +199,38 @@ object Features {
     // R·n hashes onto a single core; redistributing the n input rows
     // (cheap, pre-explosion) lets every core take an equal slice. Hash
     // weights are content-keyed, so placement never changes results.
+    // The partition count is EXPLICIT: a bare repartition(col) lets
+    // AQE coalesce by pre-explosion byte size — a few MB of keys would
+    // re-serialize onto one or two cores, defeating the spread, because
+    // AQE can't see that each row is about to fan out R-fold.
     val spread = df.filter(v.isNotNull)
       .select(col(groupCol), col(keyCol), v.as("__v"))
-      .repartition(col(keyCol))
-    // Materialize the uniform and the weight as NAMED projections:
-    // `w` references `u` in all ~10 CaseWhen branch conditions, and
-    // branch expressions are conditional to codegen — no subexpression
-    // elimination — so inlining would re-run the md5 chain per branch
-    // per (row, replicate). As columns each is computed once; the
-    // weight's double use in the aggregate also keeps CollapseProject
-    // from folding the hash back in (non-cheap, referenced twice).
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(keyCol))
+    // One md5 per (row, BLOCK of 4 replicates): the digest is 32 hex
+    // chars; chars [1,7] [8,14] [15,21] [22,28] are four disjoint
+    // 28-bit uniforms, so the expensive expression (string concat +
+    // md5) runs R/4 — not R — times per row, and the per-replicate
+    // residue is a cheap substring + hex parse. Stages stay NAMED
+    // projections: `w` references `u` in ~10 CaseWhen branch
+    // conditions, and branch expressions are conditional to codegen —
+    // no subexpression elimination — so inlining would re-run the hex
+    // parse per branch; as columns each computes once, and the double
+    // use in the aggregate keeps CollapseProject from folding the
+    // non-cheap parse back in.
+    val blocks = (reps + 3) / 4
     val repMeans = spread
       .select(col(groupCol), col(keyCol), col("__v"),
-        explode(sequence(lit(0), lit(reps - 1))).as("__rep"))
-      .withColumn("__u", u)
+        explode(sequence(lit(0), lit(blocks - 1))).as("__blk"))
+      .withColumn("__h", md5(concat(lit(salt), lit("|"),
+        col(keyCol).cast("string"), lit("|"), col("__blk"))))
+      .select(col(groupCol), col("__v"), col("__blk"),
+        posexplode(array((0 until 4).map(i =>
+          substring(col("__h"), 1 + 7 * i, 7)): _*)).as(Seq("__slc", "__hx")))
+      .withColumn("__rep", col("__blk") * 4 + col("__slc"))
+      .filter(col("__rep") < reps) // reps not divisible by 4: drop tail
+      .withColumn("__u", conv(col("__hx"), 16, 10).cast("double") /
+        lit(268435456.0))
       .withColumn("__w", w)
       .groupBy(col(groupCol), col("__rep"))
       .agg((sum(col("__v") * col("__w")) / sum(col("__w"))).as("__m"))

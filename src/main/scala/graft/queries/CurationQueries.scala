@@ -236,7 +236,8 @@ object CurationQueries extends QuerySection {
   /** Poisson-bootstrap 95% CI of the mean event value per type
     * ([[graft.curation.Features.poissonBootstrapCI]]): 100 replicates
     * in ONE scan — each row explodes 100 deterministic Poisson(1)
-    * weights (portable md5 bridge) straight into a (type, replicate)
+    * weights (portable md5 bridge, four 28-bit uniforms sliced per
+    * digest so md5 runs R/4 times) straight into a (type, replicate)
     * partial+final aggregate; the CI is the exact 2.5/97.5 percentile
     * of the 100 replicate means, computed over an R-bounded frame.
     * No resample shuffle exists anywhere in the plan. */
@@ -320,12 +321,13 @@ object CurationQueries extends QuerySection {
         |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
         |  FROM events WHERE value IS NOT NULL),
         |x AS (
-        |  SELECT event_type, rep, v,
+        |  SELECT event_type, blk * 4 + slc AS rep, v,
         |    CAST(CAST('0x' || substr(md5('boot|'
         |        || CAST(event_id AS VARCHAR) || '|'
-        |        || CAST(rep AS VARCHAR)), 1, 7) AS BIGINT) AS DOUBLE)
-        |      / 268435456.0 AS u
-        |  FROM e CROSS JOIN (SELECT unnest(range(100)) AS rep)),
+        |        || CAST(blk AS VARCHAR)), 1 + 7 * slc, 7)
+        |      AS BIGINT) AS DOUBLE) / 268435456.0 AS u
+        |  FROM e CROSS JOIN (SELECT unnest(range(25)) AS blk)
+        |         CROSS JOIN (SELECT unnest(range(4)) AS slc)),
         |w AS (
         |  SELECT event_type, rep, v,
         |    CASE WHEN u < 0.36787944117144233 THEN 0
