@@ -180,6 +180,19 @@ object TextQueries extends QuerySection {
           .otherwise(lit(0.0)).as("rep_ratio"))
       .orderBy(col("doc_id")).limit(500)
 
+  /** Gopher-style composite quality gate
+    * ([[graft.text.TextAnalysis.compositeFilterReport]]): five heuristic
+    * drop rules with per-source, per-rule accounting plus the surviving
+    * token budget — the curation report that makes threshold tuning a
+    * feedback loop instead of a guess. Thresholds here are tuned so
+    * every rule fires on this corpus (each column is live, not
+    * vacuously zero). One scan, row-local signals, |sources|-row
+    * aggregate. */
+  private def textGopherFilter(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.compositeFilterReport(
+        docs(s, dir), "text", "source")
+      .orderBy(col("source"))
+
   /** Corpus-wide top bigrams: shingle → explode → one hash aggregate
     * (map-side partials make the shuffle |distinct bigrams|, not
     * |tokens|); top-40 with a lexicographic tie-break. */
@@ -408,6 +421,7 @@ object TextQueries extends QuerySection {
     "text_pmi" -> ((s: SparkSession, dir: String) => textPmi(s, dir)),
     "text_perplexity" -> (textPerplexity _),
     "text_repetition" -> (textRepetition _),
+    "text_gopher_filter" -> (textGopherFilter _),
     "text_pack" -> ((s: SparkSession, dir: String) => textPack(s, dir))
   )
 
@@ -529,6 +543,49 @@ object TextQueries extends QuerySection {
         |SELECT doc_id, rk, term, tfidf FROM ranked
         |WHERE rk <= 3 AND doc_id < 100
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_gopher_filter" ->
+      s"""WITH b AS (SELECT source, $tokensSql AS tk,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS ltk
+        |  FROM documents),
+        |m AS (SELECT source, CAST(len(tk) AS BIGINT) AS n,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      CAST(list_aggregate(list_transform(tk, x -> length(x)),
+        |        'sum') AS DOUBLE) / len(tk) ELSE 0.0 END AS awl,
+        |    CASE WHEN len(ltk) > 0 THEN
+        |      CAST(len(list_filter(ltk, x -> list_contains(['the', 'a',
+        |        'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that',
+        |        'for', 'on', 'with', 'as', 'at', 'by', 'be'], x)))
+        |        AS DOUBLE) / len(ltk) ELSE 0.0 END AS swr,
+        |    CASE WHEN len(tk) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(
+        |        generate_series(1, len(tk) - 1),
+        |        i -> array_to_string(tk[i:i+1], ' ')))) AS DOUBLE)
+        |        / (len(tk) - 1)
+        |    ELSE 0.0 END AS rep
+        |  FROM b),
+        |r AS (SELECT source, n,
+        |    n < 20 AS r_short, n > 90 AS r_long,
+        |    awl < 4.2 OR awl > 4.8 AS r_word_len,
+        |    swr < 0.01 AS r_stopword,
+        |    rep > 0.05 AS r_repetition
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_short,
+        |  CAST(sum(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_long,
+        |  CAST(sum(CASE WHEN r_word_len THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_word_len,
+        |  CAST(sum(CASE WHEN r_stopword THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_stopword,
+        |  CAST(sum(CASE WHEN r_repetition THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST(sum(CASE WHEN r_short OR r_long OR r_word_len OR r_stopword
+        |    OR r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN NOT (r_short OR r_long OR r_word_len
+        |    OR r_stopword OR r_repetition) THEN n ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS tk FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN

@@ -175,6 +175,63 @@ object TextAnalysis {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Gopher-style composite quality gate with per-rule accounting —
+    * the corpus-curation report a web-scale filter run actually ships:
+    * not just who survived, but WHY each drop happened, per source,
+    * so threshold tuning has a feedback signal. Five heuristic rules
+    * (Rae et al. 2021 §A1.1 shapes, thresholds are caller-tuned to the
+    * corpus): token count outside [minTokens, maxTokens], mean word
+    * length outside [wordLenLo, wordLenHi], stopword ratio below
+    * minStopword (the "natural language at all?" probe — intrinsically
+    * English-centric, like the original), repeated-bigram ratio above
+    * maxRepetition. Rule counts are NOT exclusive (a doc can trip
+    * several); `n_dropped` counts docs tripping ≥ 1.
+    *
+    * One scan: tokenize once, every signal is a row-local codegen'd
+    * expression, and the only exchange is the final |sources|-row
+    * aggregate — at 100 TB this is a map stage plus a rollup. All
+    * threshold compares are engine-exact (integer sums divided by
+    * integer counts — IEEE division is deterministic — against shared
+    * literals), so the same doc drops on any engine. */
+  def compositeFilterReport(df: DataFrame, textCol: String, srcCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 90L,
+      wordLenLo: Double = 4.2, wordLenHi: Double = 4.8,
+      minStopword: Double = 0.01, maxRepetition: Double = 0.05): DataFrame = {
+    val flagged = df
+      .select(col(srcCol).as("source"),
+        tokens(col(textCol)).as("__t"),
+        tokens(lower(col(textCol))).as("__lt"))
+      .select(col("source"),
+        size(col("__t")).cast("long").as("__n"),
+        coalesce(avgWordLenOfTokens(col("__t")), lit(0.0)).as("__awl"),
+        stopwordRatioOfTokens(col("__lt")).as("__swr"),
+        shinglesOfTokens(col("__t"), 2).as("__sh"))
+      .withColumn("__rep",
+        when(size(col("__sh")) > 0,
+          lit(1.0) - size(array_distinct(col("__sh"))).cast("double") /
+            size(col("__sh")))
+          .otherwise(lit(0.0)))
+      .withColumn("r_short", col("__n") < minTokens)
+      .withColumn("r_long", col("__n") > maxTokens)
+      .withColumn("r_word_len",
+        col("__awl") < wordLenLo || col("__awl") > wordLenHi)
+      .withColumn("r_stopword", col("__swr") < minStopword)
+      .withColumn("r_repetition", col("__rep") > maxRepetition)
+      .withColumn("__dropped", col("r_short") || col("r_long") ||
+        col("r_word_len") || col("r_stopword") || col("r_repetition"))
+    def n(c: String): Column = sum(when(col(c), 1L).otherwise(0L))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        n("r_short").as("n_too_short"),
+        n("r_long").as("n_too_long"),
+        n("r_word_len").as("n_word_len"),
+        n("r_stopword").as("n_low_stopword"),
+        n("r_repetition").as("n_repetitive"),
+        n("__dropped").as("n_dropped"),
+        sum(when(!col("__dropped"), col("__n")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   /** Document fingerprint: bottom-k of the md5 shingle hashes (a min-k
     * sketch — the portable cousin of winnowing; md5 is stable across
     * engines and languages). */
