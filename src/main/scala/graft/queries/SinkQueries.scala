@@ -581,7 +581,33 @@ object SinkQueries extends QuerySection {
     q
   }
 
+  /** O6 — in-flight quality metrics via `Dataset.observe`
+    * ([[graft.etl.Observed]]): the judged row IS the observation
+    * output. The ONLY Spark action in this query is the noop write of
+    * the instrumented frame — the counts/sums accumulate as a side
+    * product of that write, zero extra scans (the reference's quality
+    * report re-counted what it had just written; at 100 TB that's the
+    * whole job again). `metricsDf` throws if the metrics never
+    * materialized, so a green row proves they came from the
+    * observation handle, not a recount. */
+  private def o6ObservedMetrics(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val (instrumented, obs) = graft.etl.Observed.attach(li, "o6_quality",
+      Seq(count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L))
+          .as("n_high_qty"),
+        sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned")))
+    instrumented.write.format("noop").mode("overwrite").save()
+    graft.etl.Observed.metricsDf(s, obs,
+      Seq("n_rows", "n_high_qty", "sum_qty", "n_returned"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "o6_observed_metrics" -> (o6ObservedMetrics _),
     "mv_rewrite" -> (mvRewrite _),
     "mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
@@ -609,6 +635,16 @@ object SinkQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "o6_observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high_qty,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returned
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin,
     "mv_rewrite" ->
       """SELECT event_type,
         |  round(sum(value), 4) AS sum_value,
