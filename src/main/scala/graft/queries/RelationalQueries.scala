@@ -1789,6 +1789,118 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("c_nationkey"))
   }
 
+  /** J26 — TPC-H Q14 shape (promotion revenue share): per ship-month,
+    * what fraction of discounted revenue came from PROMO-type parts.
+    * Both the promo numerator and the total denominator accumulate in
+    * exact integer cents inside ONE aggregate pass (a conditional sum,
+    * not a second scan or a self-join), so the share divides two exact
+    * integers and no summation-order ulp can flip the compare. Scale
+    * shape: the date filter pushes to the lineitem scan, part is a
+    * broadcast dim, output is ≤ 12 rows per year filtered.
+    * Ref: the reference joins its transactions fact to a products dim
+    * for exactly this category-share rollup (reference
+    * airflow/dags/multi_source_ingestion_dag.py:59). */
+  private def j26PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_type"))
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01") &&
+        col("l_shipdate") < lit("1999-01-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("rev_cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("rev_cents"))
+          .otherwise(lit(0L))) * 100.0 / sum(col("rev_cents")), 6)
+          .as("promo_share_pct"),
+        round(sum(col("rev_cents")) / 100.0, 2).as("total_revenue"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** J27 — TPC-H Q15 shape (top revenue supplier): quarterly revenue
+    * per supplier, then the supplier(s) achieving the maximum. The
+    * textbook form is a view + scalar subquery `rev = (SELECT max…)`;
+    * here the scalar max rides a 1-row broadcast and the equality
+    * compares exact integer cents — ties (or their absence) resolve
+    * identically in any engine, where a float max comparison could
+    * admit or drop a boundary supplier per summation order. Scale
+    * shape: one fact exchange on l_suppkey bounded by the pushed date
+    * filter, a |suppliers|-row rollup, a 1-row broadcast back onto it,
+    * and a broadcast dim join for the name. */
+  private def j27TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("rev_cents"))
+    val mx = rev.agg(max(col("rev_cents")).as("__mx"))
+    rev.crossJoin(broadcast(mx)) // 1-row scalar: the max stays a plan
+      .filter(col("rev_cents") === col("__mx"))
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_cents") / 100.0, 2).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** J28 — TPC-H Q17 shape (small-quantity-order revenue): average
+    * yearly revenue lost if small orders (below 20% of a part's mean
+    * order quantity) stopped shipping. The correlated scalar subquery
+    * `l_quantity < 0.2 * (SELECT avg … WHERE p_partkey = …)`
+    * decorrelates into a per-part aggregate joined back to the fact —
+    * and the 0.2·avg threshold compares EXACTLY by cross-multiplying
+    * integers (5·qty·n < Σqty; quantities are integral), so a part
+    * whose boundary line sits on the threshold can't flip between
+    * engines the way a float `0.2 * avg` last-ulp could. Scale shape:
+    * the brand filter broadcasts into the fact scan, ONE exchange on
+    * l_partkey serves both the per-part aggregate and the join-back,
+    * and the result is a single row of exact cents. */
+  private def j28SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brand = Tables.load(s, dir, "part")
+      .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val perPart = li.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("__sum_qty"),
+        count(lit(1)).as("__n"))
+    li.join(perPart, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity").cast("long") * 5 * col("__n") <
+        col("__sum_qty")) // qty < 0.2·avg, exact in integers
+      .agg(count(lit(1)).as("n_small_lines"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long"))
+          / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** J29 — TPC-H Q4 shape (order priority checking): orders in a
+    * quarter with at least one SLOW line — shipped more than 90 days
+    * after the order date (the lake has no commit/receipt dates, so
+    * ship lag is the lateness predicate) — counted per priority. The
+    * EXISTS is a LEFT SEMI join whose condition spans both sides
+    * (l_shipdate > o_orderdate + 90): each order counts ONCE no
+    * matter how many lines are late, which a plain inner join + count
+    * would get wrong. Scale shape: the quarter filter pushes to the
+    * orders scan, the semi join shuffles on the order key and keeps
+    * only the probe's columns, and the output is priority-bounded
+    * (5 rows). */
+  private def j29LateOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > date_add(col("o_orderdate"), 90), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, the standard lifecycle-marketing rollup: one customer
     * aggregate (3 metrics in one pass), then three `ntile(5)` windows
@@ -2154,6 +2266,10 @@ object RelationalQueries extends QuerySection {
     "j23_order_count_dist" -> (j23OrderCountDist _),
     "j24_disjunctive_revenue" -> (j24DisjunctiveRevenue _),
     "j25_idle_rich_customers" -> (j25IdleRichCustomers _),
+    "j26_promo_revenue" -> (j26PromoRevenue _),
+    "j27_top_supplier" -> (j27TopSupplier _),
+    "j28_small_qty_revenue" -> (j28SmallQtyRevenue _),
+    "j29_late_order_priority" -> (j29LateOrderPriority _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -2870,6 +2986,57 @@ object RelationalQueries extends QuerySection {
         |      AND o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "j26_promo_revenue" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  round(sum(CASE WHEN p_type = 'PROMO' THEN rev_cents ELSE 0 END)
+        |    * 100.0 / sum(rev_cents), 6) AS promo_share_pct,
+        |  round(CAST(sum(rev_cents) AS BIGINT) / 100.0, 2) AS total_revenue
+        |FROM (
+        |  SELECT l_shipdate, p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j27_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  round(rev_cents / 100.0, 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "j28_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'),
+        |pp AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    count(*) AS n
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small_lines,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) / 100.0 / 7.0, 2) AS avg_yearly
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * n < sum_qty""".stripMargin,
+    "j29_late_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dow_seasonality" ->
       """WITH overall AS (
         |  SELECT event_type, avg(value) AS mu FROM events
