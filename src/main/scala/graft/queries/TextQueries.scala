@@ -253,6 +253,17 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-span removal (Lee et al. 2022 substring dedup at
+    * 8-token grain): spans appearing in ≥ 2 distinct docs are deleted
+    * from EVERY doc carrying them; judged on the fully rebuilt clean
+    * text per doc plus before/removed token counts — the oracle
+    * replays span generation, the distinct-doc frequency cut, position
+    * coverage, and the rebuild in SQL. */
+  private def textSpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis
+      .spanDedup(docs(s, dir), "text", "doc_id", k = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** Context-window chunking (window 32, stride 24 — 8-token overlap)
     * over the first 100 docs: chunk arity, per-chunk token counts and
     * an md5 of every chunk's text, all replayed in DuckDB (list_slice
@@ -410,6 +421,7 @@ object TextQueries extends QuerySection {
     "text_boilerplate" -> (textBoilerplate _),
     "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
+    "text_span_dedup" -> (textSpanDedup _),
     "text_stats" -> (textStats _),
     "text_bpe_step" -> (textBpeStep _),
     "text_quality" -> (textQuality _),
@@ -527,6 +539,37 @@ object TextQueries extends QuerySection {
          |  CAST(least(len($tokensSql), 64) AS BIGINT) AS n_after,
          |  md5(array_to_string($tokensSql[1:64], ' ')) AS trunc_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_span_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tokensSql AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id, i - 1 AS strt,
+         |    array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM toks,
+         |    LATERAL unnest(generate_series(1, greatest(0, len(t) - 7)))
+         |      AS g(i)),
+         |freq AS (
+         |  SELECT gram FROM occ GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT o.doc_id, o.strt + f.o AS pos
+         |  FROM occ o JOIN freq USING (gram),
+         |    LATERAL unnest(generate_series(0, 7)) AS f(o)),
+         |tok AS (
+         |  SELECT doc_id, t[i] AS tok, i - 1 AS pos
+         |  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS g(i)),
+         |kc AS (
+         |  SELECT tk.doc_id, count(*) AS n_kept,
+         |    string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text
+         |  FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tk.doc_id AND cov.pos = tk.pos)
+         |  GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.t) - coalesce(kc.n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(kc.clean_text, '') AS clean_text
+         |FROM toks t LEFT JOIN kc ON t.doc_id = kc.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
         |  FROM documents, unnest($tokensSql) AS t(term)

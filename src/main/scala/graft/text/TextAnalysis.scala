@@ -175,6 +175,59 @@ object TextAnalysis {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Exact duplicated-span removal — the substring-granular exact
+    * dedup of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), re-expressed relationally: instead of
+    * a suffix array over the concatenated corpus, every k-token span
+    * becomes a row, spans occurring in ≥ `minDocs` DISTINCT documents
+    * are the duplicated set, and each document is rebuilt with every
+    * token covered by a duplicated span deleted (document-level dedup
+    * keeps one copy of a boilerplate paragraph per EXACT duplicate
+    * doc; this removes it from every doc it was pasted into).
+    *
+    * Scale shape: span generation is columnar (one `transform` over
+    * the token array — no per-span shuffle rows until the explode),
+    * then ONE exchange on the span string serves the distinct-doc
+    * count, the surviving (doc, offset) pairs shuffle back on the doc
+    * id, and the rebuild is a projection over the token array with a
+    * bounded `exists` per position (spans-per-doc is small once the
+    * frequent set is rare, the regime dedup targets). Token arrays
+    * themselves move through exactly one join. No all-pairs anywhere:
+    * cost is Θ(total spans), the same bound the suffix-array
+    * formulation pays, in exchange for exact k-grain instead of
+    * arbitrary-length matches.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text). */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would delete " +
+      s"every token), got $minDocs")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val occ = toks.select(col(idCol),
+      posexplode(shinglesOfTokens(col("__t"), k)).as(Seq("__off", "__gram")))
+    val freq = occ.groupBy(col("__gram"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__gram"))
+    val starts = occ.join(freq, "__gram")
+      .groupBy(col(idCol)).agg(collect_set(col("__off")).as("__starts"))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept",
+        when(size(col("__t")) > 0, // sequence(0,-1) would DESCEND
+          expr(s"filter(sequence(0, size(__t) - 1), " +
+            s"i -> NOT exists(__starts, s -> i >= s AND i < s + $k))"))
+          .otherwise(array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        (size(col("__t")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        expr("array_join(transform(__kept, i -> element_at(__t, i + 1))" +
+          ", ' ')").as("clean_text"))
+  }
+
   /** Gopher-style composite quality gate with per-rule accounting —
     * the corpus-curation report a web-scale filter run actually ships:
     * not just who survived, but WHY each drop happened, per source,

@@ -211,4 +211,45 @@ class TextDedupSpec extends SparkSpec {
       TextAnalysis.hashFeatures(df, "id", "text", 0, "fh")
     }
   }
+
+  test("spanDedup removes cross-doc 8-token spans, keeps within-doc repeats") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    val span = "q w e r t y u i" // 8 shared tokens
+    val docs = Seq(
+      (1L, s"alpha $span beta"),        // span at offset 1
+      (2L, s"$span gamma delta"),       // span at offset 0
+      (3L, "solo text with no shared span here at all"),
+      (4L, "tiny doc"),                 // < k tokens: untouched
+      (5L, "x y x y x y x y x y x y x y x y x y") // self-repeat only
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the shared span vanishes from BOTH docs; their own words survive
+    assert(out(1L) === ((10L, 8L, "alpha beta")))
+    assert(out(2L) === ((10L, 8L, "gamma delta")))
+    // unique doc and short doc untouched
+    assert(out(3L)._2 === 0L && out(3L)._3 === "solo text with no shared span here at all")
+    assert(out(4L) === ((2L, 0L, "tiny doc")))
+    // within-ONE-doc repetition is df=1: not removed (cross-doc definition)
+    assert(out(5L)._2 === 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.spanDedup(docs, "text", "doc_id", k = 8, minDocs = 1)
+    }
+  }
+
+  test("spanDedup overlapping spans cover the union of positions") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // 9 shared tokens -> two overlapping 8-grams in each doc; union
+    // covers all 9 positions, not 16
+    val nine = "a b c d e f g h i"
+    val docs = Seq((1L, s"$nine tail1"), (2L, s"$nine tail2"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanDedup(docs, "text", "doc_id", k = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((9L, "tail1")))
+    assert(out(2L) === ((9L, "tail2")))
+  }
 }
