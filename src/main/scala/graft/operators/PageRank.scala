@@ -41,15 +41,21 @@ object PageRank {
     * `Cluster.distributedCC`). */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // Materialize the edge list FIRST: `nodes` and `contribEdges` each
+    // checkpoint their own lineage, and without this both would re-run
+    // the caller's edge-derivation subtree (a multi-table join +
+    // distinct in `graph_pagerank`) — the derivation must run once,
+    // not once per loop-invariant frame.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count() // scalar: the only driver-side value
     require(n > 0, "pageRank needs a non-empty edge list")
     val teleport = (1.0 - damping) / n
     // one aggregate, then ride along on every iteration's edge join
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val contribEdges = edges.join(outdeg, "src")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val contribEdges = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .localCheckpoint()
     // The superstep join's SMALL side is the rank vector — (node,

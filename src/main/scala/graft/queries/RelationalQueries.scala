@@ -1380,6 +1380,33 @@ object RelationalQueries extends QuerySection {
       .select(col("hh.item").as("event_type"), col("hh.count").as("n"))
       .orderBy(col("n").desc, col("event_type"))
 
+  /** Native mergeable SpaceSaving top-k (the custom-AGGREGATE Catalyst
+    * extension point, next to the scalar-Expression and optimizer-Rule
+    * ones): per event type, the top-10 users by event count through
+    * `graftx.SpaceSavingTopK` — bounded state per partition, ONE
+    * summary shipped per (group × partition) instead of one row per
+    * distinct user, the shape that survives a 100 TB high-cardinality
+    * column where the exact groupBy-count shuffle cannot. Capacity
+    * 8192 exceeds the lake's per-type distinct-user count, pinning the
+    * sketch's exact regime (every err = 0, merge order immaterial), so
+    * the result is deterministic and oracle-checkable; at real scale
+    * the same plan degrades gracefully to the certified
+    * cnt−err ≤ true ≤ cnt guarantee the spec proves. */
+  private def qSpacesavingTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.SpaceSavingTopK
+    Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(SpaceSavingTopK.topk(col("user_id").cast("string"), 8192, 10)
+        .as("__top"))
+      .select(col("event_type"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("event_type"), (col("__i") + 1).as("rk"),
+        col("__e.item").as("item"), col("__e.cnt").as("cnt"),
+        col("__e.err").as("err"))
+      .orderBy(col("event_type"), col("rk"))
+  }
+
   /** W10 — sequential conversion funnel (signup → click → purchase):
     * each step's first qualifying timestamp must follow the previous
     * step's. Three unordered-frame window passes over ONE user_id
@@ -2270,6 +2297,7 @@ object RelationalQueries extends QuerySection {
     "j27_top_supplier" -> (j27TopSupplier _),
     "j28_small_qty_revenue" -> (j28SmallQtyRevenue _),
     "j29_late_order_priority" -> (j29LateOrderPriority _),
+    "q_spacesaving_topk" -> (qSpacesavingTopk _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3037,6 +3065,20 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_spacesaving_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+        |    count(*) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, item, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, item) AS rk
+        |  FROM c)
+        |SELECT event_type, CAST(rk AS INT) AS rk, item, cnt,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rk <= 10
+        |ORDER BY event_type, rk""".stripMargin,
     "q_dow_seasonality" ->
       """WITH overall AS (
         |  SELECT event_type, avg(value) AS mu FROM events

@@ -54,6 +54,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "unaccent takes 1 argument")
         Unaccent(args(0))
       }: Expression))
+    ext.injectFunction((
+      FunctionIdentifier("space_saving_topk"),
+      info("space_saving_topk",
+        "_FUNC_(item, capacity, k) - mergeable SpaceSaving top-k summary" +
+          ": array of (item, cnt, err) structs, cnt desc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "space_saving_topk takes 3 arguments")
+        def lit(e: Expression, what: String): Int = {
+          require(e.foldable, s"space_saving_topk $what must be a literal")
+          e.eval(null) match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"space_saving_topk $what must be an int literal, got $other")
+          }
+        }
+        SpaceSavingTopK(args.head, lit(args(1), "capacity"),
+          lit(args(2), "k"))
+      }: Expression))
     ext.injectOptimizerRule(_ => DeferExpensiveProjection)
     ext.injectOptimizerRule(_ => MvRewrite)
   }

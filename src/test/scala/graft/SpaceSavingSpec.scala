@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.SpaceSavingTopK
+
+/** Semantics of the native mergeable SpaceSaving aggregate
+  * ([[org.apache.spark.sql.graftx.SpaceSavingTopK]]): exact when
+  * distinct ≤ capacity regardless of partitioning, the classic
+  * overestimate-by-≤-err guarantee when over capacity, SQL-registered,
+  * and guarded. */
+class SpaceSavingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def items(pairs: (String, Int)*): Seq[String] =
+    pairs.flatMap { case (it, n) => Seq.fill(n)(it) }
+
+  test("exact regime: equals groupBy count, err 0, any partitioning") {
+    val data = items("a" -> 50, "b" -> 30, "c" -> 20, "d" -> 5)
+    for (parts <- Seq(1, 4, 8)) {
+      val df = data.toDF("item").repartition(parts)
+      val out = df.agg(SpaceSavingTopK.topk($"item", 10, 4).as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.item", $"e.cnt", $"e.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq ===
+        Seq(("a", 50L, 0L), ("b", 30L, 0L), ("c", 20L, 0L), ("d", 5L, 0L)),
+        s"parts=$parts")
+    }
+  }
+
+  test("ties order by item asc at equal counts") {
+    val df = items("z" -> 3, "a" -> 3, "m" -> 3).toDF("item")
+    val out = df.agg(SpaceSavingTopK.topk($"item", 10, 3).as("t"))
+      .select(explode($"t.item").as("i")).as[String].collect()
+    assert(out.toSeq === Seq("a", "m", "z"))
+  }
+
+  test("overflow regime: guarantee cnt-err <= true <= cnt, heavy survives") {
+    // 1000 rows, one dominant item, 50 distinct tail items, capacity 8:
+    // any item with true frequency > n/capacity = 125 must be reported.
+    val tail = (0 until 50).flatMap(i => Seq.fill(10)(f"t$i%02d"))
+    val data = items("heavy" -> 500) ++ tail // n = 1000
+    val trueCnt = (Map("heavy" -> 500) ++
+      (0 until 50).map(i => f"t$i%02d" -> 10)).map { case (k, v) =>
+      (k, v.toLong) }
+    val out = data.toDF("item").repartition(4)
+      .agg(SpaceSavingTopK.topk($"item", 8, 8).as("t"))
+      .select(explode($"t").as("e"))
+      .select($"e.item", $"e.cnt", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(_._1 == "heavy"), "frequent item must be present")
+    out.foreach { case (it, cnt, err) =>
+      val t = trueCnt(it)
+      assert(cnt >= t, s"$it: count $cnt must overestimate true $t")
+      assert(cnt - err <= t, s"$it: cnt-err ${cnt - err} must not exceed $t")
+    }
+    val heavy = out.find(_._1 == "heavy").get
+    assert(heavy._2 >= 500L && heavy._2 - heavy._3 <= 500L)
+  }
+
+  test("grouped + SQL registration path") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "z")).toDF("g", "item")
+    df.createOrReplaceTempView("ss_in")
+    val out = spark.sql(
+      """SELECT g, space_saving_topk(item, 100, 1) AS t
+        |FROM ss_in GROUP BY g ORDER BY g""".stripMargin)
+      .select($"g", $"t"(0).getField("item").as("top"),
+        $"t"(0).getField("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("g1", "x", 2L), ("g2", "z", 1L)))
+  }
+
+  test("nulls skipped; guards reject bad capacity/k") {
+    val df = Seq(Some("a"), None, Some("a")).toDF("item")
+    val out = df.agg(SpaceSavingTopK.topk($"item", 4, 4).as("t"))
+      .select(explode($"t").as("e")).select($"e.item", $"e.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a", 2L)))
+    intercept[IllegalArgumentException] {
+      SpaceSavingTopK.topk($"item", 4, 5) // k > capacity
+    }
+    intercept[IllegalArgumentException] {
+      SpaceSavingTopK.topk($"item", 0, 0)
+    }
+  }
+}
