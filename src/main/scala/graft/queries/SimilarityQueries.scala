@@ -53,6 +53,20 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss signed projection (64→16) + top-5 in the
+    * projected space — the dimensionality-reduction prefilter beside
+    * int8 quantization (precision) and PQ (codebooks). The md5-derived
+    * ±1 matrix, the per-coordinate 6-dp rounding, the projected-space
+    * cosine, and the (cos desc, id) ranking all replay exactly in the
+    * oracle. */
+  private def annJl(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.jlTopK(e.filter(col("vec_id") < 10), e, "embedding", "vec_id",
+      k = 5, dIn = 64, dOut = 16)
+      .withColumnRenamed("cos", "cos_jl")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** ANN RECALL REPORT — the evaluation harness as a first-class
     * judged operator: per query, how many of the exact top-5 does
     * each approximate path (LSH buckets, IVF cell probes) actually
@@ -261,6 +275,7 @@ object SimilarityQueries extends QuerySection {
     "ann_knn_classify" -> (annKnnClassify _),
     "ann_recall" -> (annRecall _),
     "ann_topk" -> (annTopk _),
+    "ann_jl" -> (annJl _),
     "ann_range" -> (annRange _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_mips" -> (annMips _),
@@ -528,6 +543,33 @@ object SimilarityQueries extends QuerySection {
         |SELECT query_id, corpus_id, cos,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "ann_jl" ->
+      """WITH m AS (
+        |  SELECT j, list(s ORDER BY i) AS mrow
+        |  FROM (
+        |    SELECT j, i,
+        |      CASE WHEN substr(md5('jl|' || i || '|' || j), 1, 1)
+        |          BETWEEN '0' AND '7'
+        |        THEN 1.0 ELSE -1.0 END AS s
+        |    FROM range(16) t1(j), range(64) t2(i))
+        |  GROUP BY j),
+        |p AS (
+        |  SELECT e.vec_id,
+        |    list(round(list_inner_product(e.embedding::DOUBLE[], m.mrow),
+        |      6) ORDER BY m.j) AS pv
+        |  FROM embeddings e CROSS JOIN m GROUP BY e.vec_id),
+        |q AS (SELECT vec_id AS query_id, pv AS qv FROM p
+        |  WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, p.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(qv, pv), 6) AS cos_jl
+        |  FROM q JOIN p ON query_id <> p.vec_id)
+        |SELECT query_id, corpus_id, cos_jl,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_jl DESC, corpus_id) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

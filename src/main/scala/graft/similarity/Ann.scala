@@ -70,6 +70,60 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Johnson–Lindenstrauss signed projection matrix: `dOut × dIn` signs
+    * in {±1}, each derived from the md5 of `salt|i|j` (the portable
+    * deterministic-randomness bridge every sampling operator here
+    * uses) — first hex nibble ≤ '7' ⇒ +1. Achlioptas 2003 shows ±1
+    * entries satisfy the JL lemma like Gaussians; the md5 derivation
+    * makes the matrix REPLAYABLE IN SQL, which a seeded-RNG Gaussian
+    * matrix is not (the oracle rebuilds it from the same md5). */
+  def jlSigns(dIn: Int, dOut: Int, salt: String = "jl"): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val hex = md.digest(s"$salt|$i|$j".getBytes("UTF-8"))
+      // first hex char = high nibble of byte 0; ≤ 7 ⇔ high bit clear
+      if (((hex(0) >> 4) & 0xf) <= 7) 1.0 else -1.0
+    }
+  }
+
+  /** Project an embedding column to `dOut` dims through [[jlSigns]]:
+    * each output coordinate is ONE native codegen'd [[DotProduct]]
+    * against a literal sign row (the matrix rides the plan — nothing
+    * is broadcast or joined), rounded to 6 dp so both engines agree
+    * bit-for-bit. Cosine is scale-invariant, so the 1/√dOut JL
+    * normalization is omitted.
+    *
+    * The 100 TB role: a 64→16 projection shrinks every downstream
+    * scan, shuffle, and broadcast of the vector column 4×, and
+    * distance computations 4×, while JL keeps relative distances
+    * within (1±ε) — the standard cheap FIRST stage in front of an
+    * exact re-rank ([[rerank]]), complementary to [[quantizeInt8]]
+    * (which shrinks precision, not dimensionality). */
+  def jlProject(df: DataFrame, vecCol: String, outCol: String,
+      dIn: Int, dOut: Int, salt: String = "jl"): DataFrame = {
+    require(dOut >= 1 && dOut <= dIn,
+      s"need 1 <= dOut <= dIn=$dIn, got $dOut")
+    val m = jlSigns(dIn, dOut, salt)
+    val v = col(vecCol).cast("array<double>")
+    import org.apache.spark.sql.graftx.DotProduct
+    df.withColumn(outCol,
+      array((0 until dOut).map(j => round(DotProduct(v, lit(m(j))), 6)): _*))
+  }
+
+  /** Top-k by cosine in the JL-projected space: [[jlProject]] both
+    * sides, then the [[bruteTopK]] broadcast-rank kernel over the
+    * SHORT vectors. Same plan shape as the exact path, 4× less data
+    * through it; candidates feed [[rerank]] for exact order. */
+  def jlTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int, dIn: Int, dOut: Int,
+      salt: String = "jl"): DataFrame = {
+    val q = jlProject(queries, vecCol, "__pv", dIn, dOut, salt)
+      .select(col(idCol), col("__pv").as(vecCol))
+    val c = jlProject(corpus, vecCol, "__pv", dIn, dOut, salt)
+      .select(col(idCol), col("__pv").as(vecCol))
+    bruteTopK(q, c, vecCol, idCol, k)
+  }
+
   /** Deterministic random hyperplanes: `numPlanes × dim` doubles from a
     * seeded RNG (generated driver-side once; broadcast as literals). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {

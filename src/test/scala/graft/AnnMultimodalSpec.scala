@@ -280,4 +280,50 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(!plan.contains("content"), "binary column must be pruned")
     assert(stats.count() == 3) // image/audio/video
   }
+
+  test("JL projection: deterministic, sign-balanced, distance-preserving") {
+    import graft.similarity.Ann
+    val m1 = Ann.jlSigns(64, 16)
+    val m2 = Ann.jlSigns(64, 16)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq, "replayable")
+    assert(m1.forall(_.forall(s => s == 1.0 || s == -1.0)))
+    // md5 nibbles are uniform: signs should be roughly balanced
+    val plus = m1.flatten.count(_ == 1.0)
+    assert(plus > 1024 * 0.40 && plus < 1024 * 0.60, s"biased: $plus/1024")
+    // The JL LEMMA on real embeddings — pairwise similarity is
+    // preserved to ~1/sqrt(dOut): mean |cos_jl - cos| stays under the
+    // noise bound and SHRINKS as dOut grows. (Top-k recall is NOT
+    // asserted tightly: this fixture is near-isotropic — exact-cosine
+    // spread ~0.12 vs JL noise 0.25 at dOut=16 — so rank order is
+    // data-limited; on clustered real corpora the prefilter contract
+    // is shortlist >> k, then exact re-rank.)
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .filter($"vec_id" < 50)
+    def pairErr(dOut: Int): Double = {
+      val p = Ann.jlProject(e, "embedding", "pv", 64, dOut)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+          $"pv")
+      val a = p.select($"vec_id".as("i"), $"v".as("va"), $"pv".as("pa"))
+      val b = p.select($"vec_id".as("j"), $"v".as("vb"), $"pv".as("pb"))
+      a.join(b, $"i" < $"j")
+        .select(abs(graft.dedup.Dedup.cosine($"pa", $"pb") -
+          graft.dedup.Dedup.cosine($"va", $"vb")).as("err"))
+        .agg(avg($"err")).head.getDouble(0)
+    }
+    val err16 = pairErr(16)
+    val err32 = pairErr(32)
+    assert(err16 < 0.25, s"JL error at dOut=16 above noise bound: $err16")
+    assert(err32 < err16, s"error must shrink with dOut: $err32 !< $err16")
+    // ranking still carries signal: projected top-5 beats the ~0.5/query
+    // random-overlap floor
+    val q = e.filter($"vec_id" < 10)
+    val exact = Ann.bruteTopK(q, e, "embedding", "vec_id", 5)
+      .select($"query_id", $"corpus_id")
+    val jl = Ann.jlTopK(q, e, "embedding", "vec_id", 5, 64, 16)
+      .select($"query_id", $"corpus_id")
+    assert(exact.intersect(jl).count() >= 5L)
+    intercept[IllegalArgumentException] {
+      Ann.jlProject(e, "embedding", "p", 64, 65)
+    }
+  }
 }
