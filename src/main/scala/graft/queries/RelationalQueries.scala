@@ -1407,6 +1407,33 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** Custom PHYSICAL operator top-k (the LogicalPlan + Strategy +
+    * SparkPlan extension point, completing the portfolio beside the
+    * scalar Expression, native aggregate, and optimizer-rule ones):
+    * per event type, the 5 highest-value events through
+    * `graftx.TopKPerGroup` — a bounded k-heap per group instead of the
+    * window form's full per-partition sort, with a PARTIAL pass before
+    * the exchange so each map partition ships ≤ k rows per group
+    * (the partial-combine a window can't express). The plan asserts
+    * in-query that both exec nodes are present and NO sort runs below
+    * the exchange; TopKPerGroupSpec proves equality with the window
+    * form under crafted ties and arbitrary partitioning. */
+  private def w12NativeTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.TopKPerGroup
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val top = TopKPerGroup(ev, Seq(col("event_type")),
+      Seq(col("value").desc, col("event_id")), 5)
+    val plan = top.queryExecution.executedPlan.toString
+    require(plan.contains("TopKPerGroupPartial") &&
+      plan.contains("TopKPerGroupFinal"),
+      s"custom operator missing from plan:\n$plan")
+    require(!plan.contains("Sort "),
+      s"top-k must not sort below the exchange:\n$plan")
+    top.orderBy(col("event_type"), desc("value"), col("event_id"))
+  }
+
   /** W10 — sequential conversion funnel (signup → click → purchase):
     * each step's first qualifying timestamp must follow the previous
     * step's. Three unordered-frame window passes over ONE user_id
@@ -2298,6 +2325,7 @@ object RelationalQueries extends QuerySection {
     "j28_small_qty_revenue" -> (j28SmallQtyRevenue _),
     "j29_late_order_priority" -> (j29LateOrderPriority _),
     "q_spacesaving_topk" -> (qSpacesavingTopk _),
+    "w12_native_topk" -> (w12NativeTopk _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3065,6 +3093,14 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w12_native_topk" ->
+      """SELECT event_type, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events WHERE value IS NOT NULL)
+        |WHERE rk <= 5
+        |ORDER BY event_type, value DESC, event_id""".stripMargin,
     "q_spacesaving_topk" ->
       """WITH c AS (
         |  SELECT event_type, CAST(user_id AS VARCHAR) AS item,

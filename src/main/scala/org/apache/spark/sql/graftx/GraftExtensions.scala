@@ -74,6 +74,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }: Expression))
     ext.injectOptimizerRule(_ => DeferExpensiveProjection)
     ext.injectOptimizerRule(_ => MvRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }
 

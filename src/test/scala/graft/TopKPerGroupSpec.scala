@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.TopKPerGroup
+
+/** Semantics + plan shape of the custom TopKPerGroup physical operator
+  * ([[org.apache.spark.sql.graftx.TopKPerGroup]]): equals the window
+  * row_number form on real and crafted data, plans as
+  * partial → exchange → final with NO sort operator, and respects the
+  * caller's total ordering. */
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equals window row_number <= k on real data, any partitioning") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"value")
+    val expected = ev
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type")
+          .orderBy($"value".desc, $"event_id")))
+      .filter($"rk" <= 7).drop("rk")
+    for (parts <- Seq(1, 7)) {
+      val got = TopKPerGroup(ev.repartition(parts), Seq($"event_type"),
+        Seq($"value".desc, $"event_id"), 7)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"parts=$parts: mismatch vs window form")
+    }
+  }
+
+  test("crafted ties + k larger than a group; ascending order") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0), ("a", 4L, 1.0),
+      ("b", 9L, 2.0)).toDF("g", "id", "v")
+    val got = TopKPerGroup(df, Seq($"g"), Seq($"v", $"id"), 2)
+      .orderBy($"g", $"v", $"id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // asc order: ties on v broken by id; group b has < k rows
+    assert(got.toSeq === Seq(("a", 4L, 1.0), ("a", 1L, 5.0), ("b", 9L, 2.0)))
+  }
+
+  test("plan: partial before exchange, final after, zero sorts") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .filter($"value".isNotNull)
+    val plan = TopKPerGroup(ev, Seq($"event_type"),
+      Seq($"value".desc, $"event_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(!plan.contains("Sort "), s"no sort operator expected:\n$plan")
+    // partial sits BELOW the exchange (cuts shuffled rows), final above
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    val iFinal = plan.indexOf("TopKPerGroupFinal")
+    val iEx = plan.indexOf("Exchange")
+    assert(iFinal < iEx && iEx < iPartial, // toString prints top-down
+      s"expected final/exchange/partial order in:\n$plan")
+  }
+
+  test("guards: k >= 1, non-empty grouping") {
+    val df = Seq(("a", 1)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq($"g"), Seq($"v"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerGroup(df, Seq.empty, Seq($"v"), 1)
+    }
+  }
+}
