@@ -253,6 +253,12 @@ object TextQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary coverage curve at V ∈ {1,2,5,10,20,40} — the share of
+    * running text the top-V token types cover (tokenizer sizing). */
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis
+      .vocabCoverage(docs(s, dir), "text", Seq(1, 2, 5, 10, 20, 40))
+
   /** Exact duplicated-span removal (Lee et al. 2022 substring dedup at
     * 8-token grain): spans appearing in ≥ 2 distinct docs are deleted
     * from EVERY doc carrying them; judged on the fully rebuilt clean
@@ -422,6 +428,7 @@ object TextQueries extends QuerySection {
     "text_chunks" -> (textChunks _),
     "text_truncate" -> (textTruncate _),
     "text_span_dedup" -> (textSpanDedup _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "text_stats" -> (textStats _),
     "text_bpe_step" -> (textBpeStep _),
     "text_quality" -> (textQuality _),
@@ -539,6 +546,28 @@ object TextQueries extends QuerySection {
          |  CAST(least(len($tokensSql), 64) AS BIGINT) AS n_after,
          |  md5(array_to_string($tokensSql[1:64], ' ')) AS trunc_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT t AS tok, count(*) AS n FROM (
+         |    SELECT unnest($tokensSql) AS t FROM documents)
+         |  GROUP BY 1),
+         |cum AS (
+         |  SELECT tok, n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+         |      AS rk,
+         |    sum(n) OVER (ORDER BY n DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS cumn
+         |  FROM counts),
+         |total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+         |grid AS (SELECT unnest([1, 2, 5, 10, 20, 40]) AS vocab_size)
+         |SELECT vocab_size, max(rk) AS n_types,
+         |  CAST(max(cumn) AS BIGINT) AS covered_tokens,
+         |  max(tot) AS total_tokens,
+         |  round(CAST(max(cumn) AS BIGINT) * 100.0 / max(tot), 6)
+         |    AS coverage_pct
+         |FROM grid LEFT JOIN cum ON rk <= vocab_size CROSS JOIN total
+         |GROUP BY vocab_size
+         |ORDER BY vocab_size""".stripMargin,
     "text_span_dedup" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $tokensSql AS t FROM documents),

@@ -175,6 +175,44 @@ object TextAnalysis {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Vocabulary coverage curve — for each candidate vocabulary size V,
+    * the share of all corpus TOKENS covered by the top-V token TYPES
+    * by frequency: the curve a tokenizer/vocab designer reads the
+    * knee off (how big must the vocab be before <x>% of running text
+    * is in-vocabulary). One tokenize+count pass reduces the corpus to
+    * VOCABULARY grain; the ranking window and cumulative sum run on
+    * that rollup (types, not tokens — the q_rfm argument: a global
+    * window is fine three orders of magnitude under the fact), and
+    * the V-grid joins against it rank-bounded. Ties rank
+    * (count desc, token asc) so both engines agree. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"vocab sizes must be >= 1, got $sizes")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(desc("__n"), col("__tok"))
+    val cum = counts
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum(col("__n")).as("__total"))
+    val grid = df.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(v => Tuple1(v)))
+      .toDF("vocab_size")
+    grid.join(cum, col("__rk") <= col("vocab_size"), "left")
+      .groupBy(col("vocab_size"))
+      .agg(max(col("__rk")).as("n_types"),
+        max(col("__cum")).as("covered_tokens"))
+      .crossJoin(broadcast(total)) // 1-row scalar
+      .select(col("vocab_size"), col("n_types"),
+        col("covered_tokens"), col("__total").as("total_tokens"),
+        round(col("covered_tokens") * 100.0 / col("__total"), 6)
+          .as("coverage_pct"))
+      .orderBy(col("vocab_size"))
+  }
+
   /** Exact duplicated-span removal — the substring-granular exact
     * dedup of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al. 2022), re-expressed relationally: instead of
