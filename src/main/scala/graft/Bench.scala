@@ -158,6 +158,16 @@ object Bench {
           io(name) = org.apache.spark.graftx.StageMetrics
             .totals(spark.sparkContext, ioAcc) - b
         }
+        // Release persisted state OUTSIDE the timed section: iterative
+        // operators (pagerank/CC/reachability) localCheckpoint their
+        // loop invariants, and those blocks outlive the query until
+        // GC — 268 queries × 3 passes of accumulation inflates LATER
+        // queries' timings (measured: a mid-alphabet cluster read 2-4×
+        // its isolated cost in the full run). Each query now starts
+        // from the same cold-store state its isolated run sees.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
       }
       emit(pass)
     }
