@@ -119,6 +119,42 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("w_start"))
   }
 
+  /** Streaming SpaceSaving top-k — the native mergeable aggregate
+    * ([[org.apache.spark.sql.graftx.SpaceSavingTopK]]) running INSIDE
+    * Structured Streaming: its serialize/merge contract is exactly
+    * what the state store exercises between micro-batches, so the
+    * same summary that bounds batch shuffle state here bounds
+    * STREAMING state (capacity counters per window × type, not one
+    * state row per distinct user). Judged in the exact regime
+    * (capacity ≫ per-window distinct users ⇒ merge-order free), so
+    * the appended windows must equal the batch top-3 per
+    * (window, type), replayed with the same watermark-cutoff rule as
+    * `stream_approx_distinct`. */
+  private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.graftx.SpaceSavingTopK
+    val tmp = Files.createTempDirectory("graft_stk")
+    Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      Paths.get(dir, "events.parquet").toAbsolutePath)
+    val top = Streaming.readEventsAuto(s, tmp.toString)
+      .filter(col("user_id").isNotNull)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(SpaceSavingTopK.topk(col("user_id").cast("string"), 8192, 3)
+        .as("__top"))
+    val name = "stream_topk_users_sink"
+    withStatePartitions(s, 4) {
+      Streaming.runAvailableNow(top, name, outputMode = "append")
+    }
+    s.table(name)
+      .select(col("window.start").as("w_start"), col("event_type"),
+        posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("w_start"), col("event_type"),
+        (col("__i") + 1).as("rk"), col("__e.item").as("item"),
+        col("__e.cnt").as("cnt"))
+      .orderBy(col("w_start"), col("event_type"), col("rk"))
+  }
+
   /** Streaming DEDUP under a planted 2× duplication: the same events
     * file is symlinked twice into the stream directory, so every event
     * arrives exactly twice; `dropDuplicatesWithinWatermark` on event_id
@@ -739,6 +775,7 @@ object StreamingQueries extends QuerySection {
     "stream_attribution_full" -> (streamAttributionFull _),
     "stream_stateful_sessions" -> (streamStatefulSessions _),
     "stream_approx_distinct" -> (streamApproxDistinct _),
+    "stream_topk_users" -> (streamTopkUsers _),
     "stream_upsert" -> (streamUpsert _),
     "stream_scd2" -> (streamScd2 _),
     "stream_quality_gate" -> (streamQualityGate _),
@@ -961,6 +998,25 @@ object StreamingQueries extends QuerySection {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
     // append-mode emission: only watermark-closed windows surface
+    "stream_topk_users" ->
+      """WITH f AS (
+        |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
+        |    event_type, CAST(user_id AS VARCHAR) AS item
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (
+        |  SELECT w_start, event_type, item, count(*) AS cnt
+        |  FROM f GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT w_start, event_type, item, cnt,
+        |    row_number() OVER (PARTITION BY w_start, event_type
+        |      ORDER BY cnt DESC, item) AS rk
+        |  FROM c)
+        |SELECT w_start, event_type, CAST(rk AS INT) AS rk, item, cnt
+        |FROM r
+        |WHERE rk <= 3 AND w_start + INTERVAL 6 HOUR <=
+        |  (SELECT max(ts) - INTERVAL 1 MINUTE FROM events
+        |   WHERE user_id IS NOT NULL)
+        |ORDER BY w_start, event_type, rk""".stripMargin,
     "stream_approx_distinct" ->
       """WITH w AS (
         |  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
