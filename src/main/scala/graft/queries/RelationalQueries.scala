@@ -1407,6 +1407,45 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** J30 — Jaro–Winkler blocked linkage (the native `jaro_winkler`
+    * expression in the ER refine loop): same first-token blocking as
+    * `j19_fuzzy_blocked`, but scored with the prefix-boosted Jaro
+    * measure the record-linkage literature standardized on for names
+    * (Winkler 1990) — j19's banded Levenshtein catches small EDITS,
+    * JW ranks near-matches with shared prefixes, and both run as one
+    * codegen'd call per candidate pair. Judged as the top-3 most
+    * similar pairs per block at ≥ 0.93 (thresholds compare the SAME
+    * 6-dp rounded score in both engines, so no boundary pair can
+    * flip) plus the block's qualifying-pair count. Scale shape: the
+    * dim side broadcasts, the probe side repartitions by its unique
+    * key (j19's skew-proof layout — block keys are ~8 values), and
+    * the output is blocks × 3. */
+  private def j30JwLinkage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.JaroWinkler
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("block"))
+    val jw = round(JaroWinkler(col("a.p_name"), col("b.p_name")), 6)
+    val pairs = p.repartition(64, col("p_partkey")).as("b")
+      .join(broadcast(p).as("a"),
+        col("a.block") === col("b.block")
+          && col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.block").as("block"),
+        col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        jw.as("jw"))
+      .filter(col("jw") >= 0.93)
+    val w = Window.partitionBy(col("block"))
+      .orderBy(desc("jw"), col("a_key"), col("b_key"))
+    val nPairs = Window.partitionBy(col("block"))
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(nPairs))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("block"), col("rk"), col("a_key"), col("b_key"),
+        col("jw"), col("n_pairs"))
+      .orderBy(col("block"), col("rk"))
+  }
+
   /** Custom PHYSICAL operator top-k (the LogicalPlan + Strategy +
     * SparkPlan extension point, completing the portfolio beside the
     * scalar Expression, native aggregate, and optimizer-rule ones):
@@ -1910,9 +1949,11 @@ object RelationalQueries extends QuerySection {
     * integers (5·qty·n < Σqty; quantities are integral), so a part
     * whose boundary line sits on the threshold can't flip between
     * engines the way a float `0.2 * avg` last-ulp could. Scale shape:
-    * the brand filter broadcasts into the fact scan, ONE exchange on
-    * l_partkey serves both the per-part aggregate and the join-back,
-    * and the result is a single row of exact cents. */
+    * the brand filter broadcasts into the fact scan, the per-part
+    * aggregate and the join-back hash on the SAME l_partkey key (the
+    * filtered fact's exchange subtree repeats and is reuse-eligible —
+    * no second key ever appears), and the result is a single row of
+    * exact cents. */
   private def j28SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     val brand = Tables.load(s, dir, "part")
       .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
@@ -2326,6 +2367,7 @@ object RelationalQueries extends QuerySection {
     "j29_late_order_priority" -> (j29LateOrderPriority _),
     "q_spacesaving_topk" -> (qSpacesavingTopk _),
     "w12_native_topk" -> (w12NativeTopk _),
+    "j30_jw_linkage" -> (j30JwLinkage _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3093,6 +3135,26 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j30_jw_linkage" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS block
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.block, a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |    round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM p a JOIN p b ON a.block = b.block
+        |    AND a.p_partkey < b.p_partkey),
+        |q AS (SELECT * FROM pairs WHERE jw >= 0.93),
+        |r AS (
+        |  SELECT block, a_key, b_key, jw,
+        |    CAST(count(*) OVER (PARTITION BY block) AS BIGINT) AS n_pairs,
+        |    CAST(row_number() OVER (PARTITION BY block
+        |      ORDER BY jw DESC, a_key, b_key) AS INT) AS rk
+        |  FROM q)
+        |SELECT block, rk, a_key, b_key, jw, n_pairs
+        |FROM r WHERE rk <= 3
+        |ORDER BY block, rk""".stripMargin,
     "w12_native_topk" ->
       """SELECT event_type, event_id, value FROM (
         |  SELECT event_type, event_id, value,

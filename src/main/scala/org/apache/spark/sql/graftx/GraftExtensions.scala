@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Unaccent(args(0))
       }: Expression))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (classic " +
+          "0.7 boost threshold, prefix cap 4)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler takes 2 arguments")
+        JaroWinkler(args(0), args(1))
+      }: Expression))
+    ext.injectFunction((
       FunctionIdentifier("space_saving_topk"),
       info("space_saving_topk",
         "_FUNC_(item, capacity, k) - mergeable SpaceSaving top-k summary" +
