@@ -968,6 +968,25 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Linear interpolation onto the daily spine
+    * (`GapFill.interpolateDaily`): the events series is deliberately
+    * DOWNSAMPLED to every third day (day-of-month ≡ 1 mod 3), then
+    * re-gridded — interior gaps get `prev + (next−prev)·Δ/span`
+    * between their nearest observations, the post-day-28 tail falls
+    * back to carry-forward, and the `interpolated` flag marks which
+    * rows were manufactured. The re-gridding twin of `q_gap_fill`'s
+    * staircase carry-forward. */
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .filter(dayofmonth(col("ts")) % 3 === 1)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(round(avg(col("value")), 4).as("v"))
+    graft.operators.GapFill.interpolateDaily(daily, "day", "event_type",
+        "2024-01-01", "2024-01-30", "v")
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Retention cohort matrix: users grouped by first-seen day
     * (cohort), activity counted by day offset from that cohort — the
     * product-analytics staple. Two hash aggregates (user→cohort,
@@ -2305,6 +2324,7 @@ object RelationalQueries extends QuerySection {
     "q_json_props" -> (qJsonProps _),
     "fx_datetime_family" -> (fxDatetimeFamily _),
     "q_gap_fill" -> (qGapFill _),
+    "q_interpolate" -> (qInterpolate _),
     "q_cumulative_distinct" -> (qCumulativeDistinct _),
     "q_retention_cohorts" -> (qRetentionCohorts _),
     "q_interval_union" -> (qIntervalUnion _),
@@ -3135,6 +3155,45 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |    round(avg(value), 4) AS v
+        |  FROM events WHERE day(ts) % 3 = 1 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT strftime(g.d, '%Y-%m-%d') AS day, k.event_type
+        |  FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+        |      INTERVAL 1 DAY) g(d)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM daily) k),
+        |grid AS (
+        |  SELECT s.day, s.event_type, d.v
+        |  FROM spine s LEFT JOIN daily d USING (day, event_type)),
+        |w AS (
+        |  SELECT day, event_type, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM grid)
+        |SELECT day, event_type,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) *
+        |        (CAST(date_diff('day', CAST(pd AS DATE),
+        |            CAST(day AS DATE)) AS DOUBLE) /
+        |         CAST(date_diff('day', CAST(pd AS DATE),
+        |            CAST(nd AS DATE)) AS DOUBLE))
+        |    ELSE coalesce(pv, nv) END, 4) AS v,
+        |  (v IS NULL) AS interpolated
+        |FROM w ORDER BY day, event_type""".stripMargin,
     "j30_jw_linkage" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name,

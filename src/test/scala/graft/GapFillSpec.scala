@@ -36,4 +36,27 @@ class GapFillSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("interpolateDaily: interior linear, head backfill, tail carry") {
+    import spark.implicits._
+    // series A: observed day 1 (v=10) and day 4 (v=40) -> days 2,3
+    // interpolate to 20, 30; day 5 tail carries 40; series B observed
+    // only day 3 (v=7) -> head days backfill 7, tail days carry 7
+    val daily = Seq(
+      ("2024-01-01", "A", 10.0), ("2024-01-04", "A", 40.0),
+      ("2024-01-03", "B", 7.0)).toDF("day", "k", "v")
+    val out = graft.operators.GapFill.interpolateDaily(
+        daily, "day", "k", "2024-01-01", "2024-01-05", "v")
+      .orderBy($"k", $"day")
+      .collect().map(r => (r.getString(1), r.getString(0),
+        r.getDouble(2), r.getBoolean(3)))
+    assert(out.filter(_._1 == "A").toSeq === Seq(
+      ("A", "2024-01-01", 10.0, false), ("A", "2024-01-02", 20.0, true),
+      ("A", "2024-01-03", 30.0, true), ("A", "2024-01-04", 40.0, false),
+      ("A", "2024-01-05", 40.0, true)))
+    assert(out.filter(_._1 == "B").toSeq === Seq(
+      ("B", "2024-01-01", 7.0, true), ("B", "2024-01-02", 7.0, true),
+      ("B", "2024-01-03", 7.0, false), ("B", "2024-01-04", 7.0, true),
+      ("B", "2024-01-05", 7.0, true)))
+  }
 }
