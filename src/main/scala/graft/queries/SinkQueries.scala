@@ -493,6 +493,33 @@ object SinkQueries extends QuerySection {
     * must reconstruct it exactly, including the semilattice (min/max)
     * columns the additive-only rollup (O3) can't carry. At 100 TB each
     * fold touches one batch + the aggregate-cardinality rollup. */
+  /** O7 — append-only incremental JOIN-MV maintenance
+    * (`Incremental.mergeJoinMv`): customers and orders are each split
+    * into an "old" snapshot and an insert delta; the maintained
+    * denormalized view starts as old ⋈ old and appends the three
+    * delta-join terms (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — the full tables are
+    * never re-joined. Judged against the oracle's FULL customer ⋈
+    * orders recompute: the delta algebra must reconstruct it
+    * hash-exactly. At 100 TB each batch costs Θ(|Δ|·fan-out), not
+    * |A ⋈ B|; deltas broadcast. */
+  private def o7JoinMvDelta(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+    val aOld = cust.filter(col("custkey") % 10 =!= 0)
+    val aDelta = cust.filter(col("custkey") % 10 === 0)
+    val bOld = ord.filter(col("o_orderkey") % 7 =!= 0)
+    val bDelta = ord.filter(col("o_orderkey") % 7 === 0)
+    val mv = aOld.join(bOld, Seq("custkey"))
+    graft.etl.Incremental
+      .mergeJoinMv(mv, aOld, bOld, aDelta, bDelta, Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"), col("c_mktsegment"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def o5MvMerge(s: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_mvm")
       .toString + "/rollup"
@@ -612,6 +639,7 @@ object SinkQueries extends QuerySection {
     "mv_rewrite_filtered" -> (mvRewriteFiltered _),
     "o4_backfill_repair" -> (o4BackfillRepair _),
     "o5_mv_merge" -> (o5MvMerge _),
+    "o7_join_mv_delta" -> (o7JoinMvDelta _),
     "k_wap" -> (kWap _),
     "o3_incremental_rollup" -> (o3IncrementalRollup _),
     "k_checksum" -> (kChecksum _),
@@ -673,6 +701,11 @@ object SinkQueries extends QuerySection {
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 2) AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o7_join_mv_delta" ->
+      """SELECT o_orderkey, c_custkey AS custkey, c_mktsegment,
+        |  round(o_totalprice, 2) AS price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "o5_mv_merge" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

@@ -241,4 +241,24 @@ class EtlJobSpec extends SparkSpec {
         assert(n == truth((day, et)), s"$day should be correct")
     }
   }
+
+  test("mergeJoinMv: delta algebra equals the full join for any split") {
+    import spark.implicits._
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "av")
+    val b = Seq((1, 10), (1, 11), (2, 20), (3, 30), (3, 31))
+      .toDF("k", "bv")
+    val full = a.join(b, Seq("k"))
+    for (aCut <- Seq(1, 2); bCut <- Seq(10, 30)) {
+      val (aOld, aD) = (a.filter($"k" <= aCut), a.filter($"k" > aCut))
+      val (bOld, bD) = (b.filter($"bv" <= bCut), b.filter($"bv" > bCut))
+      val mv = aOld.join(bOld, Seq("k"))
+      val got = graft.etl.Incremental
+        .mergeJoinMv(mv, aOld, bOld, aD, bD, Seq("k"))
+      assert(got.exceptAll(full).isEmpty && full.exceptAll(got).isEmpty,
+        s"split aCut=$aCut bCut=$bCut")
+    }
+    intercept[IllegalArgumentException] {
+      graft.etl.Incremental.mergeJoinMv(full, a, b, a, b, Seq.empty)
+    }
+  }
 }
