@@ -968,6 +968,45 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** J31 — NOT IN vs NOT EXISTS null semantics (the classic silent
+    * data-bug): `x NOT IN (subquery)` is three-valued — ONE null in
+    * the subquery makes every row UNKNOWN, so the result is EMPTY,
+    * while NOT EXISTS keeps matching rows. Both branches run here and
+    * the counts land side by side: the null-poisoned NOT IN must
+    * count 0, the null-filtered NOT IN and NOT EXISTS must agree.
+    * Spark plans the NOT IN branch as a null-aware anti join (single
+    * build-side pass, no per-row subquery); the in-query require pins
+    * that physical choice. */
+  private def j31NotInNull(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "customer").createOrReplaceTempView("j31_cust")
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(when(col("o_orderkey") % 1000 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("ck")) // planted nulls
+      .createOrReplaceTempView("j31_sub")
+    val notInNulls = s.sql(
+      "SELECT count(*) AS n FROM j31_cust WHERE c_custkey NOT IN " +
+        "(SELECT ck FROM j31_sub)")
+    // Spark 4 prints BroadcastHashJoinExec.isNullAwareAntiJoin as the
+    // bare trailing flag: "..., LeftAnti, BuildRight, true"
+    require(notInNulls.queryExecution.executedPlan.toString
+      .contains("LeftAnti, BuildRight, true"),
+      "NOT IN must plan as a null-aware anti join; got:\n" +
+        notInNulls.queryExecution.executedPlan.toString)
+    val notInClean = s.sql(
+      "SELECT count(*) AS n FROM j31_cust WHERE c_custkey NOT IN " +
+        "(SELECT ck FROM j31_sub WHERE ck IS NOT NULL)")
+    val notExists = s.sql(
+      "SELECT count(*) AS n FROM j31_cust c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM j31_sub s WHERE s.ck = c.c_custkey)")
+    notInNulls.select(lit("not_in_with_nulls").as("variant"), col("n"))
+      .unionByName(notInClean
+        .select(lit("not_in_clean").as("variant"), col("n")))
+      .unionByName(notExists
+        .select(lit("not_exists").as("variant"), col("n")))
+      .orderBy(col("variant"))
+  }
+
   /** Linear interpolation onto the daily spine
     * (`GapFill.interpolateDaily`): the events series is deliberately
     * DOWNSAMPLED to every third day (day-of-month ≡ 1 mod 3), then
@@ -2388,6 +2427,7 @@ object RelationalQueries extends QuerySection {
     "q_spacesaving_topk" -> (qSpacesavingTopk _),
     "w12_native_topk" -> (w12NativeTopk _),
     "j30_jw_linkage" -> (j30JwLinkage _),
+    "j31_not_in_null" -> (j31NotInNull _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3155,6 +3195,20 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j31_not_in_null" ->
+      """WITH sub AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+        |    ELSE o_custkey END AS ck
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT 'not_exists' AS variant, count(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.ck = c.c_custkey)
+        |UNION ALL
+        |SELECT 'not_in_clean', count(*) FROM customer
+        |WHERE c_custkey NOT IN (SELECT ck FROM sub WHERE ck IS NOT NULL)
+        |UNION ALL
+        |SELECT 'not_in_with_nulls', count(*) FROM customer
+        |WHERE c_custkey NOT IN (SELECT ck FROM sub)
+        |ORDER BY variant""".stripMargin,
     "q_interpolate" ->
       """WITH daily AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
