@@ -968,6 +968,35 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** J32 — transposition-aware blocked matching (the native
+    * `damerau_levenshtein` beside j19's banded Levenshtein and j30's
+    * Jaro–Winkler — the third ER refine kernel, Damerau 1964's typo
+    * model where adjacent swaps count one edit): same first-token
+    * blocking + length-gap prefilter (sound: DL ≥ |len diff|), per
+    * (block, distance) pair counts plus how many pairs the
+    * transposition op strictly improved over plain Levenshtein —
+    * integer-valued throughout, zero float hazard. */
+  private def j32DamerauBlocked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.DamerauLevenshtein
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        split(col("p_name"), " ").getItem(0).as("block"))
+    val dl = DamerauLevenshtein(col("a.p_name"), col("b.p_name"))
+    val lev = levenshtein(col("a.p_name"), col("b.p_name"))
+    p.repartition(64, col("p_partkey")).as("b")
+      .join(broadcast(p).as("a"),
+        col("a.block") === col("b.block")
+          && col("a.p_partkey") < col("b.p_partkey")
+          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
+      .select(col("a.block").as("block"), dl.as("dl"), lev.as("lev"))
+      .filter(col("dl").between(1, 3))
+      .groupBy(col("block"), col("dl"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dl") < col("lev"), 1L).otherwise(0L))
+          .as("n_transposition_wins"))
+      .orderBy(col("block"), col("dl"))
+  }
+
   /** J31 — NOT IN vs NOT EXISTS null semantics (the classic silent
     * data-bug): `x NOT IN (subquery)` is three-valued — ONE null in
     * the subquery makes every row UNKNOWN, so the result is EMPTY,
@@ -2428,6 +2457,7 @@ object RelationalQueries extends QuerySection {
     "w12_native_topk" -> (w12NativeTopk _),
     "j30_jw_linkage" -> (j30JwLinkage _),
     "j31_not_in_null" -> (j31NotInNull _),
+    "j32_damerau_blocked" -> (j32DamerauBlocked _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3195,6 +3225,24 @@ object RelationalQueries extends QuerySection {
         |    WHERE l_orderkey = o_orderkey
         |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j32_damerau_blocked" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    string_split(p_name, ' ')[1] AS block
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.block,
+        |    damerau_levenshtein(a.p_name, b.p_name) AS dl,
+        |    levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM p a JOIN p b ON a.block = b.block
+        |    AND a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 3)
+        |SELECT block, CAST(dl AS INT) AS dl, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN dl < lev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_transposition_wins
+        |FROM pairs WHERE dl BETWEEN 1 AND 3
+        |GROUP BY block, dl
+        |ORDER BY block, dl""".stripMargin,
     "j31_not_in_null" ->
       """WITH sub AS (
         |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL

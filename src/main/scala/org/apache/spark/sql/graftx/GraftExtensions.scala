@@ -64,6 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinkler(args(0), args(1))
       }: Expression))
     ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "_FUNC_(a, b) - unrestricted Damerau-Levenshtein edit distance" +
+          " (insert/delete/substitute/transpose)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "damerau_levenshtein takes 2 arguments")
+        DamerauLevenshtein(args(0), args(1))
+      }: Expression))
+    ext.injectFunction((
       FunctionIdentifier("space_saving_topk"),
       info("space_saving_topk",
         "_FUNC_(item, capacity, k) - mergeable SpaceSaving top-k summary" +
