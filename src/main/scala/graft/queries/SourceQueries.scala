@@ -118,6 +118,23 @@ object SourceQueries extends QuerySection {
       .orderBy(col("n_nationkey"))
   }
 
+  /** S12: ORC round-trip — the full customer table written as ORC
+    * (the other columnar lake format Spark ships natively; schema,
+    * nullability, and decimals must survive) and read back through
+    * the ORC scan, judged row-for-row against the parquet original.
+    * DuckDB can't read ORC, so the oracle states the expectation from
+    * the parquet side — exactly what a format round-trip must
+    * reproduce. */
+  private def s12OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
+    Tables.load(s, dir, "customer")
+      .write.mode("overwrite").orc(s"$tmp/customer_orc")
+    s.read.orc(s"$tmp/customer_orc")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** S5: YAML round-trip — region through the YAML writer and the
     * driver-side YAML reader (strings in, cast out). */
   private def s5YamlRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -197,6 +214,7 @@ object SourceQueries extends QuerySection {
     "s11_quarantine" -> (s11Quarantine _),
     "s10_schema_evolution" -> (s10SchemaEvolution _),
     "s4_file_roundtrip" -> (s4FileRoundtrip _),
+    "s12_orc_roundtrip" -> (s12OrcRoundtrip _),
     "s5_yaml_roundtrip" -> (s5YamlRoundtrip _),
     "s1_where_scan" -> (s1WhereScan _),
     "s2_filter_dict" -> (s2FilterDict _),
@@ -250,6 +268,10 @@ object SourceQueries extends QuerySection {
         |SELECT 'initial', count(*), max(ts)
         |FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'
         |ORDER BY pull""".stripMargin,
+    "s12_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "s4_file_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
