@@ -340,4 +340,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("unrestricted DL equals BFS over the 4-op edit graph (short strings)") {
+    import org.apache.spark.sql.graftx.DamerauLevenshtein
+    // independent ground truth: breadth-first search over the literal
+    // edit graph (insert/delete/substitute/adjacent-transpose on the
+    // CURRENT string state) — the definition, not the DP
+    def bfs(a: String, b: String, cap: Int): Option[Int] = {
+      if (a == b) return Some(0)
+      val alphabet = (a + b).toSet.toSeq
+      var frontier = Set(a)
+      val seen = collection.mutable.Set(a)
+      for (d <- 1 to cap) {
+        val next = collection.mutable.Set.empty[String]
+        for (s <- frontier) {
+          val edits = collection.mutable.Buffer.empty[String]
+          for (i <- 0 to s.length; c <- alphabet)
+            edits += s.substring(0, i) + c + s.substring(i)    // insert
+          for (i <- 0 until s.length)
+            edits += s.substring(0, i) + s.substring(i + 1)    // delete
+          for (i <- 0 until s.length; c <- alphabet if c != s(i))
+            edits += s.substring(0, i) + c + s.substring(i + 1) // subst
+          for (i <- 0 until s.length - 1)
+            edits += s.substring(0, i) + s(i + 1) + s(i) +
+              s.substring(i + 2)                               // transpose
+          for (e <- edits if !seen(e)) {
+            if (e == b) return Some(d)
+            if (math.abs(e.length - b.length) <= cap - d) {
+              seen += e; next += e
+            }
+          }
+        }
+        frontier = next.toSet
+        if (frontier.isEmpty) return None
+      }
+      None
+    }
+    val gen = for {
+      n <- Gen.choose(0, 5)
+      m <- Gen.choose(0, 5)
+      x <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      y <- Gen.listOfN(m, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    } yield (x, y)
+    var checked = 0
+    samples(gen, 120, seed = 7L).foreach { case (x, y) =>
+      bfs(x, y, 3).foreach { d =>
+        assert(DamerauLevenshtein.distance(x, y) === d,
+          s"dl('$x','$y')"); checked += 1
+      }
+    }
+    assert(checked >= 60, s"property exercised only $checked pairs")
+  }
 }
