@@ -116,19 +116,23 @@ object Incremental {
     * silently, it is simply defined over inserts.
     *
     * Scale shape: the big joins of the full recompute never run —
-    * each delta term joins a SMALL frame against one big one (ΔA ⋈ B
-    * broadcasts ΔA when it fits, and ΔA ⋈ ΔB is delta-sized on both
-    * sides). Cost per batch is Θ(|Δ| · join fan-out), independent of
-    * |A ⋈ B|. The oracle for the judged query recomputes the full
-    * join and must hash-match the incrementally maintained result.
+    * each delta term joins a SMALL frame against one big one, and
+    * ΔA ⋈ ΔB is delta-sized on both sides. Cost per batch is
+    * Θ(|Δ| · join fan-out), independent of |A ⋈ B|. Join strategy is
+    * deliberately LEFT TO THE OPTIMIZER: a typical delta lands under
+    * `autoBroadcastJoinThreshold` and broadcasts on its own, while a
+    * backfill-sized delta degrades to a shuffle join — a forced
+    * `broadcast()` hint would bypass that sizing and fail outright
+    * past the 8 GB broadcast limit. The oracle for the judged query
+    * recomputes the full join and must hash-match the incrementally
+    * maintained result.
     */
   def mergeJoinMv(mv: DataFrame, aOld: DataFrame, bOld: DataFrame,
       aDelta: DataFrame, bDelta: DataFrame,
       joinCols: Seq[String]): DataFrame = {
     require(joinCols.nonEmpty, "need at least one join column")
-    import org.apache.spark.sql.functions.broadcast
-    mv.unionByName(broadcast(aDelta).join(bOld, joinCols))
-      .unionByName(aOld.join(broadcast(bDelta), joinCols))
+    mv.unionByName(aDelta.join(bOld, joinCols))
+      .unionByName(aOld.join(bDelta, joinCols))
       .unionByName(aDelta.join(bDelta, joinCols))
   }
 

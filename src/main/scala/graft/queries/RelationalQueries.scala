@@ -987,7 +987,12 @@ object RelationalQueries extends QuerySection {
       .join(broadcast(p).as("a"),
         col("a.block") === col("b.block")
           && col("a.p_partkey") < col("b.p_partkey")
-          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
+          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3
+          // sound band prefilter: one transposition costs ≤ 2
+          // substitutions, so dl ≤ 3 ⇒ levenshtein ≤ 6 — the banded
+          // O(k·n) threshold form prunes before any O(n·m) DL call
+          && levenshtein(col("a.p_name"), col("b.p_name"), 6)
+            .between(0, 6))
       .select(col("a.block").as("block"), dl.as("dl"), lev.as("lev"))
       .filter(col("dl").between(1, 3))
       .groupBy(col("block"), col("dl"))

@@ -56,7 +56,9 @@ object JaroWinkler {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
-    val window = math.max(la, lb) / 2 - 1
+    // clamp: ⌊max/2⌋−1 underflows to −1 for two length-1 strings,
+    // which would score jaro_winkler('a','a') = 0 instead of 1
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
     val aMatch = new Array[Boolean](la)
     val bMatch = new Array[Boolean](lb)
     var m = 0

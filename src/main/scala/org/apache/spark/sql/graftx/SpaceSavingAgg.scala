@@ -26,45 +26,71 @@ import org.apache.spark.unsafe.types.UTF8String
 final class SpaceSavingBuffer(val capacity: Int) {
   // item -> (count, err). Counts only grow; size never exceeds capacity.
   val entries: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  // (count, item) mirror ordered min-count-first, ties LARGEST item
+  // first — the head IS the eviction victim, so eviction and trim are
+  // O(log capacity) instead of a full scan per over-capacity insert
+  // (the high-cardinality regime is the point of the sketch)
+  private val byCount = mutable.TreeSet.empty[(Long, String)](
+    Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+
+  /** Insert/overwrite keeping both structures in sync. */
+  private[graftx] def put(item: String, c: Long, e: Long): Unit = {
+    entries.get(item).foreach { case (c0, _) => byCount.remove((c0, item)) }
+    entries.update(item, (c, e))
+    byCount.add((c, item))
+  }
+
+  /** The summary's minimum counter when FULL — the classic bound on
+    * how often an untracked item can have occurred; 0 while spare
+    * capacity remains (an unseen item then truly has count 0). */
+  private def absentBound: Long =
+    if (entries.size >= capacity) byCount.head._1 else 0L
 
   /** One observation (streaming update). Eviction replaces the minimum
     * counter, tie-broken by LARGEST item string — so the smallest items
     * (earliest in the final count-desc/item-asc output order) are the
     * most stable under ties. Deterministic for any fixed input order. */
   def add(item: String): Unit = entries.get(item) match {
-    case Some((c, e)) => entries.update(item, (c + 1L, e))
-    case None if entries.size < capacity => entries.update(item, (1L, 0L))
+    case Some((c, e)) => put(item, c + 1L, e)
+    case None if entries.size < capacity => put(item, 1L, 0L)
     case None =>
-      var minItem: String = null
-      var minCnt = Long.MaxValue
-      entries.foreach { case (it, (c, _)) =>
-        if (c < minCnt || (c == minCnt && it > minItem)) {
-          minItem = it; minCnt = c
-        }
-      }
+      val (minCnt, minItem) = byCount.head
+      byCount.remove((minCnt, minItem))
       entries.remove(minItem)
-      entries.update(item, (minCnt + 1L, minCnt))
+      put(item, minCnt + 1L, minCnt)
   }
 
   /** Mergeable-summaries combine (Agarwal et al. 2012): counts and
-    * error bounds add item-wise, then trim back to `capacity` keeping
-    * the largest counts (count desc, item asc) — the ε₁+ε₂ guarantee
-    * carries over. Exact-regime merges (all errs 0, no trim) commute
-    * perfectly, which is what makes the judged output partition-order
-    * independent. */
+    * error bounds add item-wise, and an item ABSENT from one side is
+    * credited that side's minimum counter (it may have occurred up to
+    * that often there and been evicted — crediting 0 would turn the
+    * overestimate invariant cnt ≥ true into an underestimate), in
+    * both count and err; then trim back to `capacity` keeping the
+    * largest counts (count desc, item asc) — the ε₁+ε₂ guarantee
+    * carries over. Exact-regime merges (nobody ever full: both
+    * absent-bounds 0, no trim) stay perfectly additive, which is what
+    * makes the judged output partition-order independent. */
   def merge(other: SpaceSavingBuffer): Unit = {
+    val thisBound = absentBound
+    val otherBound = other.absentBound
+    if (otherBound > 0L) {
+      // items this summary tracks that other may have seen and evicted
+      entries.keysIterator.filterNot(other.entries.contains).toArray
+        .foreach { it =>
+          val (c, e) = entries(it)
+          put(it, c + otherBound, e + otherBound)
+        }
+    }
     other.entries.foreach { case (it, (c, e)) =>
       entries.get(it) match {
-        case Some((c0, e0)) => entries.update(it, (c0 + c, e0 + e))
-        case None => entries.update(it, (c, e))
+        case Some((c0, e0)) => put(it, c0 + c, e0 + e)
+        case None => put(it, c + thisBound, e + thisBound)
       }
     }
-    if (entries.size > capacity) {
-      val keep = entries.toSeq
-        .sortBy { case (it, (c, _)) => (-c, it) }
-        .take(capacity)
-      entries.clear()
-      entries ++= keep
+    while (entries.size > capacity) {
+      val victim = byCount.head
+      byCount.remove(victim)
+      entries.remove(victim._2)
     }
   }
 }
@@ -169,7 +195,7 @@ case class SpaceSavingTopK(
       val item = new String(b, StandardCharsets.UTF_8)
       val c = in.readLong()
       val e = in.readLong()
-      buf.entries.update(item, (c, e))
+      buf.put(item, c, e) // keeps the eviction-order mirror in sync
       i += 1
     }
     buf

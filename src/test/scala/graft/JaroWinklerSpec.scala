@@ -25,6 +25,8 @@ class JaroWinklerSpec extends SparkSpec {
     ("abc", "abc", 1.0),
     ("", "abc", 0.0), ("", "", 0.0),            // DuckDB: empty ⇒ 0
     ("a", "b", 0.0),
+    ("a", "a", 1.0),                            // len-1 identity (window clamp)
+    ("a", "ab", 0.85),                          // len-1 vs len-2 match
     ("ab", "ba", 0.0))                          // window 0: no matches
 
   test("matches DuckDB on pinned vectors (scalar + column + codegen)") {

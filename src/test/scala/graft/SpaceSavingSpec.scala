@@ -84,4 +84,31 @@ class SpaceSavingSpec extends SparkSpec {
       SpaceSavingTopK.topk($"item", 0, 0)
     }
   }
+
+  test("merge credits items absent from a FULL summary (no underestimate)") {
+    import org.apache.spark.sql.graftx.SpaceSavingBuffer
+    // partition A (capacity 2) sees zz,zz,a,b,c - zz evicted along the
+    // way; partition B sees zz once. A naive additive merge would
+    // report zz with cnt=1 < true=3; the mergeable-summaries credit
+    // (absent side's min counter) must keep cnt >= true for EVERY item.
+    val trueCounts = Map("zz" -> 3L, "a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val bufA = new SpaceSavingBuffer(2)
+    Seq("zz", "zz", "a", "b", "c").foreach(bufA.add)
+    val bufB = new SpaceSavingBuffer(2)
+    bufB.add("zz")
+    bufA.merge(bufB)
+    assert(bufA.entries.nonEmpty && bufA.entries.size <= 2)
+    bufA.entries.foreach { case (it, (c, e)) =>
+      val t = trueCounts(it)
+      assert(c >= t, s"$it: merged cnt $c underestimates true $t")
+      assert(c - e <= t, s"$it: certified floor ${c - e} exceeds true $t")
+    }
+    // exact regime unaffected: neither side full => purely additive
+    val x = new SpaceSavingBuffer(10); Seq("p", "p", "q").foreach(x.add)
+    val y = new SpaceSavingBuffer(10); Seq("p", "r").foreach(y.add)
+    x.merge(y)
+    assert(x.entries("p") === ((3L, 0L)))
+    assert(x.entries("q") === ((1L, 0L)))
+    assert(x.entries("r") === ((1L, 0L)))
+  }
 }
