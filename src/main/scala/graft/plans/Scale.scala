@@ -465,7 +465,19 @@ object Scale {
     * sampling cannot affect values; `orderCols` must be a TOTAL order
     * (tie-break with a key) for the per-row result to be well-defined
     * at all — same contract as any ordered window. Inclusive frame,
-    * matching `RANGE UNBOUNDED PRECEDING` with distinct keys. */
+    * matching `RANGE UNBOUNDED PRECEDING` with distinct keys.
+    *
+    * The partitioned frame is PERSISTED before fan-out: the offsets
+    * aggregate and the per-row join both read it, and two independent
+    * physical evaluations of `repartitionByRange` can sample DIFFERENT
+    * boundaries (RangePartitioner's reservoir seed varies per
+    * evaluation once partitions outgrow the sample size), silently
+    * desynchronizing `spark_partition_id` between the two subtrees —
+    * exchange reuse does NOT save us because the nondeterministic
+    * `spark_partition_id` projection defeats plan canonicalization.
+    * One materialization pins the boundaries (eviction is safe: a
+    * recomputed cache partition re-reads the already-written shuffle
+    * files, not a fresh sampling). */
   def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
       sumCol: String = "cum_sum", numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -477,6 +489,7 @@ object Scale {
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val local = parted
       .withColumn("__local", sum(col(valueCol)).over(wLocal))
+      .persist()
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -486,6 +499,96 @@ object Scale {
     local.join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn(sumCol, col("__local") + col("__off"))
       .drop("__pid", "__opid", "__local", "__off")
+  }
+
+  /** Distributed GLOBAL rank + running sum in ONE range shuffle — the
+    * scalable form of the common pair `row_number() OVER (ORDER BY …)`
+    * + `sum(v) OVER (ORDER BY …)` (frequency-rank / coverage-curve
+    * shape). Same two-phase scan as [[prefixSum]]; the per-partition
+    * offset aggregate carries BOTH the row-count and value-sum
+    * prefixes, so adding the rank costs nothing over the sum alone.
+    * `orderCols` must be a TOTAL order. Output = input + `rankCol`
+    * (1-based global rank, long) + `sumCol` (inclusive running sum).
+    * Persist-before-fan-out per [[prefixSum]]'s boundary-pinning note. */
+  def rankedPrefixSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: String, rankCol: String = "rank",
+      sumCol: String = "cum_sum", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "need at least one order column")
+    val np = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val local = parted
+      .withColumn("__lrk", row_number().over(wLocal).cast("long"))
+      .withColumn("__lsum", sum(col(valueCol)).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"), sum(col(valueCol)).as("__psum"))
+      .select(col("__pid").as("__opid"),
+        coalesce(sum(col("__pn")).over(wOff), lit(0L)).as("__rkoff"),
+        coalesce(sum(col("__psum")).over(wOff), lit(0)).as("__sumoff"))
+    local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(rankCol, col("__lrk") + col("__rkoff"))
+      .withColumn(sumCol, col("__lsum") + col("__sumoff"))
+      .drop("__pid", "__opid", "__lrk", "__lsum", "__rkoff", "__sumoff")
+  }
+
+  /** Distributed GLOBAL ntile — the scalable form of
+    * `ntile(b) OVER (ORDER BY …)`, same two-phase scan as
+    * [[prefixSum]]: range-partition on the order columns, rank
+    * locally, lift to a global rank with broadcast per-partition
+    * offsets, then assign the bucket ARITHMETICALLY from
+    * (rank, total): with q = ⌊n/b⌋ and r = n mod b, the first r
+    * buckets hold q+1 rows — exactly the SQL-standard ntile split
+    * both Spark and DuckDB implement, so the result is
+    * bit-identical to the single-partition window. The only
+    * unpartitioned windows left run over the ≤ numPartitions
+    * offset rows. `orderCols` must be a TOTAL order (tie-break
+    * with a key) — same contract as ntile itself for a
+    * deterministic answer. Persist-before-fan-out per
+    * [[prefixSum]]'s boundary-pinning note. */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], buckets: Int,
+      bucketCol: String, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(orderCols.nonEmpty, "need at least one order column")
+    val np = if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(np, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val local = parted
+      .withColumn("__local", row_number().over(wLocal).cast("long"))
+      .persist()
+    // one tiny aggregate carries BOTH the exclusive prefix (rank
+    // offset) and the grand total — no separate count job over df
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"))
+      .select(col("__pid").as("__opid"),
+        coalesce(sum(col("__pn")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__pn")).over(wAll).as("__n"))
+    val rn = col("__off") + col("__local") // 1-based global rank
+    val n = col("__n")
+    val q = floor(n / buckets).cast("long")
+    val r = n % buckets
+    val cut = r * (q + lit(1L)) // rows covered by the q+1-sized buckets
+    // CaseWhen evaluates lazily, so the q=0 division never fires when
+    // every row sits under `cut` (n < buckets ⇒ cut = n)
+    val bucket = when(rn <= cut,
+        floor((rn - 1) / (q + lit(1L))).cast("long") + lit(1L))
+      .otherwise(r + floor((rn - cut - 1) / q).cast("long") + lit(1L))
+    local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn(bucketCol, bucket)
+      .drop("__pid", "__opid", "__local", "__off", "__n")
   }
 
   def groupedTopK(df: DataFrame, groupCols: Seq[String],

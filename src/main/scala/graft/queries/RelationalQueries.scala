@@ -991,7 +991,11 @@ object RelationalQueries extends QuerySection {
       .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
       .withColumn("block", split(col("p_name"), " ").getItem(0))
     val dl = DamerauLevenshtein(col("a.p_name"), col("b.p_name"))
-    val lev = levenshtein(col("a.p_name"), col("b.p_name"))
+    // For every KEPT pair dl ≤ 3 ⇒ lev ≤ 2·dl ≤ 6, so the banded
+    // O(k·n) threshold form IS the exact distance there — projecting it
+    // (instead of a second, unbanded levenshtein call) halves the
+    // dominant per-pair cost.
+    val lev = levenshtein(col("a.p_name"), col("b.p_name"), 6)
     names.as("b")
       .join(broadcast(names).as("a"),
         col("a.block") === col("b.block")
@@ -1032,12 +1036,24 @@ object RelationalQueries extends QuerySection {
     val notInNulls = s.sql(
       "SELECT count(*) AS n FROM j31_cust WHERE c_custkey NOT IN " +
         "(SELECT ck FROM j31_sub)")
-    // Spark 4 prints BroadcastHashJoinExec.isNullAwareAntiJoin as the
-    // bare trailing flag: "..., LeftAnti, BuildRight, true"
-    require(notInNulls.queryExecution.executedPlan.toString
-      .contains("LeftAnti, BuildRight, true"),
-      "NOT IN must plan as a null-aware anti join; got:\n" +
-        notInNulls.queryExecution.executedPlan.toString)
+    // Structural plan pin, scoped to the broadcast regime: every
+    // broadcast-hash LeftAnti in the plan must be the null-aware form
+    // (a plain anti would silently return non-empty — the exact bug
+    // this query demonstrates). When the subquery outgrows the
+    // broadcast threshold Spark legitimately falls back to
+    // BroadcastNestedLoopJoin and the pin does not apply, so we
+    // quantify over the BHJ nodes found rather than require one.
+    locally {
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val antiNodes = notInNulls.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftAnti => j
+      }
+      require(antiNodes.forall(_.isNullAwareAntiJoin),
+        "NOT IN planned as a broadcast anti join that is NOT " +
+          "null-aware; got:\n" +
+          notInNulls.queryExecution.executedPlan.toString)
+    }
     val notInClean = s.sql(
       "SELECT count(*) AS n FROM j31_cust WHERE c_custkey NOT IN " +
         "(SELECT ck FROM j31_sub WHERE ck IS NOT NULL)")
@@ -2101,14 +2117,17 @@ object RelationalQueries extends QuerySection {
 
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, the standard lifecycle-marketing rollup: one customer
-    * aggregate (3 metrics in one pass), then three `ntile(5)` windows
-    * that SHARE the same unpartitioned ordering requirement only
-    * per-metric — each is a global quantile assignment, computed here
-    * with ntile over (metric, custkey) so ties split identically in
-    * any engine. Global ntile is a single-partition sort at 100 TB;
-    * the customer-grain rollup it runs on is |customers| rows (three
-    * orders of magnitude under the fact table), which is the point of
-    * aggregating first. */
+    * aggregate (3 metrics in one pass), then three GLOBAL quintile
+    * assignments over (metric, custkey) — a total order, so ties split
+    * identically in any engine. A bare `ntile(5)` window would sort
+    * every customer on ONE task (the last single-partition global sort
+    * this engine had); `Scale.globalNtile` computes the identical
+    * SQL-standard bucket split with a range-partitioned rank + a
+    * broadcast offset join, so each metric's quintile pass stays fully
+    * parallel. The customer rollup is persisted once — it feeds all
+    * three quintile scans plus the final rollup, and at 100 TB it is
+    * |customers| rows, three orders of magnitude under the fact table
+    * (the point of aggregating first). */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(s, dir, "orders")
     val mx = orders.agg(max(col("o_orderdate")).as("__mx"))
@@ -2119,14 +2138,23 @@ object RelationalQueries extends QuerySection {
         round(sum(col("o_totalprice")), 2).as("monetary"))
       .crossJoin(broadcast(mx)) // 1-row scalar: anchor date stays a plan
       .withColumn("recency_days", datediff(col("__mx"), col("__last")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"))
+      .persist() // customer grain: scanned by all three quintile passes
     // lower recency is BETTER: rank ascending so quintile 1 = freshest
-    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fW = Window.orderBy(desc("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(desc("monetary"), col("o_custkey"))
-    base
-      .withColumn("r", ntile(5).over(rW).cast("long"))
-      .withColumn("f", ntile(5).over(fW).cast("long"))
-      .withColumn("m", ntile(5).over(mW).cast("long"))
+    val rMap = graft.plans.Scale.globalNtile(
+      base.select(col("o_custkey"), col("recency_days")),
+      Seq(col("recency_days"), col("o_custkey")), 5, "r")
+      .select(col("o_custkey"), col("r"))
+    val fMap = graft.plans.Scale.globalNtile(
+      base.select(col("o_custkey"), col("frequency")),
+      Seq(desc("frequency"), col("o_custkey")), 5, "f")
+      .select(col("o_custkey"), col("f"))
+    val mMap = graft.plans.Scale.globalNtile(
+      base.select(col("o_custkey"), col("monetary")),
+      Seq(desc("monetary"), col("o_custkey")), 5, "m")
+      .select(col("o_custkey"), col("m"), col("monetary"))
+    rMap.join(fMap, "o_custkey").join(mMap, "o_custkey")
       .groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("monetary")), 2).as("segment_value"))

@@ -180,10 +180,12 @@ object TextAnalysis {
     * by frequency: the curve a tokenizer/vocab designer reads the
     * knee off (how big must the vocab be before <x>% of running text
     * is in-vocabulary). One tokenize+count pass reduces the corpus to
-    * VOCABULARY grain; the ranking window and cumulative sum run on
-    * that rollup (types, not tokens — the q_rfm argument: a global
-    * window is fine three orders of magnitude under the fact), and
-    * the V-grid joins against it rank-bounded. Ties rank
+    * VOCABULARY grain; the frequency rank and cumulative token sum on
+    * that rollup run through `Scale.rankedPrefixSum` — one
+    * range-partitioned scan, NO single-partition global window (a
+    * vocabulary is "small" until it's a web-scale shingle space; the
+    * distributed form costs the same at this size and survives that
+    * one). The V-grid joins against it rank-bounded. Ties rank
     * (count desc, token asc) so both engines agree. */
   def vocabCoverage(df: DataFrame, textCol: String,
       sizes: Seq[Int]): DataFrame = {
@@ -192,11 +194,9 @@ object TextAnalysis {
     val counts = df
       .select(explode(tokens(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
-    val w = Window.orderBy(desc("__n"), col("__tok"))
-    val cum = counts
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col("__n")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cum = graft.plans.Scale.rankedPrefixSum(counts,
+      Seq(desc("__n"), col("__tok")), "__n",
+      rankCol = "__rk", sumCol = "__cum")
     val total = counts.agg(sum(col("__n")).as("__total"))
     val grid = df.sparkSession.createDataFrame(
       sizes.distinct.sorted.map(v => Tuple1(v)))

@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * OVERESTIMATE of its item's true frequency by at most its recorded
   * `err` (Metwally et al. 2005, "Efficient computation of frequent and
   * top-k elements in data streams"). When the distinct-item count never
-  * exceeds `capacity`, no eviction happens, every `err` is 0, and the
-  * summary is EXACT — the regime the oracle-judged query pins.
+  * exceeds `capacity` (≤, inclusive: a full summary that never evicted
+  * has all errs 0 and its absent-bound stays 0), no eviction happens,
+  * every `err` is 0, and the summary is EXACT — the regime the
+  * oracle-judged query pins.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
   // item -> (count, err). Counts only grow; size never exceeds capacity.
@@ -42,9 +44,18 @@ final class SpaceSavingBuffer(val capacity: Int) {
 
   /** The summary's minimum counter when FULL — the classic bound on
     * how often an untracked item can have occurred; 0 while spare
-    * capacity remains (an unseen item then truly has count 0). */
+    * capacity remains (an unseen item then truly has count 0).
+    *
+    * Boundary case: a FULL summary whose errs are all 0 provably never
+    * evicted (eviction records err = minCnt ≥ 1, and merge credits also
+    * set err > 0), so it still tracks every item it has ever seen and
+    * an absent item truly has count 0 — returning the min counter there
+    * would inflate merges and make distinct == capacity inputs
+    * partition-order dependent. */
   private def absentBound: Long =
-    if (entries.size >= capacity) byCount.head._1 else 0L
+    if (entries.size >= capacity && entries.valuesIterator.exists(_._2 > 0L))
+      byCount.head._1
+    else 0L
 
   /** One observation (streaming update). Eviction replaces the minimum
     * counter, tie-broken by LARGEST item string — so the smallest items

@@ -277,6 +277,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rankedPrefixSum equals the global rank + running-sum windows") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 100).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "v")
+    val w = Window.orderBy($"v".desc, $"id")
+    val got = Scale.rankedPrefixSum(df, Seq($"v".desc, $"id"), "v",
+        rankCol = "rk", sumCol = "cs", numPartitions = 8)
+      .orderBy($"id").select($"rk", $"cs").collect()
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cs", sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"id").select($"rk", $"cs").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      want.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("globalNtile equals the single-partition ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    // n % buckets != 0, duplicate values (tie-broken by id), and the
+    // boundary regimes: n < buckets, n == buckets, n > buckets
+    // 5000 rows exceeds the range sampler's per-partition reservoir, the
+    // regime where two independent exchange evaluations pick DIFFERENT
+    // boundaries — the persist-before-fan-out guard is what keeps the
+    // offsets aggregate and the probe on one partitioning there
+    for (n <- Seq(3, 5, 23, 100, 5000); b <- Seq(1, 5, 7)) {
+      val df = (1 to n).map(i => (i.toLong, (i % 11).toLong))
+        .toDF("id", "v")
+      val got = Scale.globalNtile(df, Seq($"v".desc, $"id"), b,
+          "bkt", numPartitions = 8)
+        .orderBy($"id").select($"bkt").collect().map(_.getLong(0))
+      val want = df
+        .withColumn("bkt", ntile(b).over(
+          Window.orderBy($"v".desc, $"id")).cast("long"))
+        .orderBy($"id").select($"bkt").collect().map(_.getLong(0))
+      assert(got.toSeq === want.toSeq, s"n=$n buckets=$b")
+    }
+    intercept[IllegalArgumentException] {
+      Scale.globalNtile(Seq((1L, 1L)).toDF("id", "v"), Seq($"id"), 0, "b")
+    }
+  }
+
   test("weightedQuantiles: smallest value whose cumulative weight reaches q·tot") {
     import spark.implicits._
     // g: total weight 10 — wq25 needs cumw ≥ 2.5 (v=2, cumw 9),
