@@ -696,7 +696,12 @@ object StreamingQueries extends QuerySection {
       Streaming.readEventsAuto(s, tmp.toString),
       gap = "30 minutes", watermark = "1 hour")
     val name = "stream_sessions_sink"
-    withStatePartitions(s, 4) {
+    // 8 state partitions, not the surface-wide 4: this query carries
+    // ~1 session PER EVENT in state (sparse per-user activity), so the
+    // state store commit dominates and halving the per-partition state
+    // beats the extra per-partition fixed cost (measured: 2.25 s @4 →
+    // 1.7-1.9 s @8; 16+ regresses on fixed cost).
+    withStatePartitions(s, 8) {
       Streaming.runAvailableNow(sess, name, outputMode = "append")
     }
     s.table(name)
@@ -730,7 +735,7 @@ object StreamingQueries extends QuerySection {
       Streaming.readEventsAuto(s, tmp.toString),
       gap, watermark = "1 hour")
     val name = "stream_sessions_dynamic_sink"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, 8) { // same state-heavy regime as stream_sessions
       Streaming.runAvailableNow(sess, name, outputMode = "append")
     }
     s.table(name)
