@@ -259,6 +259,29 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The dedicated two-stage retrieval contract, judged end to end:
+    * PQ-ONLY candidate generation (ADC over 4-byte codes, top-20 —
+    * the scores are approximate by construction, so the re-rank has
+    * real work to do) → [[Ann.rerank]] exact-cosine top-5 over the
+    * original vectors. The output carries BOTH ranks: `rank` is the
+    * exact order, `adc_rank` the candidate order it replaced — the
+    * oracle checks the reordering itself, not just the survivor set.
+    * Candidates are persisted once (200 rows) so the corpus-side ADC
+    * scan runs exactly once — at 100 TB the candidate set is the ONLY
+    * thing both stages share. */
+  private def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val books = Ann.pqCodebooks(e, "embedding", "vec_id", m = 4, ksub = 8,
+      iters = 0)
+    val q = e.filter(col("vec_id") < 10)
+    val cand = Ann.pqTopK(q, e, "embedding", "vec_id", k = 20, books)
+      .persist()
+    Ann.rerank(cand, q, e, "embedding", "vec_id", k = 5)
+      .join(cand.select(col("query_id"), col("corpus_id"),
+        col("rank").as("adc_rank")), Seq("query_id", "corpus_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The k-means UPDATE step oracle-judged (the trained-codebook loop
     * = this step iterated): seed cells from the 8 smallest ids,
     * assignment by max dot (ties → higher cell), per-(cell, dim)
@@ -283,6 +306,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_rerank" -> (annRerank _),
     "ann_centroids" -> (annCentroids _)
   )
 
@@ -423,6 +447,29 @@ object SimilarityQueries extends QuerySection {
        |FROM scored QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replica of [[annRerank]]: ADC top-20 candidates (with their
+    * candidate rank kept) → exact-cosine re-rank to top-5. */
+  private def rerankOracle: String =
+    s"""WITH $pqRecon,
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT query_id, r.vec_id AS corpus_id,
+       |    round(list_cosine_similarity(qv, r.r), 6) AS cos
+       |  FROM q CROSS JOIN recon r WHERE query_id <> r.vec_id),
+       |cand AS (SELECT query_id, corpus_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS INT) AS adc_rank
+       |  FROM scored QUALIFY adc_rank <= 20),
+       |rr AS (SELECT c.query_id, c.corpus_id, c.adc_rank,
+       |    round(list_cosine_similarity(qe.v, ce.v), 6) AS cos
+       |  FROM cand c
+       |  JOIN e qe ON qe.vec_id = c.query_id
+       |  JOIN e ce ON ce.vec_id = c.corpus_id)
+       |SELECT query_id, corpus_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, corpus_id) AS INT) AS rank, adc_rank
+       |FROM rr QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** DuckDB replica of [[annIvfPq]]: IVF cell assignment/probing (as in
     * [[ivfOracle]]) over ADC code scores for the top-20 candidates,
     * then exact-cosine re-rank to the final top-5. */
@@ -488,6 +535,7 @@ object SimilarityQueries extends QuerySection {
         |ORDER BY cell, dim""".stripMargin,
     "ann_pq" -> pqOracle,
     "ann_ivfpq" -> ivfPqOracle,
+    "ann_rerank" -> rerankOracle,
     "ann_quantize" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
