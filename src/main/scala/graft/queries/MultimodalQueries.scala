@@ -2,17 +2,19 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageIoCodec, Multimodal, SyntheticImages}
 
 /** Multimodal-column queries (training-data pipeline extensions).
   *
   * `mm_stats` is the metadata path — binary `content` never read
-  * (columnar pruning; asserted in AnnMultimodalSpec). `mm_features`
-  * exercises the real plumbing (binary payloads through the batched
-  * mapPartitions decode stage); the stub codec's rolling byte sums are
-  * replicated in the oracle over `hex(encode(text))` — the same UTF-8
-  * bytes the Spark side wraps as the binary payload — so the decode
-  * pipeline is value-checked end to end, not rows-only. */
+  * (columnar pruning; asserted in AnnMultimodalSpec). `mm_features` /
+  * `mm_resize` judge the REAL image path: actual PNG bytes through
+  * `ImageIO` decode ([[graft.multimodal.ImageIoCodec]]) inside the
+  * batched mapPartitions stages, against an oracle that recomputes the
+  * procedural images' pixel statistics from their generating formula —
+  * integer arithmetic only, no image library on the oracle side. The
+  * frame/dedup queries keep the stub codec (JDK has no video decoder)
+  * and value-check the plumbing over known byte payloads. */
 object MultimodalQueries extends QuerySection {
   import Catalog.Q
 
@@ -21,28 +23,42 @@ object MultimodalQueries extends QuerySection {
   private def mmStats(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaStats(Multimodal.demoMediaTable(s, dir))
 
-  /** Feature-extraction pipeline: binary → batched stub decode →
-    * feature columns. Features are (byteSum % 1000)/1000 floats; the
-    * judged output rescales them back to the exact integer byte sums so
-    * the comparison is integer-typed (no float-representation noise). */
+  /** REAL decode, judged: procedural 32×16 grayscale PNGs
+    * (`SyntheticImages.pngTable` — pixel formula `(7x+13y+31·id) mod
+    * 256`) round-trip through actual `ImageIO` encode → decode inside
+    * the batched `extractFeatures` stage with [[ImageIoCodec]], and the
+    * 8-bucket luminance-histogram shares come out. The oracle never
+    * decodes anything: it recomputes the expected per-bucket pixel
+    * counts from the formula with integer arithmetic. Shares are
+    * count/512 — dyadic, so float32 holds them EXACTLY and the compare
+    * is bit-strict, no rounding. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(Multimodal.demoMediaTable(s, dir))
-      .select(col("media_id"), col("media_type"),
-        round(element_at(col("features"), 1) * 1000).cast("int").as("f0"),
-        round(element_at(col("features"), 8) * 1000).cast("int").as("f7"))
-      .orderBy(col("media_id")).limit(300)
+    Multimodal.extractFeatures(
+        SyntheticImages.pngTable(s, dir, n = 300),
+        codec = ImageIoCodec)
+      .select(col("media_id"), posexplode(col("features")))
+      .select(col("media_id"), col("pos").as("bucket"),
+        col("col").cast("double").as("share"))
+      .orderBy(col("media_id"), col("bucket"))
 
-  /** Resize stage: binary→binary map (no shuffle); judged on the
-    * post-resize payload size and rewritten dimensions — the stub
-    * "resize" is a deterministic truncation to max(16, w·h/64) bytes,
-    * replayed in SQL over the same UTF-8 payload lengths. */
-  private def mmResize(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizeImages(Multimodal.demoMediaTable(s, dir), w = 64, h = 64)
-      .filter(col("media_type") === "image")
-      .select(col("media_id"),
-        length(col("content")).cast("long").as("n_bytes"),
-        col("width"), col("height"))
-      .orderBy(col("media_id")).limit(300)
+  /** REAL resize, judged: the same PNGs go through
+    * [[ImageIoCodec.resize]] (deterministic nearest-neighbor, 32×16 →
+    * 16×8, re-encoded PNG) and THEN the real decode+histogram — so the
+    * judged values prove the resample picked exactly the source pixels
+    * `(2x, 2y)` the oracle's formula predicts. Payload byte length is
+    * deliberately NOT judged (PNG container size is an encoder detail,
+    * not semantics); the rewritten metadata dims are. */
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val resized = Multimodal.resizeImages(
+      SyntheticImages.pngTable(s, dir, n = 300), w = 16, h = 8,
+      codec = ImageIoCodec)
+    Multimodal.extractFeatures(resized, codec = ImageIoCodec)
+      .select(col("media_id"), col("width"), col("height"),
+        posexplode(col("features")))
+      .select(col("media_id"), col("width"), col("height"),
+        col("pos").as("bucket"), col("col").cast("double").as("share"))
+      .orderBy(col("media_id"), col("bucket"))
+  }
 
   /** Frame sampling: video binaries explode into one row per kept
     * frame (every 4th 64-byte chunk); judged on per-frame byte counts
@@ -130,13 +146,27 @@ object MultimodalQueries extends QuerySection {
         |  min(media_id) AS keeper
         |FROM all_media GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY content_md5""".stripMargin,
+    // nearest-neighbor 32×16 → 16×8 keeps exactly source pixels
+    // (2x, 2y); expected shares recomputed from the pixel FORMULA —
+    // integer arithmetic, /128.0 dyadic-exact
     "mm_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(least(octet_length(encode(text)), 64) AS BIGINT)
-        |    AS n_bytes,
-        |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height
-        |FROM documents WHERE doc_id % 3 = 0
-        |ORDER BY media_id LIMIT 300""".stripMargin,
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 300),
+        |px AS (SELECT media_id,
+        |    CAST(((2*x)*7 + (2*y)*13 + media_id*31) % 256 AS INT) AS lum
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |hist AS (SELECT media_id, lum // 32 AS bucket, count(*) AS cnt
+        |  FROM px GROUP BY 1, 2)
+        |SELECT i.media_id, CAST(16 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(b.bucket AS INT) AS bucket,
+        |  coalesce(h.cnt, 0) / 128.0 AS share
+        |FROM ids i
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+        |LEFT JOIN hist h ON h.media_id = i.media_id
+        |  AND h.bucket = b.bucket
+        |ORDER BY i.media_id, bucket""".stripMargin,
     "mm_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |    octet_length(encode(text)) AS nb
@@ -161,30 +191,26 @@ object MultimodalQueries extends QuerySection {
         |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
         |  max(width) AS max_width
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
-    // the stub codec in SQL: UTF-8 byte stream (hex pairs), rolling sums
-    // into 8 accumulators by byte position mod 8, mod 1000 — identical to
-    // Multimodal.StubCodec.imageFeatures over the same payload bytes
+    // REAL-decode oracle: the engine must ImageIO-encode + decode
+    // actual PNG bytes; DuckDB just replays the generator's pixel
+    // formula (7x + 13y + 31·id) mod 256 and buckets luminance by //32.
+    // Shares are count/512.0 — dyadic-exact, so no rounding either side
     "mm_features" ->
-      """WITH b AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio'
-        |         ELSE 'video' END AS media_type,
-        |    hex(encode(text)) AS hx
-        |  FROM documents),
-        |bytes AS (SELECT doc_id,
-        |    unnest(generate_series(0, length(hx)//2 - 1)) AS j, hx FROM b),
-        |acc AS (SELECT doc_id,
-        |    sum(CASE WHEN j % 8 = 0 THEN
-        |      CAST('0x' || substr(hx, CAST(2*j+1 AS INT), 2) AS INT) END)
-        |      % 1000 AS f0,
-        |    sum(CASE WHEN j % 8 = 7 THEN
-        |      CAST('0x' || substr(hx, CAST(2*j+1 AS INT), 2) AS INT) END)
-        |      % 1000 AS f7
-        |  FROM bytes GROUP BY doc_id)
-        |SELECT b.doc_id AS media_id, b.media_type,
-        |  CAST(coalesce(f0, 0) AS INT) AS f0,
-        |  CAST(coalesce(f7, 0) AS INT) AS f7
-        |FROM b LEFT JOIN acc ON acc.doc_id = b.doc_id
-        |ORDER BY media_id LIMIT 300""".stripMargin
+      """WITH ids AS (SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id < 300),
+        |px AS (SELECT media_id,
+        |    CAST((x*7 + y*13 + media_id*31) % 256 AS INT) AS lum
+        |  FROM ids,
+        |    (SELECT unnest(generate_series(0, 31)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 15)) AS y) ys),
+        |hist AS (SELECT media_id, lum // 32 AS bucket, count(*) AS cnt
+        |  FROM px GROUP BY 1, 2)
+        |SELECT i.media_id, CAST(b.bucket AS INT) AS bucket,
+        |  coalesce(h.cnt, 0) / 512.0 AS share
+        |FROM ids i
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+        |LEFT JOIN hist h ON h.media_id = i.media_id
+        |  AND h.bucket = b.bucket
+        |ORDER BY i.media_id, bucket""".stripMargin
   )
 }

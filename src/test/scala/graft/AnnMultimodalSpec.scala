@@ -149,6 +149,48 @@ class AnnMultimodalSpec extends SparkSpec {
       .agg(max($"frame_no")).head().getInt(0) == 0) // alt samples 1 frame
   }
 
+  test("ImageIoCodec: contract + exact pixel semantics on real PNGs") {
+    import graft.multimodal.ImageIoCodec
+    // the full deploy-time contract (incl. non-image bytes: the 512
+    // synthetic bytes are NOT a decodable image — features must be the
+    // zero vector, resize a passthrough, never a throw)
+    codecContract(ImageIoCodec, "ImageIoCodec")
+    assert(ImageIoCodec.imageFeatures(
+      Array.tabulate(512)(i => (i * 31 % 251).toByte), 8).forall(_ == 0f))
+
+    // a REAL 4×2 PNG with known pixels: luminances 0..7 scaled so each
+    // lands in a distinct bucket of 8 → uniform histogram 1/8 each
+    def png(w: Int, h: Int, lum: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val l = lum(x, y)
+        img.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val uniform = png(4, 2, (x, y) => (y * 4 + x) * 32) // lums 0,32,…,224
+    assert(ImageIoCodec.imageFeatures(uniform, 8).toSeq ==
+      Seq.fill(8)(0.125f))
+    // all-white lands every pixel in the TOP bucket (lum 255 → 7)
+    assert(ImageIoCodec.imageFeatures(png(4, 2, (_, _) => 255), 8).toSeq ==
+      (Seq.fill(7)(0f) :+ 1f))
+
+    // nearest-neighbor resize 4×2 → 2×1 keeps exactly pixels (0,0) and
+    // (2,0): lums 0 and 64 → buckets 0 and 2, half each
+    val shrunk = ImageIoCodec.resize(uniform, 2, 1)
+    assert(ImageIoCodec.imageFeatures(shrunk, 8).toSeq ==
+      Seq(0.5f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0f))
+
+    // the decode is REAL: flipping one pixel changes the histogram
+    val tweaked = png(4, 2, (x, y) => if (x == 0 && y == 0) 255
+      else (y * 4 + x) * 32)
+    assert(ImageIoCodec.imageFeatures(tweaked, 8).toSeq !=
+      ImageIoCodec.imageFeatures(uniform, 8).toSeq)
+  }
+
   test("multimodal: feature extraction keeps schema, drops binary") {
     val media = Multimodal.demoMediaTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(media, batchSize = 64)
