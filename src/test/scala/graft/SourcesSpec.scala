@@ -164,4 +164,57 @@ class SourcesSpec extends SparkSpec {
       case _ =>
     }
   }
+  test("S1-prod JDBC seam: options compile to the partitioned parallel read (base_extractors.py:47-84)") {
+    import graft.sources.JdbcSource
+    // plain: url + dbtable + fetchsize only
+    val plain = JdbcSource("jdbc:postgresql://db:5432/lake", "public.orders")
+    assert(plain.options == Map(
+      "url" -> "jdbc:postgresql://db:5432/lake",
+      "dbtable" -> "public.orders",
+      "fetchsize" -> "10000"))
+    // raw WHERE pushes down as a dbtable subquery, evaluated server-side
+    val filtered = plain.copy(where = Some("o_totalprice > 100"))
+    assert(filtered.options("dbtable") ==
+      "(SELECT * FROM public.orders WHERE o_totalprice > 100) AS __graft_src")
+    // full partitioned read: all four partitioning options present
+    val parted = JdbcSource("jdbc:postgresql://db:5432/lake", "orders",
+      partitionColumn = Some("o_orderkey"), lowerBound = Some(1L),
+      upperBound = Some(6000000L), numPartitions = Some(32),
+      user = Some("etl"), password = Some("secret"),
+      driver = Some("org.postgresql.Driver"))
+    val o = parted.options
+    assert(o("partitionColumn") == "o_orderkey" && o("lowerBound") == "1"
+      && o("upperBound") == "6000000" && o("numPartitions") == "32"
+      && o("driver") == "org.postgresql.Driver" && o("user") == "etl")
+    // partitioning without bounds is refused, like Spark itself would
+    intercept[IllegalArgumentException] {
+      JdbcSource("jdbc:x://h/d", "t", partitionColumn = Some("k"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSource("postgresql://not-jdbc", "t")
+    }
+  }
+
+  test("S1-prod JDBC pagination -> partition math (fetch_size loop becomes numPartitions)") {
+    import graft.sources.JdbcSource
+    // 6M keys at 50k per page = 120 pages -> capped at 64 partitions
+    val j = JdbcSource.fromPagination("jdbc:postgresql://db/lake",
+      "orders", "o_orderkey", pageSize = 50000, lower = 1,
+      upper = 6000000)
+    assert(j.options("numPartitions") == "64"
+      && j.options("fetchsize") == "50000"
+      && j.options("lowerBound") == "1"
+      && j.options("upperBound") == "6000000")
+    // small span: exact page count, no cap
+    val small = JdbcSource.fromPagination("jdbc:h2:mem:t", "t", "id",
+      pageSize = 100, lower = 0, upper = 999)
+    assert(small.options("numPartitions") == "10")
+    // one short page still reads
+    val one = JdbcSource.fromPagination("jdbc:h2:mem:t", "t", "id",
+      pageSize = 1000, lower = 5, upper = 7)
+    assert(one.options("numPartitions") == "1")
+    intercept[IllegalArgumentException] {
+      JdbcSource.fromPagination("jdbc:h2:mem:t", "t", "id", 0, 1, 2)
+    }
+  }
 }
