@@ -1572,10 +1572,15 @@ object RelationalQueries extends QuerySection {
     * `graftx.TopKPerGroup` — a bounded k-heap per group instead of the
     * window form's full per-partition sort, with a PARTIAL pass before
     * the exchange so each map partition ships ≤ k rows per group
-    * (the partial-combine a window can't express). The plan asserts
-    * in-query that both exec nodes are present and NO sort runs below
-    * the exchange; TopKPerGroupSpec proves equality with the window
-    * form under crafted ties and arbitrary partitioning. */
+    * (the partial-combine a window can't express). The final pass
+    * streams over its (group, order)-sorted reduced input — the one
+    * SortExec in the plan is the operator's SPILL path and runs on
+    * ≤ k·partitions rows per group, never the raw scan. The plan
+    * asserts in-query that both exec nodes are present and that the
+    * only sort sits ABOVE the exchange (on reduced data);
+    * TopKPerGroupSpec proves equality with the window form under
+    * crafted ties, arbitrary partitioning, and a forced state-cap
+    * flush regime. */
   private def w12NativeTopk(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.TopKPerGroup
     val ev = Tables.load(s, dir, "events")
@@ -1587,8 +1592,11 @@ object RelationalQueries extends QuerySection {
     require(plan.contains("TopKPerGroupPartial") &&
       plan.contains("TopKPerGroupFinal"),
       s"custom operator missing from plan:\n$plan")
-    require(!plan.contains("Sort "),
-      s"top-k must not sort below the exchange:\n$plan")
+    require(plan.indexOf("Sort ") >= 0 &&
+      plan.indexOf("Sort ") == plan.lastIndexOf("Sort ") &&
+      plan.indexOf("Sort ") < plan.indexOf("Exchange") &&
+      plan.indexOf("Exchange") < plan.indexOf("TopKPerGroupPartial"),
+      s"top-k must sort only the reduced stream above the exchange:\n$plan")
     top.orderBy(col("event_type"), desc("value"), col("event_id"))
   }
 

@@ -11,33 +11,46 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
 
 /** Whole-operator extension point (SURVEY.md §7 preference order c):
   * a custom LogicalPlan + planner Strategy + SparkPlan pair, injected
   * through `SparkSessionExtensions.injectPlannerStrategy` — grouped
-  * top-k without the sort Spark's own plan pays.
+  * top-k without sorting the full input the way Spark's own plan does.
   *
   * `row_number() OVER (PARTITION BY g ORDER BY o) <= k` plans as
   * Exchange(g) → **Sort(g, o) of every row** → Window → Filter: the
-  * sort is O(n log n) per partition, buffers the full partition (spill
-  * at scale), and every input row crosses the exchange. This operator
-  * keeps a bounded k-heap per group instead — O(n log k), no sort
-  * buffer — and runs TWICE like a hash aggregate: a PARTIAL pass
-  * before the exchange cuts each partition's contribution to ≤ k rows
-  * per group, so the shuffle moves ≤ k·partitions rows per group
-  * rather than all of them; the FINAL pass after the
-  * `ClusteredDistribution` exchange merges the survivors exactly.
-  * That partial-combine is the piece no window rewrite can express —
+  * sort is O(n log n) per partition, buffers the full partition, and
+  * every input row crosses the exchange. This operator keeps a bounded
+  * k-heap per group in a PARTIAL pass before the exchange — O(n log k),
+  * no sort buffer over the raw input — cutting each partition's
+  * contribution to ≤ k rows per group, so the shuffle moves
+  * ≤ k·partitions rows per group rather than all of them. That
+  * partial-combine is the piece no window rewrite can express —
   * windows are all-or-nothing per partition key.
   *
-  * Memory contract (documented, like hash aggregate pre-spill): state
-  * is (groups-in-partition × k) row copies; k is small by construction
-  * and the partial pass bounds the final pass's input, but a
-  * pathological groups-per-partition × k product should spill — this
-  * implementation doesn't, it is the no-spill regime operator.
+  * Memory contract (ENFORCED, not just documented):
+  *  - the partial pass caps its heap state at
+  *    `spark.graft.topk.maxStateRows` rows (default 4M). On trip it
+  *    FLUSHES: emits every buffered heap and resets the map — always
+  *    correct before the merge (emitting a superset of each
+  *    partition's top-k only weakens the reduction, never the answer)
+  *    — so partial-state memory is bounded at any group cardinality.
+  *    `numStateFlushes` and `peakStateRows` SQLMetrics surface when a
+  *    workload is in this regime (flushes > 0 ⇒ raise the cap or
+  *    pre-partition by group).
+  *  - the FINAL pass requires its input sorted by (group, ordering) —
+  *    Spark plans a SortExec over the already-reduced survivors
+  *    (≤ k·upstreamPartitions rows per group), which SPILLS like any
+  *    sort — and then streams: one counter per current group, O(k)
+  *    state total. High group cardinality therefore degrades to disk,
+  *    not OOM, exactly like the window form, while the raw input still
+  *    never gets sorted.
   *
   * Determinism: callers must pass a TOTAL ordering (tie-break column
-  * included), same as every judged query's ORDER BY contract.
+  * included), same as every judged query's ORDER BY contract. Group
+  * expressions must be orderable (they become the final sort prefix).
   */
 case class TopKPerGroupNode(
     groupExprs: Seq[Expression],
@@ -52,15 +65,20 @@ case class TopKPerGroupNode(
       newChild: LogicalPlan): TopKPerGroupNode = copy(child = newChild)
 }
 
-/** Plans [[TopKPerGroupNode]] as final(exchange(partial(child))) — the
-  * exchange materializes from the final exec's required distribution,
-  * exactly how partial/final hash aggregation is assembled. */
+/** Plans [[TopKPerGroupNode]] as final(sort(exchange(partial(child))))
+  * — the exchange materializes from the final exec's required
+  * distribution and the sort from its required ordering, exactly how
+  * partial/final hash aggregation and sort-merge join are assembled. */
 object TopKPerGroupStrategy
     extends org.apache.spark.sql.execution.SparkStrategy {
+  val MAX_STATE_ROWS_KEY = "spark.graft.topk.maxStateRows"
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupNode(g, ord, k, child) =>
-      TopKPerGroupExec(g, ord, k, partial = false,
-        TopKPerGroupExec(g, ord, k, partial = true, planLater(child))) :: Nil
+      val cap = SQLConf.get
+        .getConfString(MAX_STATE_ROWS_KEY, (4 << 20).toString).toLong
+      TopKPerGroupExec(g, ord, k, partial = false, cap,
+        TopKPerGroupExec(g, ord, k, partial = true, cap,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -70,6 +88,7 @@ case class TopKPerGroupExec(
     ordering: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    maxStateRows: Long,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -77,14 +96,35 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+  // final pass streams over (group, ordering)-sorted input — the sort
+  // this requirement materializes runs on partial-reduced data and is
+  // the operator's spill path
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)) ++ ordering)
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override lazy val metrics: Map[String, SQLMetric] =
+    if (!partial) Map.empty
+    else Map(
+      "peakStateRows" -> SQLMetrics.createMetric(sparkContext,
+        "heap-state rows (sum of per-task peaks)"),
+      "numStateFlushes" -> SQLMetrics.createMetric(sparkContext,
+        "state-cap flushes"))
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) doExecutePartial() else doExecuteFinal()
+
+  /** Bounded k-heaps per group; flush-and-reset at `maxStateRows`. */
+  private def doExecutePartial(): RDD[InternalRow] = {
     val groupE = groupExprs
     val orderE = ordering
     val out = output
     val kk = k
+    val cap = math.max(maxStateRows, k.toLong) // always room for 1 group
+    val peakMetric = metrics("peakStateRows")
+    val flushMetric = metrics("numStateFlushes")
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(groupE, out)
       val ord = RowOrdering.create(orderE, out)
@@ -94,37 +134,91 @@ case class TopKPerGroupExec(
         override def compare(a: InternalRow, b: InternalRow): Int =
           ord.compare(b, a)
       }
-      val heaps = new java.util.LinkedHashMap[UnsafeRow,
+      var heaps = new java.util.LinkedHashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size() < kk) {
-          heap.add(row.copy())
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+      var stateRows = 0L
+      var peak = 0L
+
+      def drain(m: java.util.LinkedHashMap[UnsafeRow,
+          java.util.PriorityQueue[InternalRow]]): Iterator[InternalRow] = {
+        val groups = m.values().iterator()
+        new Iterator[InternalRow] {
+          private var current: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!current.hasNext && groups.hasNext) {
+              // sorted emission: deterministic runs either way; the
+              // final pass re-sorts the reduced stream regardless
+              val arr = groups.next().toArray(Array.empty[InternalRow])
+              java.util.Arrays.sort(arr, ord)
+              current = arr.iterator
+            }
+            current.hasNext
+          }
+          override def next(): InternalRow = current.next()
         }
       }
-      // emit each group's survivors in sort order (first-sorted first):
-      // deterministic output, and the final pass gets presorted runs
-      val groups = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var current: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!current.hasNext && groups.hasNext) {
-            val arr = groups.next().toArray(Array.empty[InternalRow])
-            java.util.Arrays.sort(arr, ord)
-            current = arr.iterator
+
+      new Iterator[Iterator[InternalRow]] {
+        private var done = false
+        override def hasNext: Boolean = !done && (iter.hasNext || {
+          done = true
+          peakMetric.add(peak)
+          true // one last chunk: the residual state
+        })
+        override def next(): Iterator[InternalRow] = {
+          if (done) return drain(heaps)
+          var flushed: Iterator[InternalRow] = Iterator.empty
+          while (iter.hasNext && flushed.isEmpty) {
+            val row = iter.next()
+            val key = keyProj(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (stateRows + kk > cap) {
+                // cap trip: emit everything buffered, start fresh —
+                // a pure reduction-strength tradeoff, never a
+                // correctness one (the final pass re-merges)
+                flushed = drain(heaps)
+                flushMetric.add(1L)
+                heaps = new java.util.LinkedHashMap[UnsafeRow,
+                  java.util.PriorityQueue[InternalRow]]()
+                stateRows = 0L
+              }
+              heap = new java.util.PriorityQueue[InternalRow](kk, worstFirst)
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size() < kk) {
+              heap.add(row.copy())
+              stateRows += 1L
+              if (stateRows > peak) peak = stateRows
+            } else if (ord.compare(row, heap.peek()) < 0) {
+              heap.poll()
+              heap.add(row.copy())
+            }
           }
-          current.hasNext
+          flushed
         }
-        override def next(): InternalRow = current.next()
+      }.flatten
+    }
+  }
+
+  /** Streaming first-k-per-group over (group, ordering)-sorted input:
+    * O(k) state, group changes detected by key comparison. */
+  private def doExecuteFinal(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val out = output
+    val kk = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(groupE, out)
+      var currentKey: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= kk
       }
     }
   }

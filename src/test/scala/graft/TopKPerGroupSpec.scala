@@ -40,7 +40,7 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", 4L, 1.0), ("a", 1L, 5.0), ("b", 9L, 2.0)))
   }
 
-  test("plan: partial before exchange, final after, zero sorts") {
+  test("plan: partial below exchange; ONE sort, on reduced data only") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .filter($"value".isNotNull)
     val plan = TopKPerGroup(ev, Seq($"event_type"),
@@ -48,13 +48,52 @@ class TopKPerGroupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroupPartial"), plan)
     assert(plan.contains("TopKPerGroupFinal"), plan)
-    assert(!plan.contains("Sort "), s"no sort operator expected:\n$plan")
-    // partial sits BELOW the exchange (cuts shuffled rows), final above
+    // the final pass streams over sorted input — its SortExec is the
+    // spill path, and it must sit on the partial-REDUCED stream
+    // (between final and exchange), never below the partial where it
+    // would buffer the raw input
+    val sorts = "Sort ".r.findAllMatchIn(plan).map(_.start).toList
+    assert(sorts.length == 1, s"exactly one sort expected:\n$plan")
     val iPartial = plan.indexOf("TopKPerGroupPartial")
     val iFinal = plan.indexOf("TopKPerGroupFinal")
     val iEx = plan.indexOf("Exchange")
-    assert(iFinal < iEx && iEx < iPartial, // toString prints top-down
-      s"expected final/exchange/partial order in:\n$plan")
+    assert(iFinal < sorts.head && sorts.head < iEx && iEx < iPartial,
+      s"expected final/sort/exchange/partial order in:\n$plan")
+  }
+
+  test("state cap: forced flush regime equals the unbounded regime") {
+    import org.apache.spark.sql.graftx.{TopKPerGroupExec, TopKPerGroupStrategy}
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"value")
+    val expected = ev
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type")
+          .orderBy($"value".desc, $"event_id")))
+      .filter($"rk" <= 7).drop("rk")
+    // 8 state rows with k=7: the second group in any partition trips
+    // the cap — the partial pass flushes constantly, the worst case
+    spark.conf.set(TopKPerGroupStrategy.MAX_STATE_ROWS_KEY, "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // plain plan
+    try {                                                 // for metrics
+      val df = TopKPerGroup(ev, Seq($"event_type"),
+        Seq($"value".desc, $"event_id"), 7)
+      assert(df.exceptAll(expected).isEmpty &&
+        expected.exceptAll(df).isEmpty,
+        "flush regime must produce the exact top-k")
+      df.collect()
+      val partial = df.queryExecution.executedPlan.collect {
+        case t: TopKPerGroupExec if t.partial => t
+      }.head
+      assert(partial.maxStateRows == 8L)
+      assert(partial.metrics("numStateFlushes").value > 0,
+        "cap never fired — the fallback regime was not exercised")
+      assert(partial.metrics("peakStateRows").value > 0)
+    } finally {
+      spark.conf.unset(TopKPerGroupStrategy.MAX_STATE_ROWS_KEY)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("guards: k >= 1, non-empty grouping") {
