@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sinks.Sinks
 
-/** Sink operators (SURVEY.md §2.2 K4/K5/K8/K9) as judged queries: the
-  * *plans* behind the writers — merge, points reshape, routing
-  * partitioning, delete filtering — verified against ANSI SQL. The
-  * write/stats surfaces themselves (K1–K3, K6, K7, K10) are exercised in
+/** Sink operators (SURVEY.md §2.2) as judged queries: the *plans*
+  * behind the writers — merge, points reshape, routing partitioning,
+  * delete filtering — verified against ANSI SQL, plus READ-BACK
+  * judgments of the write paths themselves (K1 append/replace,
+  * K6 parquet/json/csv round-trip, compaction, versioning, ledger).
+  * The remaining write/stats surfaces (K2/K3/K7/K10) are exercised in
   * SinksSpec round-trips.
   */
 object SinkQueries extends QuerySection {
@@ -166,6 +168,70 @@ object SinkQueries extends QuerySection {
     * target-sized file with provably identical content (order-
     * independent checksum equality before/after, judged as a boolean
     * alongside the deterministic file counts). */
+  /** K1 READ-BACK, judged: `Sinks.load`'s append/replace contract
+    * proven on lake files, not just spec'd — phase 1 replaces with
+    * p_size ≤ 10, phase 2 APPENDS (11, 20], phase 3 REPLACES with
+    * p_size in [5, 8] (the append history must vanish). Each phase's
+    * row is the READ-BACK aggregate plus the row count `load` itself
+    * observed during the write (`n_loaded` — Dataset.observe, no
+    * re-scan); the oracle recomputes every number from `part`, so a
+    * replace that leaked old files or an append that clobbered would
+    * hash-mismatch. */
+  private def k1AppendReplace(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_k1").toString + "/t"
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    // snapshots collect EAGERLY: each read-back must see the table as
+    // it stood after ITS phase — a lazy plan would observe (or trip
+    // over missing files from) the later replaces
+    def snapshot(phase: String, nLoaded: Long): (String, Long, Long, Long) = {
+      val r = s.read.parquet(path).agg(
+        count(lit(1)),
+        sum(round(col("p_retailprice") * 100).cast("long"))).collect()(0)
+      (phase, r.getLong(0), nLoaded, r.getLong(1))
+    }
+    val a = snapshot("1_replace",
+      Sinks.load(part.filter(col("p_size") <= 10), path,
+        ifExists = "replace"))
+    val b = snapshot("2_append",
+      Sinks.load(part.filter(col("p_size") > 10 && col("p_size") <= 20),
+        path, ifExists = "append"))
+    val c = snapshot("3_replace",
+      Sinks.load(part.filter(col("p_size").between(5, 8)), path,
+        ifExists = "replace"))
+    import s.implicits._
+    Seq(a, b, c).toDF("phase", "n_rows", "n_loaded", "price_cents")
+      .orderBy(col("phase"))
+  }
+
+  /** K6 READ-BACK, judged: one dataset through all three file-sink
+    * formats (parquet/json/csv via `Sinks.load`) and back through the
+    * matching `Sources.file` readers — the full fidelity loop the
+    * reference's `save_to_file`/`read_file` pair implies
+    * (`base_loaders.py:281-315`). Money compares in exact integer
+    * cents, so csv's text round-trip and json's double parse must
+    * reproduce values EXACTLY, not approximately; all three formats
+    * must agree with DuckDB reading the original table. */
+  private def k6FileRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_k6").toString
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val out = Seq("parquet", "json", "csv").map { fmt =>
+      Sinks.load(cust, s"$base/$fmt", format = fmt, ifExists = "replace")
+      // Spark's json sink writes JSON LINES — read back through the
+      // ndjson reader, not the whole-file-array one
+      val readFmt = if (fmt == "json") "jsonl" else fmt
+      graft.sources.Sources.file(s, s"$base/$fmt", Some(readFmt))
+        .groupBy(lit(fmt).as("format"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("bal_cents"))
+    }
+    out.reduce(_ unionByName _).orderBy(col("format"))
+  }
+
   private def kCompaction(s: SparkSession, dir: String): DataFrame = {
     val path = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
     val ev = Tables.load(s, dir, "events")
@@ -659,7 +725,9 @@ object SinkQueries extends QuerySection {
     "k_ledger" -> (kLedger _),
     "k_compaction" -> (kCompaction _),
     "k_stats_prune" -> (kStatsPrune _),
-    "k_dyn_overwrite" -> (kDynOverwrite _)
+    "k_dyn_overwrite" -> (kDynOverwrite _),
+    "k1_append_replace" -> (k1AppendReplace _),
+    "k6_file_roundtrip" -> (k6FileRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -870,6 +938,33 @@ object SinkQueries extends QuerySection {
       """SELECT CAST(user_id % 3 AS BIGINT) AS batch, count(*) AS n
         |FROM events WHERE user_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "k1_append_replace" ->
+      """WITH p AS (SELECT p_size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part),
+        |ph AS (
+        |  SELECT '1_replace' AS phase, count(*) AS n_rows,
+        |    count(*) AS n_loaded, sum(cents) AS price_cents
+        |  FROM p WHERE p_size <= 10
+        |  UNION ALL
+        |  SELECT '2_append', count(*) FILTER (WHERE TRUE),
+        |    count(*) FILTER (WHERE p_size > 10), sum(cents)
+        |  FROM p WHERE p_size <= 20
+        |  UNION ALL
+        |  SELECT '3_replace', count(*), count(*), sum(cents)
+        |  FROM p WHERE p_size BETWEEN 5 AND 8)
+        |SELECT phase, n_rows, n_loaded,
+        |  CAST(price_cents AS BIGINT) AS price_cents FROM ph
+        |ORDER BY phase""".stripMargin,
+    "k6_file_roundtrip" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS bal_cents
+        |  FROM customer)
+        |SELECT fmt AS format, n_rows, n_segments, bal_cents
+        |FROM a, (SELECT unnest(['csv', 'json', 'parquet']) AS fmt) f
+        |ORDER BY format""".stripMargin,
     "k_compaction" ->
       """SELECT CAST(64 AS BIGINT) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after,
