@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * collapse into one cluster with one canonical survivor (the min id),
   * even when A and C were never directly compared.
   *
-  * Algorithm: distributed min-label propagation (the MapReduce
-  * "hash-to-min" scheme). Each round every node adopts the smallest
-  * component label among itself and its neighbors (a self-loop in the
-  * edge list carries the node's own label, so a round is ONE shuffle
-  * join + ONE min-aggregate); rounds = graph diameter. Near-dup graphs
-  * are unions of small dense clusters (near-cliques from LSH buckets),
-  * so the loop converges in 2–4 rounds regardless of corpus size.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+  * (Kiveris et al. 2014, "Connected Components in MapReduce and
+  * Beyond"). Large-star links every strictly-larger neighbor of a node
+  * to its neighborhood minimum; small-star relinks the smaller
+  * neighbors (and the node) to that minimum. Alternating the two
+  * contracts any component into a star rooted at its minimum id in
+  * O(log²) rounds — on a diameter-d chain the frontier doubles instead
+  * of crawling, so rounds ≈ log d where plain hash-to-min label
+  * propagation needs d (a 1000-hop chain: ~10 rounds, not 1000 —
+  * ClusterSpec pins the round count on exactly that shape).
   *
   * Scale notes:
   *  - The pair graph is orders of magnitude smaller than the corpus
@@ -28,12 +31,15 @@ import org.apache.spark.sql.functions._
   *  - Distributed path: edges are checkpointed once (they'd otherwise
   *    re-run the upstream LSH/shingle join every round), partitions are
   *    sized to edge count (not corpus size), each round persists its
-  *    labels and materializes them through the convergence-fingerprint
-  *    action — one job per round; labels only ever decrease, so an
-  *    unchanged (count, sum) fingerprint IS the fixpoint. Lineage is
-  *    linear (labels referenced once per round) and truncated with
-  *    localCheckpoint every few rounds to bound plan depth on
-  *    large-diameter chains.
+  *    edge set and materializes it through the convergence-fingerprint
+  *    action; at the star fixpoint both operations are identities, so
+  *    an unchanged (count, sumU, sumV) fingerprint IS the fixpoint
+  *    (edge endpoints only ever decrease under both stars). Every
+  *    round's edge set is EAGERLY localCheckpoint'ed: one round
+  *    references its predecessor many times (the symmetric view twice,
+  *    each star's min + relink), so retained lineage would nest the
+  *    plan ~16× per round — checkpointing to a leaf keeps plan depth
+  *    constant.
   */
 object Cluster {
 
@@ -56,7 +62,19 @@ object Cluster {
       .localCheckpoint()
     val edgeCount = oneWay.count() // cheap: scans checkpoint blocks
     if (edgeCount <= smallGraphEdges) driverUnionFind(oneWay)
-    else distributedCC(oneWay, edgeCount, maxIter)
+    else distributedCC(oneWay, edgeCount, maxIter)._1
+  }
+
+  /** [[connectedComponents]] forced onto the distributed path, also
+    * returning the ROUND COUNT — the ClusterSpec hook that pins the
+    * logarithmic convergence of star contraction on chain graphs. */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame,
+      srcCol: String, dstCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val oneWay = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("nbr"))
+      .localCheckpoint()
+    distributedCC(oneWay, oneWay.count(), maxIter)
   }
 
   /** Small-graph path: one collect + path-compressed union-find. */
@@ -82,9 +100,10 @@ object Cluster {
     spark.createDataset(out).toDF("node", "comp")
   }
 
-  /** Large-graph path: iterative min-label propagation. */
+  /** Large-graph path: alternating large-star / small-star rounds.
+    * Returns (components, rounds-to-fixpoint-detection). */
   private def distributedCC(oneWay: DataFrame, edgeCount: Long,
-      maxIter: Int): DataFrame = {
+      maxIter: Int): (DataFrame, Int) = {
     // partitions sized to the graph, not to the corpus that produced it:
     // a handful of tasks for a small pair graph, thousands for billions
     // of edges (~1M edges ≈ 16 MB per partition)
@@ -92,49 +111,78 @@ object Cluster {
       .get("spark.sql.shuffle.partitions", "200").toInt
     val nParts = math.max(1L, math.min(shuffleParts.toLong * 32L,
       edgeCount / 1000000L + 1L)).toInt
-    // symmetric edge list WITH self-loops so each node hears its own
-    // label through the round's single join
-    val sym = oneWay
-      .union(oneWay.select(col("nbr").as("node"), col("node").as("nbr")))
-      .union(oneWay.select(col("node"), col("node").as("nbr"))
-        .union(oneWay.select(col("nbr").as("node"), col("nbr")))
-        .distinct())
-      .repartition(nParts)
-      .localCheckpoint()
-    var labels = sym.groupBy(col("node"))
-      .agg(min(col("nbr")).as("comp"))
-      .persist()
-    var fingerprint = labels.agg(count(lit(1)), sum(col("comp")))
-      .collect()(0).toSeq // materializes the persist in the same job
+    // the node universe (output grain) — fixed up front, because star
+    // contraction drops self-loops and converged roots from the edges
+    val nodes = oneWay.select(col("node"))
+      .union(oneWay.select(col("nbr").as("node")))
+      .distinct()
+    // canonical orientation (bigger → smaller), self-loops out
+    var e = oneWay.filter(col("node") =!= col("nbr"))
+      .select(greatest(col("node"), col("nbr")).as("u"),
+        least(col("node"), col("nbr")).as("v"))
+      .distinct()
+      .repartition(nParts, col("u"))
+      .localCheckpoint() // leaf lineage, same as every round below
+    var fingerprint = e.agg(count(lit(1)), sum(col("u")), sum(col("v")))
+      .collect()(0).toSeq
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val prev = labels
-      var next = sym.join(labels.withColumnRenamed("node", "nbr")
-          .withColumnRenamed("comp", "nbr_comp"), "nbr")
-        .groupBy(col("node"))
-        .agg(min(col("nbr_comp")).as("comp"))
-      // lineage is linear in rounds; truncate periodically so pathological
-      // large-diameter chains don't accumulate unbounded plan depth
-      next = if ((it + 1) % 8 == 0) next.localCheckpoint() else next.persist()
-      val fp = next.agg(count(lit(1)), sum(col("comp"))).collect()(0).toSeq
+      val prev = e
+      // LARGE-STAR: per node, every strictly-larger neighbor relinks
+      // to min(Γ(u) ∪ {u}) — output stays (bigger → smaller)
+      val sym = prev.union(prev.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .persist() // consumed twice below (min + relink join)
+      // SMALL-STAR: per node, the node and its smaller neighbors all
+      // relink to their minimum — with large-star's orientation this
+      // is a group by the BIGGER endpoint
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next0 = ls.join(ssMin, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .repartition(nParts, col("u"))
+      // checkpoint EVERY round: a round references `prev` many times
+      // (sym twice, each star's min + relink), so mere persist() —
+      // which caches data but keeps lineage — would nest the logical
+      // plan ~16× per round and explode exponentially; the eager
+      // checkpoint truncates to a leaf and doubles as the
+      // fingerprint's materializing action
+      val next = next0.localCheckpoint()
+      // at the star fixpoint BOTH operations are identities and edge
+      // endpoints only ever decrease, so an unchanged fingerprint is
+      // the fixpoint, never a coincidence
+      val fp = next.agg(count(lit(1)), sum(col("u")), sum(col("v")))
+        .collect()(0).toSeq
+      ls.unpersist()
       prev.unpersist()
       converged = fp == fingerprint
       fingerprint = fp
-      labels = next
+      e = next
       it += 1
     }
     if (!converged)
-      // exiting via the iteration cap means the min-label flood hasn't
-      // reached a fixpoint: components wider than maxIter hops carry
-      // SPLIT (wrong) ids, and survivors() built on them would keep
-      // documents whose cluster already has a representative. Loud by
-      // design — silence here corrupts downstream dedup.
+      // exiting via the iteration cap means the contraction hasn't
+      // reached the star fixpoint: components carry SPLIT (wrong) ids,
+      // and survivors() built on them would keep documents whose
+      // cluster already has a representative. Loud by design —
+      // silence here corrupts downstream dedup.
       System.err.println(
         s"[graft.dedup.Cluster] WARNING: distributedCC hit maxIter=$maxIter " +
-          "before the label fixpoint; component ids are NOT converged " +
-          "(graph diameter exceeds the cap). Re-run with a higher maxIter.")
-    labels
+          "before the star fixpoint; component ids are NOT converged. " +
+          "Re-run with a higher maxIter.")
+    // fixpoint edges are (member → root) stars; roots and nodes that
+    // only ever had self-loops re-enter as their own component
+    val comp = nodes.join(
+        e.select(col("u").as("node"), col("v").as("comp")), Seq("node"),
+        "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+    (comp, it)
   }
 
   /** Cluster rollup: one row per component with size and id span. */

@@ -31,6 +31,23 @@ class ClusterSpec extends SparkSpec {
       assert(got === (0L until 12L).map(_ -> 0L).toMap)
   }
 
+  test("star contraction: 1000-hop chain converges in ~log rounds") {
+    // a path graph is the worst case for plain min-label propagation
+    // (rounds = diameter: 999 here, far past maxIter=25); alternating
+    // large-star/small-star doubles the contracted frontier per round,
+    // so the SAME cap converges with room to spare
+    val n = 1000L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toSeq
+      .toDF("id_a", "id_b")
+    val (comp, rounds) = Cluster.connectedComponentsWithRounds(
+      edges, "id_a", "id_b", maxIter = 25)
+    val got = comp.as[(Long, Long)].collect().toMap
+    assert(got === (0L until n).map(_ -> 0L).toMap)
+    // log2(1000) ≈ 10; +1 detection round; generous margin at 15
+    assert(rounds <= 15, s"expected logarithmic convergence, got $rounds")
+    assert(rounds >= 2) // and it genuinely iterated
+  }
+
   test("property: agrees with union-find on a random graph") {
     val rng = new scala.util.Random(11L)
     val edges = (0 until 120).map(_ =>
