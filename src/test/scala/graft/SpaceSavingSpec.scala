@@ -85,6 +85,44 @@ class SpaceSavingSpec extends SparkSpec {
     }
   }
 
+  test("distinct == capacity stays EXACT and partition-order independent") {
+    import org.apache.spark.sql.graftx.SpaceSavingBuffer
+    // both summaries FULL (size == capacity) but never evicted (all
+    // errs 0): a full-but-clean summary provably tracks everything it
+    // ever saw, so an absent item truly has count 0 — the merge must
+    // stay purely additive, in BOTH orders
+    def buf(items: String*): SpaceSavingBuffer = {
+      val b = new SpaceSavingBuffer(2)
+      items.foreach(b.add)
+      b
+    }
+    val ab = buf("a", "a", "b")     // full: {a:2, b:1}, errs 0
+    ab.merge(buf("c", "d"))         // full: {c:1, d:1}, errs 0
+    val dc = buf("c", "d")
+    dc.merge(buf("a", "a", "b"))
+    // additive truth: a=2, b=c=d=1; capacity 2 keeps (cnt desc, item
+    // asc) => {a:2, b:1} from either merge order, all errs still 0
+    for (m <- Seq(ab, dc)) {
+      assert(m.entries.size == 2)
+      assert(m.entries("a") === ((2L, 0L)),
+        s"exact regime inflated: ${m.entries}")
+      assert(m.entries("b") === ((1L, 0L)),
+        s"tie must keep smallest item exactly: ${m.entries}")
+    }
+    // the exact DataFrame path at the boundary: exactly `capacity`
+    // distinct items, spread over partitions
+    val data = items("a" -> 5, "b" -> 3, "c" -> 2, "d" -> 1)
+    for (parts <- Seq(1, 4, 8)) {
+      val out = data.toDF("item").repartition(parts)
+        .agg(SpaceSavingTopK.topk($"item", 4, 4).as("t"))
+        .select(explode($"t").as("e"))
+        .select($"e.item", $"e.cnt", $"e.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.toSeq === Seq(("a", 5L, 0L), ("b", 3L, 0L),
+        ("c", 2L, 0L), ("d", 1L, 0L)), s"parts=$parts")
+    }
+  }
+
   test("merge credits items absent from a FULL summary (no underestimate)") {
     import org.apache.spark.sql.graftx.SpaceSavingBuffer
     // partition A (capacity 2) sees zz,zz,a,b,c - zz evicted along the
