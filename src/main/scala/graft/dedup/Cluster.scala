@@ -176,11 +176,18 @@ object Cluster {
         s"[graft.dedup.Cluster] WARNING: distributedCC hit maxIter=$maxIter " +
           "before the star fixpoint; component ids are NOT converged. " +
           "Re-run with a higher maxIter.")
-    // fixpoint edges are (member → root) stars; roots and nodes that
-    // only ever had self-loops re-enter as their own component
-    val comp = nodes.join(
-        e.select(col("u").as("node"), col("v").as("comp")), Seq("node"),
-        "left")
+    // fixpoint edges are (member → root) stars — one row per non-root
+    // node. Mid-contraction (the unconverged cap exit) a node can still
+    // link to SEVERAL targets; joining those would fan the node grain
+    // out into duplicate rows with conflicting comp ids, which corrupts
+    // survivors() worse than a merely-split label. Reduce to one link
+    // per node (its minimum target) so the output grain is one row per
+    // node on EVERY exit path; at the fixpoint this is structurally a
+    // no-op, so only the warned path pays the extra aggregate.
+    val links =
+      if (converged) e.select(col("u").as("node"), col("v").as("comp"))
+      else e.groupBy(col("u").as("node")).agg(min(col("v")).as("comp"))
+    val comp = nodes.join(links, Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
     (comp, it)
   }

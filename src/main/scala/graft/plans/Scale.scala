@@ -467,17 +467,19 @@ object Scale {
     * at all — same contract as any ordered window. Inclusive frame,
     * matching `RANGE UNBOUNDED PRECEDING` with distinct keys.
     *
-    * The partitioned frame is PERSISTED before fan-out: the offsets
-    * aggregate and the per-row join both read it, and two independent
-    * physical evaluations of `repartitionByRange` can sample DIFFERENT
-    * boundaries (RangePartitioner's reservoir seed varies per
-    * evaluation once partitions outgrow the sample size), silently
-    * desynchronizing `spark_partition_id` between the two subtrees —
-    * exchange reuse does NOT save us because the nondeterministic
+    * The partitioned frame is MATERIALIZED ONCE (eager localCheckpoint)
+    * before fan-out: the offsets aggregate and the per-row join both
+    * read it, and two independent physical evaluations of
+    * `repartitionByRange` can sample DIFFERENT boundaries
+    * (RangePartitioner's reservoir seed varies per evaluation once
+    * partitions outgrow the sample size), silently desynchronizing
+    * `spark_partition_id` between the two subtrees — exchange reuse
+    * does NOT save us because the nondeterministic
     * `spark_partition_id` projection defeats plan canonicalization.
-    * One materialization pins the boundaries (eviction is safe: a
-    * recomputed cache partition re-reads the already-written shuffle
-    * files, not a fresh sampling). */
+    * localCheckpoint (not persist) because its blocks are released by
+    * the ContextCleaner when the frame goes unreferenced; a persist()
+    * would leak one CacheManager entry per call until someone
+    * unpersists. */
   def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: String,
       sumCol: String = "cum_sum", numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -487,9 +489,16 @@ object Scale {
     val parted = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    // materialize ONCE via eager localCheckpoint, not persist(): it
+    // pins the sampled range boundaries identically (both consumers
+    // read stored blocks, never a fresh sampling), truncates lineage,
+    // and its blocks are released by the ContextCleaner as soon as the
+    // frame is unreferenced — a persist() here would sit in the
+    // CacheManager FOREVER unless every caller remembered to unpersist,
+    // leaking one cached frame per library call
     val local = parted
       .withColumn("__local", sum(col(valueCol)).over(wLocal))
-      .persist()
+      .localCheckpoint()
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -509,7 +518,7 @@ object Scale {
     * prefixes, so adding the rank costs nothing over the sum alone.
     * `orderCols` must be a TOTAL order. Output = input + `rankCol`
     * (1-based global rank, long) + `sumCol` (inclusive running sum).
-    * Persist-before-fan-out per [[prefixSum]]'s boundary-pinning note. */
+    * Materialize-once-before-fan-out per [[prefixSum]]'s boundary-pinning note. */
   def rankedPrefixSum(df: DataFrame, orderCols: Seq[Column],
       valueCol: String, rankCol: String = "rank",
       sumCol: String = "cum_sum", numPartitions: Int = 0): DataFrame = {
@@ -524,7 +533,7 @@ object Scale {
       .withColumn("__lrk", row_number().over(wLocal).cast("long"))
       .withColumn("__lsum", sum(col(valueCol)).over(
         wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .persist()
+      .localCheckpoint() // boundary pin + auto-cleaned, per prefixSum
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("__pid"))
@@ -550,7 +559,7 @@ object Scale {
     * unpartitioned windows left run over the ≤ numPartitions
     * offset rows. `orderCols` must be a TOTAL order (tie-break
     * with a key) — same contract as ntile itself for a
-    * deterministic answer. Persist-before-fan-out per
+    * deterministic answer. Materialize-once-before-fan-out per
     * [[prefixSum]]'s boundary-pinning note. */
   def globalNtile(df: DataFrame, orderCols: Seq[Column], buckets: Int,
       bucketCol: String, numPartitions: Int = 0): DataFrame = {
@@ -564,7 +573,7 @@ object Scale {
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val local = parted
       .withColumn("__local", row_number().over(wLocal).cast("long"))
-      .persist()
+      .localCheckpoint() // boundary pin + auto-cleaned, per prefixSum
     // one tiny aggregate carries BOTH the exclusive prefix (rank
     // offset) and the grand total — no separate count job over df
     val wOff = Window.orderBy(col("__pid"))

@@ -1526,6 +1526,48 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("event_type"), col("rk"))
   }
 
+  /** SpaceSaving in its APPROXIMATE regime — capacity 4 below the
+    * lang column's 5 distinct values, so partials genuinely evict/trim
+    * and the reduce-side merge runs the lossy path (the regime the
+    * exact-pinned `q_spacesaving_topk` never enters). The sketch's raw
+    * items/counts are merge-order dependent there, so the judged output
+    * is the INVARIANTS, not the counters: (a) `bracket_ok` — every
+    * reported item satisfies cnt − err ≤ true ≤ cnt, which holds for
+    * ANY merge tree (upper bound: the absent-credit invariant the lossy
+    * flag protects; lower bound: cnt − err never grows past the true
+    * count in add, credit, or additive merge — both provable by
+    * induction over the buffer ops); (b) `top_covered` — the dominant
+    * item (en, ~44% share vs a 25% single-stream survival threshold
+    * n/capacity) is reported; (c) exact anchors the oracle recomputes:
+    * n, k_rows, the true top item and its true count. */
+  private def qSpacesavingApprox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftx.SpaceSavingTopK
+    val ev = Tables.load(s, dir, "documents")
+      .filter(col("lang").isNotNull).select(col("lang"))
+    val sketch = ev
+      .agg(SpaceSavingTopK.topk(col("lang"), 4, 4).as("__top"))
+      .select(explode(col("__top")).as("e"))
+      .select(col("e.item").as("item"), col("e.cnt").as("cnt"),
+        col("e.err").as("err"))
+    val exact = ev.groupBy(col("lang").as("item"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val top = exact.orderBy(desc("true_cnt"), col("item")).limit(1)
+      .select(col("item").as("top_item"), col("true_cnt").as("top_true_cnt"))
+    sketch.join(exact, Seq("item"))
+      .crossJoin(broadcast(top))
+      .agg(
+        count(lit(1)).as("k_rows"),
+        min(col("cnt") >= col("true_cnt") &&
+          col("cnt") - col("err") <= col("true_cnt")).as("bracket_ok"),
+        max(col("item") === col("top_item")).as("top_covered"),
+        first(col("top_item")).as("top_item"),
+        first(col("top_true_cnt")).as("top_true_cnt"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+      .select(col("n"), col("k_rows").cast("int").as("k_rows"),
+        col("top_item"), col("top_true_cnt"),
+        col("bracket_ok"), col("top_covered"))
+  }
+
   /** J30 — Jaro–Winkler blocked linkage (the native `jaro_winkler`
     * expression in the ER refine loop): same first-token blocking as
     * `j19_fuzzy_blocked`, but scored with the prefix-boosted Jaro
@@ -2132,7 +2174,7 @@ object RelationalQueries extends QuerySection {
     * this engine had); `Scale.globalNtile` computes the identical
     * SQL-standard bucket split with a range-partitioned rank + a
     * broadcast offset join, so each metric's quintile pass stays fully
-    * parallel. The customer rollup is persisted once — it feeds all
+    * parallel. The customer rollup is materialized once — it feeds all
     * three quintile scans plus the final rollup, and at 100 TB it is
     * |customers| rows, three orders of magnitude under the fact table
     * (the point of aggregating first). */
@@ -2148,7 +2190,11 @@ object RelationalQueries extends QuerySection {
       .withColumn("recency_days", datediff(col("__mx"), col("__last")))
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("monetary"))
-      .persist() // customer grain: scanned by all three quintile passes
+      // customer grain, scanned by all three quintile passes: eager
+      // localCheckpoint materializes once and is ContextCleaner-freed
+      // when unreferenced — a persist() would outlive the query in the
+      // CacheManager (nobody is left to unpersist a returned plan)
+      .localCheckpoint()
     // lower recency is BETTER: rank ascending so quintile 1 = freshest
     val rMap = graft.plans.Scale.globalNtile(
       base.select(col("o_custkey"), col("recency_days")),
@@ -2506,6 +2552,7 @@ object RelationalQueries extends QuerySection {
     "j28_small_qty_revenue" -> (j28SmallQtyRevenue _),
     "j29_late_order_priority" -> (j29LateOrderPriority _),
     "q_spacesaving_topk" -> (qSpacesavingTopk _),
+    "q_spacesaving_approx" -> (qSpacesavingApprox _),
     "w12_native_topk" -> (w12NativeTopk _),
     "j30_jw_linkage" -> (j30JwLinkage _),
     "j31_not_in_null" -> (j31NotInNull _),
@@ -3394,6 +3441,18 @@ object RelationalQueries extends QuerySection {
         |  CAST(0 AS BIGINT) AS err
         |FROM r WHERE rk <= 10
         |ORDER BY event_type, rk""".stripMargin,
+    "q_spacesaving_approx" ->
+      """WITH ev AS (
+        |  SELECT lang FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang AS item, count(*) AS true_cnt
+        |  FROM ev GROUP BY 1),
+        |top AS (SELECT item AS top_item, true_cnt AS top_true_cnt
+        |  FROM c ORDER BY true_cnt DESC, item LIMIT 1)
+        |SELECT (SELECT count(*) FROM ev) AS n,
+        |  CAST(4 AS INT) AS k_rows,
+        |  top_item, top_true_cnt,
+        |  true AS bracket_ok, true AS top_covered
+        |FROM top""".stripMargin,
     "q_dow_seasonality" ->
       """WITH overall AS (
         |  SELECT event_type, avg(value) AS mu FROM events

@@ -36,6 +36,18 @@ final case class JdbcSource(
 
   require(url.startsWith("jdbc:"), s"not a jdbc url: $url")
   require(fetchSize > 0, s"fetchSize must be positive, got $fetchSize")
+  // `table` and `where` are interpolated into the dbtable subquery, so
+  // they MUST be trusted/static configuration (pipeline code, not end-
+  // user input) — the same contract as the reference's raw `where`
+  // parameter, stated here instead of inherited silently. As defense in
+  // depth, reject statement terminators and comment openers outright:
+  // no legitimate single table name or WHERE clause needs them.
+  private def rejectSqlMeta(kind: String, s: String): Unit =
+    require(!s.contains(";") && !s.contains("--") && !s.contains("/*"),
+      s"$kind contains SQL metacharacters (';', '--', '/*'): $s — " +
+        "table/where must be trusted static configuration")
+  rejectSqlMeta("table", table)
+  where.foreach(rejectSqlMeta("where", _))
   require(partitionColumn.isEmpty ||
     (lowerBound.isDefined && upperBound.isDefined &&
       numPartitions.isDefined),
@@ -51,8 +63,10 @@ final case class JdbcSource(
     * partition (Spark appends its partition-range predicate around
     * it), not re-parsed per page. */
   def options: Map[String, String] = {
+    // bare alias, no AS: `(SELECT …) alias` parses everywhere while
+    // `AS` on a table alias is rejected by some dialects (Oracle)
     val dbtable = where.fold(table)(w =>
-      s"(SELECT * FROM $table WHERE $w) AS __graft_src")
+      s"(SELECT * FROM $table WHERE $w) __graft_src")
     Map(
       "url" -> url,
       "dbtable" -> dbtable,

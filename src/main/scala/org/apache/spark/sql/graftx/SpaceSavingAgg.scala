@@ -20,14 +20,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * OVERESTIMATE of its item's true frequency by at most its recorded
   * `err` (Metwally et al. 2005, "Efficient computation of frequent and
   * top-k elements in data streams"). When the distinct-item count never
-  * exceeds `capacity` (≤, inclusive: a full summary that never evicted
-  * has all errs 0 and its absent-bound stays 0), no eviction happens,
-  * every `err` is 0, and the summary is EXACT — the regime the
-  * oracle-judged query pins.
+  * exceeds `capacity` (≤, inclusive: a summary that never evicted or
+  * trimmed keeps `lossy = false` and its absent-bound stays 0), no
+  * information is discarded, every `err` is 0, and the summary is
+  * EXACT — the regime `q_spacesaving_topk` pins. With capacity below
+  * the distinct count the flag trips and every reported count carries
+  * the certified cnt − err ≤ true ≤ cnt bracket — the regime
+  * `q_spacesaving_approx` judges.
   */
 final class SpaceSavingBuffer(val capacity: Int) {
   // item -> (count, err). Counts only grow; size never exceeds capacity.
   val entries: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  // True once ANY information has been discarded: an add-eviction, a
+  // merge-trim, or merging in an already-lossy summary. This is the
+  // sole source of truth for absentBound — inferring lossiness from
+  // "some err > 0" is unsound because merge-trim drops entries WITHOUT
+  // stamping err (two full all-err-0 summaries with disjoint items
+  // merge+trim into a full all-err-0 summary that IS lossy; a bound of
+  // 0 there lets a third merge underestimate, breaking cnt ≥ true).
+  private var _lossy: Boolean = false
+  def lossy: Boolean = _lossy
+  private[graftx] def markLossy(): Unit = _lossy = true
   // (count, item) mirror ordered min-count-first, ties LARGEST item
   // first — the head IS the eviction victim, so eviction and trim are
   // O(log capacity) instead of a full scan per over-capacity insert
@@ -42,20 +55,18 @@ final class SpaceSavingBuffer(val capacity: Int) {
     byCount.add((c, item))
   }
 
-  /** The summary's minimum counter when FULL — the classic bound on
-    * how often an untracked item can have occurred; 0 while spare
-    * capacity remains (an unseen item then truly has count 0).
-    *
-    * Boundary case: a FULL summary whose errs are all 0 provably never
-    * evicted (eviction records err = minCnt ≥ 1, and merge credits also
-    * set err > 0), so it still tracks every item it has ever seen and
-    * an absent item truly has count 0 — returning the min counter there
-    * would inflate merges and make distinct == capacity inputs
-    * partition-order dependent. */
+  /** The summary's minimum counter once information has actually been
+    * LOST — the classic bound on how often an untracked item can have
+    * occurred; 0 while the summary is lossless (never evicted, never
+    * trimmed, never merged with a lossy peer), where an absent item
+    * truly has count 0. Keying this on the explicit `lossy` flag (not
+    * on fullness or err values) keeps the exact regime exact — a full
+    * summary that never dropped anything still bounds absentees at 0,
+    * so distinct == capacity inputs stay partition-order independent —
+    * while remaining sound across multi-way merges whose trims drop
+    * entries without stamping err. */
   private def absentBound: Long =
-    if (entries.size >= capacity && entries.valuesIterator.exists(_._2 > 0L))
-      byCount.head._1
-    else 0L
+    if (_lossy && entries.nonEmpty) byCount.head._1 else 0L
 
   /** One observation (streaming update). Eviction replaces the minimum
     * counter, tie-broken by LARGEST item string — so the smallest items
@@ -68,6 +79,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
       val (minCnt, minItem) = byCount.head
       byCount.remove((minCnt, minItem))
       entries.remove(minItem)
+      _lossy = true
       put(item, minCnt + 1L, minCnt)
   }
 
@@ -84,6 +96,10 @@ final class SpaceSavingBuffer(val capacity: Int) {
   def merge(other: SpaceSavingBuffer): Unit = {
     val thisBound = absentBound
     val otherBound = other.absentBound
+    // A lossy input makes the union lossy even when no trim happens
+    // here: items the peer evicted are absent from the merged summary
+    // too, so its future absentBound must stay ≥ the min counter.
+    _lossy = _lossy || other.lossy
     if (otherBound > 0L) {
       // items this summary tracks that other may have seen and evicted
       entries.keysIterator.filterNot(other.entries.contains).toArray
@@ -102,6 +118,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
       val victim = byCount.head
       byCount.remove(victim)
       entries.remove(victim._2)
+      _lossy = true // trim discards real counts without stamping err
     }
   }
 }
@@ -184,6 +201,8 @@ case class SpaceSavingTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.capacity)
+    out.writeBoolean(buf.lossy) // must survive the shuffle: a lossy
+    // partial whose flag is dropped would deserialize with bound 0
     out.writeInt(buf.entries.size)
     buf.entries.foreach { case (it, (c, e)) =>
       val b = it.getBytes(StandardCharsets.UTF_8)
@@ -197,6 +216,7 @@ case class SpaceSavingTopK(
   override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val buf = new SpaceSavingBuffer(in.readInt())
+    if (in.readBoolean()) buf.markLossy()
     val n = in.readInt()
     var i = 0
     while (i < n) {

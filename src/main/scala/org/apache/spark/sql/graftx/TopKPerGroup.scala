@@ -190,6 +190,19 @@ case class TopKPerGroupExec(
               heap.add(row.copy())
               stateRows += 1L
               if (stateRows > peak) peak = stateRows
+              // The new-group check alone does NOT bound state: with
+              // round-robin arrival ~cap/k groups are created at one
+              // row each, then every heap fills toward k — up to
+              // ~cap·k rows, k× the advertised bound. Enforce the cap
+              // on EVERY growth path (the just-buffered row is inside
+              // the flushed state, so nothing is lost).
+              if (stateRows >= cap) {
+                flushed = drain(heaps)
+                flushMetric.add(1L)
+                heaps = new java.util.LinkedHashMap[UnsafeRow,
+                  java.util.PriorityQueue[InternalRow]]()
+                stateRows = 0L
+              }
             } else if (ord.compare(row, heap.peek()) < 0) {
               heap.poll()
               heap.add(row.copy())

@@ -48,6 +48,31 @@ class ClusterSpec extends SparkSpec {
     assert(rounds >= 2) // and it genuinely iterated
   }
 
+  test("unconverged cap exit keeps one-row-per-node grain") {
+    // maxIter=1 on a long chain cannot reach the star fixpoint: the
+    // mid-contraction edge set still links some nodes to SEVERAL
+    // targets. The labels may be split (warned loudly), but the output
+    // GRAIN must stay one row per node — duplicated node rows with
+    // conflicting comp ids would make survivors() keep documents twice.
+    val n = 200L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toSeq
+      .toDF("id_a", "id_b")
+    val (comp, rounds) = Cluster.connectedComponentsWithRounds(
+      edges, "id_a", "id_b", maxIter = 1)
+    assert(rounds === 1)
+    val rows = comp.as[(Long, Long)].collect()
+    assert(rows.length === n.toInt,
+      s"expected exactly $n node rows, got ${rows.length}")
+    assert(rows.map(_._1).distinct.length === n.toInt,
+      "duplicate node rows on the unconverged exit path")
+    // labels still form a valid (possibly split) assignment: every comp
+    // id is itself a node and comp <= node (endpoints only decrease)
+    val nodeSet = rows.map(_._1).toSet
+    rows.foreach { case (node, c) =>
+      assert(c <= node && nodeSet.contains(c))
+    }
+  }
+
   test("property: agrees with union-find on a random graph") {
     val rng = new scala.util.Random(11L)
     val edges = (0 until 120).map(_ =>

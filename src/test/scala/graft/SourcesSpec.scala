@@ -172,10 +172,21 @@ class SourcesSpec extends SparkSpec {
       "url" -> "jdbc:postgresql://db:5432/lake",
       "dbtable" -> "public.orders",
       "fetchsize" -> "10000"))
-    // raw WHERE pushes down as a dbtable subquery, evaluated server-side
+    // raw WHERE pushes down as a dbtable subquery, evaluated server-side;
+    // bare alias (no AS — Oracle rejects AS on table aliases)
     val filtered = plain.copy(where = Some("o_totalprice > 100"))
     assert(filtered.options("dbtable") ==
-      "(SELECT * FROM public.orders WHERE o_totalprice > 100) AS __graft_src")
+      "(SELECT * FROM public.orders WHERE o_totalprice > 100) __graft_src")
+    // table/where are trusted static config; metacharacters are refused
+    intercept[IllegalArgumentException] {
+      plain.copy(where = Some("1=1; DROP TABLE orders"))
+    }
+    intercept[IllegalArgumentException] {
+      plain.copy(where = Some("o_totalprice > 100 -- comment"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcSource("jdbc:postgresql://db/lake", "orders/**/WHERE 1=1")
+    }
     // full partitioned read: all four partitioning options present
     val parted = JdbcSource("jdbc:postgresql://db:5432/lake", "orders",
       partitionColumn = Some("o_orderkey"), lowerBound = Some(1L),

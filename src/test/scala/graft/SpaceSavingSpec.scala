@@ -149,4 +149,54 @@ class SpaceSavingSpec extends SparkSpec {
     assert(x.entries("q") === ((1L, 0L)))
     assert(x.entries("r") === ((1L, 0L)))
   }
+
+  test("merge-trim loss is tracked: 3-way merge keeps cnt >= true") {
+    import org.apache.spark.sql.graftx.SpaceSavingBuffer
+    // The unsound shape: two full-but-never-evicted summaries (all errs
+    // 0) with disjoint items merge additively then TRIM — dropping b and
+    // d without stamping any err. Inferring "lossless" from errs==0
+    // would then credit a third partial's b nothing, reporting
+    // b=(2, err 0) when true=3 — an underestimate with a certified-
+    // exact error bar. The explicit lossy flag (set by the trim) must
+    // make the third merge credit b the min counter instead.
+    val m = new SpaceSavingBuffer(2)
+    Seq("a", "a", "b").foreach(m.add)          // {a:2, b:1}, errs 0
+    val p2 = new SpaceSavingBuffer(2)
+    Seq("c", "c", "c", "d").foreach(p2.add)    // {c:3, d:1}, errs 0
+    m.merge(p2)                                // trim drops b, d -> lossy
+    assert(m.lossy, "merge-trim must mark the summary lossy")
+    assert(m.entries.forall(_._2._2 == 0L), "trim does not stamp err")
+    val p3 = new SpaceSavingBuffer(2)
+    Seq("b", "b").foreach(p3.add)              // {b:2}, clean
+    m.merge(p3)
+    val trueCounts = Map("a" -> 2L, "b" -> 3L, "c" -> 3L, "d" -> 1L)
+    m.entries.foreach { case (it, (c, e)) =>
+      val t = trueCounts(it)
+      assert(c >= t, s"$it: merged cnt $c underestimates true $t")
+      assert(c - e <= t, s"$it: certified floor ${c - e} exceeds true $t")
+    }
+    // an evicted-then-merged-in lossy peer also taints the accumulator,
+    // even when the accumulator itself never trims
+    val clean = new SpaceSavingBuffer(4)
+    clean.add("x")
+    val evicted = new SpaceSavingBuffer(2)
+    Seq("p", "q", "r").foreach(evicted.add)    // r evicts the min
+    assert(evicted.lossy)
+    clean.merge(evicted)
+    assert(clean.lossy, "lossy peer must propagate through merge")
+  }
+
+  test("lossy flag survives serialization") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftx.{SpaceSavingBuffer, SpaceSavingTopK}
+    val agg = SpaceSavingTopK(Literal("x"), 2, 2)
+    val b = new SpaceSavingBuffer(2)
+    Seq("a", "b", "c").foreach(b.add)          // eviction -> lossy
+    assert(b.lossy)
+    val rt = agg.deserialize(agg.serialize(b))
+    assert(rt.lossy, "shuffle round-trip must preserve loss accounting")
+    assert(rt.entries === b.entries)
+    val cleanRt = agg.deserialize(agg.serialize(new SpaceSavingBuffer(2)))
+    assert(!cleanRt.lossy)
+  }
 }

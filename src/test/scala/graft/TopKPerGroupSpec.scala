@@ -96,6 +96,44 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("state cap binds on existing-heap growth (round-robin arrival)") {
+    import org.apache.spark.sql.graftx.{TopKPerGroupExec, TopKPerGroupStrategy}
+    // 12 groups, k=5, cap=16: all 12 heaps are created in the first
+    // round-robin pass (12 one-row heaps, under the creation check);
+    // passes 2..5 then grow EXISTING heaps only. Without a cap check on
+    // that path, state climbs to 60 rows — 3.75x the advertised bound;
+    // with it, peakStateRows must never exceed the cap.
+    val rows = for (r <- 0 until 5; g <- 0 until 12)
+      yield (f"g$g%02d", (r * 12 + g).toLong, ((g * 7 + r * 13) % 29).toDouble)
+    val df1p = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1)).toDF("g", "id", "v")
+    val expected = df1p
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"v".desc, $"id")))
+      .filter($"rk" <= 5).drop("rk")
+    spark.conf.set(TopKPerGroupStrategy.MAX_STATE_ROWS_KEY, "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = TopKPerGroup(df1p, Seq($"g"), Seq($"v".desc, $"id"), 5)
+      assert(out.exceptAll(expected).isEmpty &&
+        expected.exceptAll(out).isEmpty,
+        "capped regime must still produce the exact top-k")
+      out.collect()
+      val partial = out.queryExecution.executedPlan.collect {
+        case t: TopKPerGroupExec if t.partial => t
+      }.head
+      val peak = partial.metrics("peakStateRows").value
+      assert(peak <= 16L,
+        s"peak state $peak exceeds the advertised cap of 16")
+      assert(partial.metrics("numStateFlushes").value > 0,
+        "growth-path cap never fired")
+    } finally {
+      spark.conf.unset(TopKPerGroupStrategy.MAX_STATE_ROWS_KEY)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("guards: k >= 1, non-empty grouping") {
     val df = Seq(("a", 1)).toDF("g", "v")
     intercept[IllegalArgumentException] {
