@@ -481,54 +481,68 @@ object RelationalQueries extends QuerySection {
   }
 
   /** J19 — blocked fuzzy join (entity resolution): near-identical part
-    * names found by BLOCKING on the first name token and refining each
-    * block's pairs with codegen'd Levenshtein ≤ 3. Scale shape: the
-    * all-pairs product never forms — candidate pairs come from one
-    * hash shuffle on the block key, quadratic only WITHIN a block.
-    * Because this corpus's blocking key is a FIXED vocabulary (TPC-H
-    * p_name's ~90 first words), block size grows with the data and
-    * the refine dominates — so the refine is staged cheap-to-costly:
-    * a length-gap guard first (|len a − len b| ≤ 3 is NECESSARY for
-    * edit distance ≤ 3, one subtraction kills most pairs), then the
-    * THRESHOLD form `levenshtein(a, b, 3)` whose banded DP does
-    * O(k·n) work and early-exits instead of the full O(n²) matrix —
-    * same values ≤ k, so the oracle's plain levenshtein agrees. On a
-    * real ER corpus the blocking key is high-cardinality (names) and
-    * blocks stay small — the same bounded-bucket contract as LSH
-    * banding (dedup/Dedup.scala). The oracle replays block + refine;
-    * the judged output aggregates to per-block pair counts so result
-    * size is vocabulary-bounded. */
+    * names found by BLOCKING on the first name token and refining with
+    * codegen'd Levenshtein ≤ 3 — on the DISTINCT-NAME grain
+    * (`operators/ErBlocking`). Earlier rounds refined ROW pairs, which
+    * is quadratic in rows within a block (the first-token key is a
+    * fixed ~8-word vocabulary here, so block sizes grow with the data:
+    * ~22M kernel evaluations at sf0.1, ~220G at 100×). The kernel
+    * score depends only on the strings, so the linkage factors: roll
+    * up to (block, name) classes once, refine CLASS pairs (row-count
+    * independent; a few hundred evaluations at any SF), and expand the
+    * row-level aggregates arithmetically — `n_pairs` as Σ cnt_a·cnt_b,
+    * and `n_left` (distinct smaller-side keys) via per-name key-rank
+    * thresholds: a key k in class x is a LEFT key of some qualifying
+    * pair at distance d iff k < max over x's distance-d partners of
+    * their max key — one broadcast threshold join against the base
+    * table, no pair enumeration. Row-level results are bit-identical
+    * to the naive pair join (the oracle still replays THAT), and
+    * `ErBlocking.requireBoundedBlocks` enforces the distinct-name cap
+    * that keeps the class refine bounded — loudly, instead of the
+    * previous code-comment hope. Refine order stays cheap-to-costly:
+    * length gap (necessary for ed ≤ 3) before the banded threshold
+    * form `levenshtein(a, b, 3)` (O(k·n), early-exit, -1 past the
+    * band). */
+  /** The LAZY scored-class frame of [[j19FuzzyBlocked]] — factored out
+    * so LinkagePlanSpec can pin, by AST inspection, that the banded
+    * Levenshtein kernel evaluates inside WholeStageCodegen (the query
+    * itself checkpoints this frame, which truncates its plan). */
+  private[graft] def j19Scored(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErBlocking
+    val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
+      split(col("p_name"), " ").getItem(0), col("p_name"),
+      col("p_partkey"), keepSmallest = 1)
+    ErBlocking.requireBoundedBlocks(classes, 10000L, "j19_fuzzy_blocked")
+    val dist3 = levenshtein(col("a_name"), col("b_name"), 3)
+    ErBlocking.classPairs(classes, strict = true)
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= 3
+        && dist3.between(0, 3))
+      .withColumn("dist", dist3.cast("long"))
+  }
+
   private def j19FuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
-      .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("block"))
-    val lenGap =
-      abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3
-    // threshold levenshtein: returns the exact distance when ≤ 3 and
-    // -1 once the band is exceeded — `between` excludes the -1s
-    val dist3 = levenshtein(col("a.p_name"), col("b.p_name"), 3)
-    // parallelism: the dim side broadcasts (it's tiny), so the refine's
-    // task count is the PROBE side's partitioning — and a 20k-row
-    // parquet scan is one input split, i.e. one task grinding every
-    // pair. Repartitioning the probe side by its unique key spreads the
-    // quadratic refine evenly over the cluster; each task probes the
-    // broadcast block table locally, no block-key skew possible (the
-    // block key here has ~8 values, so hash-partitioning by BLOCK would
-    // cap parallelism at 8 — partitioning by the unique key while the
-    // block table broadcasts is the skew-proof layout). The partition
-    // count is EXPLICIT: this shuffle is bytes-tiny (narrow rows) but
-    // compute-heavy downstream, exactly the case AQE's byte-based
-    // partition coalescing gets wrong — it would merge the 20k rows
-    // back into one task; an explicit count opts this exchange out.
-    p.repartition(64, col("p_partkey")).as("b")
-      .join(broadcast(p).as("a"),
-        col("a.block") === col("b.block")
-          && col("a.p_partkey") < col("b.p_partkey")
-          && col("a.p_name") =!= col("b.p_name")
-          && lenGap && dist3.between(0, 3))
-      .groupBy(col("a.block").as("block"), dist3.cast("long").as("dist"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("a.p_partkey")).as("n_left"))
+    val scored = j19Scored(s, dir)
+      .localCheckpoint() // tiny (class grain); consumed by three subtrees
+    val nPairs = scored.groupBy(col("block"), col("dist"))
+      .agg(sum(col("n_cross")).as("n_pairs"))
+    // per (block, dist, name): the largest partner max-key — the strict
+    // upper bound below which a key of `name` is the SMALLER side of
+    // some qualifying pair at that distance
+    val thresholds = scored
+      .select(col("block"), col("dist"), col("a_name").as("name"),
+        col("b_max_key").as("t"))
+      .union(scored.select(col("block"), col("dist"), col("b_name"),
+        col("a_max_key")))
+      .groupBy(col("block"), col("dist"), col("name"))
+      .agg(max(col("t")).as("t"))
+    val nLeft = p.select(col("p_name"), col("p_partkey"))
+      .join(broadcast(thresholds), col("p_name") === col("name")
+        && col("p_partkey") < col("t"))
+      .groupBy(col("block"), col("dist"))
+      .agg(count(lit(1)).as("n_left"))
+    nPairs.join(nLeft, Seq("block", "dist"))
+      .select(col("block"), col("dist"), col("n_pairs"), col("n_left"))
       .orderBy(col("block"), col("dist"))
   }
 
@@ -1570,38 +1584,52 @@ object RelationalQueries extends QuerySection {
 
   /** J30 — Jaro–Winkler blocked linkage (the native `jaro_winkler`
     * expression in the ER refine loop): same first-token blocking as
-    * `j19_fuzzy_blocked`, but scored with the prefix-boosted Jaro
-    * measure the record-linkage literature standardized on for names
-    * (Winkler 1990) — j19's banded Levenshtein catches small EDITS,
-    * JW ranks near-matches with shared prefixes, and both run as one
-    * codegen'd call per candidate pair. Judged as the top-3 most
-    * similar pairs per block at ≥ 0.93 (thresholds compare the SAME
-    * 6-dp rounded score in both engines, so no boundary pair can
-    * flip) plus the block's qualifying-pair count. Scale shape: the
-    * dim side broadcasts, the probe side repartitions by its unique
-    * key (j19's skew-proof layout — block keys are ~8 values), and
-    * the output is blocks × 3. */
-  private def j30JwLinkage(s: SparkSession, dir: String): DataFrame = {
+    * `j19_fuzzy_blocked`, scored with the prefix-boosted Jaro measure
+    * the record-linkage literature standardized on for names (Winkler
+    * 1990) — and like j19 refined on the DISTINCT-NAME grain
+    * (`operators/ErBlocking`): JW depends only on the two strings, so
+    * class pairs are scored once (row-count independent — a few
+    * hundred codegen'd kernel calls at any SF, vs ~25M row pairs at
+    * sf0.1 and ~250G at 100× under the old row-pair refine), the
+    * per-block qualifying-pair count expands arithmetically
+    * (Σ cnt_a·cnt_b, C(cnt,2) for same-name pairs whose jw = 1), and
+    * the judged top-3 row pairs per block materialize from each
+    * class's 4 smallest keys — sufficient by
+    * `ErBlocking.lowKeysSuffice` (every top-3 pair under
+    * (jw desc, a_key, b_key) uses keys among the 4 smallest of its
+    * class sides). Judged as the top-3 pairs per block at ≥ 0.93
+    * (thresholds compare the SAME 6-dp rounded score in both engines,
+    * so no boundary pair can flip) plus the block's qualifying-pair
+    * count — bit-identical to the row-pair form the oracle replays.
+    * `requireBoundedBlocks` enforces the distinct-name cap that keeps
+    * the class self-join bounded. */
+  /** The LAZY scored-class frame of [[j30JwLinkage]] — factored out so
+    * LinkagePlanSpec can pin, by AST inspection, that the JaroWinkler
+    * kernel evaluates inside WholeStageCodegen. */
+  private[graft] def j30Scored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.JaroWinkler
-    val p = Tables.load(s, dir, "part")
-      .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("block"))
-    val jw = round(JaroWinkler(col("a.p_name"), col("b.p_name")), 6)
-    val pairs = p.repartition(64, col("p_partkey")).as("b")
-      .join(broadcast(p).as("a"),
-        col("a.block") === col("b.block")
-          && col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.block").as("block"),
-        col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
-        jw.as("jw"))
+    import graft.operators.ErBlocking
+    val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
+      split(col("p_name"), " ").getItem(0), col("p_name"),
+      col("p_partkey"), keepSmallest = 4)
+    ErBlocking.requireBoundedBlocks(classes, 10000L, "j30_jw_linkage")
+    ErBlocking.classPairs(classes, strict = false)
+      .withColumn("jw", round(JaroWinkler(col("a_name"), col("b_name")), 6))
       .filter(col("jw") >= 0.93)
+  }
+
+  private def j30JwLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErBlocking
+    val scored = j30Scored(s, dir)
+      .localCheckpoint() // class grain; feeds the count and the top-k
+    val nPairs = scored.groupBy(col("block"))
+      .agg(sum(col("n_cross")).as("n_pairs"))
     val w = Window.partitionBy(col("block"))
       .orderBy(desc("jw"), col("a_key"), col("b_key"))
-    val nPairs = Window.partitionBy(col("block"))
-    pairs
-      .withColumn("n_pairs", count(lit(1)).over(nPairs))
+    ErBlocking.candidateRowPairs(scored, "jw")
       .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= 3)
+      .join(broadcast(nPairs), Seq("block"))
       .select(col("block"), col("rk"), col("a_key"), col("b_key"),
         col("jw"), col("n_pairs"))
       .orderBy(col("block"), col("rk"))
