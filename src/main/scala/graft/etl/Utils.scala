@@ -14,12 +14,37 @@ import graft.transform.FieldRule
   */
 object Utils {
 
+  /** The [[writeSingleFile]] driver-side contract, ENFORCED: this
+    * writer collects the whole frame onto the driver, which is correct
+    * ONLY for config-export / small-report frames. Above this many
+    * rows it fails loudly instead of quietly OOMing the driver — bulk
+    * data belongs in `Sinks.load`'s partition-parallel writers. */
+  val SingleFileMaxRows: Long = 100000L
+
+  private def requireSmall(df: DataFrame, path: String,
+      maxRows: Long): Unit = {
+    // limit(max+1).count scans at most max+1 rows — never a full count
+    // of a huge frame just to reject it
+    val probe = df.limit((maxRows + 1).toInt).count()
+    if (probe > maxRows) throw new IllegalStateException(
+      s"[graft.etl.Utils] writeSingleFile($path): frame exceeds the " +
+        s"driver-side single-file cap of $maxRows rows. This writer is " +
+        "for config exports and small reports; write bulk data through " +
+        "Sinks.load (partition-parallel). Pass maxRows explicitly only " +
+        "if the driver is provisioned for it.")
+  }
+
   /** `FileUtils.write_file` (common_utils.py:141-171): write a (small)
     * DataFrame as ONE file in json/jsonl/csv/parquet/yaml. Driver-side
     * single-file semantics are the point here (config exports, reports);
-    * bulk data goes through `Sinks.load`'s partition-parallel writers. */
+    * bulk data goes through `Sinks.load`'s partition-parallel writers —
+    * a cap ([[SingleFileMaxRows]] by default) ENFORCES that split. */
   def writeSingleFile(df: DataFrame, path: String,
-      format: Option[String] = None): Unit = {
+      format: Option[String] = None,
+      maxRows: Long = SingleFileMaxRows): Unit = {
+    require(maxRows >= 1 && maxRows < Int.MaxValue,
+      s"maxRows must be in [1, ${Int.MaxValue}): $maxRows")
+    requireSmall(df, path, maxRows)
     val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

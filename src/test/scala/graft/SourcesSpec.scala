@@ -206,6 +206,71 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S2-prod Mongo seam: filter dict compiles to the pipeline options (mongo_connector.py:95-116)") {
+    import graft.sources.MongoSource
+    val plain = MongoSource("mongodb://db:27017", "lake", "events")
+    assert(plain.pipelineJson == "[]")
+    val o = plain.options
+    assert(o("connection.uri") == "mongodb://db:27017"
+      && o("database") == "lake" && o("collection") == "events"
+      && o("partitioner.options.partition.field") == "_id"
+      && o("partitioner.options.partition.size") == "64MB")
+    // find(filter).sort(sort).limit(n) -> $match / $sort / $limit, in
+    // cursor order; nested operator objects pass through; keys sorted
+    val full = plain.copy(
+      filterDict = Map("status" -> "active", "value" -> Map("$gte" -> 100),
+        "flag" -> true),
+      sort = Seq("ts" -> -1, "event_id" -> 1),
+      limit = Some(500))
+    assert(full.pipelineJson ==
+      """[{"$match": {"flag": true, "status": "active", """ +
+        """"value": {"$gte": 100}}}, """ +
+        """{"$sort": {"ts": -1, "event_id": 1}}, {"$limit": 500}]""")
+    // string values are escaped, not interpolated raw
+    val quoted = plain.copy(filterDict = Map("name" -> """a"b\c"""))
+    assert(quoted.pipelineJson ==
+      """[{"$match": {"name": "a\"b\\c"}}]""")
+    intercept[IllegalArgumentException] {
+      MongoSource("http://not-mongo", "lake", "events")
+    }
+    intercept[IllegalArgumentException] {
+      plain.copy(sort = Seq("ts" -> 2)) // pymongo directions only
+    }
+  }
+
+  test("S3-prod Influx seam: (measurement, range, fields, tags) compile to Flux (influx_connector.py:142-189)") {
+    import graft.sources.InfluxSource
+    val s = InfluxSource("http://influx:8086", "graft", "lake", "cpu",
+      start = "-1h", stop = "now()",
+      fields = Seq("usage_user", "usage_system"),
+      tags = Map("host" -> "web-1", "dc" -> "eu"))
+    assert(s.flux ==
+      """from(bucket: "lake")
+        |  |> range(start: -1h, stop: now())
+        |  |> filter(fn: (r) => r._measurement == "cpu")
+        |  |> filter(fn: (r) => r._field == "usage_user" or r._field == "usage_system")
+        |  |> filter(fn: (r) => r.dc == "eu")
+        |  |> filter(fn: (r) => r.host == "web-1")""".stripMargin)
+    // ISO bounds wrap in time(v: "..."); bare relative/now() pass through
+    val iso = s.copy(start = "2024-01-01 00:00:00", stop = "2024-02-01")
+    assert(iso.flux.contains(
+      """range(start: time(v: "2024-01-01T00:00:00"), """ +
+        """stop: time(v: "2024-02-01"))"""))
+    // long-format schema contract: fixed columns + sorted tag columns —
+    // the exact shape Sources.toWide pivots
+    assert(s.resultSchema.fieldNames.toSeq ==
+      Seq("time", "measurement", "field", "value", "dc", "host"))
+    intercept[IllegalArgumentException] {
+      s.copy(start = "yesterday")
+    }
+    intercept[IllegalArgumentException] {
+      s.copy(measurement = "cpu\" or true") // Flux metacharacters
+    }
+    intercept[IllegalArgumentException] {
+      InfluxSource("ftp://x", "o", "b", "m")
+    }
+  }
+
   test("S1-prod JDBC pagination -> partition math (fetch_size loop becomes numPartitions)") {
     import graft.sources.JdbcSource
     // 6M keys at 50k per page = 120 pages -> capped at 64 partitions

@@ -26,6 +26,22 @@ class UtilsSpec extends SparkSpec {
       Utils.writeSingleFile(df, s"$dir/d.xml"))
   }
 
+  test("single-file row cap is enforced, loudly, before any collect") {
+    val dir = Files.createTempDirectory("graft_utils_cap").toString
+    val big = spark.range(0, 50).toDF("id")
+    val e = intercept[IllegalStateException](
+      Utils.writeSingleFile(big, s"$dir/big.jsonl", maxRows = 10L))
+    assert(e.getMessage.contains("single-file cap of 10 rows"))
+    assert(e.getMessage.contains("Sinks.load"))
+    assert(!Files.exists(Paths.get(s"$dir/big.jsonl")),
+      "guard must trip before anything is written")
+    // exactly at the cap still writes
+    Utils.writeSingleFile(big, s"$dir/ok.jsonl", maxRows = 50L)
+    assert(Sources.file(spark, s"$dir/ok.jsonl").count() == 50)
+    intercept[IllegalArgumentException](
+      Utils.writeSingleFile(big, s"$dir/x.jsonl", maxRows = 0L))
+  }
+
   test("deep config merge: later wins, nested maps merge (common_utils.py:354)") {
     val a = Map("db" -> Map("host" -> "x", "port" -> 1), "n" -> 1)
     val b = Map("db" -> Map("port" -> 2), "m" -> 3)
