@@ -231,6 +231,67 @@ object Bench {
         if (lastCompact.nonEmpty) println(lastCompact)
       }
     }
+    // ---- optional BIG decade (`SPARK_GRAFT_SF1_DIR`): re-time the
+    // top-N most expensive queries at a LARGER scale factor (a 10×
+    // key-shifted scale-up lives outside the read-only testdata tree,
+    // e.g. /tmp/sf1 — see BASELINE.md "sf1 decade"). Small-SF slopes
+    // understate asymptotic growth because fixed costs inflate the
+    // denominator; the big decade measures growth where data dominates,
+    // which is what catches quadratic-in-a-block shapes empirically.
+    sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+      .foreach { bigDir =>
+        val sfOf = raw"sf([0-9.]+)/?$$".r
+        val mainSf = sfOf.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+        val bigSf = sfOf.findFirstMatchIn(bigDir).map(_.group(1).toDouble)
+        for (m <- mainSf; b <- bigSf if b > m) {
+          val topN = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "20").toInt
+          val medianOf = (n: String) =>
+            raw.get(n).filter(_.nonEmpty)
+              .map(vs => vs.sorted.apply(vs.length / 2))
+          val top = names.flatMap { case (n, fn) =>
+            medianOf(n).map(t => (n, fn, t)) }
+            .sortBy(-_._3).take(topN)
+          val big = scala.collection.mutable.Map.empty[String, Double]
+          for (p <- 1 to 2; (name, fn, _) <- top) {
+            val t0 = System.nanoTime()
+            try fn(spark, bigDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] $name slope@$bigDir failed: " +
+                e.getMessage)
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            big(name) = math.min(big.getOrElse(name, Double.MaxValue), secs)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            spark.catalog.clearCache()
+          }
+          val decade = math.log10(b / m)
+          val slopes = top.flatMap { case (name, _, tMain) =>
+            big.get(name).filter(_ > 0).filter(_ => tMain > 0)
+              .map(tBig => name -> math.log10(tBig / tMain) / decade)
+          }
+          val superlinear = slopes.filter(_._2 > 1.15).map(_._1)
+          val slopeJson = slopes.map { case (n, s) =>
+            "\"" + n + f"""\":$s%.3f""" }.mkString("{", ",", "}")
+          val bigJson = big.toSeq.sortBy(_._1).map { case (n, v) =>
+            "\"" + n + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+          val path = java.nio.file.Paths.get("BENCH_FULL.json")
+          val base = java.nio.file.Files.readString(path).trim
+            .stripSuffix("}")
+          java.nio.file.Files.writeString(path,
+            base + s""","slopes_sf1":$slopeJson,"sf1_secs":$bigJson,""" +
+              s""""sf1_dir":"$bigDir","superlinear_sf1":${superlinear
+                .map("\"" + _ + "\"").mkString("[", ",", "]")}}\n""")
+          println(s"""{"metric":"slope_sf1","top_n":${top.length},""" +
+            s""""superlinear_n":${superlinear.length},""" +
+            s""""superlinear":${superlinear.map("\"" + _ + "\"")
+              .mkString("[", ",", "]")},"full":"BENCH_FULL.json"}""")
+          if (lastCompact.nonEmpty) println(lastCompact)
+        }
+      }
+
     spark.stop()
     // a run with any thrown query is NOT a clean benchmark: the JSON
     // carries the names, the exit code makes the harness notice

@@ -35,25 +35,28 @@ object Triangles {
     */
   def census(edges: DataFrame, srcCol: String, dstCol: String,
       roundTo: Int = 6): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // canonicalize: undirected edge stored once as (lo, hi), loops out.
     // The canonical edge list feeds FOUR consumers (degree table,
     // orientation, wedge close, edge count) across separate jobs —
-    // persist it (spill-safe) so the upstream edge construction runs
-    // once, the standard lineage cut every distributed graph engine
-    // makes before iterating/fanning out. Same for the degree table.
+    // materialize it ONCE via eager localCheckpoint so the upstream
+    // edge construction never re-runs, the standard lineage cut every
+    // distributed graph engine makes before fanning out. Checkpoint,
+    // not persist(): a returned-plan operator has no scope to
+    // unpersist, and persist entries sit in the CacheManager forever;
+    // checkpoint blocks are ContextCleaner-freed when the plan is
+    // dropped. Same for the degree table.
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")
         && col("u").isNotNull && col("v").isNotNull)
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val deg = e.select(col("u").as("x"))
       .unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // orient by (degree, id): src ≺ dst. The degree join is two hash
     // joins against a node-cardinality table.

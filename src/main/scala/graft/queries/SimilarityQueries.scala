@@ -275,7 +275,10 @@ object SimilarityQueries extends QuerySection {
       iters = 0)
     val q = e.filter(col("vec_id") < 10)
     val cand = Ann.pqTopK(q, e, "embedding", "vec_id", k = 20, books)
-      .persist()
+      // eager localCheckpoint, not persist(): same single-materialization
+      // guarantee, but the 200-row block is ContextCleaner-freed with
+      // the plan instead of leaking a CacheManager entry per call
+      .localCheckpoint()
     Ann.rerank(cand, q, e, "embedding", "vec_id", k = 5)
       .join(cand.select(col("query_id"), col("corpus_id"),
         col("rank").as("adc_rank")), Seq("query_id", "corpus_id"))
