@@ -1031,6 +1031,41 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("block"), col("dl"))
   }
 
+  /** J33 — GLOBAL exact edit-distance self-join via PassJoin segment
+    * blocking (`ErBlocking.editSegmentPairs`): all distinct-name pairs
+    * within edit distance 3, with NO blocking key at all — the regime
+    * j19/j30/j32 cannot enter (their first-token block drops
+    * cross-block near-matches like "hot bolt"/"old bolt", ed 3; the
+    * `n_cross_block` column counts exactly those recovered pairs).
+    * Candidate generation is the pigeonhole segment join — blocking
+    * key (target length, slot, segment text) is high-cardinality by
+    * construction, probe fan-out a constant ≤ (2τ+1)²(τ+1) per string,
+    * exact recall — so this is the shape that survives a corpus of
+    * mostly-UNIQUE names where any vocabulary block goes quadratic.
+    * Record-pair counts expand from name counts (the j32
+    * dedupe-before-pair move). The oracle replays the SEMANTICS (a
+    * distinct-name cross join + levenshtein, trivial at oracle scale);
+    * the segment machinery is the distributed path to the same rows. */
+  private def j33SegmentEr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErBlocking
+    val p = Tables.load(s, dir, "part")
+    val counts = p.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = ErBlocking.editSegmentPairs(p, "p_name", tau = 3)
+      .join(counts.select(col("name").as("a_name"), col("cnt").as("a_cnt")),
+        Seq("a_name"))
+      .join(counts.select(col("name").as("b_name"), col("cnt").as("b_cnt")),
+        Seq("b_name"))
+    pairs
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_value_pairs"),
+        sum(col("a_cnt") * col("b_cnt")).as("n_record_pairs"),
+        sum(when(split(col("a_name"), " ").getItem(0) =!=
+          split(col("b_name"), " ").getItem(0), 1L).otherwise(0L))
+          .as("n_cross_block"))
+      .orderBy(col("dist"))
+  }
+
   /** J31 — NOT IN vs NOT EXISTS null semantics (the classic silent
     * data-bug): `x NOT IN (subquery)` is three-valued — ONE null in
     * the subquery makes every row UNKNOWN, so the result is EMPTY,
@@ -2585,6 +2620,7 @@ object RelationalQueries extends QuerySection {
     "j30_jw_linkage" -> (j30JwLinkage _),
     "j31_not_in_null" -> (j31NotInNull _),
     "j32_damerau_blocked" -> (j32DamerauBlocked _),
+    "j33_segment_er" -> (j33SegmentEr _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3469,6 +3505,21 @@ object RelationalQueries extends QuerySection {
         |  CAST(0 AS BIGINT) AS err
         |FROM r WHERE rk <= 10
         |ORDER BY event_type, rk""".stripMargin,
+    "j33_segment_er" ->
+      """WITH n AS (
+        |  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.name AS a_name, b.name AS b_name,
+        |    a.cnt AS a_cnt, b.cnt AS b_cnt,
+        |    levenshtein(a.name, b.name) AS dist
+        |  FROM n a JOIN n b ON a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 3)
+        |SELECT dist, count(*) AS n_value_pairs,
+        |  CAST(sum(a_cnt * b_cnt) AS BIGINT) AS n_record_pairs,
+        |  CAST(sum(CASE WHEN string_split(a_name, ' ')[1] <>
+        |    string_split(b_name, ' ')[1] THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_cross_block
+        |FROM pairs GROUP BY dist ORDER BY dist""".stripMargin,
     "q_spacesaving_approx" ->
       """WITH ev AS (
         |  SELECT lang FROM documents WHERE lang IS NOT NULL),

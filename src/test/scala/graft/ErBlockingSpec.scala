@@ -71,6 +71,76 @@ class ErBlockingSpec extends SparkSpec {
     assert(strict.length === 4)
   }
 
+  test("editSegmentPairs: exact recall+precision vs brute force (random)") {
+    // seeded random strings over a tiny alphabet so near-pairs are
+    // plentiful; equivalence with the O(n²) cross join proves BOTH
+    // pigeonhole recall (no pair missed) and verify precision
+    val rng = new scala.util.Random(7L)
+    val strs = (0 until 70).map { _ =>
+      val l = 5 + rng.nextInt(7)
+      (1 to l).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+    }.distinct
+    for (tau <- Seq(1, 2, 3)) {
+      val df = strs.toDF("name")
+      val got = ErBlocking.editSegmentPairs(df, "name", tau)
+        .as[(String, String, Long)].collect().toSet
+      val want = (for {
+        a <- strs; b <- strs if a < b
+        d = bruteEd(a, b) if d <= tau
+      } yield (a, b, d.toLong)).toSet
+      assert(got === want, s"tau=$tau: diff ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
+
+  test("editSegmentPairs: finds cross-block pairs first-token blocking misses") {
+    val df = Seq("hot bolt", "old bolt", "hot gear", "big gears")
+      .toDF("name")
+    val got = ErBlocking.editSegmentPairs(df, "name", tau = 3)
+      .as[(String, String, Long)].collect().toSet
+    val ed = bruteEd("hot bolt", "old bolt") // 3: different first token
+    assert(ed <= 3 && got.contains(("hot bolt", "old bolt", ed.toLong)),
+      s"cross-block near-match missed: $got")
+  }
+
+  test("editSegmentPairs: short-string contract and bucket guard trip") {
+    intercept[IllegalStateException] {
+      ErBlocking.editSegmentPairs(Seq("ab", "abcdef").toDF("name"),
+        "name", tau = 3) // "ab" shorter than tau+1
+    }
+    // 20 strings sharing a long constant prefix: every prefix-region
+    // segment bucket holds all 20 — the skew guard must refuse at 10
+    val pref = (0 until 20).map(i => f"aaaaaaaaaaaa$i%02d").toDF("name")
+    val e = intercept[IllegalStateException] {
+      ErBlocking.editSegmentPairs(pref, "name", tau = 2, maxBucket = 10L)
+    }
+    assert(e.getMessage.contains("segment blocking"))
+    // with an adequate cap the same input works and is exact
+    val ok = ErBlocking.editSegmentPairs(pref, "name", tau = 2,
+      maxBucket = 100L).as[(String, String, Long)].collect()
+    val names = (0 until 20).map(i => f"aaaaaaaaaaaa$i%02d")
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = bruteEd(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(ok.toSet === want)
+  }
+
+  /** Reference Levenshtein (full DP) for the equivalence oracles. */
+  private def bruteEd(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
   test("top-k via candidateRowPairs equals the naive row-pair join") {
     // score = jaro_winkler-like proxy: equality-based tiers so the
     // test controls tie structure without the native expression
