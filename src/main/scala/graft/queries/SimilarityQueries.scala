@@ -285,6 +285,63 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion ([[Ann.rrfFuse]]) —
+    * the serving pattern a RAG corpus actually runs: a LEXICAL
+    * retriever (BM25 over the document text, the query doc's distinct
+    * tokens as the query — `text_bm25`'s scoring on the full postings)
+    * and a VECTOR retriever (exact cosine top-K over the aligned
+    * embeddings — `ann_topk`'s path) each produce a top-20, and RRF
+    * combines them score-free (1/(60+rank) per list). Judged on the
+    * fused top-5 per query WITH both source ranks (nullable — a doc in
+    * only one list is the interesting case), so the fusion itself is
+    * what the oracle checks. Both base scores are rounded to 6 dp
+    * before ranking in BOTH engines, so no rank can flip in the last
+    * ulp; RRF of integer ranks is rational and rounds identically.
+    * Scale shape: postings touch only the query docs' terms (the query
+    * side broadcasts), the vector side is the brute path this corpus
+    * size warrants (swap [[Ann.ivfTopK]]/[[Ann.pqTopK]] in at scale —
+    * fusion is retriever-agnostic), and fusing is one hash aggregate. */
+  private def annHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val (k1, b) = (1.2, 0.75)
+    val kList = 20
+    val docs = graft.Tables.load(s, dir, "documents")
+    val toks = TextAnalysis.shingleRows(docs, "doc_id", "text", 1)
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+      avg(col("dl")).as("avgdl"))
+    val post = toks.groupBy(col("shingle"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy(col("shingle"))
+      .agg(countDistinct(col("id")).as("dfc"))
+    val qTerms = toks.filter(col("id") < 3)
+      .select(col("id").as("query_id"), col("shingle")).distinct()
+    val idf = log(lit(1.0)
+      + (col("nd") - col("dfc") + 0.5) / (col("dfc") + 0.5))
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val lexScore = broadcast(qTerms).join(post, Seq("shingle"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(dfreq), Seq("shingle"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("id").as("doc_id"))
+      .agg(round(sum(idf * col("tf") * (k1 + 1.0) / norm), 6).as("lex"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("lex"), col("doc_id"))
+    val lexTop = lexScore
+      .withColumn("rank", row_number().over(wLex)).filter(col("rank") <= kList)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val e = emb(s, dir)
+    val vecTop = Ann.bruteTopK(e.filter(col("vec_id") < 3), e,
+        "embedding", "vec_id", kList)
+      .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+    Ann.rrfFuse(Seq("lex" -> lexTop, "vec" -> vecTop), kOut = 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The k-means UPDATE step oracle-judged (the trained-codebook loop
     * = this step iterated): seed cells from the 8 smallest ids,
     * assignment by max dot (ties → higher cell), per-(cell, dim)
@@ -310,6 +367,7 @@ object SimilarityQueries extends QuerySection {
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_rerank" -> (annRerank _),
+    "ann_hybrid_rrf" -> (annHybridRrf _),
     "ann_centroids" -> (annCentroids _)
   )
 
@@ -536,6 +594,63 @@ object SimilarityQueries extends QuerySection {
         |  CAST(d.i AS INT) AS dim, round(d.m / n.nrm, 6) AS c_val
         |FROM dims d JOIN norms n USING (cell) JOIN counts c USING (cell)
         |ORDER BY cell, dim""".stripMargin,
+    "ann_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS t FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |post AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS dfc
+        |  FROM post GROUP BY t),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
+        |  WHERE doc_id < 3),
+        |lex AS (
+        |  SELECT q.query_id, p.doc_id,
+        |    round(sum(
+        |      ln(1.0 + ((SELECT nd FROM st) - dfc + 0.5) / (dfc + 0.5))
+        |      * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM st)))),
+        |      6) AS lex
+        |  FROM qt q JOIN post p ON p.t = q.t AND p.doc_id <> q.query_id
+        |  JOIN dfq ON dfq.t = p.t JOIN dl ON dl.doc_id = p.doc_id
+        |  GROUP BY 1, 2),
+        |lexr AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY lex DESC, doc_id) AS INT)
+        |    AS lex_rank
+        |  FROM lex
+        |  QUALIFY lex_rank <= 20),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |vec AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(q.v, c.v), 6) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+        |vecr AS (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT)
+        |    AS vec_rank
+        |  FROM vec
+        |  QUALIFY vec_rank <= 20),
+        |u AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    l.lex_rank, v.vec_rank
+        |  FROM lexr l FULL OUTER JOIN vecr v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        |f AS (
+        |  SELECT query_id, doc_id, lex_rank, vec_rank,
+        |    round(coalesce(1.0 / (60 + lex_rank), 0)
+        |      + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
+        |  FROM u)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+        |  doc_id, rrf, lex_rank, vec_rank
+        |FROM f
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "ann_pq" -> pqOracle,
     "ann_ivfpq" -> ivfPqOracle,
     "ann_rerank" -> rerankOracle,

@@ -70,6 +70,41 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard score-free combiner for HYBRID retrieval (lexical BM25 +
+    * vector similarity): each retriever contributes 1/(rrfK + rank)
+    * for the documents in its top list, so incompatible score scales
+    * never need calibrating. Input: `(name, df)` per retriever with
+    * columns `(query_id, doc_id, rank)` (its top-K only — absent docs
+    * simply contribute nothing, the standard convention). Output: the
+    * fused top `kOut` per query with the fused `rrf` score (rounded so
+    * the cross-engine ranking can't flip in the last ulp), the fused
+    * `rank`, and each retriever's rank as `<name>_rank` (null when the
+    * doc wasn't in that retriever's list).
+    *
+    * Scale shape: a union + one hash aggregate on (query, doc) + one
+    * per-query window over ≤ Σ K rows per query — no full-outer join
+    * chain, so fusing N retrievers stays one shuffle. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], kOut: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking to fuse")
+    require(kOut >= 1 && rrfK >= 1, s"bad kOut=$kOut / rrfK=$rrfK")
+    val tagged = lists.map { case (nm, df) =>
+      df.select(col("query_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"), lit(nm).as("src"))
+    }.reduce(_ unionAll _)
+    val rankCols = lists.map { case (nm, _) =>
+      max(when(col("src") === nm, col("rank"))).as(s"${nm}_rank")
+    }
+    val fused = tagged.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"),
+        rankCols: _*)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= kOut)
+  }
+
   /** Johnson–Lindenstrauss signed projection matrix: `dOut × dIn` signs
     * in {±1}, each derived from the md5 of `salt|i|j` (the portable
     * deterministic-randomness bridge every sampling operator here

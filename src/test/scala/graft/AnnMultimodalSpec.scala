@@ -227,6 +227,30 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(nonVideo.agg(max($"frame_no")).head().getInt(0) == 0)
   }
 
+  test("reciprocal-rank fusion: hand-computed scores, single-list docs, guards") {
+    import graft.similarity.Ann
+    // query 1: doc 10 ranked 1st by both lists, doc 11 only lexical,
+    // doc 12 only vector at rank 1 (vector list disagrees with lexical)
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 12L, 1), (1L, 10L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Ann.rrfFuse(Seq("lex" -> lex, "vec" -> vec), kOut = 3)
+      .orderBy($"rank")
+      .select($"rank", $"doc_id", $"rrf", $"lex_rank", $"vec_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4))))
+    def rr(r: Int) = 1.0 / (60 + r)
+    def rnd(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 10: both lists (1/61 + 1/62) beats either single-list doc
+    assert(out(0) == ((1, 10L, rnd(rr(1) + rr(2)), Some(1), Some(2))))
+    // docs 11 and 12: one list each — 12 at rank 1 beats 11 at rank 2
+    assert(out(1) == ((2, 12L, rnd(rr(1)), None, Some(1))))
+    assert(out(2) == ((3, 11L, rnd(rr(2)), Some(2), None)))
+    intercept[IllegalArgumentException](Ann.rrfFuse(Nil, 3))
+    intercept[IllegalArgumentException](
+      Ann.rrfFuse(Seq("l" -> lex), kOut = 0))
+  }
+
   test("int8 quantization: 4x narrower codes, tiny cosine loss, zero guard") {
     val e = Tables.load(spark, sf0001, "embeddings")
     val q = Ann.quantizeInt8(e, "embedding")
