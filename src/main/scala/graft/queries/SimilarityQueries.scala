@@ -123,6 +123,25 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The PERSISTED-index IVF path ([[Ann.buildIvfIndex]] →
+    * [[Ann.ivfIndexTopK]]): the corpus is cell-assigned ONCE and
+    * written as cell-partitioned postings + codebook; the query batch
+    * probes only its cells' partitions (static partition pruning on
+    * the postings scan — the serving shape where a 100 TB corpus scan
+    * becomes nprobe/nlist of the files). Same parameters as `ann_ivf`
+    * and judged against the SAME oracle SQL: the stored-index route
+    * must reproduce the inline route's results exactly — that
+    * round-trip equality is what's being judged. */
+  private def annIvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .toString + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8)
+    Ann.ivfIndexTopK(s, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", path, k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact range search: all neighbors with cosine ≥ 0.25 of the first
     * 10 vectors — the unknown-neighbor-count dual of `ann_topk`,
     * oracle-checked pair-for-pair. */
@@ -364,6 +383,7 @@ object SimilarityQueries extends QuerySection {
     "ann_mips" -> (annMips _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_index" -> (annIvfIndex _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_rerank" -> (annRerank _),
@@ -675,6 +695,7 @@ object SimilarityQueries extends QuerySection {
     "ann_lsh" -> lshOracle,
     "ann_recall" -> recallOracle,
     "ann_ivf" -> ivfOracle,
+    "ann_ivf_index" -> ivfOracle,
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 30),

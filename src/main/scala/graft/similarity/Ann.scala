@@ -307,32 +307,98 @@ object Ann {
     * Collecting the codebook is driver-side by design: nlist×dim
     * doubles, always broadcast state.
     */
+  // per-row cell scores as (dot, cellId) structs; array_max /
+  // array_sort order lexicographically → argmax with index tiebreak.
+  // Shared by the inline IVF paths and the persisted-index pair.
+  private def cellStructs(centroids: Array[Array[Double]],
+      v: Column): Column = array(
+    centroids.zipWithIndex.map { case (c, i) =>
+      val plane = array(c.map(lit): _*)
+      struct(org.apache.spark.sql.graftx.DotProduct(v, plane).as("d"),
+        lit(i).as("i"))
+    }: _*)
+  private def bestCell(centroids: Array[Array[Double]], v: Column): Column =
+    array_max(cellStructs(centroids, v)).getField("i")
+  private def probeCells(centroids: Array[Array[Double]], nprobe: Int,
+      v: Column): Column = transform(
+    slice(reverse(array_sort(cellStructs(centroids, v))), 1, nprobe),
+    s => s.getField("i"))
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
       codebook: Option[Array[Array[Double]]] = None): DataFrame = {
     val centroids: Array[Array[Double]] =
       codebook.getOrElse(seedCodebook(corpus, vecCol, idCol, nlist))
 
-    // per-row cell scores as (dot, cellId) structs; array_max /
-    // array_sort order lexicographically → argmax with index tiebreak
-    def cellStructs(v: Column): Column = array(
-      centroids.zipWithIndex.map { case (c, i) =>
-        val plane = array(c.map(lit): _*)
-        struct(org.apache.spark.sql.graftx.DotProduct(v, plane).as("d"),
-          lit(i).as("i"))
-      }: _*)
-    def bestCell(v: Column): Column = array_max(cellStructs(v)).getField("i")
-    def probeCells(v: Column): Column = transform(
-      slice(reverse(array_sort(cellStructs(v))), 1, nprobe),
-      s => s.getField("i"))
-
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"),
-      bestCell(col(vecCol).cast("array<double>")).as("cell"))
+      bestCell(centroids, col(vecCol).cast("array<double>")).as("cell"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
-        explode(probeCells(col(vecCol).cast("array<double>"))).as("cell")))
+        explode(probeCells(centroids, nprobe,
+          col(vecCol).cast("array<double>"))).as("cell")))
     val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Persist the IVF INDEX of a corpus — the ANN twin of
+    * `dedup.Dedup.buildMinhashIndex`, and the serving shape at 100 TB:
+    * the corpus is assigned to its codebook cells ONCE and written as
+    * CELL-PARTITIONED postings (`path/postings/cell=<i>/…`) plus the
+    * codebook rows (`path/codebook`). A query batch then probes only
+    * its cells' partitions — the scan prunes to
+    * nprobe/nlist of the corpus on disk, no re-sketching, no full
+    * scan — and a new corpus increment appends its own postings into
+    * the same layout without touching history. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      path: String, nlist: Int = 8,
+      codebook: Option[Array[Array[Double]]] = None): Unit = {
+    val centroids = codebook.getOrElse(
+      seedCodebook(corpus, vecCol, idCol, nlist))
+    corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", bestCell(centroids, col("cv")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Top-k against a STORED IVF index ([[buildIvfIndex]]): read the
+    * codebook (nlist×dim doubles — driver/broadcast state by design),
+    * compute each query's probe cells, statically prune the postings
+    * scan to the batch's probe-cell partitions, and exact-rank inside
+    * them. Identical results to [[ivfTopK]] with the same codebook —
+    * what changes is WHERE the cell assignment work happened (once, at
+    * index build) and how much of the corpus the query scan touches
+    * (nprobe/nlist of the partitions, enforced by partition pruning,
+    * not a full pass). */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        explode(probeCells(centroids, nprobe,
+          col(vecCol).cast("array<double>"))).as("cell")))
+    // the batch's probe-cell set: ≤ nlist driver-side ints, turned into
+    // a static partition-pruning predicate on the postings scan
+    val cells = q.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(cells: _*))
+    val scored = post.join(q, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))

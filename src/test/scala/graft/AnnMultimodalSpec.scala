@@ -227,6 +227,43 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(nonVideo.agg(max($"frame_no")).head().getInt(0) == 0)
   }
 
+  test("persisted IVF index: equals inline ivfTopK; scan prunes to probe cells") {
+    import graft.similarity.Ann
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx_spec")
+      .toString + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8)
+    val stored = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path,
+      k = 5, nprobe = 3)
+    val inline = Ann.ivfTopK(q, e, "embedding", "vec_id", k = 5,
+      nlist = 8, nprobe = 3)
+    assert(stored.exceptAll(inline).isEmpty &&
+      inline.exceptAll(stored).isEmpty,
+      "stored-index route must reproduce the inline route exactly")
+    // cell-partitioned layout on disk: one directory per cell
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty && dirs.length <= 8,
+      s"expected cell=<i> partition dirs, got ${dirs.mkString(",")}")
+    // narrow probe prunes the postings scan: with nprobe=1 the batch's
+    // probe-cell set (and thus the files read) is a strict subset
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = Ann.ivfIndexTopK(spark, q.limit(1), "embedding", "vec_id",
+        path, k = 5, nprobe = 1)
+      val scanned = one.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("postings")) =>
+          f.selectedPartitions.partitionCount
+      }
+      assert(scanned.nonEmpty && scanned.forall(_ <= 1),
+        s"nprobe=1 single-query scan must touch <= 1 cell partition, " +
+          s"got $scanned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("reciprocal-rank fusion: hand-computed scores, single-list docs, guards") {
     import graft.similarity.Ann
     // query 1: doc 10 ranked 1st by both lists, doc 11 only lexical,
