@@ -142,6 +142,29 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** INCREMENTAL index maintenance judged ([[Ann.appendIvfIndex]]):
+    * the index is built from the historical slice (vec_id < 400 —
+    * which contains the 8 seed vectors, so the codebook equals the
+    * full-corpus one), the increment (vec_id ≥ 400) is APPENDED using
+    * the index's stored codebook, and the query result over the
+    * combined postings must equal the inline full-corpus route —
+    * judged against the SAME oracle SQL as `ann_ivf`. This is the
+    * daily-batch contract at 100 TB: history is never rescanned or
+    * rewritten, and correctness of the merged index is
+    * oracle-checked, not assumed. */
+  private def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfinc")
+      .toString + "/idx"
+    Ann.buildIvfIndex(e.filter(col("vec_id") < 400), "embedding",
+      "vec_id", path, nlist = 8)
+    Ann.appendIvfIndex(s, e.filter(col("vec_id") >= 400), "embedding",
+      "vec_id", path)
+    Ann.ivfIndexTopK(s, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", path, k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact range search: all neighbors with cosine ≥ 0.25 of the first
     * 10 vectors — the unknown-neighbor-count dual of `ann_topk`,
     * oracle-checked pair-for-pair. */
@@ -384,6 +407,7 @@ object SimilarityQueries extends QuerySection {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
+    "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_rerank" -> (annRerank _),
@@ -696,6 +720,7 @@ object SimilarityQueries extends QuerySection {
     "ann_recall" -> recallOracle,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_index" -> ivfOracle,
+    "ann_ivf_incremental" -> ivfOracle,
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 30),

@@ -210,7 +210,41 @@ object SourceQueries extends QuerySection {
       .select(col("n_clean"), col("n_quarantined"), col("clean_value"))
   }
 
+  /** S-prod seams JUDGED: the compiled production artifacts — JDBC
+    * dbtable subquery, Mongo aggregation pipeline, Flux query — emitted
+    * as rows and hash-compared against the oracle's literal expected
+    * strings. The seams are deterministic pure compilations (that's
+    * their whole design), so judging the artifact text is exactly as
+    * strong as the spec assertions, but it puts the production mapping
+    * under the same oracle gate as every data operator: a drifting
+    * option compilation breaks CORRECTNESS, not just a unit test. */
+  private def s13ProdSeams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jdbc = graft.sources.JdbcSource(
+      "jdbc:postgresql://db:5432/lake", "public.orders",
+      where = Some("o_totalprice > 100"),
+      partitionColumn = Some("o_orderkey"), lowerBound = Some(1L),
+      upperBound = Some(6000000L), numPartitions = Some(32))
+    val mongo = graft.sources.MongoSource(
+      "mongodb://db:27017", "lake", "events",
+      filterDict = Map("status" -> "active",
+        "value" -> Map("$gte" -> 100)),
+      sort = Seq("ts" -> -1), limit = Some(500))
+    val influx = graft.sources.InfluxSource(
+      "http://influx:8086", "graft", "lake", "cpu",
+      start = "-1h", stop = "now()",
+      fields = Seq("usage_user"), tags = Map("host" -> "web-1"))
+    Seq(
+      ("jdbc_dbtable", jdbc.options("dbtable")),
+      ("jdbc_parts", jdbc.options("numPartitions")),
+      ("mongo_pipeline", mongo.pipelineJson),
+      ("influx_flux", influx.flux.replace("\n  ", " ")))
+      .toDF("seam", "artifact")
+      .orderBy(col("seam"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s13_prod_seams" -> (s13ProdSeams _),
     "s11_quarantine" -> (s11Quarantine _),
     "s10_schema_evolution" -> (s10SchemaEvolution _),
     "s4_file_roundtrip" -> (s4FileRoundtrip _),
@@ -226,6 +260,17 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "s13_prod_seams" ->
+      """SELECT * FROM (VALUES
+        |  ('influx_flux',
+        |   'from(bucket: "lake") |> range(start: -1h, stop: now()) |> filter(fn: (r) => r._measurement == "cpu") |> filter(fn: (r) => r._field == "usage_user") |> filter(fn: (r) => r.host == "web-1")'),
+        |  ('jdbc_dbtable',
+        |   '(SELECT * FROM public.orders WHERE o_totalprice > 100) __graft_src'),
+        |  ('jdbc_parts', '32'),
+        |  ('mongo_pipeline',
+        |   '[{"$match": {"status": "active", "value": {"$gte": 100}}}, {"$sort": {"ts": -1}}, {"$limit": 500}]')
+        |) AS t(seam, artifact)
+        |ORDER BY seam""".stripMargin,
     "s11_quarantine" ->
       """SELECT
         |  CAST(sum(CASE WHEN event_id % 20 <> 0 THEN 1 ELSE 0 END)

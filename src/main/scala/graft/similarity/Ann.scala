@@ -373,6 +373,25 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** Append a corpus INCREMENT into a stored IVF index: the new rows
+    * are assigned with the index's OWN stored codebook (read back, so
+    * assignment drift between build-time and append-time is impossible
+    * by construction) and appended as cell-partitioned files. History
+    * is never rewritten — the 100 TB maintenance contract, same as
+    * `dedup.Dedup.buildMinhashIndex`'s bucket appends. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      increment: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    increment.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", bestCell(centroids, col("cv")))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/postings")
+  }
+
   /** Top-k against a STORED IVF index ([[buildIvfIndex]]): read the
     * codebook (nlist×dim doubles — driver/broadcast state by design),
     * compute each query's probe cells, statically prune the postings

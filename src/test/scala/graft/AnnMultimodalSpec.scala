@@ -264,6 +264,41 @@ class AnnMultimodalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("IVF index append: merged postings equal full rebuild; history untouched") {
+    import graft.similarity.Ann
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val base = e.filter($"vec_id" < 300)   // holds the 8 seed vectors
+    val inc = e.filter($"vec_id" >= 300)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+      .toString + "/idx"
+    Ann.buildIvfIndex(base, "embedding", "vec_id", path, nlist = 8)
+    val beforeFiles = fileSet(s"$path/postings")
+    Ann.appendIvfIndex(spark, inc, "embedding", "vec_id", path)
+    // append-only: every pre-existing posting file survives unmodified
+    assert(fileSet(s"$path/postings").keySet.intersect(beforeFiles.keySet)
+      .forall(f => fileSet(s"$path/postings")(f) == beforeFiles(f)),
+      "append must not rewrite historical posting files")
+    val merged = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path,
+      k = 5, nprobe = 3)
+    val fullPath = java.nio.file.Files.createTempDirectory("graft_ivffull")
+      .toString + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", fullPath, nlist = 8)
+    val rebuilt = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id",
+      fullPath, k = 5, nprobe = 3)
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty,
+      "incrementally-maintained index must equal a full rebuild")
+  }
+
+  private def fileSet(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
   test("reciprocal-rank fusion: hand-computed scores, single-list docs, guards") {
     import graft.similarity.Ann
     // query 1: doc 10 ranked 1st by both lists, doc 11 only lexical,
