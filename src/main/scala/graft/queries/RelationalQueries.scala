@@ -1670,6 +1670,59 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("block"), col("rk"))
   }
 
+  /** J34 — END-TO-END entity-resolution pipeline: the full chain a
+    * production ER run composes from this round's pieces — (1) class
+    * rollup with the min row key as each name-class's portable node
+    * id, (2) the enforced block-cap guard, (3) Jaro–Winkler scoring on
+    * CLASS pairs (row-count-independent), (4) CLUSTER formation over
+    * the match graph via `dedup.Cluster.connectedComponents`
+    * (large-star/small-star at scale, driver union-find below the
+    * threshold — so transitive matches A~B~C collapse even when A and
+    * C were never compared), and (5) survivorship: the canonical class
+    * is the one holding the cluster's min key, and every record rolls
+    * up under it. The match rule is j19's banded Levenshtein ≤ 3 —
+    * on this lake it chains X-bolt ~ X-rod ~ X-ring into one cluster
+    * per block even though bolt and ring (edit distance 4) never match
+    * directly, which is precisely the transitive behavior step (4)
+    * exists for. Judged per cluster: block, canonical key + name,
+    * distinct member names, total member records. The oracle replays
+    * the clustering with a recursive min-label CTE (the
+    * `graph_reachability` pattern) over the same class-pair edges —
+    * so the distributed CC result is checked against an independent
+    * fixpoint computation, not against itself. */
+  private def j34ErPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErBlocking
+    val classes = Tables.load(s, dir, "part")
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("ckey"))
+      .withColumn("block", split(col("p_name"), " ").getItem(0))
+    ErBlocking.requireBoundedBlocks(
+      classes.select(col("block"), col("p_name").as("name")),
+      10000L, "j34_er_pipeline")
+    val a = classes.select(col("block"), col("p_name").as("a_name"),
+      col("ckey").as("a_ckey"))
+    val b = classes.select(col("block"), col("p_name").as("b_name"),
+      col("ckey").as("b_ckey"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("a_name") < col("b_name")
+        && abs(length(col("a_name")) - length(col("b_name"))) <= 3
+        && levenshtein(col("a_name"), col("b_name"), 3).between(0, 3))
+      .select(col("a_ckey").as("src"), col("b_ckey").as("dst"))
+    val comp = graft.dedup.Cluster.connectedComponents(edges, "src", "dst")
+    val withComp = classes
+      .join(comp.withColumnRenamed("node", "ckey"), Seq("ckey"), "left")
+      .withColumn("cluster", coalesce(col("comp"), col("ckey")))
+    val canon = withComp.filter(col("ckey") === col("cluster"))
+      .select(col("cluster"), col("p_name").as("canonical_name"))
+    withComp.groupBy(col("block"), col("cluster"))
+      .agg(countDistinct(col("p_name")).as("n_names"),
+        sum(col("cnt")).as("n_records"))
+      .join(canon, Seq("cluster"))
+      .select(col("block"), col("cluster").as("canon_key"),
+        col("canonical_name"), col("n_names"), col("n_records"))
+      .orderBy(col("block"), col("canon_key"))
+  }
+
   /** Custom PHYSICAL operator top-k (the LogicalPlan + Strategy +
     * SparkPlan extension point, completing the portfolio beside the
     * scalar Expression, native aggregate, and optimizer-rule ones):
@@ -2621,6 +2674,7 @@ object RelationalQueries extends QuerySection {
     "j31_not_in_null" -> (j31NotInNull _),
     "j32_damerau_blocked" -> (j32DamerauBlocked _),
     "j33_segment_er" -> (j33SegmentEr _),
+    "j34_er_pipeline" -> (j34ErPipeline _),
     "q_dow_seasonality" -> (qDowSeasonality _),
     "q_cohort_ltv" -> (qCohortLtv _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
@@ -3505,6 +3559,34 @@ object RelationalQueries extends QuerySection {
         |  CAST(0 AS BIGINT) AS err
         |FROM r WHERE rk <= 10
         |ORDER BY event_type, rk""".stripMargin,
+    "j34_er_pipeline" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT p_name, count(*) AS cnt, min(p_partkey) AS ckey,
+        |    string_split(p_name, ' ')[1] AS block
+        |  FROM part GROUP BY p_name),
+        |e0 AS (
+        |  SELECT a.ckey AS src, b.ckey AS dst FROM c a JOIN c b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |    AND levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |lbl(node, comp) AS (
+        |  SELECT ckey, ckey FROM c
+        |  UNION
+        |  SELECT e.dst, l.comp FROM lbl l JOIN edges e ON e.src = l.node),
+        |comp AS (SELECT node, min(comp) AS cluster FROM lbl GROUP BY node),
+        |m AS (SELECT c.*, comp.cluster FROM c
+        |  JOIN comp ON c.ckey = comp.node),
+        |g AS (SELECT block, cluster,
+        |    count(DISTINCT p_name) AS n_names, sum(cnt) AS n_records
+        |  FROM m GROUP BY 1, 2)
+        |SELECT g.block, g.cluster AS canon_key,
+        |  cn.p_name AS canonical_name,
+        |  CAST(g.n_names AS BIGINT) AS n_names,
+        |  CAST(g.n_records AS BIGINT) AS n_records
+        |FROM g JOIN m cn ON cn.ckey = g.cluster
+        |ORDER BY g.block, canon_key""".stripMargin,
     "j33_segment_er" ->
       """WITH n AS (
         |  SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1),
