@@ -125,6 +125,50 @@ class ErBlockingSpec extends SparkSpec {
     assert(ok.toSet === want)
   }
 
+  test("property: class-grain expansion equals naive row pairs (random)") {
+    // randomized corpora with heavy name duplication: the class-grain
+    // pair-count expansion and the candidate top-k must equal the
+    // naive row-pair join on every draw
+    val rng = new scala.util.Random(23L)
+    for (trial <- 0 until 5) {
+      val blocks = Seq("aa", "bb", "cc")
+      val names = for (b <- blocks; i <- 0 until (2 + rng.nextInt(3)))
+        yield s"$b n$i"
+      val rows = (0 until 120).map { k =>
+        (k.toLong, names(rng.nextInt(names.size)))
+      }
+      val df = rows.toDF("key", "name")
+      val classes = classesOf(df, 4)
+      val scored = ErBlocking.classPairs(classes, strict = false)
+        .withColumn("score",
+          when($"a_name" === $"b_name", 1.0).otherwise(0.9))
+      // total pair multiplicity per block == naive pair count
+      val got = scored.groupBy($"block").agg(sum($"n_cross").as("n"))
+        .as[(String, Long)].collect().toMap
+      val byBlock = rows.groupBy(_._2.split(" ")(0))
+      val want = byBlock.map { case (b, rs) =>
+        b -> (rs.size.toLong * (rs.size - 1) / 2)
+      }
+      assert(got === want.filter(_._2 > 0), s"trial $trial")
+      // top-3 row pairs from low_keys == naive top-3
+      val w = Window.partitionBy($"block")
+        .orderBy(desc("score"), $"a_key", $"b_key")
+      val topGot = ErBlocking.candidateRowPairs(scored, "score")
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"block", $"rk", $"a_key", $"b_key")
+      val p = df.withColumn("block", split($"name", " ").getItem(0))
+      val topWant = p.as("a").join(p.as("b"),
+          $"a.block" === $"b.block" && $"a.key" < $"b.key")
+        .select($"a.block".as("block"), $"a.key".as("a_key"),
+          $"b.key".as("b_key"),
+          when($"a.name" === $"b.name", 1.0).otherwise(0.9).as("score"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"block", $"rk", $"a_key", $"b_key")
+      assert(topGot.exceptAll(topWant).isEmpty &&
+        topWant.exceptAll(topGot).isEmpty, s"trial $trial top-k diverged")
+    }
+  }
+
   /** Reference Levenshtein (full DP) for the equivalence oracles. */
   private def bruteEd(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)

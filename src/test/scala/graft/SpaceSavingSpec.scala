@@ -186,6 +186,55 @@ class SpaceSavingSpec extends SparkSpec {
     assert(clean.lossy, "lossy peer must propagate through merge")
   }
 
+  test("property: random merge trees keep cnt-err <= true <= cnt") {
+    import org.apache.spark.sql.graftx.SpaceSavingBuffer
+    // 200 random trials: a Zipf-ish stream over a small alphabet is
+    // split into random chunks, each chunk streams into its own
+    // capacity-4 summary (distinct items exceed capacity, so buffers
+    // genuinely evict), and the partials merge in a RANDOM binary tree
+    // — the shape Spark's partial/final aggregation and AQE coalescing
+    // can produce. Every reported item must satisfy the certified
+    // bracket, and every ABSENT item's true count must be <= the
+    // summary's implied bound (no silent loss).
+    val rng = new scala.util.Random(19L)
+    for (trial <- 0 until 200) {
+      val items = (0 until 300).map { _ =>
+        ('a' + (math.sqrt(rng.nextInt(144)).toInt % 12)).toChar.toString
+      }
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random chunking into 1..8 partials
+      val nChunks = 1 + rng.nextInt(8)
+      val bounds = (Seq(0, items.size) ++
+        Seq.fill(nChunks - 1)(rng.nextInt(items.size + 1))).sorted
+      var bufs = bounds.zip(bounds.tail).map { case (lo, hi) =>
+        val b = new SpaceSavingBuffer(4)
+        items.slice(lo, hi).foreach(b.add)
+        b
+      }.toVector
+      // random merge tree
+      while (bufs.size > 1) {
+        val i = rng.nextInt(bufs.size)
+        val j0 = rng.nextInt(bufs.size - 1)
+        val j = if (j0 >= i) j0 + 1 else j0
+        bufs(i).merge(bufs(j))
+        bufs = bufs.patch(j, Nil, 1)
+      }
+      val m = bufs.head
+      m.entries.foreach { case (it, (c, e)) =>
+        val t = truth.getOrElse(it, 0L)
+        assert(c >= t, s"trial $trial: $it cnt $c < true $t")
+        assert(c - e <= t, s"trial $trial: $it floor ${c - e} > true $t")
+      }
+      // absent items: with the lossy flag the min counter bounds them
+      val bound =
+        if (m.lossy) m.entries.values.map(_._1).min else 0L
+      truth.keys.filterNot(m.entries.contains).foreach { it =>
+        assert(truth(it) <= bound,
+          s"trial $trial: absent $it true ${truth(it)} exceeds bound $bound")
+      }
+    }
+  }
+
   test("lossy flag survives serialization") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.graftx.{SpaceSavingBuffer, SpaceSavingTopK}
