@@ -255,14 +255,26 @@ object Bench {
           val big = scala.collection.mutable.Map.empty[String, Double]
           for (p <- 1 to 2; (name, fn, _) <- top) {
             val t0 = System.nanoTime()
-            try fn(spark, bigDir).write.format("noop").mode("overwrite").save()
-            catch { case e: Throwable =>
-              failed += name
-              System.err.println(s"[bench] $name slope@$bigDir failed: " +
-                e.getMessage)
+            // a FAILED run must not record a time: a query that throws
+            // quickly at the big SF (OOM, the exact blow-up this gate
+            // hunts) would otherwise yield a bogus sublinear slope and
+            // read as benign — it stays out of `big`, lands in
+            // `failed`, and the run exits non-zero instead
+            val ok =
+              try {
+                fn(spark, bigDir).write.format("noop").mode("overwrite")
+                  .save()
+                true
+              } catch { case e: Throwable =>
+                failed += name
+                System.err.println(s"[bench] $name slope@$bigDir failed: " +
+                  e.getMessage)
+                false
+              }
+            if (ok) {
+              val secs = (System.nanoTime() - t0) / 1e9
+              big(name) = math.min(big.getOrElse(name, Double.MaxValue), secs)
             }
-            val secs = (System.nanoTime() - t0) / 1e9
-            big(name) = math.min(big.getOrElse(name, Double.MaxValue), secs)
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = false))
             spark.catalog.clearCache()

@@ -21,18 +21,13 @@ object Utils {
     * data belongs in `Sinks.load`'s partition-parallel writers. */
   val SingleFileMaxRows: Long = 100000L
 
-  private def requireSmall(df: DataFrame, path: String,
-      maxRows: Long): Unit = {
-    // limit(max+1).count scans at most max+1 rows — never a full count
-    // of a huge frame just to reject it
-    val probe = df.limit((maxRows + 1).toInt).count()
-    if (probe > maxRows) throw new IllegalStateException(
+  private def capError(path: String, maxRows: Long): Nothing =
+    throw new IllegalStateException(
       s"[graft.etl.Utils] writeSingleFile($path): frame exceeds the " +
         s"driver-side single-file cap of $maxRows rows. This writer is " +
         "for config exports and small reports; write bulk data through " +
         "Sinks.load (partition-parallel). Pass maxRows explicitly only " +
         "if the driver is provisioned for it.")
-  }
 
   /** `FileUtils.write_file` (common_utils.py:141-171): write a (small)
     * DataFrame as ONE file in json/jsonl/csv/parquet/yaml. Driver-side
@@ -44,28 +39,38 @@ object Utils {
       maxRows: Long = SingleFileMaxRows): Unit = {
     require(maxRows >= 1 && maxRows < Int.MaxValue,
       s"maxRows must be in [1, ${Int.MaxValue}): $maxRows")
-    requireSmall(df, path, maxRows)
     val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
+    // the cap guard rides the SAME collect the writer needs: collect
+    // max+1 rows and reject on overflow — one upstream execution, not
+    // a count probe followed by a second full run of the plan. When
+    // the frame fits, limit(max+1) contains every row (row order is
+    // whatever the plan yields, same contract as the plain collect).
+    val capped = df.limit((maxRows + 1).toInt)
+    def guard[T](rows: Array[T]): Array[T] =
+      if (rows.length > maxRows) capError(path, maxRows) else rows
     fmt match {
       case "json" => // pretty array, like json.dump(indent=2)
-        val rows = df.toJSON.collect()
+        val rows = guard(capped.toJSON.collect())
         Files.writeString(p, rows.mkString("[\n  ", ",\n  ", "\n]"))
       case "jsonl" | "ndjson" =>
-        Files.writeString(p, df.toJSON.collect().mkString("", "\n", "\n"))
+        Files.writeString(p,
+          guard(capped.toJSON.collect()).mkString("", "\n", "\n"))
       case "csv" =>
         val cols = df.columns
-        val body = df.select(cols.map(c => col(c).cast("string")): _*)
-          .collect()
+        val body = guard(capped
+            .select(cols.map(c => col(c).cast("string")): _*)
+            .collect())
           .map(r => cols.indices.map(i =>
             Option(r.getString(i)).getOrElse("")).mkString(","))
         Files.writeString(p,
           (cols.mkString(",") +: body).mkString("", "\n", "\n"))
       case "yaml" | "yml" =>
         val cols = df.columns
-        val body = df.select(cols.map(c => col(c).cast("string")): _*)
-          .collect()
+        val body = guard(capped
+            .select(cols.map(c => col(c).cast("string")): _*)
+            .collect())
           .map { r =>
             cols.indices.map { i =>
               val prefix = if (i == 0) "- " else "  "
@@ -74,10 +79,31 @@ object Utils {
           }
         Files.writeString(p, body.mkString("", "\n", "\n"))
       case "parquet" =>
+        // no collect path exists here, so the guard is a bounded count
+        // probe (limit(max+1) scans at most that many rows)
+        if (capped.count() > maxRows) capError(path, maxRows)
         df.coalesce(1).write.mode("overwrite").parquet(path)
       case other => throw new IllegalArgumentException(
         s"Unsupported file type: $other")
     }
+  }
+
+  /** Temp directory removed recursively at JVM exit — for queries that
+    * materialize scratch artifacts (e.g. the IVF index's corpus-sized
+    * postings): repeated bench/verify passes in one process must not
+    * accumulate copies under /tmp, and a long-lived service JVM cleans
+    * up on shutdown instead of leaking them forever. */
+  def scratchDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
   }
 
   /** `ConfigUtils.merge_configs` (common_utils.py:354-365): deep merge,

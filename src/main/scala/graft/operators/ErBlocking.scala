@@ -115,11 +115,16 @@ object ErBlocking {
       if (strict) col("a_name") < col("b_name")
       else col("a_name") <= col("b_name") &&
         (col("a_name") < col("b_name") || col("a_cnt") >= 2)
+    // pure LONG arithmetic: Spark's `/ 2` is double division and the
+    // when/otherwise would coerce both branches to double, silently
+    // losing precision above 2^53 — exactly the multiplicity regime a
+    // heavily-duplicated name reaches at scale. cnt·(cnt−1) is always
+    // even, so an arithmetic right-shift is the exact halving.
     a.join(b, Seq("block")).filter(cond)
       .withColumn("n_cross",
         when(col("a_name") === col("b_name"),
-          col("a_cnt") * (col("a_cnt") - 1) / 2)
-          .otherwise(col("a_cnt") * col("b_cnt")).cast("long"))
+          shiftright(col("a_cnt") * (col("a_cnt") - lit(1L)), 1))
+          .otherwise(col("a_cnt") * col("b_cnt")))
   }
 
   /** PassJoin segment blocking (Li, Deng & Feng 2011, "PassJoin: a

@@ -509,9 +509,13 @@ object RelationalQueries extends QuerySection {
     * itself checkpoints this frame, which truncates its plan). */
   private[graft] def j19Scored(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ErBlocking
+    // checkpoint the rollup BEFORE the guard: the guard's collect and
+    // the scored frame would otherwise each execute the full
+    // nameClasses subtree (two aggregates + the TopKPerGroup pass)
     val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
       split(col("p_name"), " ").getItem(0), col("p_name"),
       col("p_partkey"), keepSmallest = 1)
+      .localCheckpoint()
     ErBlocking.requireBoundedBlocks(classes, 10000L, "j19_fuzzy_blocked")
     val dist3 = levenshtein(col("a_name"), col("b_name"), 3)
     ErBlocking.classPairs(classes, strict = true)
@@ -1644,9 +1648,11 @@ object RelationalQueries extends QuerySection {
   private[graft] def j30Scored(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.JaroWinkler
     import graft.operators.ErBlocking
+    // checkpoint before the guard, per j19Scored
     val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
       split(col("p_name"), " ").getItem(0), col("p_name"),
       col("p_partkey"), keepSmallest = 4)
+      .localCheckpoint()
     ErBlocking.requireBoundedBlocks(classes, 10000L, "j30_jw_linkage")
     ErBlocking.classPairs(classes, strict = false)
       .withColumn("jw", round(JaroWinkler(col("a_name"), col("b_name")), 6))
@@ -1692,10 +1698,18 @@ object RelationalQueries extends QuerySection {
     * fixpoint computation, not against itself. */
   private def j34ErPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ErBlocking
+    // a leaner rollup than ErBlocking.nameClasses on purpose: the
+    // pipeline keys clusters by each class's MIN ROW KEY (its portable
+    // node id) and needs no low_keys/top-k machinery — the classPairs
+    // columns would be dead weight here, so the edge generation is
+    // inline with the same refine staging j19 uses (length gap, then
+    // the banded threshold kernel). Checkpointed once: the guard, both
+    // self-join sides, and the component join all read it.
     val classes = Tables.load(s, dir, "part")
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("ckey"))
       .withColumn("block", split(col("p_name"), " ").getItem(0))
+      .localCheckpoint()
     ErBlocking.requireBoundedBlocks(
       classes.select(col("block"), col("p_name").as("name")),
       10000L, "j34_er_pipeline")

@@ -134,8 +134,7 @@ object SimilarityQueries extends QuerySection {
     * round-trip equality is what's being judged. */
   private def annIvfIndex(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfidx")
-      .toString + "/idx"
+    val path = graft.etl.Utils.scratchDir("graft_ivfidx") + "/idx"
     Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8)
     Ann.ivfIndexTopK(s, e.filter(col("vec_id") < 10), "embedding",
         "vec_id", path, k = 5, nprobe = 3)
@@ -154,8 +153,7 @@ object SimilarityQueries extends QuerySection {
     * oracle-checked, not assumed. */
   private def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfinc")
-      .toString + "/idx"
+    val path = graft.etl.Utils.scratchDir("graft_ivfinc") + "/idx"
     Ann.buildIvfIndex(e.filter(col("vec_id") < 400), "embedding",
       "vec_id", path, nlist = 8)
     Ann.appendIvfIndex(s, e.filter(col("vec_id") >= 400), "embedding",

@@ -36,9 +36,12 @@ final case class InfluxSource(
   require(bucket.nonEmpty && measurement.nonEmpty,
     "bucket and measurement are required")
   // the same grammar Sources.rangeBound accepts on the dev surface:
-  // relative -N[smhdw], now(), or an ISO timestamp
+  // relative -N[smhdw], now(), or an ISO timestamp. The ISO tail is
+  // restricted to timestamp characters — an open-ended `.*` would let
+  // a crafted bound close the time(v: "...") string literal and
+  // append Flux, the exact hole the identifier checks below close.
   private val rangeSpec =
-    "^(-\\d+[smhdw]|now\\(\\)|\\d{4}-\\d{2}-\\d{2}([T ].*)?)$".r
+    "^(-\\d+[smhdw]|now\\(\\)|\\d{4}-\\d{2}-\\d{2}([T ][0-9:.]+Z?)?)$".r
   require(rangeSpec.matches(start.trim), s"bad range start: $start")
   require(rangeSpec.matches(stop.trim), s"bad range stop: $stop")
   // measurement/field/tag identifiers are interpolated into the Flux

@@ -52,7 +52,14 @@ final case class MongoSource(
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case b: Boolean => b.toString
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case d: Double => if (d == d.floor && !d.isInfinite) d.toLong.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite,
+        s"non-finite filter value cannot be JSON-encoded: $d")
+      // integer rendering only where Long round-trips EXACTLY; a
+      // 1e20-style value must stay in decimal form, not saturate at
+      // Long.MaxValue and silently change the pushed predicate
+      if (d == d.floor && math.abs(d) < 9.007199254740992e15)
+        d.toLong.toString
       else d.toString
     case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
       .map { case (k, x) => encode(k) + ": " + encode(x) }
