@@ -41,6 +41,14 @@ import org.apache.spark.sql.SparkSession
   * IO REGRESSION GATE: pass-1 shuffle accounting (`io_pass1`) is the
   * input to [[IoGate]], which compares each query against the
   * committed `IO_BUDGET.json` — see its scaladoc.
+  *
+  * CALIBRATION SENTINEL: a fixed, plan-trivial probe is timed at the
+  * start of every pass (main / slope / sf1) and recorded in
+  * `BENCH_FULL.json` as `calibration` / `calibration_slope` /
+  * `calibration_sf1`, so machine interference — which inflates a
+  * whole run uniformly — is self-diagnosing rather than inferred from
+  * cross-run ratio analysis. See the inline comment at `calibrate()`
+  * and BASELINE.md "calibration" for the normalization rule.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -63,6 +71,31 @@ object Bench {
     // the plan, not first-call JIT + classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+
+    // ---- calibration sentinel ----------------------------------------
+    // A fixed, data-independent, plan-trivial probe (codegen'd sum over
+    // a 64M range, one partial-agg exchange of 32 rows) timed at the
+    // START OF EVERY PASS — main, small-SF slope, and sf1 alike. Its
+    // cost depends only on machine conditions, never on the query set,
+    // so machine interference is SELF-DIAGNOSING: a run whose query
+    // times read 1.3× the committed pin while its calibration also
+    // reads 1.3× the pin's calibration is interference; the same query
+    // inflation over a FLAT calibration is a real engine regression.
+    // Normalization rule (BASELINE.md "calibration"): comparable time =
+    // measured time × (pin calibration median / run calibration median).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64000000L, 1L, 32)
+        .selectExpr("sum(id * 2 + 1) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // first-touch warmup of the sentinel itself
+    val calMain = scala.collection.mutable.ListBuffer.empty[Double]
+    val calSlope = scala.collection.mutable.ListBuffer.empty[Double]
+    val calSf1 = scala.collection.mutable.ListBuffer.empty[Double]
+    def calJson(vs: Seq[Double]): String =
+      vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
     // dev-only subset filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -120,6 +153,7 @@ object Bench {
           f""""raw_passes":${rawFmt(names.map { case (n, _) => n -> raw(n) })},""" +
           f""""io_pass1":$ioJson,""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""calibration":${calJson(calMain.toSeq)},""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
@@ -134,6 +168,7 @@ object Bench {
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
           f""""n_queries":${medians.length},""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
+          f""""calibration":${calJson(calMain.toSeq)},""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""queries":${fmt(kept.toSeq)},""" +
           f""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
@@ -141,6 +176,7 @@ object Bench {
     }
 
     for (pass <- 1 to reps) {
+      calMain += calibrate()
       for ((name, fn) <- names) {
         val before =
           if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
@@ -185,19 +221,22 @@ object Bench {
       if (mainSf.nonEmpty && siblings.nonEmpty) {
         val small = scala.collection.mutable
           .Map.empty[String, Map[String, Double]] // name -> sf -> secs
-        for (dir <- siblings; p <- 1 to 2; (name, fn) <- names) {
-          val t0 = System.nanoTime()
-          try fn(spark, dir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            failed += name
-            System.err.println(s"[bench] $name slope@$dir failed: " +
-              e.getMessage)
+        for (dir <- siblings; p <- 1 to 2) {
+          calSlope += calibrate()
+          for ((name, fn) <- names) {
+            val t0 = System.nanoTime()
+            try fn(spark, dir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] $name slope@$dir failed: " +
+                e.getMessage)
+            }
+            val secs = (System.nanoTime() - t0) / 1e9
+            val cur = small.getOrElse(name, Map.empty)
+            val key = dir.split('/').last
+            small(name) = cur.updated(key,
+              math.min(cur.getOrElse(key, Double.MaxValue), secs))
           }
-          val secs = (System.nanoTime() - t0) / 1e9
-          val cur = small.getOrElse(name, Map.empty)
-          val key = dir.split('/').last
-          small(name) = cur.updated(key,
-            math.min(cur.getOrElse(key, Double.MaxValue), secs))
         }
         val midKey = siblings.map(_.split('/').last)
           .sortBy(k => k.stripPrefix("sf").toDouble).last
@@ -222,6 +261,7 @@ object Bench {
         val base = java.nio.file.Files.readString(path).trim.stripSuffix("}")
         java.nio.file.Files.writeString(path,
           base + s""","slopes":$slopeJson,"small_sf_secs":$smallJson,""" +
+            s""""calibration_slope":${calJson(calSlope.toSeq)},""" +
             s""""superlinear":${superlinear.map("\"" + _ + "\"")
               .mkString("[", ",", "]")}}\n""")
         println(s"""{"metric":"slope","superlinear_n":${superlinear.length},""" +
@@ -249,51 +289,78 @@ object Bench {
           val medianOf = (n: String) =>
             raw.get(n).filter(_.nonEmpty)
               .map(vs => vs.sorted.apply(vs.length / 2))
-          val top = names.flatMap { case (n, fn) =>
-            medianOf(n).map(t => (n, fn, t)) }
-            .sortBy(-_._3).take(topN)
+          // selection: the top-N most expensive by full-run median,
+          // UNIONed with any names pinned via SPARK_GRAFT_SF1_QUERIES
+          // (comma-separated) — so family representatives can join the
+          // decade regardless of where they rank by cost
+          val pinned = sys.env.get("SPARK_GRAFT_SF1_QUERIES")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty)
+          val byCost = names.flatMap { case (n, fn) =>
+            medianOf(n).map(t => (n, fn, t)) }.sortBy(-_._3)
+          val top = (byCost.take(topN) ++
+            byCost.filter(t => pinned.contains(t._1))).distinctBy(_._1)
+          // BOTH ends of the decade are timed in THIS loop with the
+          // SAME statistic (min of 2 isolated reps): the full-run
+          // median carries inter-query interference the isolated big-SF
+          // min does not, which biased the old tBig/median(tMain) slope
+          // DOWNWARD — under-detecting exactly the blow-ups this gate
+          // exists to catch. Ranking above still uses the median
+          // (selection bias is harmless); the slope never does.
           val big = scala.collection.mutable.Map.empty[String, Double]
-          for (p <- 1 to 2; (name, fn, _) <- top) {
-            val t0 = System.nanoTime()
-            // a FAILED run must not record a time: a query that throws
-            // quickly at the big SF (OOM, the exact blow-up this gate
-            // hunts) would otherwise yield a bogus sublinear slope and
-            // read as benign — it stays out of `big`, lands in
-            // `failed`, and the run exits non-zero instead
-            val ok =
-              try {
-                fn(spark, bigDir).write.format("noop").mode("overwrite")
-                  .save()
-                true
-              } catch { case e: Throwable =>
-                failed += name
-                System.err.println(s"[bench] $name slope@$bigDir failed: " +
-                  e.getMessage)
-                false
+          val mainIso = scala.collection.mutable.Map.empty[String, Double]
+          for (p <- 1 to 2) {
+            calSf1 += calibrate()
+            for ((name, fn, _) <- top; (dir, acc) <-
+                Seq((bigDir, big), (sfDir, mainIso))) {
+              val t0 = System.nanoTime()
+              // a FAILED run must not record a time: a query that throws
+              // quickly at the big SF (OOM, the exact blow-up this gate
+              // hunts) would otherwise yield a bogus sublinear slope and
+              // read as benign — it stays out of `big`, lands in
+              // `failed`, and the run exits non-zero instead
+              val ok =
+                try {
+                  fn(spark, dir).write.format("noop").mode("overwrite")
+                    .save()
+                  true
+                } catch { case e: Throwable =>
+                  failed += name
+                  System.err.println(s"[bench] $name slope@$dir failed: " +
+                    e.getMessage)
+                  false
+                }
+              if (ok) {
+                val secs = (System.nanoTime() - t0) / 1e9
+                acc(name) = math.min(acc.getOrElse(name, Double.MaxValue),
+                  secs)
               }
-            if (ok) {
-              val secs = (System.nanoTime() - t0) / 1e9
-              big(name) = math.min(big.getOrElse(name, Double.MaxValue), secs)
+              spark.sparkContext.getPersistentRDDs.values
+                .foreach(_.unpersist(blocking = false))
+              spark.catalog.clearCache()
             }
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
-            spark.catalog.clearCache()
           }
           val decade = math.log10(b / m)
-          val slopes = top.flatMap { case (name, _, tMain) =>
-            big.get(name).filter(_ > 0).filter(_ => tMain > 0)
-              .map(tBig => name -> math.log10(tBig / tMain) / decade)
+          val slopes = top.flatMap { case (name, _, _) =>
+            for {
+              tMain <- mainIso.get(name) if tMain > 0
+              tBig <- big.get(name) if tBig > 0
+            } yield name -> math.log10(tBig / tMain) / decade
           }
           val superlinear = slopes.filter(_._2 > 1.15).map(_._1)
           val slopeJson = slopes.map { case (n, s) =>
             "\"" + n + f"""\":$s%.3f""" }.mkString("{", ",", "}")
           val bigJson = big.toSeq.sortBy(_._1).map { case (n, v) =>
             "\"" + n + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+          val mainJson = mainIso.toSeq.sortBy(_._1).map { case (n, v) =>
+            "\"" + n + f"""\":$v%.3f""" }.mkString("{", ",", "}")
           val path = java.nio.file.Paths.get("BENCH_FULL.json")
           val base = java.nio.file.Files.readString(path).trim
             .stripSuffix("}")
           java.nio.file.Files.writeString(path,
             base + s""","slopes_sf1":$slopeJson,"sf1_secs":$bigJson,""" +
+              s""""sf1_main_secs":$mainJson,""" +
+              s""""calibration_sf1":${calJson(calSf1.toSeq)},""" +
               s""""sf1_dir":"$bigDir","superlinear_sf1":${superlinear
                 .map("\"" + _ + "\"").mkString("[", ",", "]")}}\n""")
           println(s"""{"metric":"slope_sf1","top_n":${top.length},""" +

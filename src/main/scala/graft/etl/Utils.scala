@@ -88,21 +88,34 @@ object Utils {
     }
   }
 
-  /** Temp directory removed recursively at JVM exit — for queries that
-    * materialize scratch artifacts (e.g. the IVF index's corpus-sized
-    * postings): repeated bench/verify passes in one process must not
-    * accumulate copies under /tmp, and a long-lived service JVM cleans
-    * up on shutdown instead of leaking them forever. */
-  def scratchDir(prefix: String): String = {
-    val p = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  /** One process-wide scratch root, removed recursively by a SINGLE
+    * shutdown hook (registered on first use). */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root.toFile)))
+    root
+  }
+
+  /** Scratch directory for queries that materialize per-prefix
+    * artifacts (e.g. the IVF index's corpus-sized postings). Calls with
+    * the SAME prefix replace the previous directory instead of creating
+    * a sibling, so repeated bench/verify passes in one process hold at
+    * most ONE copy per prefix under /tmp (the prior round's files are
+    * deleted here, before the rebuild) — and the whole root goes away
+    * at JVM exit via one shutdown hook, not one hook per call. Callers
+    * must be done reading the previous index before asking for a fresh
+    * dir under the same prefix; the query surface rebuilds and reads
+    * within a single invocation, which satisfies that. */
+  def scratchDir(prefix: String): String = synchronized {
+    val p = scratchRoot.resolve(prefix)
+    if (Files.exists(p)) rmTree(p.toFile)
+    Files.createDirectories(p)
     p.toString
   }
 

@@ -44,16 +44,22 @@ final case class InfluxSource(
     "^(-\\d+[smhdw]|now\\(\\)|\\d{4}-\\d{2}-\\d{2}([T ][0-9:.]+Z?)?)$".r
   require(rangeSpec.matches(start.trim), s"bad range start: $start")
   require(rangeSpec.matches(stop.trim), s"bad range stop: $stop")
-  // measurement/field/tag identifiers are interpolated into the Flux
-  // text — trusted static configuration, same contract as JdbcSource;
-  // quotes/backslashes/newlines are refused outright as defense in depth
+  // measurement/field/tag-VALUE strings are quote-wrapped in the Flux
+  // text, so refusing the quote/backslash/newline metacharacters is
+  // sufficient there — trusted static configuration, same contract as
+  // JdbcSource, metachars refused outright as defense in depth
   private def rejectFluxMeta(kind: String, s: String): Unit =
     require(!s.exists(c => c == '"' || c == '\\' || c == '\n'),
       s"$kind contains Flux metacharacters: $s")
   rejectFluxMeta("measurement", measurement)
   fields.foreach(rejectFluxMeta("field", _))
+  // tag KEYS are interpolated BARE (`r.$k`), where the metacharacter
+  // check is not enough: `host == r._field or r.x` carries no quote yet
+  // rewrites the filter. Bare interpolation demands a bare identifier.
+  private val fluxIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
   tags.foreach { case (k, v) =>
-    rejectFluxMeta("tag key", k); rejectFluxMeta("tag value", v)
+    require(fluxIdent.matches(k), s"tag key is not a Flux identifier: $k")
+    rejectFluxMeta("tag value", v)
   }
 
   /** The ISO form is passed to Flux as `time(v: "...")`; relative and

@@ -266,6 +266,15 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       s.copy(measurement = "cpu\" or true") // Flux metacharacters
     }
+    // tag keys interpolate BARE (r.$k): a quote-free key that rewrites
+    // the filter must be refused by the identifier check, not slip past
+    // the metacharacter one
+    intercept[IllegalArgumentException] {
+      s.copy(tags = Map("host == r._field or r.x" -> "web-1"))
+    }
+    intercept[IllegalArgumentException] {
+      s.copy(tags = Map("1host" -> "web-1")) // not an identifier
+    }
     intercept[IllegalArgumentException] {
       InfluxSource("ftp://x", "o", "b", "m")
     }

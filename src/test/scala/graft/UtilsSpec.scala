@@ -61,4 +61,18 @@ class UtilsSpec extends SparkSpec {
     val (r, s) = Utils.timed { Thread.sleep(20); 42 }
     assert(r == 42 && s >= 0.02)
   }
+
+  test("scratchDir: same prefix replaces, no sibling accumulation") {
+    val first = Utils.scratchDir("graft_scratch_test")
+    Files.writeString(Paths.get(first, "stale.bin"), "x")
+    val second = Utils.scratchDir("graft_scratch_test")
+    // same path reused — a bench loop rebuilding an index N times holds
+    // at most one copy, and the previous round's files are gone
+    assert(second == first)
+    assert(!Files.exists(Paths.get(second, "stale.bin")))
+    // distinct prefixes coexist under the one process-wide root
+    val other = Utils.scratchDir("graft_scratch_other")
+    assert(other != first &&
+      Paths.get(other).getParent == Paths.get(first).getParent)
+  }
 }
