@@ -43,8 +43,29 @@ object ImageIoCodec extends MediaCodec {
       catch { case _: Exception => null }) // corrupt blob ⇒ None, not a task kill
 
   private def encodePng(img: BufferedImage): Array[Byte] = {
+    // normalize to packed RGB first: the JDK PNG writer scrambles
+    // indexed (palette) images — a GIF frame that reads pixel-correct
+    // via getRGB came back wrong after an indexed-PNG round trip
+    // (measured: 31 → 98). The copy is an exact per-pixel setRGB loop,
+    // never Graphics2D (platform-dependent filtering).
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val out = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            out.setRGB(x, y, img.getRGB(x, y) & 0xFFFFFF)
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    ImageIO.write(rgb, "png", bos)
     bos.toByteArray
   }
 
@@ -96,14 +117,95 @@ object ImageIoCodec extends MediaCodec {
         encodePng(out)
     }
 
-  /** The JDK decodes no video containers; frames stay on the stub path
-    * until a JavaCV/ffmpeg codec swaps in at this same seam. */
+  /** REAL frame extraction within JDK limits: `ImageIO`'s animated-GIF
+    * reader decodes every frame of a multi-frame payload; every
+    * `everyN`-th frame is kept and re-encoded as PNG (lossless — the
+    * downstream per-frame decode sees the exact pixels). The JDK
+    * decodes no true video containers (MP4/WebM need JavaCV/ffmpeg at
+    * this same seam), but the PIPELINE semantics of video — one payload
+    * exploding into many pixel-bearing frames, sampled by stride — run
+    * for real here. `frameSize` is the stub's chunk width; a real
+    * decoder's frame dimensions come from the container, so it is
+    * ignored. Undecodable/degenerate input yields no frames (total —
+    * one corrupt blob must not kill a 100 TB stage). */
   override def sampleFrames(bytes: Array[Byte], everyN: Int,
-      frameSize: Int = 64): Seq[Array[Byte]] =
-    Multimodal.StubCodec.sampleFrames(bytes, everyN, frameSize)
+      frameSize: Int = 64): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty || everyN <= 0) return Seq.empty
+    val iis =
+      try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (iis == null) return Seq.empty
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis) // in-memory stream: random access, so
+        val n = reader.getNumImages(true) // allowSearch is cheap here
+        (0 until n by everyN).flatMap { i =>
+          try Option(encodePng(reader.read(i)))
+          catch { case _: Exception => None } // corrupt frame ⇒ skipped
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Seq.empty }
+    finally iis.close()
+  }
 }
 
 object SyntheticImages {
+  /** Procedural animated-GIF corpus for judging the REAL multi-frame
+    * path: one `w`×`h` GIF per document id below `n`, with
+    * `(id mod 4) + 2` frames and per-frame pixel luminance
+    * `(7x + 13y + 31·id + 59·f) mod 256`. Frames are written
+    * `TYPE_BYTE_INDEXED` over an explicit 256-entry gray palette, so
+    * the GIF encoder quantizes NOTHING and decode is pixel-exact on any
+    * JVM (verified: the default-palette path is lossy; this one
+    * round-trips bit-equal). As with [[pngTable]], the formula IS the
+    * oracle and binaries are born on executors, never shuffled. */
+  def gifTable(spark: SparkSession, sfDir: String, n: Int,
+      w: Int = 16, h: Int = 8): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < n)
+    val enc = ExpressionEncoder(
+      RowEncoder.encoderFor(Multimodal.mediaSchema))
+    ids.mapPartitions { it =>
+      val ramp = Array.tabulate[Byte](256)(_.toByte)
+      val gray = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      it.map { row =>
+        val id = row.getLong(0)
+        val nFrames = (id % 4 + 2).toInt
+        val bos = new ByteArrayOutputStream()
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_INDEXED, gray)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0,
+                ((x * 7 + y * 13 + id * 31 + f * 59) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+            null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        writer.dispose()
+        Row(id, "video", bos.toByteArray, "gif", w, h, nFrames * 40L)
+      }
+    }(enc)
+  }
+
   /** Procedural PNG corpus for judging the REAL decode path: one
     * `w`×`h` grayscale PNG per document id below `n`, pixel luminance
     * `(7x + 13y + 31·id) mod 256`. The formula IS the oracle — DuckDB

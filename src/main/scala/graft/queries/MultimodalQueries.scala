@@ -13,8 +13,11 @@ import graft.multimodal.{ImageIoCodec, Multimodal, SyntheticImages}
   * batched mapPartitions stages, against an oracle that recomputes the
   * procedural images' pixel statistics from their generating formula —
   * integer arithmetic only, no image library on the oracle side. The
-  * frame/dedup queries keep the stub codec (JDK has no video decoder)
-  * and value-check the plumbing over known byte payloads. */
+  * `mm_frames` judges the REAL multi-frame path too: animated GIFs
+  * through `ImageIO`'s frame reader (`ImageIoCodec.sampleFrames`) —
+  * the JDK's one genuinely multi-frame container. The dedup queries
+  * keep the stub codec (byte-grain dedup is codec-independent) and
+  * value-check the plumbing over known byte payloads. */
 object MultimodalQueries extends QuerySection {
   import Catalog.Q
 
@@ -60,16 +63,28 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("media_id"), col("bucket"))
   }
 
-  /** Frame sampling: video binaries explode into one row per kept
-    * frame (every 4th 64-byte chunk); judged on per-frame byte counts
-    * — chunk arithmetic replayed in SQL. */
-  private def mmFrames(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleVideoFrames(Multimodal.demoMediaTable(s, dir),
-        everyN = 4)
-      .filter(col("media_type") === "video")
+  /** REAL multi-frame decode, judged: procedural animated GIFs
+    * (`SyntheticImages.gifTable` — `(id mod 4)+2` frames of 16×8 pixels,
+    * per-frame formula `(7x+13y+31·id+59·f) mod 256`) explode through
+    * `sampleVideoFrames` with [[ImageIoCodec]], whose `sampleFrames`
+    * runs actual `ImageIO` animated-GIF decode, keeps every 2nd frame,
+    * and re-encodes each as PNG. Each kept frame then goes through the
+    * real decode+histogram (`extractFeatures`), so the judged shares
+    * prove BOTH that the right frames were picked (frame_no ↔ f=2·no in
+    * the formula) and that the GIF→PNG round-trip was pixel-exact. The
+    * oracle replays the formula with integer arithmetic — shares are
+    * count/128, dyadic, bit-strict. */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleVideoFrames(
+      SyntheticImages.gifTable(s, dir, n = 240), everyN = 2,
+      codec = ImageIoCodec)
+    Multimodal.extractFeatures(frames, codec = ImageIoCodec)
       .select(col("media_id"), col("frame_no"),
-        length(col("content")).cast("long").as("n_bytes"))
-      .orderBy(col("media_id"), col("frame_no")).limit(500)
+        posexplode(col("features")))
+      .select(col("media_id"), col("frame_no"), col("pos").as("bucket"),
+        col("col").cast("double").as("share"))
+      .orderBy(col("media_id"), col("frame_no"), col("bucket"))
+  }
 
   /** Byte-level content dedup audit: every 97th media item is planted
     * a second time under a new id (the re-crawled-identical-file case),
@@ -167,18 +182,33 @@ object MultimodalQueries extends QuerySection {
         |LEFT JOIN hist h ON h.media_id = i.media_id
         |  AND h.bucket = b.bucket
         |ORDER BY i.media_id, bucket""".stripMargin,
+    // REAL-decode oracle for the multi-frame path: kept frames are
+    // f ∈ {0,2,4} of (id%4)+2 total; per-frame luminance formula
+    // replayed over generate_series, bucketed //32, shares /128 dyadic
     "mm_frames" ->
-      """WITH v AS (SELECT doc_id AS media_id,
-        |    octet_length(encode(text)) AS nb
-        |  FROM documents WHERE doc_id % 3 = 2),
-        |chunks AS (SELECT media_id, nb,
-        |    unnest(generate_series(0,
-        |      CAST(ceil(nb / 64.0) AS INT) - 1)) AS ci
-        |  FROM v)
-        |SELECT media_id, CAST(ci // 4 AS INT) AS frame_no,
-        |  CAST(least(64, nb - ci * 64) AS BIGINT) AS n_bytes
-        |FROM chunks WHERE ci % 4 = 0
-        |ORDER BY media_id, frame_no LIMIT 500""".stripMargin,
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 4 + 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 240),
+        |fr AS (SELECT media_id, CAST(f AS INT) AS f,
+        |    CAST(f // 2 AS INT) AS frame_no
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, nf - 1))
+        |    AS f) g
+        |  WHERE f % 2 = 0),
+        |px AS (SELECT media_id, frame_no,
+        |    CAST((x*7 + y*13 + media_id*31 + f*59) % 256 AS INT) AS lum
+        |  FROM fr,
+        |    (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |hist AS (SELECT media_id, frame_no, lum // 32 AS bucket,
+        |    count(*) AS cnt
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT f.media_id, f.frame_no, CAST(b.bucket AS INT) AS bucket,
+        |  coalesce(h.cnt, 0) / 128.0 AS share
+        |FROM fr f
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+        |LEFT JOIN hist h ON h.media_id = f.media_id
+        |  AND h.frame_no = f.frame_no AND h.bucket = b.bucket
+        |ORDER BY f.media_id, f.frame_no, bucket""".stripMargin,
     "mm_stats" ->
       """WITH m AS (SELECT
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

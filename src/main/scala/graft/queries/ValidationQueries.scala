@@ -227,7 +227,44 @@ object ValidationQueries extends QuerySection {
           "user_id", Tables.load(s, dir, "customer"), "c_custkey")))
       .orderBy(col("relation"))
 
+  /** V5 judged (`data_validators.py:270-308`): ValidationPipeline runs
+    * every validator with PER-VALIDATOR failure isolation and rolls up
+    * a summary. The fixture plants one deliberately-throwing validator
+    * ("Freshness Validator" — the reference's `except Exception` path,
+    * which must become an invalid report carrying the error, not a
+    * pipeline abort) beside three real validators over orders; the
+    * judged rows are each validator's (is_valid, error/warning counts,
+    * first error string) plus the `get_summary` rollup row. All counts
+    * replayed by the oracle from the table — nothing hardcoded. */
+  private def v5PipelineSummary(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val failing = new Validator {
+      val name = "Freshness Validator"
+      def validate(d: DataFrame): ValidationReport =
+        throw new IllegalStateException("clock source unavailable")
+    }
+    val pipe = ValidationPipeline(Seq(
+      SchemaValidator(Map("o_totalprice" ->
+        FieldRule(required = true, min = Some(0), max = Some(300000)))),
+      QualityValidator(),
+      BusinessRuleValidator(Seq(RangeRule("price_range", "o_totalprice",
+        min = Some(1000), max = Some(400000)))),
+      failing))
+    val results = pipe.validate(base)
+    val rows = results.toSeq.sortBy(_._1).map { case (n, r) =>
+      (n, r.isValid, r.errors.size, r.warnings.size,
+        r.errors.headOption.orNull)
+    } :+ (("~overall", pipe.isValid(results),
+      results.values.map(_.errors.size).sum,
+      results.values.map(_.warnings.size).sum, null: String))
+    import s.implicits._
+    rows.toDF("validator", "is_valid", "n_errors", "n_warnings",
+      "first_error").orderBy(col("validator"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "v5_pipeline_summary" -> (v5PipelineSummary _),
     "v15_ref_integrity" -> (v15RefIntegrity _),
     "v14_fd_audit" -> (v14FdAudit _),
     "v12_corr_matrix" -> (v12CorrMatrix _),
@@ -247,6 +284,72 @@ object ValidationQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "v5_pipeline_summary" ->
+      """WITH sch AS (SELECT
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_missing,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_above
+        |  FROM orders),
+        |qual AS (SELECT
+        |    (CASE WHEN avg(CASE WHEN o_orderkey IS NULL THEN 1.0
+        |       ELSE 0.0 END) > 0.1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN avg(CASE WHEN o_orderstatus IS NULL THEN 1.0
+        |       ELSE 0.0 END) > 0.1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN avg(CASE WHEN o_totalprice IS NULL THEN 1.0
+        |       ELSE 0.0 END) > 0.1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN CAST(count(*) - (SELECT count(*) FROM
+        |       (SELECT DISTINCT o_orderkey, o_orderstatus, o_totalprice
+        |        FROM orders)) AS DOUBLE) / count(*) > 0.05
+        |       THEN 1 ELSE 0 END)
+        |    + (CASE WHEN stddev_samp(o_orderkey) = 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN stddev_samp(o_totalprice) = 0 THEN 1 ELSE 0 END)
+        |      AS n_warn
+        |  FROM orders),
+        |biz AS (SELECT CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |    (o_totalprice < 1000 OR o_totalprice > 400000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'Business Rule Validator' AS validator,
+        |    n_viol = 0 AS is_valid,
+        |    CAST(CASE WHEN n_viol > 0 THEN 1 ELSE 0 END AS INT)
+        |      AS n_errors,
+        |    CAST(0 AS INT) AS n_warnings,
+        |    CASE WHEN n_viol > 0 THEN 'Rule ''price_range'': ' || n_viol
+        |      || ' violations found' END AS first_error
+        |  FROM biz
+        |  UNION ALL
+        |  SELECT 'Data Quality Validator', TRUE, CAST(0 AS INT),
+        |    CAST(n_warn AS INT), NULL
+        |  FROM qual
+        |  UNION ALL
+        |  SELECT 'Freshness Validator', FALSE, CAST(1 AS INT),
+        |    CAST(0 AS INT),
+        |    'Validator ''Freshness Validator'' failed: ' ||
+        |      'clock source unavailable'
+        |  UNION ALL
+        |  SELECT 'Schema Validator',
+        |    n_missing + n_below + n_above = 0,
+        |    CAST((CASE WHEN n_missing > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_below > 0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN n_above > 0 THEN 1 ELSE 0 END) AS INT),
+        |    CAST(0 AS INT),
+        |    CASE WHEN n_missing > 0 THEN 'o_totalprice missing or empty: '
+        |        || n_missing || ' records'
+        |      WHEN n_below > 0 THEN 'o_totalprice below minimum 0: '
+        |        || n_below || ' records'
+        |      WHEN n_above > 0 THEN 'o_totalprice above maximum 300000: '
+        |        || n_above || ' records' END
+        |  FROM sch)
+        |SELECT * FROM rows_
+        |UNION ALL
+        |SELECT '~overall', FALSE,
+        |  CAST(sum(n_errors) AS INT), CAST(sum(n_warnings) AS INT), NULL
+        |FROM rows_
+        |ORDER BY validator""".stripMargin,
     "v15_ref_integrity" ->
       """WITH checks AS (
         |  SELECT 'lineitem.l_orderkey->orders' AS relation,

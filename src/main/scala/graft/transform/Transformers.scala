@@ -272,12 +272,82 @@ case class Aggregation(groupByFields: Seq[String],
   }
 }
 
+/** One transformation stage under RECORD-level error isolation — see
+  * [[ErrorIsolation]]. `fails` is the per-row predicate marking records
+  * the reference's Python transformer would have thrown on; `error` is
+  * the per-row message expression (the analogue of `str(e)`); `outputs`
+  * are the stage's column rewrites, built from try_-guarded expressions
+  * so they are total. All outputs evaluate against the PRE-stage row
+  * (one projection), exactly as the Python `transform(dict)` reads its
+  * input dict. */
+case class IsolatedStage(name: String, error: Column, fails: Column,
+    outputs: Map[String, Column])
+
+/** Record-level error isolation (`data_transformers.py:297-311`): the
+  * reference wraps every transformer's per-record `transform` in
+  * try/except — a record that throws keeps its pre-stage values, gains
+  * `"<transformer name>: <error>"` appended to
+  * `_transformation_errors`, and STAYS in the stream (rows are never
+  * dropped). Catalyst expressions don't throw per-row, so the Spark
+  * form is: try_-guarded output expressions plus an explicit per-row
+  * failure predicate — where it holds, the stage's outputs are not
+  * applied (existing columns keep their value; new columns are null,
+  * the dict-key-never-added case) and the error is appended.
+  *
+  * Scale: each stage is ONE narrow projection, fully codegen'd, no
+  * shuffle — the error array rides the row like any other column, and
+  * the whole chain stays inside a single WholeStageCodegen span. */
+object ErrorIsolation {
+  val ErrorsCol = "_transformation_errors"
+
+  def run(df: DataFrame, stages: Seq[IsolatedStage]): DataFrame = {
+    val seeded =
+      if (df.columns.contains(ErrorsCol)) df
+      else df.withColumn(ErrorsCol,
+        array().cast(ArrayType(StringType, containsNull = false)))
+    stages.foldLeft(seeded) { (d, st) =>
+      val existing = d.columns.map { c =>
+        st.outputs.get(c) match {
+          case Some(e) => when(st.fails, col(c)).otherwise(e).as(c)
+          case None if c == ErrorsCol =>
+            when(st.fails, array_append(col(ErrorsCol),
+              concat(lit(st.name + ": "), st.error)))
+              .otherwise(col(ErrorsCol)).as(ErrorsCol)
+          case None => col(c)
+        }
+      }
+      val fresh = st.outputs.toSeq.sortBy(_._1)
+        .filterNot { case (c, _) => d.columns.contains(c) }
+        .map { case (c, e) =>
+          when(st.fails, lit(null)).otherwise(e).as(c) }
+      d.select(existing.toIndexedSeq ++ fresh: _*)
+    }
+  }
+
+  /** Per-stage rollup of an isolated run: total rows out (must equal
+    * rows in — the never-drop contract), clean rows, and one error
+    * count per stage, recovered from the message prefixes. */
+  def stageCounts(out: DataFrame, stages: Seq[IsolatedStage]): DataFrame = {
+    val perStage = stages.map { st =>
+      sum(when(exists(col(ErrorsCol),
+        e => e.startsWith(st.name + ": ")), 1L).otherwise(0L))
+        .as("err_" + st.name.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+          .replaceAll("_+$", ""))
+    }
+    val aggs = Seq(count(lit(1)).as("rows_out"),
+      sum(when(size(col(ErrorsCol)) === 0, 1L).otherwise(0L))
+        .as("rows_clean")) ++ perStage
+    out.agg(aggs.head, aggs.tail: _*)
+  }
+}
+
 /** Transformation chain (`data_transformers.py:290-311`): fold transforms
   * over the DataFrame. Catalyst expressions don't throw per-row the way
   * Python transformers do; stage-level failures surface as exceptions at
   * plan/action time (SURVEY §7.4 hard part 3), so "continue on error"
   * means: a stage that throws at *plan build* is recorded and skipped,
-  * the record stream is never dropped. */
+  * the record stream is never dropped. Record-level isolation — the
+  * reference's actual per-record try/except — is [[ErrorIsolation]]. */
 case class Pipeline(steps: Seq[Transformer]) extends (DataFrame => DataFrame) {
   def apply(df: DataFrame): DataFrame = run(df)._1
 

@@ -216,6 +216,37 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(resized.count() == media.count())
   }
 
+  test("ImageIoCodec.sampleFrames: real animated-GIF decode, pixel-exact") {
+    import graft.multimodal.{ImageIoCodec, SyntheticImages}
+    // hand-build one 16×8 GIF with 3 frames via the corpus generator
+    // (id 1 below n=2 ⇒ (1%4)+2 = 3 frames), then decode through the
+    // REAL reader: every 2nd frame kept ⇒ frames f=0 and f=2
+    val gif = SyntheticImages.gifTable(spark, sf0001, n = 2)
+      .filter($"media_id" === 1L).head()
+    assert(gif.getAs[String]("format") == "gif" &&
+      gif.getAs[Long]("duration_ms") == 120L)
+    val frames = ImageIoCodec.sampleFrames(
+      gif.getAs[Array[Byte]]("content"), everyN = 2)
+    assert(frames.length == 2) // ceil(3/2)
+    // each kept frame is a PNG whose pixels match the generating
+    // formula (7x+13y+31·id+59·f) mod 256 — bit-exact round-trip
+    for ((f, idx) <- Seq(0, 2).zipWithIndex) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frames(idx)))
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val expect = (x * 7 + y * 13 + 31 + f * 59) % 256
+        assert((img.getRGB(x, y) & 0xFF) == expect, s"f=$f x=$x y=$y")
+      }
+    }
+    // non-GIF bytes (the stub's text payloads) yield NO frames — total,
+    // never a throw
+    assert(ImageIoCodec.sampleFrames("not a gif".getBytes, 2).isEmpty)
+    // everyN=1 keeps all 3
+    assert(ImageIoCodec.sampleFrames(
+      gif.getAs[Array[Byte]]("content"), everyN = 1).length == 3)
+  }
+
   test("multimodal: video frame sampling explodes frames") {
     val media = Multimodal.demoMediaTable(spark, sf0001)
     val frames = Multimodal.sampleVideoFrames(media, everyN = 2)

@@ -135,4 +135,58 @@ class TransformSpec extends SparkSpec {
     assert(out.columns.contains("_is_valid"))
     assert(out.count() == 2)
   }
+
+  test("record-level error isolation: failing rows keep values, gain errors, never drop (data_transformers.py:297-311)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "25", 5.0), (2L, "xx", 0.0), (3L, "30", 0.0))
+      .toDF("id", "age_str", "div")
+    val stages = Seq(
+      IsolatedStage("Clean", lit("bad int"),
+        fails = col("age_str").try_cast("long").isNull,
+        outputs = Map("age" -> col("age_str").try_cast("long"),
+          // second output reads the PRE-stage row (the Python
+          // transform(dict) contract), not the first output
+          "age_len" -> length(col("age_str")))),
+      IsolatedStage("Enrich", lit("div by zero"),
+        fails = col("div") === 0.0,
+        outputs = Map("ratio" -> (lit(10.0) / col("div")),
+          // a stage may REWRITE an existing column; failing rows keep
+          // the pre-stage value
+          "age" -> (col("age") + 100L))))
+    val out = ErrorIsolation.run(df, stages)
+      .orderBy("id").collect()
+    // row 1: both stages apply
+    assert(out(0).getAs[Long]("age") == 125L &&
+      out(0).getAs[Double]("ratio") == 2.0 &&
+      out(0).getSeq[String](out(0).fieldIndex("_transformation_errors"))
+        .isEmpty)
+    // row 2: both fail — age null (dict key never added), ratio null,
+    // both errors in order
+    assert(out(1).isNullAt(out(1).fieldIndex("age")) &&
+      out(1).isNullAt(out(1).fieldIndex("ratio")))
+    assert(out(1).getSeq[String](out(1).fieldIndex("_transformation_errors"))
+      == Seq("Clean: bad int", "Enrich: div by zero"))
+    // row 3: stage 1 applies (age 30), stage 2 fails — age KEEPS the
+    // stage-1 value (not +100), one error
+    assert(out(2).getAs[Long]("age") == 30L &&
+      out(2).isNullAt(out(2).fieldIndex("ratio")))
+    assert(out(2).getSeq[String](out(2).fieldIndex("_transformation_errors"))
+      == Seq("Enrich: div by zero"))
+    // never drops: 3 in, 3 out; stage counts roll up
+    val counts = ErrorIsolation.stageCounts(
+      ErrorIsolation.run(df, stages), stages).head()
+    assert(counts.getAs[Long]("rows_out") == 3L &&
+      counts.getAs[Long]("rows_clean") == 1L &&
+      counts.getAs[Long]("err_clean") == 1L &&
+      counts.getAs[Long]("err_enrich") == 2L)
+    // a pre-seeded _transformation_errors column is appended to, not
+    // reset (re-entrant chains)
+    val seeded = df.withColumn("_transformation_errors",
+      array(lit("Prior: upstream")))
+    val reRun = ErrorIsolation.run(seeded, stages.take(1))
+      .orderBy("id").collect()
+    assert(reRun(1).getSeq[String](
+      reRun(1).fieldIndex("_transformation_errors"))
+      == Seq("Prior: upstream", "Clean: bad int"))
+  }
 }
