@@ -176,7 +176,7 @@ class SourcesSpec extends SparkSpec {
     // bare alias (no AS — Oracle rejects AS on table aliases)
     val filtered = plain.copy(where = Some("o_totalprice > 100"))
     assert(filtered.options("dbtable") ==
-      "(SELECT * FROM public.orders WHERE o_totalprice > 100) __graft_src")
+      "(SELECT * FROM public.orders WHERE o_totalprice > 100) graft_src")
     // table/where are trusted static config; metacharacters are refused
     intercept[IllegalArgumentException] {
       plain.copy(where = Some("1=1; DROP TABLE orders"))
@@ -278,6 +278,39 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       InfluxSource("ftp://x", "o", "b", "m")
     }
+  }
+
+  test("S1-prod LIVE: embedded-Derby JDBC write -> partitioned read through the seam") {
+    import graft.sources.JdbcSource
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    val src = Tables.load(spark, sf0001, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey").as("C_CUSTKEY"),
+        col("c_acctbal").as("C_ACCTBAL"))
+    src.write.format("jdbc").option("url", url)
+      .option("dbtable", "CUST").option("driver", drv)
+      .mode("overwrite").save()
+    val jd = JdbcSource(url, "CUST", where = Some("C_CUSTKEY >= 10"),
+      partitionColumn = Some("C_CUSTKEY"), lowerBound = Some(0L),
+      upperBound = Some(500L), numPartitions = Some(4),
+      driver = Some(drv))
+    val back = jd.load(spark)
+    // the read is genuinely PARTITIONED: 4 concurrent range queries
+    assert(back.rdd.getNumPartitions == 4)
+    // values survive the wire both ways, WHERE applied server-side
+    val expect = Tables.load(spark, sf0001, "customer")
+      .filter(col("c_custkey") >= 10 && col("c_custkey") < 500)
+    assert(back.count() == expect.count())
+    val sumBack = back.agg(sum(col("C_ACCTBAL"))).head().getDouble(0)
+    val sumExp = expect.agg(sum(col("c_acctbal"))).head().getDouble(0)
+    assert(math.abs(sumBack - sumExp) < 1e-6)
+    // overwrite mode is idempotent (bench reruns rewrite the table)
+    src.write.format("jdbc").option("url", url)
+      .option("dbtable", "CUST").option("driver", drv)
+      .mode("overwrite").save()
+    assert(jd.load(spark).count() == expect.count())
   }
 
   test("S1-prod JDBC pagination -> partition math (fetch_size loop becomes numPartitions)") {
