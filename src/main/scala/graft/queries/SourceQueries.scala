@@ -289,7 +289,69 @@ object SourceQueries extends QuerySection {
       .orderBy(col("segment"))
   }
 
+  /** S8-prod LIVE: the reference discovers source schemas by walking
+    * `information_schema.columns` (`postgres_connector.py:127-135`).
+    * The portable JDBC form is `DatabaseMetaData.getColumns` — it
+    * speaks every dialect, including ones WITHOUT information_schema
+    * (Derby). Two tables with known shapes are created over the wire,
+    * then discovered back; the judged rows are the live catalog's
+    * answer (table, column, ordinal, type name). */
+  private def s15JdbcDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_s15;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    graft.sinks.JdbcSink.ensureTable(url, drv, "DISC_ORDERS",
+      StructType(Seq(StructField("O_ID", LongType),
+        StructField("O_STATUS", StringType),
+        StructField("O_PRICE", DoubleType))), Seq("O_ID"))
+    graft.sinks.JdbcSink.ensureTable(url, drv, "DISC_USERS",
+      StructType(Seq(StructField("U_ID", LongType),
+        StructField("U_NAME", StringType))), Seq("U_ID"))
+    graft.sources.JdbcSource.discoverColumns(s, url, drv, "APP")
+      .filter(col("table_name").startsWith("DISC_"))
+      .orderBy(col("table_name"), col("ordinal"))
+  }
+
+  /** S9-prod LIVE: incremental high-watermark extraction against a
+    * real database — the reference's actual production pattern (each
+    * DAG run queries postgres for rows past the stored bookmark). The
+    * events slice is loaded over the wire once; pull 1 takes source
+    * state at T1 with a server-side WHERE, its max timestamp becomes
+    * the stored bookmark (a driver scalar, like a streaming offset),
+    * pull 2 extracts strictly past it — every predicate EXECUTES in
+    * the database, judged two-row output identical in shape to the
+    * lake-side `s9_incremental`. */
+  private def s16JdbcIncremental(s: SparkSession, dir: String): DataFrame = {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_s16;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    Tables.load(s, dir, "events").filter(col("event_id") < 5000)
+      .select(col("event_id").as("EVENT_ID"),
+        unix_millis(col("ts")).as("TS_MS"),
+        col("value").as("VALUE"))
+      .write.format("jdbc").option("url", url)
+      .option("dbtable", "EVENTS_SRC").option("driver", drv)
+      .mode("overwrite").save()
+    val t1 = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    def pull(where: String) = graft.sources.JdbcSource(url, "EVENTS_SRC",
+      where = Some(where), driver = Some(drv)).load(s)
+    val initial = pull(s"TS_MS <= $t1")
+    val bookmark = initial.agg(max(col("TS_MS"))).head().getLong(0)
+    val incr = pull(s"TS_MS > $bookmark")
+    initial.agg(count(lit(1)).as("n"), max(col("TS_MS")).as("bookmark_ms"))
+      .select(lit("initial").as("pull"), col("n"), col("bookmark_ms"))
+      .unionByName(
+        incr.agg(count(lit(1)).as("n"),
+          max(col("TS_MS")).as("bookmark_ms"))
+          .select(lit("incremental").as("pull"), col("n"),
+            col("bookmark_ms")))
+      .orderBy(col("pull"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s16_jdbc_incremental" -> (s16JdbcIncremental _),
+    "s15_jdbc_discovery" -> (s15JdbcDiscovery _),
     "s14_jdbc_live" -> (s14JdbcLive _),
     "s13_prod_seams" -> (s13ProdSeams _),
     "s11_quarantine" -> (s11Quarantine _),
@@ -307,6 +369,28 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the live catalog's answer for the two created tables: Derby
+    // reports exactly these JDBC type names at these ordinals
+    "s15_jdbc_discovery" ->
+      """SELECT * FROM (VALUES
+        |  ('DISC_ORDERS', 'O_ID', CAST(1 AS BIGINT), 'BIGINT'),
+        |  ('DISC_ORDERS', 'O_STATUS', CAST(2 AS BIGINT), 'VARCHAR'),
+        |  ('DISC_ORDERS', 'O_PRICE', CAST(3 AS BIGINT), 'DOUBLE'),
+        |  ('DISC_USERS', 'U_ID', CAST(1 AS BIGINT), 'BIGINT'),
+        |  ('DISC_USERS', 'U_NAME', CAST(2 AS BIGINT), 'VARCHAR')
+        |) AS t(table_name, column_name, ordinal, type_name)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "s16_jdbc_incremental" ->
+      """WITH src AS (SELECT event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events WHERE event_id < 5000),
+        |i AS (SELECT count(*) AS n, max(ts_ms) AS bookmark_ms
+        |  FROM src WHERE ts_ms <= 1705363200000),
+        |x AS (SELECT count(*) AS n, max(ts_ms) AS bookmark_ms
+        |  FROM src WHERE ts_ms > (SELECT bookmark_ms FROM i))
+        |SELECT 'incremental' AS pull, n, bookmark_ms FROM x
+        |UNION ALL
+        |SELECT 'initial', n, bookmark_ms FROM i
+        |ORDER BY pull""".stripMargin,
     "s14_jdbc_live" ->
       """SELECT c_mktsegment AS segment, count(*) AS n,
         |  round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS bal

@@ -94,6 +94,29 @@ final case class JdbcSource(
 }
 
 object JdbcSource {
+  /** S8's PRODUCTION mapping, live: the reference walks
+    * `information_schema.columns` (`postgres_connector.py:127-135`);
+    * the portable JDBC form is `DatabaseMetaData.getColumns`, which
+    * speaks every dialect including ones without information_schema
+    * (Derby). Returns (table_name, column_name, ordinal, type_name)
+    * rows for `schemaPattern` — driver-side by nature (catalog
+    * metadata is catalog-sized, not data-sized). */
+  def discoverColumns(spark: SparkSession, url: String, driver: String,
+      schemaPattern: String): DataFrame = {
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, schemaPattern, null, null)
+      val buf = scala.collection.mutable.ListBuffer
+        .empty[(String, String, Long, String)]
+      while (rs.next()) buf += ((
+        rs.getString("TABLE_NAME"), rs.getString("COLUMN_NAME"),
+        rs.getInt("ORDINAL_POSITION").toLong, rs.getString("TYPE_NAME")))
+      import spark.implicits._
+      buf.toSeq.toDF("table_name", "column_name", "ordinal", "type_name")
+    } finally conn.close()
+  }
+
   /** The explicit pagination → partition-math conversion
     * (`base_extractors.py:47-84`): a `fetch_size`-rows-per-page loop
     * over keys in `[lower, upper]` becomes
