@@ -391,4 +391,45 @@ class PropertySpec extends SparkSpec {
     }
     assert(checked >= 60, s"property exercised only $checked pairs")
   }
+
+  test("error isolation ≡ the per-record try/except reference, any failure pattern") {
+    import graft.transform.{ErrorIsolation, IsolatedStage}
+    // random per-row failure masks over 3 stages; the oracle is a
+    // direct Scala transcription of the Python loop
+    // (data_transformers.py:297-311): each stage either applies its
+    // outputs or appends its error and leaves the record untouched
+    val rows = samples(for {
+      a <- Gen.choose(0L, 60L)
+      f1 <- Gen.oneOf(true, false)
+      f2 <- Gen.oneOf(true, false)
+      f3 <- Gen.oneOf(true, false)
+    } yield (a, f1, f2, f3), 80, seed = 7L)
+      .zipWithIndex.map { case ((a, f1, f2, f3), i) =>
+        (i.toLong, a, f1, f2, f3) }
+    val df = rows.toDF("id", "a", "f1", "f2", "f3")
+    val stages = Seq(
+      IsolatedStage("S1", lit("e1"), fails = col("f1"),
+        outputs = Map("a" -> (col("a") + 100L))),
+      IsolatedStage("S2", lit("e2"), fails = col("f2"),
+        outputs = Map("b" -> (col("a") * 2L))), // reads post-S1 a
+      IsolatedStage("S3", lit("e3"), fails = col("f3"),
+        outputs = Map("a" -> (col("a") - 7L), "c" -> col("b"))))
+    val got = ErrorIsolation.run(df, stages).orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        r.getLong(r.fieldIndex("a")),
+        if (r.isNullAt(r.fieldIndex("b"))) None else Some(r.getLong(r.fieldIndex("b"))),
+        if (r.isNullAt(r.fieldIndex("c"))) None else Some(r.getLong(r.fieldIndex("c"))),
+        r.getSeq[String](r.fieldIndex("_transformation_errors")).toList))
+    val expect = rows.map { case (id, a0, f1, f2, f3) =>
+      var a = a0; var b: Option[Long] = None; var c: Option[Long] = None
+      var errs = List.empty[String]
+      if (f1) errs :+= "S1: e1" else a += 100L
+      if (f2) errs :+= "S2: e2" else b = Some(a * 2L)
+      if (f3) errs :+= "S3: e3" else { c = b; a -= 7L }
+      (id, a, b, c, errs)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // invariant: rows never drop, regardless of failure pattern
+    assert(got.length == rows.length)
+  }
 }
