@@ -117,6 +117,56 @@ object ImageIoCodec extends MediaCodec {
         encodePng(out)
     }
 
+  /** REAL audio decode within JDK limits: `javax.sound.sampled` parses
+    * RIFF/WAV containers and yields raw PCM — no external libraries.
+    * 16-bit integer samples are decoded per the container's declared
+    * endianness, then each FULL window reduces to
+    * (mean-square energy, zero-crossing count). Both are INTEGER
+    * arithmetic until one final exact division (Σ s² / windowSize —
+    * dyadic for power-of-two windows, bit-equal in any engine), so the
+    * oracle can replay a synthetic corpus from its generating formula.
+    * Compressed codecs (MP3/AAC) need a deploy-time codec at this same
+    * seam; undecodable/degenerate input yields no windows (total). */
+  override def audioWindows(bytes: Array[Byte],
+      windowSize: Int = 256): Seq[(Double, Long)] = {
+    if (bytes == null || bytes.isEmpty || windowSize <= 0) return Seq.empty
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return Seq.empty }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+        fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return Seq.empty // only uncompressed 16-bit mono PCM here
+      val data = in.readAllBytes()
+      val n = data.length / 2
+      val big = fmt.isBigEndian
+      def sample(i: Int): Int = {
+        val (b0, b1) = (data(2 * i), data(2 * i + 1))
+        if (big) (b0.toInt << 8) | (b1 & 0xFF)
+        else (b1.toInt << 8) | (b0 & 0xFF)
+      }
+      (0 until n / windowSize).map { w =>
+        var sumSq = 0L
+        var zc = 0L
+        var j = w * windowSize
+        var prev = 0
+        val end = (w + 1) * windowSize
+        while (j < end) {
+          val s = sample(j)
+          sumSq += s.toLong * s
+          if (j > w * windowSize && prev * s < 0) zc += 1
+          prev = s
+          j += 1
+        }
+        (sumSq.toDouble / windowSize, zc)
+      }
+    } catch { case _: Exception => Seq.empty }
+    finally in.close()
+  }
+
   /** REAL frame extraction within JDK limits: `ImageIO`'s animated-GIF
     * reader decodes every frame of a multi-frame payload; every
     * `everyN`-th frame is kept and re-encoded as PNG (lossless — the
@@ -153,6 +203,49 @@ object ImageIoCodec extends MediaCodec {
 }
 
 object SyntheticImages {
+  /** Procedural WAV corpus for judging the REAL audio path: one
+    * 16-bit mono PCM WAV per document id below `n`, with
+    * `512 + (id mod 3)·256` samples (always whole 256-windows) and
+    * sample formula `((i·37 + id·101) mod 2003) − 1001` — bounded
+    * amplitude, sign-alternating enough to exercise zero crossings.
+    * The 44-byte RIFF header is hand-rolled (no encoder variance);
+    * `javax.sound` must parse it back. The formula IS the oracle. */
+  def wavTable(spark: SparkSession, sfDir: String, n: Int,
+      sampleRate: Int = 8000): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < n)
+    val enc = ExpressionEncoder(
+      RowEncoder.encoderFor(Multimodal.mediaSchema))
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val nSamples = (512 + (id % 3) * 256).toInt
+        val dataSize = nSamples * 2
+        val bos = new ByteArrayOutputStream(44 + dataSize)
+        val o = new java.io.DataOutputStream(bos)
+        o.writeBytes("RIFF"); o.writeInt(Integer.reverseBytes(36 + dataSize))
+        o.writeBytes("WAVE"); o.writeBytes("fmt ")
+        o.writeInt(Integer.reverseBytes(16))
+        o.writeShort(java.lang.Short.reverseBytes(1.toShort).toInt) // PCM
+        o.writeShort(java.lang.Short.reverseBytes(1.toShort).toInt) // mono
+        o.writeInt(Integer.reverseBytes(sampleRate))
+        o.writeInt(Integer.reverseBytes(sampleRate * 2))
+        o.writeShort(java.lang.Short.reverseBytes(2.toShort).toInt)
+        o.writeShort(java.lang.Short.reverseBytes(16.toShort).toInt)
+        o.writeBytes("data"); o.writeInt(Integer.reverseBytes(dataSize))
+        var i = 0
+        while (i < nSamples) {
+          val s = ((i.toLong * 37 + id * 101) % 2003 - 1001).toShort
+          o.writeShort(java.lang.Short.reverseBytes(s).toInt)
+          i += 1
+        }
+        Row(id, "audio", bos.toByteArray, "wav", null, null,
+          nSamples * 1000L / sampleRate)
+      }
+    }(enc)
+  }
+
   /** Procedural animated-GIF corpus for judging the REAL multi-frame
     * path: one `w`×`h` GIF per document id below `n`, with
     * `(id mod 4) + 2` frames and per-frame pixel luminance

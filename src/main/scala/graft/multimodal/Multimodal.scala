@@ -63,6 +63,15 @@ object Multimodal {
     /** Sample every `everyN`-th frame of a video payload. */
     def sampleFrames(bytes: Array[Byte], everyN: Int,
         frameSize: Int = 64): Seq[Array[Byte]]
+    /** Decode an audio payload into per-FULL-window
+      * (mean-square energy, zero-crossing count) pairs — the two
+      * classic signal features (loudness + rough pitch/noisiness).
+      * Window j covers samples [j·windowSize, (j+1)·windowSize); a
+      * trailing partial window is dropped (bounded, exact grain).
+      * Default: no decoder → no windows (total on any input); codecs
+      * with a real audio path override. */
+    def audioWindows(bytes: Array[Byte],
+        windowSize: Int = 256): Seq[(Double, Long)] = Seq.empty
   }
 
   /** ======== STUB CODEC ========
@@ -190,6 +199,42 @@ object Multimodal {
               val vals = row.toSeq.toArray
               vals(ci) = frame
               Row.fromSeq(vals.toIndexedSeq :+ i)
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio-window extraction stage — the audio twin of
+    * [[extractFeatures]]: audio rows explode into one row per full
+    * window with (mean_square, zero_crossings); non-audio rows emit
+    * nothing. Binaries never shuffle: decode happens inside the scan
+    * stage, only (id, window, two numbers) leave it. */
+  def extractAudioWindows(df: DataFrame, windowSize: Int = 256,
+      batchSize: Int = 256, codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == "content") ++ Seq(
+        StructField("window_no", IntegerType, nullable = false),
+        StructField("mean_square", DoubleType, nullable = false),
+        StructField("zero_crossings", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val (ci, ti) = (idx("content"), idx("media_type"))
+    val keepIdx = df.schema.fieldNames.zipWithIndex
+      .filterNot(_._1 == "content").map(_._2)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          if (row.getString(ti) != "audio") Iterator.empty
+          else {
+            val wins = codec.audioWindows(
+              row.getAs[Array[Byte]](ci), windowSize)
+            val keep = keepIdx.map(row.get).toSeq
+            wins.iterator.zipWithIndex.map { case ((msq, zc), w) =>
+              // Seq[Any]: a bare Seq(w, msq, zc) numeric-widens the
+              // Int window to Double and breaks the encoder
+              Row.fromSeq(keep ++ Seq[Any](w, msq, zc))
             }
           }
         }

@@ -122,7 +122,23 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("frame_md5"))
   }
 
+  /** REAL audio decode, judged: procedural 16-bit PCM WAVs
+    * (`SyntheticImages.wavTable` — hand-rolled RIFF headers, sample
+    * formula `((i·37 + id·101) mod 2003) − 1001`) parse back through
+    * `javax.sound.sampled` inside the batched `extractAudioWindows`
+    * stage with [[ImageIoCodec]]; each full 256-sample window reduces
+    * to mean-square energy (Σs²/256 — dyadic, exact) and the
+    * zero-crossing count (integer). The oracle replays the formula
+    * over generate_series — integer arithmetic, no audio library. */
+  private def mmAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractAudioWindows(
+        SyntheticImages.wavTable(s, dir, n = 200), codec = ImageIoCodec)
+      .select(col("media_id"), col("window_no"), col("mean_square"),
+        col("zero_crossings"))
+      .orderBy(col("media_id"), col("window_no"))
+
   def queries: Map[String, Q] = Map(
+    "mm_audio" -> (mmAudio _),
     "mm_frame_dedup" -> (mmFrameDedup _),
     "mm_dedup" -> (mmDedup _),
     "mm_stats" -> (mmStats _),
@@ -132,6 +148,26 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // REAL-audio oracle: the engine must parse actual RIFF/WAV bytes;
+    // DuckDB replays the PCM formula. Σs²/256.0 is dyadic-exact.
+    "mm_audio" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(512 + (doc_id % 3) * 256 AS INT) AS ns
+        |  FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT media_id, i,
+        |    (i * 37 + media_id * 101) % 2003 - 1001 AS s
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, ns - 1))
+        |    AS i) g),
+        |win AS (SELECT media_id, CAST(i // 256 AS INT) AS w, s,
+        |    lag(s) OVER (PARTITION BY media_id, i // 256 ORDER BY i)
+        |      AS prev
+        |  FROM smp)
+        |SELECT media_id, w AS window_no,
+        |  CAST(sum(s * s) AS DOUBLE) / 256.0 AS mean_square,
+        |  CAST(count(CASE WHEN prev * s < 0 THEN 1 END) AS BIGINT)
+        |    AS zero_crossings
+        |FROM win GROUP BY 1, 2
+        |ORDER BY media_id, window_no""".stripMargin,
     "mm_frame_dedup" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id, text FROM documents

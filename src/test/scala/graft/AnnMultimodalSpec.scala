@@ -115,6 +115,10 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(codec.imageFeatures(Array.empty, 8).length == 8, name)
     assert(codec.sampleFrames(null, 2).isEmpty, name)
     assert(codec.sampleFrames(Array.empty, 2).isEmpty, name)
+    assert(codec.audioWindows(null).isEmpty, name)
+    assert(codec.audioWindows(Array.empty).isEmpty, name)
+    assert(codec.audioWindows(bytes, 256).toSeq ==
+      codec.audioWindows(bytes, 256).toSeq, name) // deterministic
     // serializable: must survive the trip into a task closure
     val out = new java.io.ObjectOutputStream(
       new java.io.ByteArrayOutputStream())
@@ -245,6 +249,31 @@ class AnnMultimodalSpec extends SparkSpec {
     // everyN=1 keeps all 3
     assert(ImageIoCodec.sampleFrames(
       gif.getAs[Array[Byte]]("content"), everyN = 1).length == 3)
+  }
+
+  test("ImageIoCodec.audioWindows: real javax.sound WAV decode, integer-exact") {
+    import graft.multimodal.{ImageIoCodec, SyntheticImages}
+    // id 1 ⇒ 768 samples ⇒ 3 full 256-windows
+    val wav = SyntheticImages.wavTable(spark, sf0001, n = 2)
+      .filter($"media_id" === 1L).head()
+    assert(wav.getAs[String]("format") == "wav" &&
+      wav.getAs[Long]("duration_ms") == 96L) // 768/8000 s
+    val bytes = wav.getAs[Array[Byte]]("content")
+    val wins = ImageIoCodec.audioWindows(bytes, 256)
+    assert(wins.length == 3)
+    // replay the generating formula directly: both features must be
+    // INTEGER-exact (Σs²/256 dyadic; crossings a count)
+    def s(i: Int): Long = (i.toLong * 37 + 101) % 2003 - 1001
+    for (w <- 0 until 3) {
+      val idx = (w * 256) until ((w + 1) * 256)
+      val msq = idx.map(i => s(i) * s(i)).sum.toDouble / 256
+      val zc = idx.drop(1).count(i => s(i - 1) * s(i) < 0).toLong
+      assert(wins(w) == ((msq, zc)), s"window $w")
+    }
+    // trailing partial windows drop: 768 samples at windowSize 512 → 1
+    assert(ImageIoCodec.audioWindows(bytes, 512).length == 1)
+    // non-WAV bytes yield no windows — total, never a throw
+    assert(ImageIoCodec.audioWindows("not audio".getBytes).isEmpty)
   }
 
   test("multimodal: video frame sampling explodes frames") {
