@@ -137,7 +137,40 @@ object MultimodalQueries extends QuerySection {
         col("zero_crossings"))
       .orderBy(col("media_id"), col("window_no"))
 
+  /** CONTENT-grain audio dedup — the case byte-level `mm_dedup`
+    * structurally misses: a re-encoded copy carries the SAME samples
+    * in DIFFERENT bytes (here: planted copies of every 41st WAV gain a
+    * trailing junk byte the RIFF parser ignores — md5(content)
+    * differs, decoded PCM identical; spec asserts both halves). Dedup
+    * therefore runs on the DECODED-feature grain: each file reduces to
+    * an exact orderless fingerprint (window count + Σ mean_square·(w+1)
+    * + Σ zero_crossings·(w+1) — dyadic/integer arithmetic, so the
+    * formula oracle replays it bit-exactly), and fingerprint groups
+    * spanning ≥ 2 media surface with their keeper. The audio analogue
+    * of `mm_frame_dedup`'s frame-grain argument; perceptual (near-dup)
+    * matching would layer MinHash over quantized features at this same
+    * grain. */
+  private def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = SyntheticImages.wavTable(s, dir, n = 150)
+    val planted = base.filter(col("media_id") % 41 === 0)
+      .withColumn("media_id", col("media_id") + 1000000L)
+      .withColumn("content", concat(col("content"),
+        lit(Array(0x7F.toByte))))
+    val wins = Multimodal.extractAudioWindows(
+      base.unionByName(planted), codec = ImageIoCodec)
+    wins.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(col("mean_square") * (col("window_no") + 1)).as("f1"),
+        sum(col("zero_crossings") * (col("window_no") + 1)).as("f2"))
+      .groupBy(col("f1"), col("f2"), col("nw"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id")).as("keeper"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("keeper"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "mm_audio_dedup" -> (mmAudioDedup _),
     "mm_audio" -> (mmAudio _),
     "mm_frame_dedup" -> (mmFrameDedup _),
     "mm_dedup" -> (mmDedup _),
@@ -148,6 +181,37 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // feature-grain dedup oracle: the planted trailing-byte copies
+    // decode to the ORIGINAL id's samples, so fid drives the formula
+    "mm_audio_dedup" ->
+      """WITH ids0 AS (
+        |  SELECT doc_id AS media_id, doc_id AS fid FROM documents
+        |  WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 41 = 0),
+        |ids AS (SELECT media_id, fid,
+        |    CAST(512 + (fid % 3) * 256 AS INT) AS ns FROM ids0),
+        |smp AS (SELECT media_id, i,
+        |    (i * 37 + fid * 101) % 2003 - 1001 AS s
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, ns - 1))
+        |    AS i) g),
+        |win AS (SELECT media_id, CAST(i // 256 AS INT) AS w, s,
+        |    lag(s) OVER (PARTITION BY media_id, i // 256 ORDER BY i)
+        |      AS prev
+        |  FROM smp),
+        |wa AS (SELECT media_id, w,
+        |    CAST(sum(s * s) AS DOUBLE) / 256.0 AS msq,
+        |    count(CASE WHEN prev * s < 0 THEN 1 END) AS zc
+        |  FROM win GROUP BY 1, 2),
+        |fp AS (SELECT media_id, count(*) AS nw,
+        |    sum(msq * (w + 1)) AS f1,
+        |    CAST(sum(zc * (w + 1)) AS BIGINT) AS f2
+        |  FROM wa GROUP BY media_id)
+        |SELECT f1, f2, nw, CAST(count(*) AS BIGINT) AS n_media,
+        |  min(media_id) AS keeper
+        |FROM fp GROUP BY f1, f2, nw HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     // REAL-audio oracle: the engine must parse actual RIFF/WAV bytes;
     // DuckDB replays the PCM formula. Σs²/256.0 is dyadic-exact.
     "mm_audio" ->

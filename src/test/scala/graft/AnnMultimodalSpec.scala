@@ -274,6 +274,17 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(ImageIoCodec.audioWindows(bytes, 512).length == 1)
     // non-WAV bytes yield no windows — total, never a throw
     assert(ImageIoCodec.audioWindows("not audio".getBytes).isEmpty)
+
+    // the mm_audio_dedup premise, proven at the byte level: a trailing
+    // junk byte changes md5(content) — byte-grain dedup misses the
+    // copy — while the RIFF parser ignores it, so the decoded feature
+    // sequence is IDENTICAL and feature-grain dedup catches it
+    val copy = bytes :+ 0x7F.toByte
+    assert(!java.util.Arrays.equals(bytes, copy))
+    assert(java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .toSeq != java.security.MessageDigest.getInstance("MD5")
+      .digest(copy).toSeq)
+    assert(ImageIoCodec.audioWindows(copy, 256).toSeq == wins.toSeq)
   }
 
   test("multimodal: video frame sampling explodes frames") {
