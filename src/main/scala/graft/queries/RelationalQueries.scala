@@ -436,6 +436,73 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("depth"), col("node"))
   }
 
+  /** k-core backbone (`operators/KCore.scala`): the dense nucleus of
+    * the high-volume co-purchase graph — every surviving node keeps
+    * ≥ 3 high-quantity trading partners inside the core. 4 peel
+    * rounds (converged at this graph's scale; the peel is monotone so
+    * extra rounds are no-ops), judged against the same rounds
+    * unrolled as chained CTEs in DuckDB. Scale: each round is one
+    * degree aggregate + two semi-joins on node id over a
+    * monotonically shrinking edge frame — Θ(edges) per round, no
+    * all-pairs shape. */
+  private def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    graft.operators.KCore.kCore(edges, k = 3, rounds = 4)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2)
+          .cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("deg"))
+      .orderBy(desc("deg"), col("node"))
+  }
+
+  /** Hop-bounded cheapest path (`operators/CheapestPath.scala`):
+    * distributed Bellman–Ford from every nation-7 customer through
+    * the LOW-quantity co-purchase links (edge weight = cheapest
+    * supporting item's quantity, an exact integer — min-plus algebra
+    * with no float drift), ≤ 3 relaxation rounds, judged against the
+    * same rounds unrolled as chained CTEs in DuckDB. The weighted
+    * sibling of `graph_reachability`: same superstep exchange
+    * pattern (one src-keyed join + one dst min-aggregate per round),
+    * but the answer is a cost, not a hop count. */
+  private def graphCheapest(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 10)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val edges = pairs
+      .select(col("cnode").as("src"), col("snode").as("dst"), col("w"))
+      .union(pairs
+        .select(col("snode").as("src"), col("cnode").as("dst"), col("w")))
+    val sources = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.operators.CheapestPath.cheapestPaths(edges, sources, rounds = 3)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2)
+          .cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("dist"))
+      .orderBy(col("dist"), col("node"))
+  }
+
   /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
     * "suppliers achieving the per-part minimum" subquery, decorrelated
     * into aggregate + equi-join. The cost relation is lineitem's unit
@@ -2661,6 +2728,8 @@ object RelationalQueries extends QuerySection {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_reachability" -> (graphReachability _),
+    "graph_kcore" -> (graphKcore _),
+    "graph_cheapest" -> (graphCheapest _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
@@ -3923,6 +3992,69 @@ object RelationalQueries extends QuerySection {
         |  CAST(min(depth) AS INT) AS depth
         |FROM reach GROUP BY node
         |ORDER BY CAST(min(depth) AS INT),
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END""".stripMargin,
+    "graph_kcore" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 45),
+        |e0 AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode, cnode FROM pairs),
+        |k0 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM e0 e
+        |  JOIN k0 a ON e.src = a.src JOIN k0 b ON e.dst = b.src),
+        |k1 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |  JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+        |k2 AS (SELECT src FROM e2 GROUP BY src HAVING count(*) >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |  JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src),
+        |k3 AS (SELECT src FROM e3 GROUP BY src HAVING count(*) >= 3),
+        |e4 AS (SELECT e.src, e.dst FROM e3 e
+        |  JOIN k3 a ON e.src = a.src JOIN k3 b ON e.dst = b.src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'c' || (src // 2)
+        |    ELSE 's' || ((src - 1) // 2) END AS node,
+        |  count(*) AS deg
+        |FROM e4 GROUP BY src
+        |ORDER BY deg DESC,
+        |  CASE WHEN src % 2 = 0 THEN 'c' || (src // 2)
+        |    ELSE 's' || ((src - 1) // 2) END""".stripMargin,
+    "graph_cheapest" ->
+      """WITH pairs AS (
+        |  SELECT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode,
+        |    CAST(min(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity <= 10
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst, w FROM pairs
+        |  UNION ALL SELECT snode, cnode, w FROM pairs),
+        |d0 AS (
+        |  SELECT DISTINCT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM customer WHERE c_nationkey = 7),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d0.dist + e.w FROM d0
+        |    JOIN edges e ON e.src = d0.node) t GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d1.dist + e.w FROM d1
+        |    JOIN edges e ON e.src = d1.node) t GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d2.dist + e.w FROM d2
+        |    JOIN edges e ON e.src = d2.node) t GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  dist
+        |FROM d3
+        |ORDER BY dist,
         |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
         |    ELSE 's' || ((node - 1) // 2) END""".stripMargin,
     "graph_pagerank" ->

@@ -135,6 +135,30 @@ object SourceQueries extends QuerySection {
       .orderBy(col("c_custkey"))
   }
 
+  /** S17: XML round-trip — supplier written through Spark's NATIVE
+    * XML sink (one `<row>` element per record, new in Spark 4 — no
+    * external package) and re-read through the XML scan with schema
+    * inference, judged against the parquet original. DuckDB can't
+    * read XML, so like s12 the oracle states the expectation from the
+    * parquet side — what a lossless format round-trip must reproduce.
+    * Unlike the YAML path this is a distributed text format: files
+    * split at row-tag boundaries, so the scan parallelizes like
+    * csv/json at any scale. Escaping is the round-trip hazard XML
+    * adds over csv (`&`, `<`, quotes in s_name survive via entity
+    * encoding — XmlSourceSpec plants them). */
+  private def s17XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    Tables.load(s, dir, "supplier")
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "suppliers").option("rowTag", "row")
+      .save(s"$tmp/supplier_xml")
+    Sources.xml(s, s"$tmp/supplier_xml")
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_nationkey").cast("long"),
+        round(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** S5: YAML round-trip — region through the YAML writer and the
     * driver-side YAML reader (strings in, cast out). */
   private def s5YamlRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -358,6 +382,7 @@ object SourceQueries extends QuerySection {
     "s10_schema_evolution" -> (s10SchemaEvolution _),
     "s4_file_roundtrip" -> (s4FileRoundtrip _),
     "s12_orc_roundtrip" -> (s12OrcRoundtrip _),
+    "s17_xml_roundtrip" -> (s17XmlRoundtrip _),
     "s5_yaml_roundtrip" -> (s5YamlRoundtrip _),
     "s1_where_scan" -> (s1WhereScan _),
     "s2_filter_dict" -> (s2FilterDict _),
@@ -454,6 +479,11 @@ object SourceQueries extends QuerySection {
       """SELECT c_custkey, c_name, c_nationkey,
         |  round(c_acctbal, 2) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s17_xml_roundtrip" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey,
+        |  round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "s4_file_roundtrip" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation

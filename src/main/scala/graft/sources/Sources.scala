@@ -120,10 +120,22 @@ object Sources {
       case "jsonl" | "ndjson" => spark.read.json(path)
       case "parquet" => spark.read.parquet(path)
       case "yaml" | "yml" => yaml(spark, path)
+      case "xml" => xml(spark, path)
       case other => throw new IllegalArgumentException(
         s"Unsupported file type: $other")
     }
   }
+
+  /** S4 (XML) — XML dataset scan via Spark's native XML source (new in
+    * Spark 4; no external package). One record per `rowTag` element,
+    * schema inferred from element content exactly like the csv/json
+    * paths. Unlike the YAML path this is fully distributed — the XML
+    * reader splits files at row-tag boundaries, so a 100 TB stage of
+    * many XML files scans in parallel like any text-based format. */
+  def xml(spark: SparkSession, path: String,
+      rowTag: String = "row"): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag)
+      .option("inferSchema", "true").load(path)
 
   /** S5 — YAML dataset (list of flat mappings), parsed driver-side like
     * the reference's `yaml.safe_load` path (`common_utils.py:130-134`),
