@@ -503,6 +503,37 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("dist"), col("node"))
   }
 
+  /** Bounded-round community formation (`operators/LabelProp.scala`):
+    * synchronous min-label propagation over the high-volume (qty > 45)
+    * co-purchase graph, 3 rounds — each node's community id is the
+    * smallest node id within 3 hops, the deterministic member of the
+    * label-propagation family (frequency-voting LPA is order-
+    * dependent; min-reduction replays identically anywhere), judged
+    * against the same rounds unrolled as chained CTEs in DuckDB.
+    * Output: community rollup (id, size, sample members) — the
+    * segment-discovery shape. Scale: one labels⋈edges join + one dst
+    * min-aggregate per round, Θ(edges) each, never all-pairs. */
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    graft.operators.LabelProp.propagate(edges, rounds = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy(desc("n_members"), col("community"))
+      .limit(100)
+  }
+
   /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
     * "suppliers achieving the per-part minimum" subquery, decorrelated
     * into aggregate + equi-join. The cost relation is lineitem's unit
@@ -2730,6 +2761,7 @@ object RelationalQueries extends QuerySection {
     "graph_reachability" -> (graphReachability _),
     "graph_kcore" -> (graphKcore _),
     "graph_cheapest" -> (graphCheapest _),
+    "graph_label_prop" -> (graphLabelProp _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
@@ -4057,6 +4089,39 @@ object RelationalQueries extends QuerySection {
         |ORDER BY dist,
         |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
         |    ELSE 's' || ((node - 1) // 2) END""".stripMargin,
+    // min-label propagation replica: rounds unrolled as chained CTEs;
+    // each round = neighbor-min aggregate + least() against own label
+    // (closed neighborhood), exactly the engine's superstep.
+    "graph_label_prop" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 45),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode, cnode FROM pairs),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+        |l1 AS (SELECT l.node,
+        |    least(l.label, coalesce(n.nbr, l.label)) AS label
+        |  FROM l0 l LEFT JOIN (SELECT e.dst AS node, min(l.label) AS nbr
+        |    FROM l0 l JOIN edges e ON l.node = e.src GROUP BY e.dst) n
+        |  ON l.node = n.node),
+        |l2 AS (SELECT l.node,
+        |    least(l.label, coalesce(n.nbr, l.label)) AS label
+        |  FROM l1 l LEFT JOIN (SELECT e.dst AS node, min(l.label) AS nbr
+        |    FROM l1 l JOIN edges e ON l.node = e.src GROUP BY e.dst) n
+        |  ON l.node = n.node),
+        |l3 AS (SELECT l.node,
+        |    least(l.label, coalesce(n.nbr, l.label)) AS label
+        |  FROM l2 l LEFT JOIN (SELECT e.dst AS node, min(l.label) AS nbr
+        |    FROM l2 l JOIN edges e ON l.node = e.src GROUP BY e.dst) n
+        |  ON l.node = n.node)
+        |SELECT label AS community, count(*) AS n_members,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM l3 GROUP BY label
+        |ORDER BY n_members DESC, community
+        |LIMIT 100""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS cnode,

@@ -78,6 +78,65 @@ class GraphPropertySpec extends SparkSpec {
     dist
   }
 
+  /** reference min-label propagation: R synchronous rounds over the
+    * closed neighborhood with plain maps */
+  private def refLabelProp(und: Set[(Int, Int)], rounds: Int): Map[Int, Int] = {
+    val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = sym.map(_._1).distinct
+    var labels = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      val nbrMin = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => labels(e._1)).min
+      }
+      labels = labels.map { case (v, l) =>
+        v -> math.min(l, nbrMin.getOrElse(v, l))
+      }
+    }
+    labels
+  }
+
+  test("labelPropagate equals the in-memory sync min-label rounds") {
+    for (((n, und), i) <- samples(undirected, 12, seed = 23L).zipWithIndex) {
+      val rounds = i % 5 // 0 (identity) through converged
+      val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      if (sym.nonEmpty) {
+        val got = graft.operators.LabelProp
+          .propagate(sym.toDF("src", "dst"), rounds)
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        assert(got === refLabelProp(und, rounds),
+          s"case $i: n=$n rounds=$rounds edges=$und")
+      }
+    }
+  }
+
+  test("labelPropagate converges to connected components") {
+    for (((n, und), i) <- samples(undirected, 6, seed = 41L).zipWithIndex) {
+      val sym = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      if (sym.nonEmpty) {
+        // n rounds ≥ graph diameter → every label is its component min
+        val got = graft.operators.LabelProp
+          .propagate(sym.toDF("src", "dst"), n)
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+        // reference components via union-find over the edge set
+        val parent = scala.collection.mutable.Map[Int, Int]()
+        def find(x: Int): Int = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        und.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val comps = got.keys.map(v => v -> find(v)).toMap
+        val compMin = comps.groupBy(_._2).map { case (c, vs) =>
+          c -> vs.keys.min
+        }
+        val want = comps.map { case (v, c) => v -> compMin(c) }
+        assert(got === want, s"case $i: n=$n edges=$und")
+      }
+    }
+  }
+
   test("cheapestPaths equals the in-memory Bellman-Ford on random digraphs") {
     for (((n, es, srcs), i) <- samples(weighted, 12).zipWithIndex) {
       val rounds = 1 + (i % 4) // exercise non-converged AND converged runs

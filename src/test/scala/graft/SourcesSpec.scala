@@ -68,8 +68,8 @@ class SourcesSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
       "{\"a\": 1}\n{\"a\": 2}\n{\"a\": 3}\n")
     assert(Sources.file(spark, s"$dir/d.jsonl").count() == 3)
-    // unsupported
-    intercept[IllegalArgumentException](Sources.file(spark, s"$dir/d.xml"))
+    // unsupported (xml joined the supported set in round 8)
+    intercept[IllegalArgumentException](Sources.file(spark, s"$dir/d.xyz"))
   }
 
   test("S5 yaml list-of-mappings (common_utils.py:130-134)") {
