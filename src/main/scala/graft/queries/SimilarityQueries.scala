@@ -67,6 +67,50 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** NDCG@10 discount table 1/log2(rank+1), computed ONCE here and
+    * embedded as literals in BOTH the Spark plan and the DuckDB oracle
+    * (Double.toString round-trips exactly) — so the two engines share
+    * the same bits and no libm log2 divergence can reach the hash. */
+  private val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** GRADED ranking quality — NDCG@10 of the IVF path against the
+    * exact ranking: recall@k (ann_recall) treats every exact top-k
+    * neighbor as equally important; NDCG is the metric that charges
+    * an approximate index for returning the right neighbors in the
+    * WRONG ORDER (gain = 11−exact_rank, discount = 1/log2(rank+1)).
+    * Together they are the standard tuning dashboard for an ANN
+    * deployment. Integer `hits` anchors the float columns. Scale:
+    * two kernel invocations (each one broadcast-join + one window)
+    * plus two (query, neighbor)-keyed aggregates over ≤ 10·|Q| rows. */
+  private def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val disc = typedLit(ndcgDiscounts)
+    val exact = Ann.bruteTopK(q, e, "embedding", "vec_id", k = 10)
+      .select(col("query_id"), col("corpus_id"),
+        (lit(11) - col("rank")).cast("double").as("rel"),
+        element_at(disc, col("rank")).as("disc"))
+    val ivf = Ann.ivfTopK(q, e, "embedding", "vec_id", k = 10,
+        nlist = 8, nprobe = 3)
+      .select(col("query_id"), col("corpus_id"),
+        element_at(disc, col("rank")).as("ivf_disc"))
+    val dcg = ivf
+      .join(exact.select(col("query_id"), col("corpus_id"), col("rel")),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(coalesce(col("rel"), lit(0.0)) * col("ivf_disc")), 6)
+          .as("dcg"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"))
+    val idcg = exact.groupBy(col("query_id"))
+      .agg(round(sum(col("rel") * col("disc")), 6).as("idcg"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("hits"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** ANN RECALL REPORT — the evaluation harness as a first-class
     * judged operator: per query, how many of the exact top-5 does
     * each approximate path (LSH buckets, IVF cell probes) actually
@@ -397,6 +441,7 @@ object SimilarityQueries extends QuerySection {
     "ann_quantize" -> (annQuantize _),
     "ann_knn_classify" -> (annKnnClassify _),
     "ann_recall" -> (annRecall _),
+    "ann_ndcg" -> (annNdcg _),
     "ann_topk" -> (annTopk _),
     "ann_jl" -> (annJl _),
     "ann_range" -> (annRange _),
@@ -447,6 +492,67 @@ object SimilarityQueries extends QuerySection {
        |LEFT JOIN ivfp i ON i.query_id = e.query_id
        |  AND i.corpus_id = e.corpus_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
+  /** DuckDB replica of [[annNdcg]]: exact@10 grades, IVF@10 ranking
+    * (same codebook/tie-break replica as [[ivfOracle]] at k=10,
+    * nprobe=3), and the SAME discount literals the Spark plan embeds —
+    * both engines round dcg/idcg to 6 dp before the final division. */
+  private def ndcgOracle: String = {
+    val disc = ndcgDiscounts.map(_.toString).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |exact AS (SELECT query_id, corpus_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |  FROM (SELECT query_id, e.vec_id AS corpus_id,
+       |      round(list_cosine_similarity(qv, e.v), 6) AS cos
+       |    FROM q0 JOIN e ON e.vec_id <> query_id) s
+       |  QUALIFY rank <= 10),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+       |    v AS cv
+       |  FROM e ORDER BY vec_id LIMIT 8),
+       |scores AS (SELECT e.vec_id, c.idx,
+       |    list_inner_product(e.v, c.cv) AS d
+       |  FROM e CROSS JOIN cent c),
+       |cells AS (SELECT vec_id, idx AS cell FROM scores
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d DESC, idx DESC) = 1),
+       |probes AS (SELECT vec_id, idx AS cell FROM scores
+       |  WHERE vec_id < 10
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d DESC, idx DESC) <= 3),
+       |cc AS (SELECT e.vec_id AS corpus_id, e.v AS cv, cells.cell
+       |  FROM e JOIN cells ON cells.vec_id = e.vec_id),
+       |qq AS (SELECT p.vec_id AS query_id, e.v AS qv, p.cell
+       |  FROM probes p JOIN e ON e.vec_id = p.vec_id),
+       |ivf AS (SELECT query_id, corpus_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, corpus_id) AS INT) AS rank
+       |  FROM (SELECT query_id, corpus_id,
+       |      round(list_cosine_similarity(qv, cv), 6) AS cos
+       |    FROM qq JOIN cc USING (cell) WHERE query_id <> corpus_id) s
+       |  QUALIFY rank <= 10),
+       |ex2 AS (SELECT query_id, corpus_id,
+       |    CAST(11 - rank AS DOUBLE) AS rel,
+       |    list_extract($disc, rank) AS disc
+       |  FROM exact),
+       |iv2 AS (SELECT query_id, corpus_id,
+       |    list_extract($disc, rank) AS ivf_disc
+       |  FROM ivf),
+       |dcg AS (SELECT i.query_id,
+       |    round(sum(coalesce(x.rel, 0) * i.ivf_disc), 6) AS dcg,
+       |    CAST(sum(CASE WHEN x.rel IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM iv2 i LEFT JOIN ex2 x ON x.query_id = i.query_id
+       |    AND x.corpus_id = i.corpus_id
+       |  GROUP BY i.query_id),
+       |idcg AS (SELECT query_id, round(sum(rel * disc), 6) AS idcg
+       |  FROM ex2 GROUP BY query_id)
+       |SELECT d.query_id, d.hits, d.dcg, i.idcg,
+       |  round(d.dcg / i.idcg, 6) AS ndcg
+       |FROM dcg d JOIN idcg i USING (query_id)
+       |ORDER BY d.query_id""".stripMargin
   }
 
   /** DuckDB replica of the hyperplane bucketing + in-bucket exact rank.
@@ -716,6 +822,7 @@ object SimilarityQueries extends QuerySection {
         |FROM d ORDER BY vec_id""".stripMargin,
     "ann_lsh" -> lshOracle,
     "ann_recall" -> recallOracle,
+    "ann_ndcg" -> ndcgOracle,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_index" -> ivfOracle,
     "ann_ivf_incremental" -> ivfOracle,
