@@ -95,17 +95,19 @@ object SimilarityQueries extends QuerySection {
         nlist = 8, nprobe = 3)
       .select(col("query_id"), col("corpus_id"),
         element_at(disc, col("rank")).as("ivf_disc"))
-    val dcg = ivf
-      .join(exact.select(col("query_id"), col("corpus_id"), col("rel")),
-        Seq("query_id", "corpus_id"), "left")
+    // ONE full outer join + ONE aggregate yields dcg, idcg, and hits
+    // together — the exact-ranking subplan is scanned once, not once
+    // per metric (at corpus scale the brute/IVF scans dominate; the
+    // metric layer must not multiply them)
+    ivf.join(exact, Seq("query_id", "corpus_id"), "full")
       .groupBy(col("query_id"))
       .agg(
-        round(sum(coalesce(col("rel"), lit(0.0)) * col("ivf_disc")), 6)
-          .as("dcg"),
-        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("hits"))
-    val idcg = exact.groupBy(col("query_id"))
-      .agg(round(sum(col("rel") * col("disc")), 6).as("idcg"))
-    dcg.join(idcg, Seq("query_id"))
+        round(sum(coalesce(col("rel"), lit(0.0)) *
+          coalesce(col("ivf_disc"), lit(0.0))), 6).as("dcg"),
+        round(sum(coalesce(col("rel"), lit(0.0)) *
+          coalesce(col("disc"), lit(0.0))), 6).as("idcg"),
+        sum(when(col("rel").isNotNull && col("ivf_disc").isNotNull, 1L)
+          .otherwise(0L)).as("hits"))
       .select(col("query_id"), col("hits"), col("dcg"), col("idcg"),
         round(col("dcg") / col("idcg"), 6).as("ndcg"))
       .orderBy(col("query_id"))
