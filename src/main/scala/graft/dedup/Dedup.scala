@@ -245,6 +245,25 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/tokens")
   }
 
+  /** Append an increment's sketch rows to a stored index — the WRITE
+    * half of the incremental lifecycle ([[incrementalDupes]] is the
+    * read half): today's batch checks against history, then its own
+    * buckets + token sets join the index so tomorrow's batch sees it.
+    * Append-only: historical posting files are never rewritten. Safe
+    * under at-least-once replay by CONSTRUCTION rather than by fencing:
+    * a re-appended sketch row is identical to the one already there, so
+    * it can only re-create candidate pairs that the downstream
+    * `distinct()` + verify collapse — duplicate index rows never change
+    * the verified answer. Sketch params must match the build's. */
+  def appendToMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableHash: Boolean = false): Unit = {
+    lshBucketRows(df, textCol, idCol, n, numHashes, bands, portableHash)
+      .write.mode("append").parquet(s"$path/buckets")
+    tokenSets(df, textCol, idCol)
+      .write.mode("append").parquet(s"$path/tokens")
+  }
+
   /** Near-dups of a NEW batch against a stored corpus index: sketch
     * only the new docs, equi-join their buckets against the index
     * (shuffle carries bucket rows, never text), verify candidates with

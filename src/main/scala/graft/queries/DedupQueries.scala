@@ -212,7 +212,9 @@ object DedupQueries extends QuerySection {
   private def incrementalMinhashOracle: String =
     minhashOracleWith("a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0")
 
-  private def minhashOracleWith(candCondition: String): String = {
+  /** `private[queries]`: StreamingQueries reuses this replica for
+    * `stream_near_dedup` (history×new ∪ ordered new×new condition). */
+  private[queries] def minhashOracleWith(candCondition: String): String = {
     def mdInt(e: String) = s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
     def mdInt7(e: String) = s"CAST('0x' || substr(md5($e), 1, 7) AS BIGINT)"
     val mins = (0 until 32)

