@@ -94,6 +94,17 @@ object Bench {
     val calMain = scala.collection.mutable.ListBuffer.empty[Double]
     val calSlope = scala.collection.mutable.ListBuffer.empty[Double]
     val calSf1 = scala.collection.mutable.ListBuffer.empty[Double]
+    // MID-PASS probes every `calEvery` queries: per-pass sentinels
+    // cannot see interference BURSTS (measured on this host: windows
+    // of ~5x slowdown lasting minutes inside an otherwise-quiet pass,
+    // which inflated a handful of queries 9-31x while the pass-start
+    // sentinel read clean both before and after). The timeline
+    // [pass, query_index, secs] brackets every query between two
+    // probes, so a per-query blow-up is attributable: probes flat ->
+    // engine regression; probes spiked -> machine burst.
+    val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL_EVERY", "25").toInt
+    val calTimeline =
+      scala.collection.mutable.ListBuffer.empty[(Int, Int, Double)]
     def calJson(vs: Seq[Double]): String =
       vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
@@ -154,6 +165,9 @@ object Bench {
           f""""io_pass1":$ioJson,""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
           f""""calibration":${calJson(calMain.toSeq)},""" +
+          f""""calibration_timeline":${calTimeline.toSeq
+            .map { case (p, i, s) => f"[$p,$i,$s%.3f]" }
+            .mkString("[", ",", "]")},""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
@@ -177,7 +191,9 @@ object Bench {
 
     for (pass <- 1 to reps) {
       calMain += calibrate()
-      for ((name, fn) <- names) {
+      for (((name, fn), qi) <- names.zipWithIndex) {
+        if (calEvery > 0 && qi > 0 && qi % calEvery == 0)
+          calTimeline += ((pass, qi, calibrate()))
         val before =
           if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
             .totals(spark.sparkContext, ioAcc))
