@@ -66,4 +66,38 @@ class MinhashCompactionSpec extends SparkSpec {
     Dedup.compactMinhashIndex(spark, idx, files = 2)
     assert(run(idx) === before)
   }
+
+  test("build + append ≡ build-once, under any random split") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("red", "blue", "green", "gold", "gray", "teal",
+      "pink", "cyan", "plum", "jade", "rust", "sand")
+    val gen = for {
+      nDocs <- Gen.choose(6, 16)
+      texts <- Gen.listOfN(nDocs, Gen.choose(0, vocab.size - 3).flatMap(
+        d => Gen.const(vocab.drop(d).take(8).mkString(" "))))
+      cut <- Gen.choose(1, nDocs - 1)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, cut)
+    val (n, h, b, p) = params
+    for (i <- 0 until 6) {
+      val (docs, cut) = gen(Gen.Parameters.default, Seed(300L + i)).get
+      val (part1, part2) = docs.splitAt(cut)
+      val probeDf = probe.toDF("doc_id", "text")
+      def answers(idx: String) =
+        Dedup.incrementalDupes(spark, probeDf, "text", "doc_id", idx,
+            n, h, b, verifyThreshold = 0.5, portableHash = p)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val once = Files.createTempDirectory("graft_cmp_once").toString
+      Dedup.buildMinhashIndex(docs.toDF("doc_id", "text"),
+        "text", "doc_id", once, n, h, b, p)
+      val split = Files.createTempDirectory("graft_cmp_split").toString
+      Dedup.buildMinhashIndex(part1.toDF("doc_id", "text"),
+        "text", "doc_id", split, n, h, b, p)
+      Dedup.appendToMinhashIndex(part2.toDF("doc_id", "text"),
+        "text", "doc_id", split, n, h, b, p)
+      assert(answers(split) === answers(once),
+        s"case $i: cut=$cut docs=${docs.map(_._1)}")
+    }
+  }
 }
