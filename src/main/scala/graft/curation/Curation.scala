@@ -186,6 +186,53 @@ object Curation {
       .drop("__rk", "__cap")
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023,
+    * arXiv:2302.03169): score every document by how much more likely
+    * its token-bucket profile is under a TARGET domain than under the
+    * RAW corpus — the data-selection primitive that upsamples
+    * target-like web text without a trained classifier. Tokens hash
+    * into a FIXED `buckets`-ary feature space via the portable md5
+    * bridge (so an ANSI-SQL oracle replays every weight bit-for-bit);
+    * both histograms get add-1 smoothing; a document's log-weight is
+    * Σ over its tokens of ln p_target(bucket)/p_raw(bucket), and
+    * `selected` is the CONSTANT threshold logw > 0 ("more target-like
+    * than raw").
+    *
+    * Scale shape: the two histograms are ≤ `buckets` rows each (the
+    * log-ratio table broadcasts); per-doc work is Θ(tokens) narrow
+    * inside the scan stage plus ONE doc-keyed shuffle; the constant
+    * selection threshold means no global sort, window, or quantile
+    * pass gates the output — the whole pipeline is two tiny aggregates
+    * and one hash aggregate at the document grain. `targetPred`
+    * parameterizes the target sample as a predicate over the same
+    * frame; at 100 TB it would instead come from a small curated
+    * corpus — only the two histogram inputs change. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    val b = df.select(col(idCol).as("id"), targetPred.as("__tgt"),
+        explode(graft.text.TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("id"), col("__tgt"),
+        pmod(conv(substring(md5(col("__t")), 1, 7), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("__bkt"))
+    val raw = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c_r"))
+    val tgt = b.filter(col("__tgt")).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c_t"))
+    // two corpus-total scalars — the only driver state
+    val nR = raw.agg(sum(col("__c_r"))).head.getLong(0).toDouble
+    val nT = tgt.agg(sum(col("__c_t"))).head.getLong(0).toDouble
+    val llr = raw.join(tgt, Seq("__bkt"), "left")
+      .select(col("__bkt"),
+        log(((coalesce(col("__c_t"), lit(0L)) + lit(1L)) /
+              lit(nT + buckets)) /
+            ((col("__c_r") + lit(1L)) / lit(nR + buckets))).as("__llr"))
+    b.join(broadcast(llr), Seq("__bkt"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__llr")), 6).as("logw"))
+      .withColumn("selected", col("logw") > 0)
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any n-gram
     * shingle with the benchmark set. Returns (id, n_shared) per
     * contaminated doc. The benchmark shingle set is broadcast —

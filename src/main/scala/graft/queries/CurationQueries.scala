@@ -55,6 +55,18 @@ object CurationQueries extends QuerySection {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance weighting judged ([[Curation.dsirWeights]]): the
+    * target domain is the English slice, the raw distribution is the
+    * whole corpus, 256 hashed token buckets — every per-document
+    * log-weight and the constant-threshold selection replayed by the
+    * oracle bit-for-bit through the md5 bridge. */
+  private def curDsir(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("logw"),
+        col("selected"))
+      .orderBy(col("doc_id"))
+
   /** Contamination overlap SCORE (thresholdable fraction, not the
     * boolean): same bench/corpus split as cur_decontam, every corpus
     * doc scored shared/total distinct trigrams. */
@@ -275,6 +287,7 @@ object CurationQueries extends QuerySection {
     "cur_sample_stratified" -> (curSampleStratified _),
     "cur_shuffle" -> (curShuffle _),
     "cur_decontam" -> (curDecontam _),
+    "cur_dsir" -> (curDsir _),
     "cur_overlap" -> (curOverlap _),
     "cur_curriculum" -> (curCurriculum _)
   )
@@ -481,6 +494,30 @@ object CurationQueries extends QuerySection {
         |SELECT doc_id, count(*) AS n_shared
         |FROM sh JOIN bench USING (t)
         |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-bucket log-ratio table (≤256 rows) replayed exactly: the
+    // 28-bit md5 bridge buckets tokens identically on both engines, and
+    // both round the per-doc sum to 6 dp before the threshold test
+    "cur_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 256 AS bkt
+        |  FROM tok),
+        |raw AS (SELECT bkt, count(*) AS c_r FROM b GROUP BY 1),
+        |tgt AS (SELECT bkt, count(*) AS c_t FROM b WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c_r) AS DOUBLE) FROM raw) AS n_r,
+        |    (SELECT CAST(sum(c_t) AS DOUBLE) FROM tgt) AS n_t),
+        |lr AS (SELECT bkt,
+        |    ln(((coalesce(c_t, 0) + 1) / (n_t + 256.0)) /
+        |       ((c_r + 1) / (n_r + 256.0))) AS llr
+        |  FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(llr), 6) AS logw,
+        |  (round(sum(llr), 6) > 0) AS selected
+        |FROM b JOIN lr USING (bkt)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cur_pipeline" ->
       s"""WITH corpus AS (SELECT doc_id, text, n_chars, $qualitySql AS q

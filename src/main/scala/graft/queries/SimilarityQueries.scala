@@ -588,7 +588,10 @@ object SimilarityQueries extends QuerySection {
   /** DuckDB replica of the IVF path: codebook = 8 smallest-id vectors,
     * cell = argmax dot (ties → higher cell index, matching Spark's
     * struct array_max), queries probe their top-3 cells. */
-  private def ivfOracle: String =
+  /** Exposed to [[StreamingQueries]]: `stream_ann_ingest`'s streamed
+    * index must reproduce the one-shot IVF route bit-for-bit, so it is
+    * judged against the SAME replica. */
+  private[queries] def ivfOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
       |    v AS cv

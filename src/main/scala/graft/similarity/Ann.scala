@@ -324,6 +324,29 @@ object Ann {
     slice(reverse(array_sort(cellStructs(centroids, v))), 1, nprobe),
     s => s.getField("i"))
 
+  /** Shared tail of every IVF probe path: equi-join candidates to the
+    * broadcast query batch on `cell`, exact-rank the survivors. `post`
+    * carries (cell, corpus_id, cv); `q` carries (cell, query_id, qv). */
+  private def rankCellCandidates(post: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
+    val scored = post.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Read a stored index's codebook back: nlist×dim doubles — driver/
+    * broadcast state by design. */
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/codebook")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       idCol: String, k: Int, nlist: Int = 8, nprobe: Int = 2,
       codebook: Option[Array[Array[Double]]] = None): DataFrame = {
@@ -337,14 +360,7 @@ object Ann {
         col(vecCol).cast("array<double>").as("qv"),
         explode(probeCells(centroids, nprobe,
           col(vecCol).cast("array<double>"))).as("cell")))
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    rankCellCandidates(c, q, k)
   }
 
   /** Persist the IVF INDEX of a corpus — the ANN twin of
@@ -382,9 +398,7 @@ object Ann {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       increment: DataFrame, vecCol: String, idCol: String,
       path: String): Unit = {
-    val centroids = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    val centroids = readCodebook(spark, path)
     increment.select(col(idCol).as("corpus_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cell", bestCell(centroids, col("cv")))
@@ -404,9 +418,7 @@ object Ann {
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, vecCol: String, idCol: String, path: String,
       k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/codebook")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    val centroids = readCodebook(spark, path)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
         explode(probeCells(centroids, nprobe,
@@ -417,14 +429,60 @@ object Ann {
       .map(_.getInt(0)).toSeq
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isin(cells: _*))
-    val scored = post.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+    rankCellCandidates(post, q, k)
+  }
+
+  /** Append a corpus increment to a stored IVF index as ONE batch
+    * partition of its increment log (`path/increments/batch=<id>/
+    * cell=<i>/…`), via DYNAMIC partition overwrite on (batch, cell).
+    * This is the EXACTLY-ONCE form of [[appendIvfIndex]] for an
+    * at-least-once caller (Structured Streaming's foreachBatch): a
+    * replayed batch overwrites exactly its own partition directories
+    * instead of appending duplicate postings that would shift every
+    * downstream rank. History — the base postings AND every other
+    * batch's increments — is never touched; `cell` stays the trailing
+    * partition column so probe-side pruning works unchanged. */
+  def appendIvfBatch(spark: org.apache.spark.sql.SparkSession,
+      increment: DataFrame, vecCol: String, idCol: String,
+      path: String, batchId: Long): Unit = {
+    val centroids = readCodebook(spark, path)
+    increment.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("batch", lit(batchId))
+      .withColumn("cell", bestCell(centroids, col("cv")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell")
+      .parquet(s"$path/increments")
+  }
+
+  /** Top-k against a stored IVF index PLUS its streaming increment log
+    * ([[appendIvfBatch]]) — the serving view of an index that is being
+    * fed continuously: both the base postings and the increments scan
+    * prune statically to the query batch's probe cells (for the
+    * increment log, `cell` prunes at the second partition level under
+    * `batch`), so cost stays nprobe/nlist of the files no matter how
+    * many batches have landed. Identical results to a one-shot
+    * [[ivfTopK]] over base ∪ increments with the same codebook. */
+  def ivfLiveTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = readCodebook(spark, path)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        explode(probeCells(centroids, nprobe,
+          col(vecCol).cast("array<double>"))).as("cell")))
+    val cells = q.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val keep = Seq("corpus_id", "cv", "cell").map(col)
+    val base = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(cells: _*)).select(keep: _*)
+    val incrDir = new java.io.File(s"$path/increments")
+    val post = if (incrDir.isDirectory)
+      base.unionByName(spark.read.parquet(s"$path/increments")
+        .filter(col("cell").isin(cells: _*)).select(keep: _*))
+    else base
+    rankCellCandidates(post, q, k)
   }
 
   /** Product quantization — the memory side of ANN at 100 TB. Each

@@ -347,6 +347,32 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
 
+  /** STREAMING ANN INGEST — the IVF-index LIFECYCLE as a stream, the
+    * embedding twin of [[nearDupStream]]: embeddings land continuously
+    * and each micro-batch assigns itself to the index's STORED codebook
+    * and lands as one increment-log partition
+    * ([[graft.similarity.Ann.appendIvfBatch]] — dynamic overwrite on
+    * (batch, cell), so a replayed batch overwrites exactly itself:
+    * exactly-once index maintenance from an at-least-once engine,
+    * where a plain append would duplicate postings and shift ranks).
+    * History is never re-read or rewritten — per-batch work ∝ batch,
+    * never ∝ corpus — and a probe served mid-stream
+    * ([[graft.similarity.Ann.ivfLiveTopK]]) still prunes to its probe
+    * cells across base + all landed increments. State store: NONE; the
+    * index IS the state, the same 100 TB argument as the near-dup
+    * lifecycle. Batch-split invariance (cell assignment is per-row
+    * against a frozen codebook) is what lets the one-shot SQL replica
+    * judge a multi-batch stream (`stream_ann_ingest`). */
+  def ivfIngestStream(vecs: DataFrame, vecCol: String, idCol: String,
+      indexPath: String, checkpoint: String): DataStreamWriter[Row] =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.Ann.appendIvfBatch(batch.sparkSession, batch,
+          vecCol, idCol, indexPath, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
   /** STREAMING CDC UPSERT INTO A LIVE DATABASE — [[upsertStream]]'s
     * twin with a real JDBC target instead of a lake path: every
     * micro-batch reduces to its latest change per key and MERGEs into

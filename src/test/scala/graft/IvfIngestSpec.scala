@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+/** The streaming IVF-index lifecycle ([[Ann.appendIvfBatch]] /
+  * [[Ann.ivfLiveTopK]] / [[graft.streaming.Streaming.ivfIngestStream]]):
+  * the streamed index must equal the one-shot inline route for ANY
+  * batch split, a replayed stream must leave the increment log
+  * byte-identical (exactly-once via dynamic partition overwrite), and
+  * the base postings must never be rewritten by ingest. */
+class IvfIngestSpec extends SparkSpec {
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  /** Stage `df` as one parquet file with a pinned mtime so
+    * maxFilesPerTrigger=1 yields a deterministic batch schedule. */
+  private def stageOne(df: DataFrame, dst: Path, mtime: Long): Unit = {
+    val gen = Files.createTempDirectory("graft_ivf_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    val part = Files.list(gen).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    ()
+  }
+
+  /** Run the ingest stream over the staged files dir. */
+  private def runStream(stage: Path, idx: String, ckpt: Path): Unit = {
+    val fresh = emb.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("embedding"))
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = graft.streaming.Streaming.ivfIngestStream(stream,
+      "embedding", "vec_id", idx, ckpt.toString).start()
+    q.awaitTermination()
+  }
+
+  private def probe(idx: String): Seq[(Long, Long, Double, Int)] =
+    Ann.ivfLiveTopK(spark, emb.filter(col("vec_id") < 5), "embedding",
+        "vec_id", idx, k = 3, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+
+  private def fileState(dir: Path): Map[String, Long] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString -> Files.size(p)).toMap
+
+  private def build(tmp: Path): String = {
+    val idx = tmp.resolve("idx").toString
+    Ann.buildIvfIndex(emb.filter(col("vec_id") < 300), "embedding",
+      "vec_id", idx, nlist = 8)
+    idx
+  }
+
+  test("streamed index equals the one-shot inline route, any split") {
+    val hist = emb.filter(col("vec_id") < 300)
+    val codebook = Ann.seedCodebook(hist, "embedding", "vec_id", 8)
+    val oneShot = Ann.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+        "embedding", "vec_id", k = 3, nlist = 8, nprobe = 3,
+        codebook = Some(codebook))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(_.toSeq).toSeq
+
+    for (split <- Seq(Seq(500L), Seq(400L, 500L), Seq(350L, 420L, 500L))) {
+      val tmp = Files.createTempDirectory("graft_ivf_ing")
+      val idx = build(tmp)
+      val stage = Files.createDirectory(tmp.resolve("stage"))
+      var lo = 300L
+      split.zipWithIndex.foreach { case (hi, i) =>
+        stageOne(emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          stage.resolve(f"b$i%02d.parquet"), 1000000L * (i + 1))
+        lo = hi
+      }
+      runStream(stage, idx, tmp.resolve("ckpt"))
+      val got = Ann.ivfLiveTopK(spark, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", idx, k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+      assert(got === oneShot, s"split $split diverged from one-shot")
+    }
+  }
+
+  test("replay is exactly-once: a re-run stream leaves the index and " +
+      "its answers unchanged") {
+    val tmp = Files.createTempDirectory("graft_ivf_rep")
+    val idx = build(tmp)
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    stageOne(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      stage.resolve("b0.parquet"), 1000000L)
+    stageOne(emb.filter(col("vec_id") >= 400),
+      stage.resolve("b1.parquet"), 2000000L)
+    runStream(stage, idx, tmp.resolve("ckpt"))
+    val first = probe(idx)
+    val incr = java.nio.file.Paths.get(idx, "increments")
+    val rows1 = spark.read.parquet(incr.toString).count()
+    // a FRESH checkpoint replays every file as the same batch ids —
+    // the at-least-once worst case; dynamic overwrite on (batch, cell)
+    // must make it a no-op, not a duplication
+    runStream(stage, idx, tmp.resolve("ckpt2"))
+    assert(spark.read.parquet(incr.toString).count() === rows1,
+      "replay duplicated postings")
+    assert(probe(idx) === first, "replay changed answers")
+  }
+
+  test("ingest never rewrites base postings") {
+    val tmp = Files.createTempDirectory("graft_ivf_base")
+    val idx = build(tmp)
+    val base = java.nio.file.Paths.get(idx, "postings")
+    val before = fileState(base)
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    stageOne(emb.filter(col("vec_id") >= 300),
+      stage.resolve("b0.parquet"), 1000000L)
+    runStream(stage, idx, tmp.resolve("ckpt"))
+    assert(fileState(base) === before,
+      "base posting files changed under ingest")
+  }
+}
