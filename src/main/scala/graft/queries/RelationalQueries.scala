@@ -534,6 +534,39 @@ object RelationalQueries extends QuerySection {
       .limit(100)
   }
 
+  /** SCC coloring step (`operators/Scc.scala`) over the DIRECTED
+    * trade-flow graph: high-quantity purchases point customer →
+    * supplier, low-quantity ones point supplier → customer ("returns
+    * direction"), so directed cycles are pairs/chains trading in both
+    * regimes. 3 forward coloring rounds + 3 backward confirmation
+    * rounds, judged per node against the same rounds unrolled as
+    * chained CTEs in DuckDB — `in_scc = false` rows are the honest
+    * unflagged remainder the full algorithm would recurse on. Scale:
+    * Θ(edges) per round, superstep exchange pattern, per-round
+    * localCheckpoint — the directed sibling of `graph_label_prop`. */
+  private def graphScc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 || col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val hi = col("l_quantity") > 45
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(hi, col("o_custkey") * 2).otherwise(col("l_suppkey") * 2 + 1)
+          .as("src"),
+        when(hi, col("l_suppkey") * 2 + 1).otherwise(col("o_custkey") * 2)
+          .as("dst"))
+      .distinct()
+    def render(c: org.apache.spark.sql.Column) =
+      when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+    graft.operators.Scc.colorScc(edges, rounds = 3)
+      .select(render(col("node")).as("node"),
+        render(col("color")).as("color"), col("in_scc"))
+      .orderBy(col("node"))
+  }
+
   /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
     * "suppliers achieving the per-part minimum" subquery, decorrelated
     * into aggregate + equi-join. The cost relation is lineitem's unit
@@ -2762,6 +2795,7 @@ object RelationalQueries extends QuerySection {
     "graph_kcore" -> (graphKcore _),
     "graph_cheapest" -> (graphCheapest _),
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_scc" -> (graphScc _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
@@ -4122,6 +4156,60 @@ object RelationalQueries extends QuerySection {
         |FROM l3 GROUP BY label
         |ORDER BY n_members DESC, community
         |LIMIT 100""".stripMargin,
+    // 3 forward coloring rounds then 3 backward confirmation rounds,
+    // unrolled — the directed-edge derivation (hi-qty c→s, lo-qty s→c)
+    // and both loops replayed exactly
+    "graph_scc" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN l_quantity > 45 THEN o_custkey * 2
+        |      ELSE l_suppkey * 2 + 1 END AS src,
+        |    CASE WHEN l_quantity > 45 THEN l_suppkey * 2 + 1
+        |      ELSE o_custkey * 2 END AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity > 45 OR l_quantity < 5),
+        |n0 AS (SELECT src AS node FROM pairs
+        |  UNION SELECT dst FROM pairs),
+        |c0 AS (SELECT node, node AS color FROM n0),
+        |c1 AS (SELECT c.node,
+        |    least(c.color, coalesce(m.cmin, c.color)) AS color
+        |  FROM c0 c LEFT JOIN (SELECT e.dst AS node, min(x.color) AS cmin
+        |    FROM c0 x JOIN pairs e ON x.node = e.src GROUP BY e.dst) m
+        |  ON c.node = m.node),
+        |c2 AS (SELECT c.node,
+        |    least(c.color, coalesce(m.cmin, c.color)) AS color
+        |  FROM c1 c LEFT JOIN (SELECT e.dst AS node, min(x.color) AS cmin
+        |    FROM c1 x JOIN pairs e ON x.node = e.src GROUP BY e.dst) m
+        |  ON c.node = m.node),
+        |c3 AS (SELECT c.node,
+        |    least(c.color, coalesce(m.cmin, c.color)) AS color
+        |  FROM c2 c LEFT JOIN (SELECT e.dst AS node, min(x.color) AS cmin
+        |    FROM c2 x JOIN pairs e ON x.node = e.src GROUP BY e.dst) m
+        |  ON c.node = m.node),
+        |f0 AS (SELECT node, color, (node = color) AS in_scc FROM c3),
+        |f1 AS (SELECT f.node, f.color,
+        |    (f.in_scc OR t.src IS NOT NULL) AS in_scc
+        |  FROM f0 f LEFT JOIN (SELECT DISTINCT e.src, g.color
+        |    FROM f0 g JOIN pairs e ON g.node = e.dst WHERE g.in_scc) t
+        |  ON t.src = f.node AND t.color = f.color),
+        |f2 AS (SELECT f.node, f.color,
+        |    (f.in_scc OR t.src IS NOT NULL) AS in_scc
+        |  FROM f1 f LEFT JOIN (SELECT DISTINCT e.src, g.color
+        |    FROM f1 g JOIN pairs e ON g.node = e.dst WHERE g.in_scc) t
+        |  ON t.src = f.node AND t.color = f.color),
+        |f3 AS (SELECT f.node, f.color,
+        |    (f.in_scc OR t.src IS NOT NULL) AS in_scc
+        |  FROM f2 f LEFT JOIN (SELECT DISTINCT e.src, g.color
+        |    FROM f2 g JOIN pairs e ON g.node = e.dst WHERE g.in_scc) t
+        |  ON t.src = f.node AND t.color = f.color)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  CASE WHEN color % 2 = 0 THEN 'c' || (color // 2)
+        |    ELSE 's' || ((color - 1) // 2) END AS color,
+        |  in_scc
+        |FROM f3
+        |ORDER BY 1""".stripMargin,
     "graph_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS cnode,
