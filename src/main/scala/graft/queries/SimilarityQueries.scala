@@ -209,6 +209,29 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The index takedown path judged END-TO-END
+    * ([[Ann.deleteFromIvfIndex]] → [[Ann.vacuumIvfIndex]]): build from
+    * history, append an increment, tombstone every vec_id % 7 == 0,
+    * physically vacuum (deleted bytes GONE, increment log folded into
+    * the base), then probe — the result must equal the IVF replica
+    * over the corpus MINUS the deleted slice. The codebook is
+    * untouched throughout (deletes never retrain), which is why the
+    * oracle only filters the corpus CTE. */
+  private def annIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = graft.etl.Utils.scratchDir("graft_ivfdel") + "/idx"
+    Ann.buildIvfIndex(e.filter(col("vec_id") < 400), "embedding",
+      "vec_id", path, nlist = 8)
+    Ann.appendIvfBatch(s, e.filter(col("vec_id") >= 400), "embedding",
+      "vec_id", path, batchId = 0L)
+    Ann.deleteFromIvfIndex(e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id")), "vec_id", path)
+    Ann.vacuumIvfIndex(s, path)
+    Ann.ivfLiveTopK(s, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", path, k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact range search: all neighbors with cosine ≥ 0.25 of the first
     * 10 vectors — the unknown-neighbor-count dual of `ann_topk`,
     * oracle-checked pair-for-pair. */
@@ -453,6 +476,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
+    "ann_ivf_delete" -> (annIvfDelete _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_rerank" -> (annRerank _),
@@ -591,8 +615,15 @@ object SimilarityQueries extends QuerySection {
   /** Exposed to [[StreamingQueries]]: `stream_ann_ingest`'s streamed
     * index must reproduce the one-shot IVF route bit-for-bit, so it is
     * judged against the SAME replica. */
-  private[queries] def ivfOracle: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private[queries] def ivfOracle: String = ivfOracleWith("TRUE")
+
+  /** The IVF replica with a corpus-side predicate (over `e.vec_id`) —
+    * what `ann_ivf_delete` judges: probing after delete+vacuum must
+    * equal the replica over the corpus MINUS the deleted slice. Cell
+    * assignment is per-row, so filtering the corpus CTE (codebook
+    * unchanged — deletes never retrain) is the exact semantic. */
+  private[queries] def ivfOracleWith(corpusPred: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
       |    v AS cv
       |  FROM e ORDER BY vec_id LIMIT 8),
@@ -607,7 +638,8 @@ object SimilarityQueries extends QuerySection {
       |  QUALIFY row_number() OVER (PARTITION BY vec_id
       |    ORDER BY d DESC, idx DESC) <= 3),
       |c AS (SELECT e.vec_id AS corpus_id, e.v AS cv, cells.cell
-      |  FROM e JOIN cells ON cells.vec_id = e.vec_id),
+      |  FROM e JOIN cells ON cells.vec_id = e.vec_id
+      |  WHERE $corpusPred),
       |q AS (SELECT p.vec_id AS query_id, e.v AS qv, p.cell
       |  FROM probes p JOIN e ON e.vec_id = p.vec_id),
       |scored AS (SELECT query_id, corpus_id,
@@ -831,6 +863,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> ivfOracle,
     "ann_ivf_index" -> ivfOracle,
     "ann_ivf_incremental" -> ivfOracle,
+    "ann_ivf_delete" -> ivfOracleWith("e.vec_id % 7 <> 0"),
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 30),

@@ -456,6 +456,74 @@ object Ann {
       .parquet(s"$path/increments")
   }
 
+  /** Tombstone-DELETE ids from a stored IVF index — the TAKEDOWN
+    * primitive that completes the index lifecycle (build → append →
+    * delete → [[vacuumIvfIndex]]): the ids land as an append-only
+    * tombstone file set that every lifecycle-aware probe
+    * ([[ivfLiveTopK]]) anti-joins, so a deletion is O(ids) and visible
+    * immediately without touching a single posting file — no
+    * corpus-sized rewrite on the takedown path. Idempotent under
+    * at-least-once callers: duplicate tombstone rows collapse in the
+    * probe's distinct. Masking is not purging — the deleted vectors'
+    * BYTES survive until [[vacuumIvfIndex]] rewrites them away. */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    ids.select(col(idCol).cast("long").as("corpus_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Physically PURGE a stored IVF index: rewrite base postings ∪
+    * increment log MINUS tombstones as one fresh cell-partitioned
+    * directory, then drop the increment log and the tombstones. After
+    * vacuum the deleted vectors' bytes are GONE from disk — what a
+    * right-to-be-forgotten takedown actually requires; tombstone
+    * masking alone merely hides them — and the accumulated increment
+    * partitions fold into the base (the same file-count argument as
+    * `dedup.Dedup.compactMinhashIndex`). Cost ∝ index size, zero
+    * corpus rescan; the codebook is untouched (deletes never retrain).
+    *
+    * Swap is stage-then-rename: a reader racing the swap sees the old
+    * or the new complete directory. A crash between the delete and
+    * the rename is healed on the next run via the staged directory's
+    * `_SUCCESS` marker. */
+  def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val live = java.nio.file.Paths.get(s"$path/postings")
+    val staged = java.nio.file.Paths.get(s"$path/postings_vacuum")
+    val incr = java.nio.file.Paths.get(s"$path/increments")
+    val tomb = java.nio.file.Paths.get(s"$path/tombstones")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.delete)
+      ()
+    }
+    // heal a crash that deleted the live dir but not yet renamed the
+    // (complete — _SUCCESS) staged one
+    if (!Files.isDirectory(live) &&
+        Files.exists(staged.resolve("_SUCCESS"))) {
+      Files.move(staged, live)
+      rmTree(incr); rmTree(tomb)
+      return
+    }
+    val keep = Seq("corpus_id", "cv", "cell").map(col)
+    var post = spark.read.parquet(live.toString).select(keep: _*)
+    if (Files.isDirectory(incr))
+      post = post.unionByName(
+        spark.read.parquet(incr.toString).select(keep: _*))
+    if (Files.isDirectory(tomb))
+      post = post.join(
+        spark.read.parquet(tomb.toString).distinct(),
+        Seq("corpus_id"), "left_anti")
+    rmTree(staged)
+    post.write.mode("overwrite").partitionBy("cell")
+      .parquet(staged.toString)
+    rmTree(live)
+    Files.move(staged, live)
+    rmTree(incr); rmTree(tomb)
+  }
+
   /** Top-k against a stored IVF index PLUS its streaming increment log
     * ([[appendIvfBatch]]) — the serving view of an index that is being
     * fed continuously: both the base postings and the increments scan
@@ -482,7 +550,15 @@ object Ann {
       base.unionByName(spark.read.parquet(s"$path/increments")
         .filter(col("cell").isin(cells: _*)).select(keep: _*))
     else base
-    rankCellCandidates(post, q, k)
+    // tombstoned ids ([[deleteFromIvfIndex]]) are masked at probe time;
+    // a takedown-sized set anti-joins cheaply (AQE broadcasts it), a
+    // purge-sized one is what [[vacuumIvfIndex]] is for
+    val tombDir = new java.io.File(s"$path/tombstones")
+    val visible = if (tombDir.isDirectory)
+      post.join(spark.read.parquet(s"$path/tombstones").distinct(),
+        Seq("corpus_id"), "left_anti")
+    else post
+    rankCellCandidates(visible, q, k)
   }
 
   /** Product quantization — the memory side of ANN at 100 TB. Each
