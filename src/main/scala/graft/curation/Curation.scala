@@ -208,13 +208,20 @@ object Curation {
     * parameterizes the target sample as a predicate over the same
     * frame; at 100 TB it would instead come from a small curated
     * corpus — only the two histogram inputs change. */
-  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 256): DataFrame = {
-    val b = df.select(col(idCol).as("id"), targetPred.as("__tgt"),
+  /** (id, __tgt, __bkt) token-bucket rows — the shared front end of
+    * the DSIR family: whitespace tokens hashed into `buckets` ids via
+    * the md5 bridge, all narrow inside the scan stage. */
+  private def tokenBuckets(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"), targetPred.as("__tgt"),
         explode(graft.text.TextAnalysis.tokens(col(textCol))).as("__t"))
       .select(col("id"), col("__tgt"),
         pmod(conv(substring(md5(col("__t")), 1, 7), 16, 10).cast("long"),
           lit(buckets.toLong)).as("__bkt"))
+
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    val b = tokenBuckets(df, idCol, textCol, targetPred, buckets)
     val raw = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c_r"))
     val tgt = b.filter(col("__tgt")).groupBy(col("__bkt"))
       .agg(count(lit(1)).as("__c_t"))
@@ -232,6 +239,50 @@ object Curation {
         round(sum(col("__llr")), 6).as("logw"))
       .withColumn("selected", col("logw") > 0)
   }
+
+  /** The FROZEN artifact of the DSIR family: EXACTLY `buckets` rows of
+    * (__bkt, __llr) — smoothed target/raw log-ratios with every bucket
+    * materialized, so scoring a stream that contains buckets the
+    * reference corpus never produced still resolves (to the pure
+    * smoothing ratio ln((n_r+B)/(n_t+B))) instead of silently dropping
+    * tokens. Train it ONCE over a reference period, persist it, and
+    * score any later batch/stream against it without rescanning the
+    * reference — the decision model is ≤ `buckets` rows of state, the
+    * same frozen-artifact contract as the IVF codebook. */
+  def dsirTable(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    val b = tokenBuckets(df, idCol, textCol, targetPred, buckets)
+    val raw = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c_r"))
+    val tgt = b.filter(col("__tgt")).groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c_t"))
+    val nR = raw.agg(coalesce(sum(col("__c_r")), lit(0L)))
+      .head.getLong(0).toDouble
+    val nT = tgt.agg(coalesce(sum(col("__c_t")), lit(0L)))
+      .head.getLong(0).toDouble
+    spark.range(buckets).select(col("id").as("__bkt"))
+      .join(raw, Seq("__bkt"), "left")
+      .join(tgt, Seq("__bkt"), "left")
+      .select(col("__bkt"),
+        log(((coalesce(col("__c_t"), lit(0L)) + lit(1L)) /
+              lit(nT + buckets)) /
+            ((coalesce(col("__c_r"), lit(0L)) + lit(1L)) /
+              lit(nR + buckets))).as("__llr"))
+  }
+
+  /** Score documents against a trained [[dsirTable]]: per-doc work is
+    * Θ(tokens) + one broadcast join against the ≤ `buckets`-row table
+    * + one doc-keyed aggregate — the reference corpus is never
+    * touched. Output matches [[dsirWeights]]: (id, n_tokens, logw,
+    * selected). */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      table: DataFrame, buckets: Int = 256): DataFrame =
+    tokenBuckets(df, idCol, textCol, lit(false), buckets)
+      .join(broadcast(table), Seq("__bkt"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__llr")), 6).as("logw"))
+      .withColumn("selected", col("logw") > 0)
 
   /** Benchmark decontamination: flag corpus docs sharing any n-gram
     * shingle with the benchmark set. Returns (id, n_shared) per

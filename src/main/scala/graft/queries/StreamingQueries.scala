@@ -630,6 +630,45 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING DSIR GATE judged: the log-ratio artifact trains on the
+    * historical slice (doc_id < 250, target = English), freezes to
+    * parquet, and the rest of the corpus streams through
+    * [[graft.streaming.Streaming.dsirGateStream]] in two micro-batches
+    * — per-doc weights and the constant selection threshold must equal
+    * the one-shot replay (history-trained histograms, stream-side
+    * scoring, unseen buckets resolving to the pure smoothing ratio). */
+  private def streamDsirGate(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_sdsir")
+    val d = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val tablePath = tmp.resolve("table").toString
+    graft.curation.Curation.dsirTable(d.filter(col("doc_id") < 250),
+        "doc_id", "text", col("lang") === "en")
+      .write.mode("overwrite").parquet(tablePath)
+    val fresh = d.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text"))
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    stageOne(fresh.filter(col("doc_id") < 375),
+      stage.resolve("b0.parquet"), 1000000L)
+    stageOne(fresh.filter(col("doc_id") >= 375),
+      stage.resolve("b1.parquet"), 2000000L)
+    val stream = s.readStream
+      .schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+    val res = tmp.resolve("res").toString
+    val q = withStatePartitions(s, 4) {
+      graft.streaming.Streaming.dsirGateStream(stream, "text", "doc_id",
+        tablePath, res, tmp.resolve("ckpt").toString).start()
+    }
+    q.awaitTermination()
+    s.read.parquet(res)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("logw"),
+        col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   private def streamJdbcUpsert(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
@@ -934,6 +973,7 @@ object StreamingQueries extends QuerySection {
     "stream_upsert" -> (streamUpsert _),
     "stream_near_dedup" -> (streamNearDedup _),
     "stream_ann_ingest" -> (streamAnnIngest _),
+    "stream_dsir_gate" -> (streamDsirGate _),
     "stream_jdbc_upsert" -> (streamJdbcUpsert _),
     "stream_scd2" -> (streamScd2 _),
     "stream_quality_gate" -> (streamQualityGate _),
@@ -950,6 +990,37 @@ object StreamingQueries extends QuerySection {
     // equals the one-shot posting set, so the probe answers the same
     // replica that judges the inline IVF route
     "stream_ann_ingest" -> SimilarityQueries.ivfOracle,
+    // frozen-artifact scoring is per-row, so the streamed verdicts
+    // equal the one-shot replay: history-trained histograms (doc_id <
+    // 250, target = en), stream-side scoring (doc_id >= 250), unseen
+    // buckets resolving to the pure smoothing ratio via the
+    // all-buckets generate_series
+    "stream_dsir_gate" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(t), 1, 7) AS BIGINT) % 256 AS bkt
+        |  FROM tok),
+        |bh AS (SELECT * FROM b WHERE doc_id < 250),
+        |raw AS (SELECT bkt, count(*) AS c_r FROM bh GROUP BY 1),
+        |tgt AS (SELECT bkt, count(*) AS c_t FROM bh WHERE lang = 'en'
+        |  GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT CAST(coalesce(sum(c_r), 0) AS DOUBLE) FROM raw) AS n_r,
+        |    (SELECT CAST(coalesce(sum(c_t), 0) AS DOUBLE) FROM tgt) AS n_t),
+        |lr AS (SELECT g.bkt,
+        |    ln(((coalesce(c_t, 0) + 1) / (n_t + 256.0)) /
+        |       ((coalesce(c_r, 0) + 1) / (n_r + 256.0))) AS llr
+        |  FROM (SELECT unnest(generate_series(0, 255)) AS bkt) g
+        |  LEFT JOIN raw USING (bkt) LEFT JOIN tgt USING (bkt)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(llr), 6) AS logw,
+        |  (round(sum(llr), 6) > 0) AS selected
+        |FROM b JOIN lr USING (bkt)
+        |WHERE doc_id >= 250
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // ms-grain ordering: the JDBC state table stores epoch millis, so
     // the tie-break is (ts_ms, event_id) on BOTH sides by construction
     "stream_jdbc_upsert" ->

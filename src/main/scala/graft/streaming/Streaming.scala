@@ -373,6 +373,30 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
 
+  /** STREAMING DATA SELECTION AT INGEST — the LEARNED sibling of the
+    * rule-based quality gate: every micro-batch of documents is scored
+    * against a FROZEN DSIR log-ratio artifact
+    * ([[graft.curation.Curation.dsirTable]], trained once over a
+    * reference period and read back per batch — ≤ buckets rows, the
+    * same frozen-artifact contract as the IVF codebook) and its
+    * verdicts land as a per-batch OVERWRITE partition (exactly-once
+    * results under replay). Scoring is per-row against frozen state,
+    * so the verdict set is batch-split INVARIANT — a one-shot SQL
+    * replica judges the multi-batch stream (`stream_dsir_gate`) — and
+    * per-batch work is ∝ batch, never ∝ reference corpus. */
+  def dsirGateStream(docs: DataFrame, textCol: String, idCol: String,
+      tablePath: String, resultPath: String, checkpoint: String,
+      buckets: Int = 256): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val table = batch.sparkSession.read.parquet(tablePath)
+        graft.curation.Curation.dsirScore(batch, idCol, textCol,
+            table, buckets)
+          .write.mode("overwrite").parquet(s"$resultPath/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+
   /** STREAMING CDC UPSERT INTO A LIVE DATABASE — [[upsertStream]]'s
     * twin with a real JDBC target instead of a lake path: every
     * micro-batch reduces to its latest change per key and MERGEs into

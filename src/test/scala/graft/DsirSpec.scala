@@ -105,6 +105,98 @@ class DsirSpec extends SparkSpec {
       "mixed doc scores strictly between pure-target and pure-raw")
   }
 
+  /** Reference for the FROZEN-artifact path: histograms from `train`
+    * only, every bucket materialized (unseen → pure smoothing ratio),
+    * scoring over `score`. */
+  private def refFrozen(train: Seq[(Long, String, Boolean)],
+      score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    val hist = train.flatMap { case (_, text, tgt) =>
+      toks(text).map(t => (bucket(t), tgt))
+    }
+    val raw = hist.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tgt = hist.filter(_._2).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val nR = raw.values.sum.toDouble
+    val nT = tgt.values.sum.toDouble
+    def llr(b: Long): Double =
+      math.log(((tgt.getOrElse(b, 0L) + 1L) / (nT + B)) /
+        ((raw.getOrElse(b, 0L) + 1L) / (nR + B)))
+    score.map { case (id, text) =>
+      val bs = toks(text).map(bucket)
+      id -> (bs.size.toLong, bs.map(llr).sum)
+    }.filter(_._2._1 > 0).toMap
+  }
+
+  test("frozen dsirTable + dsirScore equals the reference on disjoint " +
+      "corpora, including never-seen buckets") {
+    val train = (0 until 25).flatMap(i =>
+        doc.apply(Gen.Parameters.default, Seed(5000L + i)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, i % 2 == 0) }
+    // the score corpus includes vocabulary the train corpus never saw
+    val score = Seq[(Long, String)](
+      (100L, "alpha beta NOVELTOKEN"), (101L, "omicron sigma rho"),
+      (102L, train.head._2))
+    val table = Curation.dsirTable(train.toDF("doc_id", "text", "is_tgt"),
+      "doc_id", "text", col("is_tgt"), B)
+    assert(table.count() === B.toLong, "table materializes every bucket")
+    val got = Curation.dsirScore(score.toDF("doc_id", "text"),
+        "doc_id", "text", table, B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val want = refFrozen(train, score)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (n, lw)) =>
+      assert(got(id)._1 === n, s"n_tokens of doc $id")
+      assert(math.abs(got(id)._2 - lw) < 1e-6, s"logw of doc $id")
+    }
+  }
+
+  test("the streamed gate equals one-shot scoring for any batch split") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val train = (0 until 25).flatMap(i =>
+        doc.apply(Gen.Parameters.default, Seed(7000L + i)))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, i % 2 == 0) }
+    val fresh = (0 until 12).flatMap(i =>
+        doc.apply(Gen.Parameters.default, Seed(8000L + i)))
+      .zipWithIndex.map { case (t, i) => (100L + i, t) }
+    val tmp = Files.createTempDirectory("graft_dsir_gate")
+    val tablePath = tmp.resolve("table").toString
+    Curation.dsirTable(train.toDF("doc_id", "text", "is_tgt"),
+        "doc_id", "text", col("is_tgt"), B)
+      .write.parquet(tablePath)
+    val freshDf = fresh.toDF("doc_id", "text")
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    def stageOne(ids: Seq[Long], name: String, mtime: Long): Unit = {
+      val gen = Files.createTempDirectory("graft_dsir_stage")
+      freshDf.filter(col("doc_id").isin(ids: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(gen.toString)
+      val part = Files.list(gen).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.copy(part, stage.resolve(name))
+      Files.setLastModifiedTime(stage.resolve(name),
+        FileTime.fromMillis(mtime))
+      ()
+    }
+    val (b0, b1) = fresh.map(_._1).partition(_ < 106L)
+    stageOne(b0, "b0.parquet", 1000000L)
+    stageOne(b1, "b1.parquet", 2000000L)
+    val stream = spark.readStream.schema(freshDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val res = tmp.resolve("res").toString
+    val q = graft.streaming.Streaming.dsirGateStream(stream, "text",
+      "doc_id", tablePath, res, tmp.resolve("ckpt").toString, B).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(res)
+      .select(col("id"), col("n_tokens"), col("logw"), col("selected"))
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val oneShot = Curation.dsirScore(freshDf, "doc_id", "text",
+        spark.read.parquet(tablePath), B)
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    assert(streamed === oneShot)
+  }
+
   test("zero-token docs drop; weights are length-additive") {
     val docs = Seq[(Long, String, Boolean)](
       (1L, "alpha", true), (2L, "alpha alpha", true),
