@@ -264,6 +264,21 @@ object Dedup {
       .write.mode("append").parquet(s"$path/tokens")
   }
 
+  /** Tombstone-DELETE documents from a stored MinHash index — the
+    * takedown primitive, symmetric with the ANN side
+    * (`similarity.Ann.deleteFromIvfIndex`): a removed document must
+    * stop MATCHING immediately (its sketch rows may not generate
+    * candidates against tomorrow's increment), and its bytes must
+    * leave the index at the next [[compactMinhashIndex]]. The ids land
+    * as an append-only tombstone file set that [[incrementalDupes]]
+    * anti-joins — O(ids), no posting rewrite on the takedown path;
+    * duplicate tombstone rows from at-least-once callers collapse in
+    * the probe's distinct. */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
+      path: String): Unit =
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
   /** Compact a stored index — the MAINTENANCE op that keeps the
     * append-only lifecycle viable at 100 TB: every
     * [[appendToMinhashIndex]] adds one file set per increment
@@ -284,12 +299,21 @@ object Dedup {
     * the old directory live — re-running compaction heals it. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Int = 8): Unit = {
+    import scala.jdk.CollectionConverters._
+    // compaction is also the takedown VACUUM: tombstoned docs'
+    // ([[deleteFromMinhashIndex]]) sketch rows and token sets are
+    // dropped from the rewrite, so after compaction the deleted
+    // documents' bytes are GONE — masking until then, purging here
+    val tombDir = java.nio.file.Paths.get(s"$path/tombstones")
+    val tomb = if (java.nio.file.Files.isDirectory(tombDir))
+      Some(spark.read.parquet(tombDir.toString).distinct())
+    else None
     def swapIn(sub: String, clustered: DataFrame => DataFrame): Unit = {
       val live = java.nio.file.Paths.get(s"$path/$sub")
       val staged = java.nio.file.Paths.get(s"$path/${sub}_compact")
-      clustered(spark.read.parquet(live.toString).distinct())
-        .write.mode("overwrite").parquet(staged.toString)
-      import scala.jdk.CollectionConverters._
+      val src = spark.read.parquet(live.toString).distinct()
+      val kept = tomb.fold(src)(t => src.join(t, Seq("id"), "left_anti"))
+      clustered(kept).write.mode("overwrite").parquet(staged.toString)
       java.nio.file.Files.walk(live).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.delete)
       java.nio.file.Files.move(staged, live)
@@ -299,6 +323,9 @@ object Dedup {
       .repartitionByRange(files, col("band"), col("h"))
       .sortWithinPartitions(col("band"), col("h")))
     swapIn("tokens", df => df.repartition(files, col("id")))
+    if (java.nio.file.Files.isDirectory(tombDir))
+      java.nio.file.Files.walk(tombDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
   }
 
   /** Near-dups of a NEW batch against a stored corpus index: sketch
@@ -316,7 +343,17 @@ object Dedup {
     val newBuckets = lshBucketRows(newDf, textCol, idCol, n, numHashes,
       bands, portableHash)
       .select(col("band"), col("h"), col("id").as("id_b"))
-    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+    // tombstoned docs ([[deleteFromMinhashIndex]]) are masked at probe
+    // time (O(ids) anti-join); their bytes leave the index at the next
+    // [[compactMinhashIndex]]
+    val allBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val tombDir = new java.io.File(s"$indexPath/tombstones")
+    val liveBuckets = if (tombDir.isDirectory)
+      allBuckets.join(
+        spark.read.parquet(s"$indexPath/tombstones").distinct(),
+        Seq("id"), "left_anti")
+    else allBuckets
+    val corpusBuckets = liveBuckets
       .select(col("band"), col("h"), col("id").as("id_a"))
     val candidates = corpusBuckets.join(newBuckets, Seq("band", "h"))
       .select(col("id_a"), col("id_b")).distinct()

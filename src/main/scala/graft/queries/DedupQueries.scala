@@ -97,6 +97,32 @@ object DedupQueries extends QuerySection {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Index TAKEDOWN judged end-to-end
+    * ([[Dedup.deleteFromMinhashIndex]] → [[Dedup.compactMinhashIndex]]
+    * as the vacuum): the corpus index is built, every doc_id % 3 == 0
+    * is tombstoned, compaction physically purges them (bytes gone,
+    * tombstones consumed), and the daily increment probe afterwards
+    * must behave as if the deleted docs were never indexed — judged
+    * against the blind sketch replay with the deleted slice excluded
+    * from the history side of the pair condition. */
+  private def dedupIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 200)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val fresh = d.filter(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mhdel")
+      .toString
+    Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, portableHash = true)
+    Dedup.deleteFromMinhashIndex(
+      d.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+      "doc_id", idx)
+    Dedup.compactMinhashIndex(s, idx)
+    Dedup.incrementalDupes(s, fresh, "text", "doc_id", idx,
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** SimHash near-dup pairs — portable 60-bit variant so the whole
     * sketch (per-bit votes, fingerprint reassembly, 15-bit quadrant
     * buckets, Hamming verify) is oracle-checked in SQL. maxHamming = 3
@@ -222,6 +248,7 @@ object DedupQueries extends QuerySection {
     "ssjoin_prefix" -> (ssjoinPrefix _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_index_delete" -> (dedupIndexDelete _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
@@ -374,6 +401,11 @@ object DedupQueries extends QuerySection {
         |ORDER BY doc_id""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_incremental" -> incrementalMinhashOracle,
+    // takedown: the deleted slice leaves the HISTORY side of the pair
+    // condition; signatures are per-doc independent so the purged
+    // index equals the never-indexed corpus
+    "dedup_index_delete" -> minhashOracleWith(
+      "a.doc_id % 5 <> 0 AND a.doc_id % 3 <> 0 AND b.doc_id % 5 = 0"),
     "dedup_simhash" -> simhashOracle,
     "dedup_pipeline" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 500),

@@ -67,6 +67,38 @@ class MinhashCompactionSpec extends SparkSpec {
     assert(run(idx) === before)
   }
 
+  test("takedown: delete masks immediately, compaction purges the " +
+      "bytes, purged index equals never-indexed") {
+    val (n, h, b, p) = params
+    // doc 10 is the probe's exact duplicate — the takedown target
+    val idx = Files.createTempDirectory("graft_del").toString
+    Dedup.buildMinhashIndex((corpus ++ inc1).toDF("doc_id", "text"),
+      "text", "doc_id", idx, n, h, b, p)
+    assert(run(idx).exists(_._1 == 10L), "premise: doc 10 matches")
+    Dedup.deleteFromMinhashIndex(Seq(10L).toDF("doc_id"), "doc_id", idx)
+    val masked = run(idx)
+    assert(!masked.exists(_._1 == 10L), "tombstoned doc still matching")
+    // double-delete is idempotent
+    Dedup.deleteFromMinhashIndex(Seq(10L).toDF("doc_id"), "doc_id", idx)
+    assert(run(idx) === masked)
+    Dedup.compactMinhashIndex(spark, idx)
+    assert(run(idx) === masked, "compaction changed the masked answers")
+    // physical purge: no trace of doc 10 in either file set, and the
+    // tombstones are consumed
+    assert(spark.read.parquet(s"$idx/buckets")
+      .filter(col("id") === 10L).count() === 0L, "sketch bytes survived")
+    assert(spark.read.parquet(s"$idx/tokens")
+      .filter(col("id") === 10L).count() === 0L, "token bytes survived")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(idx, "tombstones")))
+    // purged ≡ never-indexed: a fresh index without doc 10 answers
+    // identically
+    val clean = Files.createTempDirectory("graft_del_ref").toString
+    Dedup.buildMinhashIndex(
+      (corpus ++ inc1.filterNot(_._1 == 10L)).toDF("doc_id", "text"),
+      "text", "doc_id", clean, n, h, b, p)
+    assert(run(clean) === masked)
+  }
+
   test("build + append ≡ build-once, under any random split") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
