@@ -219,21 +219,43 @@ object Curation {
         pmod(conv(substring(md5(col("__t")), 1, 7), 16, 10).cast("long"),
           lit(buckets.toLong)).as("__bkt"))
 
+  /** Both histograms in ONE aggregate pass over the token stream
+    * (raw count + conditional target count per bucket), collected as
+    * ≤ `buckets` driver rows: (bucket, c_raw, c_tgt). The k×dim
+    * literal pattern (`dedup_semantic`'s codebook) applied to DSIR —
+    * the decision model is small enough to BE the plan. */
+  private def dsirHistogram(b: DataFrame, buckets: Int)
+      : Seq[(Long, Long, Long)] =
+    b.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__c_r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__c_t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** (bucket → smoothed log-ratio) for EVERY bucket, computed on the
+    * driver from the one-pass histogram — identical IEEE doubles to
+    * the former in-plan formula (same ops, same order). */
+  private def llrTable(hist: Seq[(Long, Long, Long)],
+      buckets: Int): Map[Long, Double] = {
+    val byBkt = hist.map(h => h._1 -> h).toMap
+    val nR = hist.map(_._2).sum.toDouble
+    val nT = hist.map(_._3).sum.toDouble
+    (0L until buckets.toLong).map { b =>
+      val (_, cR, cT) = byBkt.getOrElse(b, (b, 0L, 0L))
+      b -> math.log(((cT + 1L) / (nT + buckets)) /
+        ((cR + 1L) / (nR + buckets)))
+    }.toMap
+  }
+
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 256): DataFrame = {
     val b = tokenBuckets(df, idCol, textCol, targetPred, buckets)
-    val raw = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c_r"))
-    val tgt = b.filter(col("__tgt")).groupBy(col("__bkt"))
-      .agg(count(lit(1)).as("__c_t"))
-    // two corpus-total scalars — the only driver state
-    val nR = raw.agg(sum(col("__c_r"))).head.getLong(0).toDouble
-    val nT = tgt.agg(sum(col("__c_t"))).head.getLong(0).toDouble
-    val llr = raw.join(tgt, Seq("__bkt"), "left")
-      .select(col("__bkt"),
-        log(((coalesce(col("__c_t"), lit(0L)) + lit(1L)) /
-              lit(nT + buckets)) /
-            ((col("__c_r") + lit(1L)) / lit(nR + buckets))).as("__llr"))
-    b.join(broadcast(llr), Seq("__bkt"))
+    val llr = llrTable(dsirHistogram(b, buckets), buckets)
+    // scoring is ONE pass: the log-ratio table rides as a map literal
+    // (≤ `buckets` doubles), so the whole plan is scan → project →
+    // one doc-keyed aggregate — no join, no second histogram job
+    b.select(col("id"),
+        element_at(typedLit(llr), col("__bkt")).as("__llr"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("__llr")), 6).as("logw"))
@@ -252,22 +274,11 @@ object Curation {
   def dsirTable(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val b = tokenBuckets(df, idCol, textCol, targetPred, buckets)
-    val raw = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c_r"))
-    val tgt = b.filter(col("__tgt")).groupBy(col("__bkt"))
-      .agg(count(lit(1)).as("__c_t"))
-    val nR = raw.agg(coalesce(sum(col("__c_r")), lit(0L)))
-      .head.getLong(0).toDouble
-    val nT = tgt.agg(coalesce(sum(col("__c_t")), lit(0L)))
-      .head.getLong(0).toDouble
-    spark.range(buckets).select(col("id").as("__bkt"))
-      .join(raw, Seq("__bkt"), "left")
-      .join(tgt, Seq("__bkt"), "left")
-      .select(col("__bkt"),
-        log(((coalesce(col("__c_t"), lit(0L)) + lit(1L)) /
-              lit(nT + buckets)) /
-            ((coalesce(col("__c_r"), lit(0L)) + lit(1L)) /
-              lit(nR + buckets))).as("__llr"))
+    llrTable(dsirHistogram(b, buckets), buckets)
+      .toSeq.sortBy(_._1)
+      .toDF("__bkt", "__llr")
   }
 
   /** Score documents against a trained [[dsirTable]]: per-doc work is
