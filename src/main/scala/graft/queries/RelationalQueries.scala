@@ -567,6 +567,44 @@ object RelationalQueries extends QuerySection {
       .orderBy(col("node"))
   }
 
+  /** Earliest-arrival TEMPORAL reachability
+    * (`operators/TemporalReach.scala`): orders point customer →
+    * supplier stamped with the order date, shipments point supplier →
+    * customer stamped with the ship date, and a node is reached only
+    * through chains whose timestamps never go backwards — the
+    * blast-radius-in-time question (what could nation-7 money have
+    * influenced downstream?) that static reachability overcounts.
+    * 3 relaxation rounds, judged per node against the same rounds
+    * unrolled as chained CTEs; min-arrival per node is the DP grain
+    * (earlier arrivals admit a superset of onward edges — scaladoc).
+    * Scale: Θ(edges) per round, superstep exchanges, per-round
+    * localCheckpoint. */
+  private def graphTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val cnode = col("o_custkey") * 2
+    val snode = col("l_suppkey") * 2 + 1
+    val edges = j.select(cnode.as("src"), snode.as("dst"),
+        col("o_orderdate").as("ts"))
+      .union(j.select(snode.as("src"), cnode.as("dst"),
+        col("l_shipdate").as("ts")))
+      .distinct()
+    val sources = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("node"))
+    def render(c: org.apache.spark.sql.Column) =
+      when(c % 2 === 0, concat(lit("c"), (c / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((c - 1) / 2).cast("long")))
+    graft.operators.TemporalReach.earliestArrival(edges, sources,
+        lit("1990-01-01 00:00:00").cast("timestamp"), rounds = 3)
+      .select(render(col("node")).as("node"), col("arrival"))
+      .orderBy(col("node"))
+  }
+
   /** J18 — TPC-H Q2 shape (minimum-cost supplier): a correlated
     * "suppliers achieving the per-part minimum" subquery, decorrelated
     * into aggregate + equi-join. The cost relation is lineitem's unit
@@ -2796,6 +2834,7 @@ object RelationalQueries extends QuerySection {
     "graph_cheapest" -> (graphCheapest _),
     "graph_label_prop" -> (graphLabelProp _),
     "graph_scc" -> (graphScc _),
+    "graph_temporal_reach" -> (graphTemporalReach _),
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_top_paths" -> (qTopPaths _),
     "q_ohlc" -> (qOhlc _),
@@ -4156,6 +4195,47 @@ object RelationalQueries extends QuerySection {
         |FROM l3 GROUP BY label
         |ORDER BY n_members DESC, community
         |LIMIT 100""".stripMargin,
+    // orders go c->s at order date, shipments s->c at ship date; 3
+    // relaxation rounds of the min-arrival DP unrolled, the temporal
+    // gate (e.ts >= arrival) inside each join condition
+    "graph_temporal_reach" ->
+      """WITH e AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |      o_orderdate AS ts
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    WHERE l_quantity > 45
+        |    UNION ALL
+        |    SELECT l_suppkey * 2 + 1, o_custkey * 2, l_shipdate
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    WHERE l_quantity > 45)),
+        |a0 AS (SELECT c_custkey * 2 AS node,
+        |    TIMESTAMP '1990-01-01 00:00:00' AS arrival
+        |  FROM customer WHERE c_nationkey = 7),
+        |a1 AS (SELECT coalesce(a.node, m.n2) AS node,
+        |    least(coalesce(a.arrival, m.arr2),
+        |      coalesce(m.arr2, a.arrival)) AS arrival
+        |  FROM a0 a FULL JOIN (SELECT e.dst AS n2, min(e.ts) AS arr2
+        |    FROM a0 x JOIN e ON e.src = x.node AND e.ts >= x.arrival
+        |    GROUP BY e.dst) m ON a.node = m.n2),
+        |a2 AS (SELECT coalesce(a.node, m.n2) AS node,
+        |    least(coalesce(a.arrival, m.arr2),
+        |      coalesce(m.arr2, a.arrival)) AS arrival
+        |  FROM a1 a FULL JOIN (SELECT e.dst AS n2, min(e.ts) AS arr2
+        |    FROM a1 x JOIN e ON e.src = x.node AND e.ts >= x.arrival
+        |    GROUP BY e.dst) m ON a.node = m.n2),
+        |a3 AS (SELECT coalesce(a.node, m.n2) AS node,
+        |    least(coalesce(a.arrival, m.arr2),
+        |      coalesce(m.arr2, a.arrival)) AS arrival
+        |  FROM a2 a FULL JOIN (SELECT e.dst AS n2, min(e.ts) AS arr2
+        |    FROM a2 x JOIN e ON e.src = x.node AND e.ts >= x.arrival
+        |    GROUP BY e.dst) m ON a.node = m.n2)
+        |SELECT
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  arrival
+        |FROM a3
+        |ORDER BY 1""".stripMargin,
     // 3 forward coloring rounds then 3 backward confirmation rounds,
     // unrolled — the directed-edge derivation (hi-qty c→s, lo-qty s→c)
     // and both loops replayed exactly
