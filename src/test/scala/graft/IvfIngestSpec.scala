@@ -171,6 +171,48 @@ class IvfIngestSpec extends SparkSpec {
     assert(probe(idx) === want, "healed index diverged")
   }
 
+  test("takedown property: stream-split + delete + vacuum ≡ " +
+      "build-once-without, on random splits and delete sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      cut <- Gen.choose(310L, 490L)
+      dels <- Gen.someOf(0L until 500L by 13L)
+    } yield (cut, dels.toSet)
+    for (i <- 0 until 3) {
+      val (cut, dels) = gen(Gen.Parameters.default, Seed(400L + i)).get
+      val tmp = Files.createTempDirectory("graft_ivf_prop")
+      val idx = build(tmp)
+      val stage = Files.createDirectory(tmp.resolve("stage"))
+      stageOne(emb.filter(col("vec_id") >= 300 && col("vec_id") < cut),
+        stage.resolve("b0.parquet"), 1000000L)
+      stageOne(emb.filter(col("vec_id") >= cut),
+        stage.resolve("b1.parquet"), 2000000L)
+      runStream(stage, idx, tmp.resolve("ckpt"))
+      Ann.deleteFromIvfIndex(
+        emb.filter(col("vec_id").isin(dels.toSeq: _*))
+          .select(col("vec_id")), "vec_id", idx)
+      val masked = probe(idx)
+      Ann.vacuumIvfIndex(spark, idx)
+      assert(probe(idx) === masked, s"case $i: vacuum changed answers")
+      // reference: one-shot index over the corpus minus the deletions
+      val ref = Files.createTempDirectory("graft_ivf_ref")
+      val codebook = Ann.seedCodebook(emb.filter(col("vec_id") < 300),
+        "embedding", "vec_id", 8)
+      Ann.buildIvfIndex(
+        emb.filter(!col("vec_id").isin(dels.toSeq: _*)),
+        "embedding", "vec_id", s"${ref.resolve("idx")}", nlist = 8,
+        codebook = Some(codebook))
+      val want = Ann.ivfLiveTopK(spark,
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          s"${ref.resolve("idx")}", k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+      assert(probe(idx).map(t => Seq(t._1, t._2, t._3, t._4)) === want,
+        s"case $i: cut=$cut dels=${dels.toSeq.sorted}")
+    }
+  }
+
   test("ingest never rewrites base postings") {
     val tmp = Files.createTempDirectory("graft_ivf_base")
     val idx = build(tmp)

@@ -99,6 +99,45 @@ class MinhashCompactionSpec extends SparkSpec {
     assert(run(clean) === masked)
   }
 
+  test("takedown property: purge ≡ never-indexed on random corpora " +
+      "and random delete sets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("red", "blue", "green", "gold", "gray", "teal",
+      "pink", "cyan", "plum", "jade", "rust", "sand")
+    val gen = for {
+      nDocs <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(nDocs, Gen.choose(0, vocab.size - 3).flatMap(
+        d => Gen.const(vocab.drop(d).take(8).mkString(" "))))
+      dels <- Gen.someOf(0 until nDocs)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      dels.map(_.toLong).toSet)
+    val (n, h, b, p) = params
+    val probeDf = probe.toDF("doc_id", "text")
+    def answers(idx: String) =
+      Dedup.incrementalDupes(spark, probeDf, "text", "doc_id", idx,
+          n, h, b, verifyThreshold = 0.5, portableHash = p)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (i <- 0 until 5) {
+      val (docs, dels) = gen(Gen.Parameters.default, Seed(900L + i)).get
+      val purged = Files.createTempDirectory("graft_delp").toString
+      Dedup.buildMinhashIndex(docs.toDF("doc_id", "text"),
+        "text", "doc_id", purged, n, h, b, p)
+      Dedup.deleteFromMinhashIndex(dels.toSeq.toDF("doc_id"),
+        "doc_id", purged)
+      val masked = answers(purged) // tombstone-mask path
+      Dedup.compactMinhashIndex(spark, purged)
+      val clean = Files.createTempDirectory("graft_delc").toString
+      Dedup.buildMinhashIndex(
+        docs.filterNot(d => dels(d._1)).toDF("doc_id", "text"),
+        "text", "doc_id", clean, n, h, b, p)
+      val want = answers(clean)
+      assert(masked === want, s"case $i (mask): dels=$dels")
+      assert(answers(purged) === want, s"case $i (purge): dels=$dels")
+    }
+  }
+
   test("build + append ≡ build-once, under any random split") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
