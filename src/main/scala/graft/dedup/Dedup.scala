@@ -273,11 +273,13 @@ object Dedup {
     * as an append-only tombstone file set that [[incrementalDupes]]
     * anti-joins — O(ids), no posting rewrite on the takedown path;
     * duplicate tombstone rows from at-least-once callers collapse in
-    * the probe's distinct. */
+    * the probe's distinct. The id column's type is PRESERVED (kernel
+    * contract — `graft.index.IndexLifecycle`): a cast would null out
+    * non-numeric ids and silently no-op the takedown. */
   def deleteFromMinhashIndex(ids: DataFrame, idCol: String,
       path: String): Unit =
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+    graft.index.IndexLifecycle.appendTombstones(ids, idCol, "id",
+      s"$path/tombstones")
 
   /** Compact a stored index — the MAINTENANCE op that keeps the
     * append-only lifecycle viable at 100 TB: every
@@ -293,39 +295,42 @@ object Dedup {
     * contract: spec-pinned that incremental results are IDENTICAL
     * before/after, judged end-to-end through `dedup_index_compact`.
     *
-    * The swap is stage-then-rename (never in-place): readers racing
-    * the rename see either the old or the new complete directory. A
-    * crash BETWEEN the two renames leaves `<dir>_compact` staged and
-    * the old directory live — re-running compaction heals it. */
+    * The swap is stage-then-rename via the shared lifecycle kernel
+    * (`graft.index.IndexLifecycle`, same machinery as the IVF side's
+    * vacuum): readers racing the rename see either the old or the new
+    * complete directory; a crash between the delete and the rename
+    * heals via the staged directory's `_SUCCESS` marker. The pass is
+    * SNAPSHOT-SCOPED: the tombstone FILE SET is listed once at entry,
+    * that one set feeds BOTH sub-swaps (a mid-run takedown can never be
+    * applied to buckets but not tokens), and only that set is deleted
+    * at the end — tombstones appended by a concurrent
+    * [[deleteFromMinhashIndex]] survive for the next pass instead of
+    * being destroyed unapplied. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Int = 8): Unit = {
-    import scala.jdk.CollectionConverters._
+    import graft.index.IndexLifecycle._
     // compaction is also the takedown VACUUM: tombstoned docs'
     // ([[deleteFromMinhashIndex]]) sketch rows and token sets are
     // dropped from the rewrite, so after compaction the deleted
     // documents' bytes are GONE — masking until then, purging here
-    val tombDir = java.nio.file.Paths.get(s"$path/tombstones")
-    val tomb = if (java.nio.file.Files.isDirectory(tombDir))
-      Some(spark.read.parquet(tombDir.toString).distinct())
-    else None
+    val tombSnap = snapshotFiles(s"$path/tombstones")
+    val tomb = readSnapshot(spark, s"$path/tombstones", tombSnap)
+      .map(_.distinct())
     def swapIn(sub: String, clustered: DataFrame => DataFrame): Unit = {
       val live = java.nio.file.Paths.get(s"$path/$sub")
       val staged = java.nio.file.Paths.get(s"$path/${sub}_compact")
-      val src = spark.read.parquet(live.toString).distinct()
-      val kept = tomb.fold(src)(t => src.join(t, Seq("id"), "left_anti"))
-      clustered(kept).write.mode("overwrite").parquet(staged.toString)
-      java.nio.file.Files.walk(live).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-      java.nio.file.Files.move(staged, live)
-      ()
+      swapStaged(live, staged) { dir =>
+        val src = spark.read.parquet(live.toString).distinct()
+        val kept = tomb.fold(src)(t =>
+          src.join(t, Seq("id"), "left_anti"))
+        clustered(kept).write.mode("overwrite").parquet(dir)
+      }
     }
     swapIn("buckets", df => df
       .repartitionByRange(files, col("band"), col("h"))
       .sortWithinPartitions(col("band"), col("h")))
     swapIn("tokens", df => df.repartition(files, col("id")))
-    if (java.nio.file.Files.isDirectory(tombDir))
-      java.nio.file.Files.walk(tombDir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+    deleteSnapshot(s"$path/tombstones", tombSnap)
   }
 
   /** Near-dups of a NEW batch against a stored corpus index: sketch
@@ -346,13 +351,9 @@ object Dedup {
     // tombstoned docs ([[deleteFromMinhashIndex]]) are masked at probe
     // time (O(ids) anti-join); their bytes leave the index at the next
     // [[compactMinhashIndex]]
-    val allBuckets = spark.read.parquet(s"$indexPath/buckets")
-    val tombDir = new java.io.File(s"$indexPath/tombstones")
-    val liveBuckets = if (tombDir.isDirectory)
-      allBuckets.join(
-        spark.read.parquet(s"$indexPath/tombstones").distinct(),
-        Seq("id"), "left_anti")
-    else allBuckets
+    val liveBuckets = graft.index.IndexLifecycle.maskTombstoned(
+      spark.read.parquet(s"$indexPath/buckets"), "id",
+      s"$indexPath/tombstones")
     val corpusBuckets = liveBuckets
       .select(col("band"), col("h"), col("id").as("id_a"))
     val candidates = corpusBuckets.join(newBuckets, Seq("band", "h"))

@@ -427,8 +427,14 @@ object Ann {
     // a static partition-pruning predicate on the postings scan
     val cells = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val post = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isin(cells: _*))
+    // tombstoned ids mask here too: EVERY probe over the stored layout
+    // honors the "delete is visible immediately" contract, not just the
+    // lifecycle-aware ivfLiveTopK — a caller mixing the two probe APIs
+    // must never see takedown leakage
+    val post = graft.index.IndexLifecycle.maskTombstoned(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("cell").isin(cells: _*)),
+      "corpus_id", s"$path/tombstones")
     rankCellCandidates(post, q, k)
   }
 
@@ -465,11 +471,14 @@ object Ann {
     * corpus-sized rewrite on the takedown path. Idempotent under
     * at-least-once callers: duplicate tombstone rows collapse in the
     * probe's distinct. Masking is not purging — the deleted vectors'
-    * BYTES survive until [[vacuumIvfIndex]] rewrites them away. */
+    * BYTES survive until [[vacuumIvfIndex]] rewrites them away.
+    *
+    * The id column's type is PRESERVED (kernel contract): a cast would
+    * null out non-numeric ids and silently no-op the takedown. */
   def deleteFromIvfIndex(ids: DataFrame, idCol: String,
       path: String): Unit =
-    ids.select(col(idCol).cast("long").as("corpus_id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+    graft.index.IndexLifecycle.appendTombstones(ids, idCol, "corpus_id",
+      s"$path/tombstones")
 
   /** Physically PURGE a stored IVF index: rewrite base postings ∪
     * increment log MINUS tombstones as one fresh cell-partitioned
@@ -481,47 +490,42 @@ object Ann {
     * `dedup.Dedup.compactMinhashIndex`). Cost ∝ index size, zero
     * corpus rescan; the codebook is untouched (deletes never retrain).
     *
-    * Swap is stage-then-rename: a reader racing the swap sees the old
-    * or the new complete directory. A crash between the delete and
-    * the rename is healed on the next run via the staged directory's
-    * `_SUCCESS` marker. */
+    * Swap is stage-then-rename via the shared lifecycle kernel
+    * (`graft.index.IndexLifecycle`): a reader racing the swap sees the
+    * old or the new complete directory; a crash between the delete and
+    * the rename heals on the next run via the staged directory's
+    * `_SUCCESS` marker. The pass is SNAPSHOT-SCOPED and IDEMPOTENT
+    * across every crash window: increments and tombstones are read
+    * from the file set listed at entry and only that set is deleted at
+    * the end — tombstones/increments appended concurrently survive for
+    * the next pass (never a lost takedown) — and the rewrite
+    * `dropDuplicates` on corpus_id (the index's one-vector-per-id
+    * contract), so a crash after the rename but before the cleanup
+    * cannot double the already-folded increment postings when the next
+    * vacuum unions them again. */
   def vacuumIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
+    import graft.index.IndexLifecycle._
     val live = java.nio.file.Paths.get(s"$path/postings")
     val staged = java.nio.file.Paths.get(s"$path/postings_vacuum")
-    val incr = java.nio.file.Paths.get(s"$path/increments")
-    val tomb = java.nio.file.Paths.get(s"$path/tombstones")
-    def rmTree(p: java.nio.file.Path): Unit = {
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      ()
-    }
-    // heal a crash that deleted the live dir but not yet renamed the
-    // (complete — _SUCCESS) staged one
-    if (!Files.isDirectory(live) &&
-        Files.exists(staged.resolve("_SUCCESS"))) {
-      Files.move(staged, live)
-      rmTree(incr); rmTree(tomb)
-      return
-    }
+    // a healed staged dir already contains the crashed pass's folded
+    // increments; the leftover increment/tombstone files below re-fold
+    // idempotently (dropDuplicates + anti-join of already-purged ids)
+    healStaged(live, staged)
+    val incrSnap = snapshotFiles(s"$path/increments")
+    val tombSnap = snapshotFiles(s"$path/tombstones")
     val keep = Seq("corpus_id", "cv", "cell").map(col)
     var post = spark.read.parquet(live.toString).select(keep: _*)
-    if (Files.isDirectory(incr))
-      post = post.unionByName(
-        spark.read.parquet(incr.toString).select(keep: _*))
-    if (Files.isDirectory(tomb))
-      post = post.join(
-        spark.read.parquet(tomb.toString).distinct(),
-        Seq("corpus_id"), "left_anti")
-    rmTree(staged)
-    post.write.mode("overwrite").partitionBy("cell")
-      .parquet(staged.toString)
-    rmTree(live)
-    Files.move(staged, live)
-    rmTree(incr); rmTree(tomb)
+    readSnapshot(spark, s"$path/increments", incrSnap).foreach(i =>
+      post = post.unionByName(i.select(keep: _*)))
+    post = post.dropDuplicates("corpus_id")
+    readSnapshot(spark, s"$path/tombstones", tombSnap).foreach(t =>
+      post = post.join(t.distinct(), Seq("corpus_id"), "left_anti"))
+    swapStaged(live, staged) { dir =>
+      post.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    }
+    deleteSnapshot(s"$path/increments", incrSnap)
+    deleteSnapshot(s"$path/tombstones", tombSnap)
   }
 
   /** Top-k against a stored IVF index PLUS its streaming increment log
@@ -553,11 +557,8 @@ object Ann {
     // tombstoned ids ([[deleteFromIvfIndex]]) are masked at probe time;
     // a takedown-sized set anti-joins cheaply (AQE broadcasts it), a
     // purge-sized one is what [[vacuumIvfIndex]] is for
-    val tombDir = new java.io.File(s"$path/tombstones")
-    val visible = if (tombDir.isDirectory)
-      post.join(spark.read.parquet(s"$path/tombstones").distinct(),
-        Seq("corpus_id"), "left_anti")
-    else post
+    val visible = graft.index.IndexLifecycle.maskTombstoned(
+      post, "corpus_id", s"$path/tombstones")
     rankCellCandidates(visible, q, k)
   }
 
