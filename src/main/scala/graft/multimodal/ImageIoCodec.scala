@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal.MediaCodec
 
-/** A REAL image codec behind the [[Multimodal.MediaCodec]] seam, built
-  * entirely on the JDK (`javax.imageio` — no external libraries, so it
-  * runs in this sandbox): PNG/BMP/GIF decode, deterministic
-  * nearest-neighbor resize, and luminance-histogram pixel features.
-  * Video stays on [[Multimodal.StubCodec]] — the JDK has no video
-  * decoder, and the seam exists precisely so each modality can swap
-  * independently.
+/** A REAL media codec behind the [[Multimodal.MediaCodec]] seam, built
+  * entirely on the JDK (no external libraries, so it runs in this
+  * sandbox): PNG/BMP/GIF image decode, deterministic nearest-neighbor
+  * resize, luminance-histogram pixel features, RIFF/WAV PCM audio
+  * decode, and video-container frame extraction — animated GIF via
+  * `ImageIO`'s frame reader, AVI (uncompressed DIB + MJPEG) via the
+  * hand-rolled RIFF walker in [[AviCodec]]. Only inter-frame codecs
+  * (MP4/H.264, WebM, MP3/AAC) still need a deploy-time library at this
+  * seam — the JDK genuinely has no decoder for those.
   *
   * Determinism notes (the codec contract's hardest clause):
   *  - decode of lossless formats (PNG/BMP) yields exact pixel values on
@@ -167,20 +169,23 @@ object ImageIoCodec extends MediaCodec {
     finally in.close()
   }
 
-  /** REAL frame extraction within JDK limits: `ImageIO`'s animated-GIF
-    * reader decodes every frame of a multi-frame payload; every
-    * `everyN`-th frame is kept and re-encoded as PNG (lossless — the
-    * downstream per-frame decode sees the exact pixels). The JDK
-    * decodes no true video containers (MP4/WebM need JavaCV/ffmpeg at
-    * this same seam), but the PIPELINE semantics of video — one payload
-    * exploding into many pixel-bearing frames, sampled by stride — run
-    * for real here. `frameSize` is the stub's chunk width; a real
-    * decoder's frame dimensions come from the container, so it is
-    * ignored. Undecodable/degenerate input yields no frames (total —
-    * one corrupt blob must not kill a 100 TB stage). */
+  /** REAL frame extraction: a RIFF/AVI payload walks the hand-rolled
+    * container parser ([[AviCodec]] — uncompressed-DIB frames decoded
+    * with integer arithmetic, MJPEG frames through `ImageIO`'s real
+    * JPEG reader); any other multi-frame payload goes to `ImageIO`'s
+    * frame reader (animated GIF). Every `everyN`-th frame is kept and
+    * re-encoded as PNG (lossless — the downstream per-frame decode
+    * sees the exact pixels). Inter-frame codecs (MP4/H.264, WebM) need
+    * JavaCV/ffmpeg at this same seam — the JDK has no decoder for
+    * them. `frameSize` is the stub's chunk width; a real decoder's
+    * frame dimensions come from the container, so it is ignored.
+    * Undecodable/degenerate input yields no frames (total — one
+    * corrupt blob must not kill a 100 TB stage). */
   override def sampleFrames(bytes: Array[Byte], everyN: Int,
       frameSize: Int = 64): Seq[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty || everyN <= 0) return Seq.empty
+    if (AviCodec.isAvi(bytes))
+      return AviCodec.sampleFrames(bytes, everyN).map(encodePng)
     val iis =
       try ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
@@ -295,6 +300,46 @@ object SyntheticImages {
         ios.close()
         writer.dispose()
         Row(id, "video", bos.toByteArray, "gif", w, h, nFrames * 40L)
+      }
+    }(enc)
+  }
+
+  /** Procedural AVI corpus for judging the REAL video-container path:
+    * one `w`×`h` uncompressed-DIB AVI per document id below `n`, with
+    * `(id mod 3) + 2` frames and per-frame pixel luminance
+    * `(5x + 11y + 23·id + 47·f) mod 256` on all three channels. The
+    * engine must walk an actual RIFF/AVI container
+    * ([[AviCodec.framePayloads]]) and decode bottom-up BGR DIB rows;
+    * DIB is integer-exact on any JVM, so — as with [[gifTable]] — the
+    * formula IS the oracle and the compare is bit-strict. Binaries are
+    * born on executors, never shuffled. */
+  def aviTable(spark: SparkSession, sfDir: String, n: Int,
+      w: Int = 16, h: Int = 8): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < n)
+    val enc = ExpressionEncoder(
+      RowEncoder.encoderFor(Multimodal.mediaSchema))
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val nFrames = (id % 3 + 2).toInt
+        val frames = (0 until nFrames).map { f =>
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val l = ((x * 5 + y * 11 + id * 23 + f * 47) % 256).toInt
+              img.setRGB(x, y, (l << 16) | (l << 8) | l)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Row(id, "video", AviCodec.muxDib(frames), "avi", w, h,
+          nFrames * 40L)
       }
     }(enc)
   }

@@ -11,10 +11,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schemas, partition-parallel
   * `mapPartitions` with bounded batches (the Scala analogue of
-  * `mapInPandas`), metadata propagation. The *codec* itself is a
-  * clearly-marked deterministic STUB (`StubCodec`): this container has
-  * no image/audio libraries, and at deploy time the stub body is the
-  * only thing that changes (swap in JavaCV/ffmpeg), not the pipeline.
+  * `mapInPandas`), metadata propagation — and so are the codecs for
+  * every format the JDK can parse: [[ImageIoCodec]] decodes PNG/BMP/GIF
+  * images, RIFF/WAV PCM audio, animated-GIF frames, and AVI video
+  * containers (uncompressed DIB + MJPEG, via the hand-rolled RIFF
+  * walker in [[AviCodec]]). [[StubCodec]] remains ONLY as the
+  * deterministic stand-in for codecs the JDK genuinely cannot parse
+  * (MP4/H.264, WebM, MP3/AAC — swap in JavaCV/ffmpeg at deploy time),
+  * and as the codec-INDEPENDENT byte-grain splitter the content-dedup
+  * queries deliberately use.
   *
   * Scale: binaries never pass through a shuffle here — every stage is a
   * map; metadata-only plans prune the binary column entirely (columnar
@@ -75,11 +80,15 @@ object Multimodal {
   }
 
   /** ======== STUB CODEC ========
-    * The sandbox [[MediaCodec]]: deterministic fakes standing in for
-    * real decoders (this container has no media libraries). Each
-    * derives its output purely from the input bytes, so pipelines are
-    * reproducible and testable; at deploy time a JavaCV/ffmpeg impl of
-    * the same trait drops in via the stages' `codec` parameter. */
+    * Deterministic stand-in for the codecs the JDK genuinely cannot
+    * parse — MP4/H.264, WebM, MP3/AAC need a JavaCV/ffmpeg impl of
+    * this same trait at deploy time, dropped in via the stages'
+    * `codec` parameter. Every JDK-parseable format has a REAL codec
+    * ([[ImageIoCodec]]: PNG/BMP/GIF, WAV/PCM, animated GIF, AVI
+    * DIB/MJPEG). Each stub derives its output purely from the input
+    * bytes, so pipelines stay reproducible; `sampleFrames`' byte-chunk
+    * form doubles as the codec-independent splitter the byte-grain
+    * dedup queries use on purpose. */
   object StubCodec extends MediaCodec {
     /** STUB for image decode → fixed-length feature vector. Real impl:
       * decode + CNN embed. Here: 8 rolling byte statistics. */

@@ -86,6 +86,31 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("media_id"), col("frame_no"), col("bucket"))
   }
 
+  /** REAL video-CONTAINER decode, judged: procedural uncompressed-DIB
+    * AVIs (`SyntheticImages.aviTable` — `(id mod 3)+2` frames of 16×8
+    * pixels, per-frame formula `(5x+11y+23·id+47·f) mod 256`) walk the
+    * hand-rolled RIFF/AVI parser (`AviCodec` — avih/strh/strf headers,
+    * `movi` chunk scan, bottom-up BGR DIB rows) inside
+    * `sampleVideoFrames`, keep every 2nd frame, re-encode as PNG, and
+    * go through the real decode+histogram. The judged shares prove the
+    * container walk found exactly the right frame chunks AND the DIB
+    * row decode was pixel-exact. The oracle replays the formula with
+    * integer arithmetic — shares are count/128, dyadic, bit-strict.
+    * (MJPEG — the compressed AVI form — is spec-verified instead:
+    * JPEG pixel output isn't bit-pinned across decoder libraries, so
+    * it can't sit behind a hash oracle; see AviCodecSpec.) */
+  private def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleVideoFrames(
+      SyntheticImages.aviTable(s, dir, n = 220), everyN = 2,
+      codec = ImageIoCodec)
+    Multimodal.extractFeatures(frames, codec = ImageIoCodec)
+      .select(col("media_id"), col("frame_no"),
+        posexplode(col("features")))
+      .select(col("media_id"), col("frame_no"), col("pos").as("bucket"),
+        col("col").cast("double").as("share"))
+      .orderBy(col("media_id"), col("frame_no"), col("bucket"))
+  }
+
   /** Byte-level content dedup audit: every 97th media item is planted
     * a second time under a new id (the re-crawled-identical-file case),
     * and the duplicate-content groups — digest, copy count, surviving
@@ -177,10 +202,39 @@ object MultimodalQueries extends QuerySection {
     "mm_stats" -> (mmStats _),
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
-    "mm_frames" -> (mmFrames _)
+    "mm_frames" -> (mmFrames _),
+    "mm_video" -> (mmVideo _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    // REAL-container oracle: the engine must walk actual RIFF/AVI bytes
+    // and decode DIB rows; DuckDB replays the generator's per-frame
+    // pixel formula. Kept frames are f ∈ {0,2} of (id%3)+2 total;
+    // shares /128 dyadic, bit-strict.
+    "mm_video" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 3 + 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 220),
+        |fr AS (SELECT media_id, CAST(f AS INT) AS f,
+        |    CAST(f // 2 AS INT) AS frame_no
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, nf - 1))
+        |    AS f) g
+        |  WHERE f % 2 = 0),
+        |px AS (SELECT media_id, frame_no,
+        |    CAST((x*5 + y*11 + media_id*23 + f*47) % 256 AS INT) AS lum
+        |  FROM fr,
+        |    (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |hist AS (SELECT media_id, frame_no, lum // 32 AS bucket,
+        |    count(*) AS cnt
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT f.media_id, f.frame_no, CAST(b.bucket AS INT) AS bucket,
+        |  coalesce(h.cnt, 0) / 128.0 AS share
+        |FROM fr f
+        |CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+        |LEFT JOIN hist h ON h.media_id = f.media_id
+        |  AND h.frame_no = f.frame_no AND h.bucket = b.bucket
+        |ORDER BY f.media_id, f.frame_no, bucket""".stripMargin,
     // feature-grain dedup oracle: the planted trailing-byte copies
     // decode to the ORIGINAL id's samples, so fid drives the formula
     "mm_audio_dedup" ->
