@@ -49,6 +49,15 @@ import org.apache.spark.sql.SparkSession
   * whole run uniformly — is self-diagnosing rather than inferred from
   * cross-run ratio analysis. See the inline comment at `calibrate()`
   * and BASELINE.md "calibration" for the normalization rule.
+  *
+  * BURST DISCOUNTING (mechanical): mid-pass probes bracket every query
+  * (pass start, every `calEvery` queries, pass end); a query whose
+  * bracketing probes exceed 2× the run-median probe in a MAJORITY of
+  * passes lands in `burst_flagged` — its median is contaminated by a
+  * machine burst, and pin/regression comparisons exclude it
+  * automatically (`tools/pin_compare.py`). Per-pass detail is in
+  * `burst_pass_counts`. This encodes the timeline reading rule that
+  * was previously applied by hand (BASELINE.md "burst adjudication").
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -135,6 +144,44 @@ object Bench {
     def calJson(vs: Seq[Double]): String =
       vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
+    // ---- mechanical burst discounting -------------------------------
+    // The timeline reading rule, encoded (it used to be applied by a
+    // human): a query's pass is BURST-BRACKETED when either of the two
+    // probes bracketing it (the nearest at-or-before and the nearest
+    // after, CPU or I/O) exceeds 2× the run-median probe of its kind.
+    // A query whose MAJORITY of passes are burst-bracketed has a
+    // contaminated median and lands in `burst_flagged` — pin/regression
+    // comparisons must exclude it (tools/pin_compare.py does). Probes
+    // fire at pass start, every `calEvery` queries, and pass end, so
+    // every query is bracketed. A +0.1 s absolute floor on top of the
+    // 2× ratio keeps millisecond-scale probe jitter from flagging —
+    // the bursts this hunts are 5–30× and seconds-scale (BASELINE.md).
+    def burstFlags(names: Seq[String])
+        : (Map[String, Int], Seq[String]) = {
+      val cpuProbes = calMain.toSeq ++ calTimeline.map(_._3)
+      val ioProbes = calMainIo.toSeq ++ calTimeline.map(_._4)
+      if (cpuProbes.isEmpty || calMain.isEmpty)
+        return (Map.empty, Seq.empty)
+      def med(vs: Seq[Double]) = { val s = vs.sorted; s(s.length / 2) }
+      val (cpuMed, ioMed) = (med(cpuProbes), med(ioProbes))
+      val passes = calMain.length
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      for (p <- 1 to passes) {
+        val probes = ((0, calMain(p - 1), calMainIo(p - 1)) +:
+          calTimeline.filter(_._1 == p).map(t => (t._2, t._3, t._4)))
+          .sortBy(_._1)
+        for ((name, qi) <- names.zipWithIndex) {
+          val brackets = probes.filter(_._1 <= qi).lastOption.toSeq ++
+            probes.find(_._1 > qi).toSeq
+          if (brackets.exists(pr =>
+            pr._2 > 2 * cpuMed + 0.1 || pr._3 > 2 * ioMed + 0.1))
+            counts(name) = counts.getOrElse(name, 0) + 1
+        }
+      }
+      val flagged = names.filter(n => counts.getOrElse(n, 0) * 2 > passes)
+      (counts.toMap, flagged)
+    }
+
     // dev-only subset filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -185,6 +232,12 @@ object Bench {
       }.mkString("{", ",", "}")
       val shuffleTotalMb = io.values.map(_.shuffleWrite).sum / 1048576.0
       val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val (burstCounts, burstFlagged) = burstFlags(names.map(_._1))
+      val burstJson = burstFlagged.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val burstCountJson = burstCounts.toSeq.filter(_._2 > 0).sortBy(_._1)
+        .map { case (n, c) => "\"" + n + s"""\":$c""" }
+        .mkString("{", ",", "}")
       val fullJson =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$passesDone,""" +
           f""""n_queries":${medians.length},"queries":${fmt(medians)},""" +
@@ -196,6 +249,8 @@ object Bench {
           f""""calibration_timeline":${calTimeline.toSeq
             .map { case (p, i, s, io) => f"[$p,$i,$s%.3f,$io%.3f]" }
             .mkString("[", ",", "]")},""" +
+          f""""burst_flagged":$burstJson,""" +
+          f""""burst_pass_counts":$burstCountJson,""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
@@ -211,6 +266,7 @@ object Bench {
           f""""n_queries":${medians.length},""" +
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
           f""""calibration":${calJson(calMain.toSeq)},""" +
+          f""""burst_flagged_n":${burstFlagged.length},""" +
           f""""n_failed":${failed.size},"failures":$failJson,""" +
           f""""queries":${fmt(kept.toSeq)},""" +
           f""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
@@ -250,6 +306,9 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         spark.catalog.clearCache()
       }
+      // pass-END probe: the last timeline segment must be bracketed too,
+      // or the tail queries of a pass would be un-adjudicable
+      calTimeline += ((pass, names.length, calibrate(), calibrateIo()))
       emit(pass)
     }
 

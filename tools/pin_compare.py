@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Mechanical pin-regression comparison between two Bench runs.
+
+Encodes BASELINE.md's reading rules so no human judgment is involved:
+
+  1. CALIBRATION NORMALIZATION: comparable time = run time ×
+     (pin calibration median / run calibration median) — one CPU-probe
+     ratio scales all queries, removing the roughly-uniform inflation
+     machine interference causes.
+  2. BURST EXCLUSION: queries listed in either run's `burst_flagged`
+     (bracketing probes > 2× the run-median probe in a majority of
+     passes — computed by graft.Bench itself) are excluded from the
+     regression verdict and reported separately.
+
+Usage:
+    python3 tools/pin_compare.py PIN_BENCH_FULL.json NEW_BENCH_FULL.json \
+        [--threshold 1.5]
+
+Exit 1 if any non-excluded query regresses beyond threshold× the
+normalized pin time (+0.2 s floor so micro-queries can't trip on
+noise); prints improvements and the normalization factors either way.
+
+Dev-only tool (driver-side python); the engine itself is pure
+Scala/Spark.
+"""
+import argparse
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pin")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+
+    pin, new = load(args.pin), load(args.new)
+    cal_pin = statistics.median(pin.get("calibration", [1.0]))
+    cal_new = statistics.median(new.get("calibration", [1.0]))
+    norm = cal_pin / cal_new if cal_new > 0 else 1.0
+    excluded = set(pin.get("burst_flagged", [])) | set(
+        new.get("burst_flagged", []))
+
+    pq, nq = pin.get("queries", {}), new.get("queries", {})
+    common = sorted(set(pq) & set(nq))
+    regressions, improvements, skipped = [], [], []
+    for name in common:
+        if name in excluded:
+            skipped.append(name)
+            continue
+        comparable = nq[name] * norm
+        if comparable > args.threshold * pq[name] + 0.2:
+            regressions.append((name, pq[name], nq[name], comparable))
+        elif comparable < pq[name] / args.threshold - 0.2:
+            improvements.append((name, pq[name], nq[name], comparable))
+
+    print(f"pin calibration median {cal_pin:.3f}s, "
+          f"run {cal_new:.3f}s -> normalization x{norm:.3f}")
+    print(f"{len(common)} common queries; "
+          f"{len(set(nq) - set(pq))} new, {len(set(pq) - set(nq))} gone; "
+          f"{len(skipped)} burst-excluded: {sorted(skipped)}")
+    for name, p, n, c in sorted(improvements, key=lambda t: t[3] - t[1]):
+        print(f"FASTER {name}: pin {p:.3f}s -> {n:.3f}s "
+              f"(normalized {c:.3f}s)")
+    for name, p, n, c in sorted(regressions, key=lambda t: t[1] - t[3]):
+        print(f"REGRESSION {name}: pin {p:.3f}s -> {n:.3f}s "
+              f"(normalized {c:.3f}s > {args.threshold}x + 0.2s)")
+    total_pin = sum(pq[n] for n in common)
+    total_new = sum(nq[n] for n in common) * norm
+    print(f"common-set total: pin {total_pin:.1f}s, "
+          f"normalized run {total_new:.1f}s (x{total_new / total_pin:.3f})")
+    if regressions:
+        print(f"{len(regressions)} regressions")
+        return 1
+    print("no regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
