@@ -260,6 +260,7 @@ object Dedup {
       portableHash: Boolean = false): Unit = {
     lshBucketRows(df, textCol, idCol, n, numHashes, bands, portableHash)
       .write.mode("append").parquet(s"$path/buckets")
+    graft.Failpoints.point("minhash.append.buckets_done")
     tokenSets(df, textCol, idCol)
       .write.mode("append").parquet(s"$path/tokens")
   }
@@ -357,6 +358,13 @@ object Dedup {
     val corpusBuckets = liveBuckets
       .select(col("band"), col("h"), col("id").as("id_a"))
     val candidates = corpusBuckets.join(newBuckets, Seq("band", "h"))
+      // a doc is never a near-dup of ITSELF: under at-least-once replay
+      // the batch's own sketch rows may already sit in the index (crash
+      // between the index append and the checkpoint commit), and without
+      // this filter every replayed doc would match itself at jaccard 1.0
+      // and pollute the rewritten results partition (found by the chaos
+      // suite's buckets-appended-then-killed schedule)
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val corpusToks = spark.read.parquet(s"$indexPath/tokens")
     val newToks = tokenSets(newDf, textCol, idCol)

@@ -26,6 +26,7 @@ object Incremental {
     * Every non-key column must be an additive partial (count/sum). */
   def mergeAdditive(spark: SparkSession, path: String, partial: DataFrame,
       keys: Seq[String]): Unit = {
+    graft.sinks.Sinks.healSwap(path)
     if (!Files.exists(Paths.get(path))) {
       partial.write.mode(SaveMode.ErrorIfExists).parquet(path)
       return
@@ -61,6 +62,7 @@ object Incremental {
       Map("sum" -> sum _, "min" -> min _, "max" -> max _)
     val bad = merges.collect { case (c, f) if !mergeFn.contains(f) => s"$c:$f" }
     require(bad.isEmpty, s"unsupported merge fns: ${bad.mkString(",")}")
+    graft.sinks.Sinks.healSwap(path)
     if (!Files.exists(Paths.get(path))) {
       partial.write.mode(SaveMode.ErrorIfExists).parquet(path)
       return
@@ -88,6 +90,7 @@ object Incremental {
   def backfillDailyRollup(spark: SparkSession, events: DataFrame,
       rollupPath: String, fromDay: String, toDay: String): Unit = {
     val inRange = col("day").between(fromDay, toDay)
+    graft.sinks.Sinks.healSwap(rollupPath)
     val kept = spark.read.parquet(rollupPath).filter(!inRange)
     val recomputed = events
       .filter(date_format(col("ts"), "yyyy-MM-dd").between(fromDay, toDay))

@@ -103,6 +103,8 @@ object JdbcSink {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
+              // crash window: updates staged (uncommitted), inserts not
+              graft.Failpoints.point("jdbc.upsert.updates_staged")
               buf.zip(counts).collect { case (r, 0) => r }.foreach { r =>
                 cols.zipWithIndex.foreach { case (c, i) =>
                   setParam(ins, i + 1, r, schema.fieldIndex(c)) }
@@ -110,8 +112,22 @@ object JdbcSink {
               }
               ins.executeBatch()
               conn.commit()
+              // crash window: this group committed, later groups not
+              graft.Failpoints.point("jdbc.upsert.group_committed")
             }
-          } finally conn.close()
+          } finally {
+            // a mid-transaction failure must surface AS ITSELF: close()
+            // on an open transaction throws (Derby: "Cannot close a
+            // connection while a transaction is still active"), which
+            // would suppress the real error and leak the transaction —
+            // roll back first, and never let cleanup mask the cause
+            try {
+              if (!conn.isClosed) {
+                if (!conn.getAutoCommit) conn.rollback()
+                conn.close()
+              }
+            } catch { case _: java.sql.SQLException => () }
+          }
         }
     }
   }

@@ -79,6 +79,7 @@ object Sinks {
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keyField: String, stampUpdatedAt: Boolean = true): (Long, Long) = {
+    healSwap(path) // a swap-window crash must not read as "no table"
     val exists = Files.exists(Paths.get(path))
     if (!exists) {
       val obs = new org.apache.spark.sql.Observation("upsert_insert_only")
@@ -135,6 +136,7 @@ object Sinks {
     * becomes partition-overwrite of only the touched partitions. */
   def deleteTimeRange(spark: SparkSession, path: String, tsCol: String,
       start: String, stop: String): Long = {
+    healSwap(path)
     val df = spark.read.parquet(path)
     // both row counts observed inside the single rewrite pass (the
     // count-then-count form scanned the table twice before writing)
@@ -156,6 +158,7 @@ object Sinks {
     * form is `DELETE WHERE key IN (...)` with the same plan. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
       keys: DataFrame): Long = {
+    healSwap(path)
     val df = spark.read.parquet(path)
     val keySide = broadcast(
       keys.select(col(keys.columns.head).as(keyCol)).distinct())
@@ -230,6 +233,7 @@ object Sinks {
       Files.walk(p).iterator().asScala
         .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
         .toSeq
+    healSwap(path)
     val root = Paths.get(path)
     val before = parquetFiles(root)
     val totalBytes = before.map(Files.size).sum
@@ -364,13 +368,55 @@ object Sinks {
     }
   }
 
+  /** Heal [[writeSwap]]'s crash windows before touching `path` — MUST
+    * run before a read-modify-write op reads the target or tests its
+    * existence (every such op here calls it first):
+    *  - live missing + staged complete (`_SUCCESS`): the crash hit
+    *    between the two moves — finish the swap (the staged table is
+    *    the later state; an at-least-once caller re-applies its batch
+    *    idempotently on top);
+    *  - live missing + only `.__old__` present: the staged write never
+    *    completed — restore the old table;
+    *  - stale `.__old__`/`.__tmp__` from a crash after the swap (or a
+    *    failed staged write): removed, else the NEXT swap's
+    *    ATOMIC_MOVE onto the existing `.__old__` would throw.
+    * Without this, a crash inside the swap window turned the next
+    * upsert into an insert-only write that silently dropped every
+    * other key of the target (found by the chaos suite). */
+  def healSwap(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    val tmp = Paths.get(path + ".__tmp__")
+    val del = Paths.get(path + ".__old__")
+    def rm(d: java.nio.file.Path): Unit = {
+      if (Files.exists(d))
+        Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      ()
+    }
+    if (!Files.exists(p)) {
+      if (Files.exists(tmp.resolve("_SUCCESS")))
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      else if (Files.exists(del))
+        Files.move(del, p, StandardCopyOption.ATOMIC_MOVE)
+    }
+    rm(del); rm(tmp)
+  }
+
+  /** Stage-then-swap table rewrite: readers racing the swap see the
+    * old or the new complete table. Crash windows between the
+    * failpoints are healed by [[healSwap]] on the next op. */
   def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    healSwap(path)
     val tmp = path + ".__tmp__"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    graft.Failpoints.point("sinks.swap.staged")
     val p = Paths.get(path)
     val del = Paths.get(path + ".__old__")
     if (Files.exists(p)) Files.move(p, del, StandardCopyOption.ATOMIC_MOVE)
+    graft.Failpoints.point("sinks.swap.live_removed")
     Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    graft.Failpoints.point("sinks.swap.swapped")
     if (Files.exists(del)) {
       import scala.jdk.CollectionConverters._
       Files.walk(del).iterator().asScala.toSeq.reverse

@@ -300,6 +300,7 @@ object Streaming {
           .filter(col("__rn") === 1).drop("__rn")
         graft.sinks.Sinks.upsert(batch.sparkSession, targetPath, latest,
           key, stampUpdatedAt = false)
+        graft.Failpoints.point("stream.upsert.merged")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -340,8 +341,10 @@ object Streaming {
             idCol, n, numHashes, bands, verifyThreshold, portableHash)
           incr.unionByName(inBatch).write.mode("overwrite")
             .parquet(s"$resultPath/batch=$batchId")
+          graft.Failpoints.point("stream.neardup.results_written")
           graft.dedup.Dedup.appendToMinhashIndex(b, textCol, idCol,
             indexPath, n, numHashes, bands, portableHash)
+          graft.Failpoints.point("stream.neardup.appended")
         } finally { b.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
@@ -369,6 +372,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.similarity.Ann.appendIvfBatch(batch.sparkSession, batch,
           vecCol, idCol, indexPath, batchId)
+        graft.Failpoints.point("stream.ivf.appended")
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -419,6 +423,7 @@ object Streaming {
         val latest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         graft.sinks.JdbcSink.upsert(latest, url, driver, table, Seq(key))
+        graft.Failpoints.point("stream.jdbc.upserted")
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -455,6 +460,7 @@ object Streaming {
       attrs: Seq[String]): Unit = {
     val cols = (Seq(key, ts, tie) ++ attrs).map(col)
     val incoming = batch.select(cols: _*)
+    graft.sinks.Sinks.healSwap(path)
     val history =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
         val hist = spark.read.parquet(path)

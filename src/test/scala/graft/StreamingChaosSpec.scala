@@ -1,0 +1,341 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.similarity.Ann
+import graft.streaming.Streaming
+
+/** CHAOS property suite for the at-least-once lifecycle streams: a
+  * kill is injected at EVERY failpoint between side-effect pairs
+  * ([[graft.Failpoints]] — lake-swap windows, index-append windows,
+  * JDBC mid-transaction and between-commit windows, the
+  * effect-done-but-checkpoint-uncommitted window), the stream is
+  * restarted from its real checkpoint after each kill, and the final
+  * state must CONVERGE to the answer of a run that never crashed.
+  * This is the end-to-end form of the per-mechanism heal specs: the
+  * engine's own replay machinery drives recovery, not the test.
+  *
+  * Covered streams: `stream_upsert` (lake CDC merge), `stream_near_dedup`
+  * (MinHash index lifecycle), `stream_ann_ingest` (IVF increment log),
+  * `stream_jdbc_upsert` (live Derby CDC merge). Plus a seeded-random
+  * multi-kill schedule over the richest window set (the lake swap). */
+class StreamingChaosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private final class ChaosKill(tag: String)
+    extends RuntimeException(s"chaos kill at $tag")
+
+  private def isChaos(e: Throwable): Boolean = {
+    var t = e
+    while (t != null) {
+      if (t.isInstanceOf[ChaosKill] ||
+        (t.getMessage != null && t.getMessage.contains("chaos kill")))
+        return true
+      t = t.getCause
+    }
+    false
+  }
+
+  /** Run `mk` under each kill in `schedule` (tag, nth firing) — each
+    * run must die by ITS chaos kill — then run once unarmed, which
+    * must succeed: the convergence run. */
+  private def runKillSchedule(mk: () => StreamingQuery,
+      schedule: Seq[(String, Int)]): Unit = {
+    schedule.foreach { case (tag, nth) =>
+      val hits = new AtomicInteger(0)
+      val thrown = intercept[Exception] {
+        Failpoints.withHook(t =>
+          if (t == tag && hits.incrementAndGet() == nth)
+            throw new ChaosKill(tag)) {
+          val q = mk()
+          q.awaitTermination()
+        }
+      }
+      assert(isChaos(thrown),
+        s"expected the chaos kill at $tag to surface, got: $thrown")
+    }
+    val q = mk() // recovery: replay from the checkpoint, no kills
+    q.awaitTermination()
+  }
+
+  private def stage(df: DataFrame, dst: Path, mtime: Long): Unit = {
+    val gen = Files.createTempDirectory("graft_chaos_gen")
+    df.coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    val part = Files.list(gen).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    ()
+  }
+
+  // ── stream_upsert: lake CDC merge through the swap windows ─────────
+
+  private val upsertInit = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L),
+    (4L, "d", 0L), (5L, "e", 0L))
+  private val upsertBatches = Seq(
+    Seq((1L, "a1", 1L), (2L, "b1", 1L), (6L, "f", 1L)),
+    Seq((2L, "b2", 2L), (4L, "d2", 2L), (7L, "g", 2L)))
+
+  private def upsertSetup(tmp: Path): (Path, String) = {
+    val target = tmp.resolve("target").toString
+    upsertInit.toDF("id", "v", "ts").write.parquet(target)
+    val stageDir = Files.createDirectory(tmp.resolve("stage"))
+    upsertBatches.zipWithIndex.foreach { case (rows, i) =>
+      stage(rows.toDF("id", "v", "ts"),
+        stageDir.resolve(s"b$i.parquet"), 1000000L + i * 1000L)
+    }
+    (stageDir, target)
+  }
+
+  private def upsertStream(stageDir: Path, target: String,
+      ckpt: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(upsertBatches.head.toDF("id", "v", "ts").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+    Streaming.upsertStream(stream, target, "id", Seq("ts"), ckpt).start()
+  }
+
+  private def upsertState(target: String): Set[(Long, String, Long)] =
+    spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+
+  test("stream_upsert converges through a kill in EVERY lake-swap " +
+      "window (staged / live-removed / swapped / pre-checkpoint)") {
+    val clean = Files.createTempDirectory("graft_chaos_up0")
+    val (s0, t0) = upsertSetup(clean)
+    upsertStream(s0, t0, clean.resolve("ckpt").toString)
+      .awaitTermination()
+    val want = upsertState(t0)
+    assert(want.map(_._1) === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    val tmp = Files.createTempDirectory("graft_chaos_up1")
+    val (stageDir, target) = upsertSetup(tmp)
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => upsertStream(stageDir, target, ckpt), Seq(
+      ("sinks.swap.staged", 1),
+      ("sinks.swap.live_removed", 1), // live table GONE mid-crash
+      ("sinks.swap.swapped", 1), // stale .__old__ left behind
+      ("stream.upsert.merged", 1))) // merged but checkpoint uncommitted
+    assert(upsertState(target) === want)
+  }
+
+  test("stream_upsert converges under seeded-random multi-kill " +
+      "schedules (property form)") {
+    val points = Seq("sinks.swap.staged", "sinks.swap.live_removed",
+      "sinks.swap.swapped", "stream.upsert.merged")
+    val clean = Files.createTempDirectory("graft_chaos_upr0")
+    val (s0, t0) = upsertSetup(clean)
+    upsertStream(s0, t0, clean.resolve("ckpt").toString)
+      .awaitTermination()
+    val want = upsertState(t0)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val schedule = Seq.fill(1 + rnd.nextInt(4))(
+        (points(rnd.nextInt(points.length)), 1 + rnd.nextInt(2)))
+      val tmp = Files.createTempDirectory(s"graft_chaos_upr$seed")
+      val (stageDir, target) = upsertSetup(tmp)
+      val ckpt = tmp.resolve("ckpt").toString
+      // a random (tag, nth) may never fire (nth=2 of a window the
+      // replay only crosses once) — tolerate a clean pass for those
+      schedule.foreach { case (tag, nth) =>
+        val hits = new AtomicInteger(0)
+        try Failpoints.withHook(t =>
+          if (t == tag && hits.incrementAndGet() == nth)
+            throw new ChaosKill(tag)) {
+          upsertStream(stageDir, target, ckpt).awaitTermination()
+        } catch { case e: Exception => assert(isChaos(e), e.toString) }
+      }
+      upsertStream(stageDir, target, ckpt).awaitTermination()
+      assert(upsertState(target) === want, s"seed=$seed $schedule")
+    }
+  }
+
+  // ── stream_near_dedup: MinHash index lifecycle windows ─────────────
+
+  private val ndHist = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"))
+  private val ndFresh = Seq(
+    Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota omega")),
+    Seq((11L, "alpha beta gamma delta epsilon zeta eta theta iota omega"),
+      (12L, "un deux trois quatre cinq six sept huit neuf dix")))
+
+  private def ndSetup(tmp: Path): (Path, String, String) = {
+    val idx = tmp.resolve("idx").toString
+    graft.dedup.Dedup.buildMinhashIndex(ndHist.toDF("doc_id", "text"),
+      "text", "doc_id", idx, n = 1, numHashes = 32, bands = 8,
+      portableHash = true)
+    val stageDir = Files.createDirectory(tmp.resolve("stage"))
+    ndFresh.zipWithIndex.foreach { case (rows, i) =>
+      stage(rows.toDF("doc_id", "text"),
+        stageDir.resolve(s"b$i.parquet"), 2000000L + i * 1000L)
+    }
+    (stageDir, idx, tmp.resolve("res").toString)
+  }
+
+  private def ndStream(stageDir: Path, idx: String, res: String,
+      ckpt: String): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(ndFresh.head.toDF("doc_id", "text").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+    Streaming.nearDupStream(stream, "text", "doc_id", idx, res, ckpt,
+      n = 1, numHashes = 32, bands = 8, verifyThreshold = 0.8,
+      portableHash = true).start()
+  }
+
+  private def ndPairs(res: String): Set[(Long, Long)] =
+    spark.read.parquet(res).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+
+  private def ndProbe(idx: String): Set[(Long, Long)] =
+    graft.dedup.Dedup.incrementalDupes(spark,
+        Seq((99L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+          "omega")).toDF("doc_id", "text"),
+        "text", "doc_id", idx, n = 1, numHashes = 32, bands = 8,
+        verifyThreshold = 0.8, portableHash = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("stream_near_dedup converges through kills in every index-" +
+      "lifecycle window (results / buckets-only / pre-checkpoint)") {
+    val clean = Files.createTempDirectory("graft_chaos_nd0")
+    val (s0, idx0, res0) = ndSetup(clean)
+    ndStream(s0, idx0, res0, clean.resolve("ckpt").toString)
+      .awaitTermination()
+    val wantPairs = ndPairs(res0)
+    val wantProbe = ndProbe(idx0)
+    assert(wantPairs.nonEmpty && wantProbe.nonEmpty)
+
+    val tmp = Files.createTempDirectory("graft_chaos_nd1")
+    val (stageDir, idx, res) = ndSetup(tmp)
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => ndStream(stageDir, idx, res, ckpt), Seq(
+      ("stream.neardup.results_written", 1), // results out, index not
+      ("minhash.append.buckets_done", 1), // buckets appended, tokens not
+      ("stream.neardup.appended", 1))) // all out, checkpoint uncommitted
+    assert(ndPairs(res) === wantPairs)
+    // the index must serve identical probes despite the duplicate
+    // sketch rows the replays appended (collapsed by the probe's
+    // distinct — and physically by the next compaction)
+    assert(ndProbe(idx) === wantProbe)
+  }
+
+  // ── stream_ann_ingest: IVF increment-log window ────────────────────
+
+  test("stream_ann_ingest converges through kills in the increment-" +
+      "log window (dynamic overwrite = exactly-once under replay)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    def setup(tmp: Path): (Path, String) = {
+      val idx = tmp.resolve("idx").toString
+      Ann.buildIvfIndex(emb.filter(col("vec_id") < 300), "embedding",
+        "vec_id", idx, nlist = 8)
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      Seq((300L, 360L), (360L, 420L)).zipWithIndex.foreach {
+        case ((lo, hi), i) =>
+          stage(emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+            .select(col("vec_id"), col("embedding")),
+            stageDir.resolve(s"b$i.parquet"), 3000000L + i * 1000L)
+      }
+      (stageDir, idx)
+    }
+    def mk(stageDir: Path, idx: String, ckpt: String): StreamingQuery = {
+      val fresh = emb.filter(col("vec_id") >= 300)
+        .select(col("vec_id"), col("embedding"))
+      val stream = spark.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.ivfIngestStream(stream, "embedding", "vec_id", idx,
+        ckpt).start()
+    }
+    def probe(idx: String): Seq[Seq[Any]] =
+      Ann.ivfLiveTopK(spark, emb.filter(col("vec_id") < 5), "embedding",
+          "vec_id", idx, k = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+
+    val clean = Files.createTempDirectory("graft_chaos_ivf0")
+    val (s0, idx0) = setup(clean)
+    mk(s0, idx0, clean.resolve("ckpt").toString).awaitTermination()
+    val want = probe(idx0)
+
+    val tmp = Files.createTempDirectory("graft_chaos_ivf1")
+    val (stageDir, idx) = setup(tmp)
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => mk(stageDir, idx, ckpt), Seq(
+      ("stream.ivf.appended", 1), // batch 0 landed, checkpoint not
+      ("stream.ivf.appended", 2))) // replayed b0 + fresh b1, kill again
+    assert(probe(idx) === want)
+    // no duplicated postings from the replays
+    val dup = spark.read.parquet(s"$idx/increments")
+      .groupBy(col("corpus_id")).count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  // ── stream_jdbc_upsert: live-database CDC windows ──────────────────
+
+  test("stream_jdbc_upsert converges through mid-transaction, " +
+      "between-commit, and pre-checkpoint kills") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = "jdbc:derby:memory:graft_chaos;create=true"
+    val drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(drv)
+    def freshTable(name: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        try st.execute(s"DROP TABLE $name")
+        catch { case _: java.sql.SQLException => () }
+        st.execute(s"CREATE TABLE $name (id BIGINT PRIMARY KEY, " +
+          "v VARCHAR(32), ts BIGINT)")
+      } finally conn.close()
+    }
+    def tableState(name: String): Set[(Long, String, Long)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT id, v, ts FROM $name")
+        val buf = Set.newBuilder[(Long, String, Long)]
+        while (rs.next()) buf += ((rs.getLong(1), rs.getString(2),
+          rs.getLong(3)))
+        buf.result()
+      } finally conn.close()
+    }
+    def mk(stageDir: Path, table: String, ckpt: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(upsertBatches.head.toDF("id", "v", "ts").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.jdbcUpsertStream(stream, url, drv, table, "id",
+        Seq("ts"), ckpt).start()
+    }
+    def setupStage(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      upsertBatches.zipWithIndex.foreach { case (rows, i) =>
+        stage(rows.toDF("id", "v", "ts"),
+          stageDir.resolve(s"b$i.parquet"), 4000000L + i * 1000L)
+      }
+      stageDir
+    }
+
+    val clean = Files.createTempDirectory("graft_chaos_jdbc0")
+    freshTable("chaos_clean")
+    mk(setupStage(clean), "chaos_clean",
+      clean.resolve("ckpt").toString).awaitTermination()
+    val want = tableState("chaos_clean")
+    assert(want.map(_._1) === Set(1L, 2L, 4L, 6L, 7L))
+
+    val tmp = Files.createTempDirectory("graft_chaos_jdbc1")
+    freshTable("chaos_kill")
+    val stageDir = setupStage(tmp)
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => mk(stageDir, "chaos_kill", ckpt), Seq(
+      ("jdbc.upsert.updates_staged", 1), // mid-transaction, uncommitted
+      ("jdbc.upsert.group_committed", 1), // first group durable, rest not
+      ("stream.jdbc.upserted", 1))) // all durable, checkpoint not
+    assert(tableState("chaos_kill") === want)
+  }
+}
