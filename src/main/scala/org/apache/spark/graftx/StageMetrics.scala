@@ -21,16 +21,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 object StageMetrics {
 
   final case class Totals(inputRows: Long, shuffleRead: Long,
-      shuffleWrite: Long) {
+      shuffleWrite: Long, spillMem: Long = 0L, spillDisk: Long = 0L) {
     def -(o: Totals): Totals =
       Totals(inputRows - o.inputRows, shuffleRead - o.shuffleRead,
-        shuffleWrite - o.shuffleWrite)
+        shuffleWrite - o.shuffleWrite, spillMem - o.spillMem,
+        spillDisk - o.spillDisk)
   }
 
   final class IoAccumulator extends SparkListener {
     private[StageMetrics] val input = new AtomicLong
     private[StageMetrics] val shuffleRead = new AtomicLong
     private[StageMetrics] val shuffleWrite = new AtomicLong
+    private[StageMetrics] val spillMem = new AtomicLong
+    private[StageMetrics] val spillDisk = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
@@ -41,6 +44,11 @@ object StageMetrics {
         input.addAndGet(m.inputMetrics.recordsRead)
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        // spill accounting for the constrained-memory evidence
+        // (graft.MemStress): spill-not-OOM is the proof that no
+        // operator hides an executor-sized materialization
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
       }
     }
   }
@@ -55,6 +63,7 @@ object StageMetrics {
     * task's metrics are counted. */
   def totals(sc: SparkContext, acc: IoAccumulator): Totals = {
     sc.listenerBus.waitUntilEmpty(10000)
-    Totals(acc.input.get(), acc.shuffleRead.get(), acc.shuffleWrite.get())
+    Totals(acc.input.get(), acc.shuffleRead.get(), acc.shuffleWrite.get(),
+      acc.spillMem.get(), acc.spillDisk.get())
   }
 }

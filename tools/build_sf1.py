@@ -18,7 +18,17 @@ the near-dup dedup family's slope measure the scale-up's artifact, not
 the algorithm. Results at sf1 are still only for TIMING (the judged
 result sets live at the driver SFs).
 
-Usage: python3 tools/build_sf1.py [src] [dst]   (defaults below)
+Usage: python3 tools/build_sf1.py [src] [dst] [key_offset]
+
+Second decade (round 9): the same script stacks — build /tmp/sf10 FROM
+/tmp/sf1 with a larger per-copy key offset so the shifted key domains
+cannot collide with sf1's (which already span ~10*1e8):
+
+    python3 tools/build_sf1.py /tmp/sf1 /tmp/sf10 10000000000
+
+The token renaming composes injectively (copy j of an sf1 copy-i doc
+carries c<j>-prefixed c<i>-tokens), so near-dup density stays linear
+across both decades.
 """
 import sys
 
@@ -26,7 +36,7 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-OFF = 100_000_000  # per-copy key offset, uniform across key domains
+OFF = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000_000
 copies = 10
 
 import os

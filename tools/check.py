@@ -39,7 +39,10 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out=None) -> int:
+    """Optional third arg: write a machine-readable verdict JSON
+    (the committed CORRECTNESS_SF* artifacts)."""
+    ok = []
     out = Path(out_dir)
     con = duckdb.connect()
     for t in TABLES:
@@ -93,6 +96,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append(f"{name}: {mism} value mismatches; first: {first}")
         else:
             print(f"OK   {name}: rows={len(got)}")
+            ok.append({"query": name, "rows": len(got)})
     for line in no_oracle:
         print(f"WARN {line}")
     for f in failures:
@@ -101,8 +105,15 @@ def main(sf_dir: str, out_dir: str) -> int:
     for m in sorted(missing):
         print(f"FAIL {m}: oracle declared but no parquet output (query crashed?)")
     print(f"\n{len(failures) + len(missing)} failures")
+    if json_out:
+        Path(json_out).write_text(json.dumps({
+            "sf_dir": sf_dir, "n_ok": len(ok),
+            "n_failed": len(failures) + len(missing),
+            "failures": failures + [f"{m}: missing output" for m in sorted(missing)],
+            "rows_only": no_oracle, "ok": ok}, indent=1) + "\n")
     return 1 if (failures or missing) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
