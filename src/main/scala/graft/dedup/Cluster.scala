@@ -59,7 +59,7 @@ object Cluster {
     // stage of the whole dedup) must not re-execute per use
     val oneWay = edges.select(col(srcCol).cast("long").as("node"),
       col(dstCol).cast("long").as("nbr"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     val edgeCount = oneWay.count() // cheap: scans checkpoint blocks
     if (edgeCount <= smallGraphEdges) driverUnionFind(oneWay)
     else distributedCC(oneWay, edgeCount, maxIter)._1
@@ -73,7 +73,7 @@ object Cluster {
       maxIter: Int = 25): (DataFrame, Int) = {
     val oneWay = edges.select(col(srcCol).cast("long").as("node"),
       col(dstCol).cast("long").as("nbr"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     distributedCC(oneWay, oneWay.count(), maxIter)
   }
 
@@ -122,7 +122,7 @@ object Cluster {
         least(col("node"), col("nbr")).as("v"))
       .distinct()
       .repartition(nParts, col("u"))
-      .localCheckpoint() // leaf lineage, same as every round below
+      .transform(graft.plans.Pin.pin) // leaf lineage, same as every round below
     var fingerprint = e.agg(count(lit(1)), sum(col("u")), sum(col("v")))
       .collect()(0).toSeq
     var converged = false
@@ -153,7 +153,7 @@ object Cluster {
       // plan ~16× per round and explode exponentially; the eager
       // checkpoint truncates to a leaf and doubles as the
       // fingerprint's materializing action
-      val next = next0.localCheckpoint()
+      val next = next0.transform(graft.plans.Pin.pin)
       // at the star fixpoint BOTH operations are identities and edge
       // endpoints only ever decrease, so an unchanged fingerprint is
       // the fixpoint, never a coincidence

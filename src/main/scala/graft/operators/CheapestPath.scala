@@ -41,9 +41,9 @@ object CheapestPath {
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"),
-      col("w").cast("long").as("w")).localCheckpoint()
+      col("w").cast("long").as("w")).transform(graft.plans.Pin.pin)
     var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).transform(graft.plans.Pin.pin)
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -51,7 +51,7 @@ object CheapestPath {
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
       // converged iff nothing improved: relaxation is monotone
       // non-increasing per node and can only add nodes, so comparing
       // (rows, total mass) detects any change without a join

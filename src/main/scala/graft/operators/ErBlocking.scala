@@ -186,7 +186,7 @@ object ErBlocking {
     // bucket guard, segments, probes) — materialize the distinct ONCE
     // (ContextCleaner-freed with the plan, per the repo-wide policy)
     val idx = n.select(col("name"), length(col("name")).as("l"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     val minLen = idx.agg(min(col("l"))).collect()(0)
     if (!minLen.isNullAt(0) && minLen.getInt(0) < k)
       throw new IllegalStateException(

@@ -42,7 +42,7 @@ object KCore {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
     // the per-round edge count is the only driver-side value; it
     // doubles as the convergence test (peeling is monotone, so an
     // unchanged count means the fixed point is reached)
@@ -55,7 +55,7 @@ object KCore {
       val next = e
         .join(keep, e("src") === keep("node"), "left_semi")
         .join(keep, e("dst") === keep("node"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
       val n = next.count()
       if (n == nEdges) converged = true
       else { e = next; nEdges = n }

@@ -37,10 +37,10 @@ object LabelProp {
     * edges, every node of the graph. */
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     for (_ <- 1 to rounds) {
       val nbrMin = labels.join(e, labels("node") === e("src"))
         .groupBy(e("dst").as("nbr_node"))
@@ -50,7 +50,7 @@ object LabelProp {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
     }
     labels
   }

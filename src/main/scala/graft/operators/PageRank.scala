@@ -46,10 +46,10 @@ object PageRank {
     // the caller's edge-derivation subtree (a multi-table join +
     // distinct in `graph_pagerank`) — the derivation must run once,
     // not once per loop-invariant frame.
-    val e = edges.localCheckpoint()
+    val e = edges.transform(graft.plans.Pin.pin)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     val n = nodes.count() // scalar: the only driver-side value
     require(n > 0, "pageRank needs a non-empty edge list")
     val teleport = (1.0 - damping) / n
@@ -57,7 +57,7 @@ object PageRank {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val contribEdges = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     // The superstep join's SMALL side is the rank vector — (node,
     // double), 16 bytes a row — while the edge list is the frame that
     // must never move. A checkpoint erases the edge frame's partitioning

@@ -36,9 +36,9 @@ object Reachability {
   def hopDistances(edges: DataFrame, sources: DataFrame,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"need maxDepth >= 0, got $maxDepth")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
     var visited = sources.select(col("node")).distinct()
-      .withColumn("depth", lit(0)).localCheckpoint()
+      .withColumn("depth", lit(0)).transform(graft.plans.Pin.pin)
     var frontier = visited.select(col("node"))
     var d = 1
     var exhausted = frontier.isEmpty
@@ -46,12 +46,12 @@ object Reachability {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
       if (next.isEmpty) exhausted = true
       else {
         visited = visited
           .union(next.withColumn("depth", lit(d)))
-          .localCheckpoint()
+          .transform(graft.plans.Pin.pin)
         frontier = next
         d += 1
       }

@@ -55,11 +55,11 @@ object Scc {
     * in its color root's SCC (mutual ≤rounds-hop reachability). */
   def colorScc(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
     var colors = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("color", col("node"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     for (_ <- 1 to rounds) {
       val inMin = colors.join(e, colors("node") === e("src"))
         .groupBy(e("dst").as("n2"))
@@ -69,12 +69,12 @@ object Scc {
         .select(col("node"),
           least(col("color"), coalesce(col("cmin"), col("color")))
             .as("color"))
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
     }
     var flags = colors
       .select(col("node"), col("color"),
         (col("node") === col("color")).as("in_scc"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     for (_ <- 1 to rounds) {
       // flagged dst endpoints hand the flag to their in-edge srcs —
       // but only within the same color class (see scaladoc: lossless)
@@ -87,7 +87,7 @@ object Scc {
           flags("color") === toSrc("c2"), "left")
         .select(col("node"), col("color"),
           (col("in_scc") || col("n2").isNotNull).as("in_scc"))
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
     }
     flags
   }

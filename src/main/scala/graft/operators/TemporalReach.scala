@@ -39,10 +39,10 @@ object TemporalReach {
       startTs: Column, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
     val e = edges.select(col("src"), col("dst"), col("ts"))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     var labels = sources.select(col("node")).distinct()
       .withColumn("arrival", startTs.cast(e.schema("ts").dataType))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     for (_ <- 1 to rounds) {
       val relax = labels
         .join(e, labels("node") === e("src") &&
@@ -57,7 +57,7 @@ object TemporalReach {
           // engines then agree on one-sided-null merges by construction
           least(coalesce(col("arrival"), col("arr2")),
             coalesce(col("arr2"), col("arrival"))).as("arrival"))
-        .localCheckpoint()
+        .transform(graft.plans.Pin.pin)
     }
     labels
   }

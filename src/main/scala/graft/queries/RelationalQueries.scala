@@ -684,7 +684,7 @@ object RelationalQueries extends QuerySection {
     val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
       split(col("p_name"), " ").getItem(0), col("p_name"),
       col("p_partkey"), keepSmallest = 1)
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     ErBlocking.requireBoundedBlocks(classes, 10000L, "j19_fuzzy_blocked")
     val dist3 = levenshtein(col("a_name"), col("b_name"), 3)
     ErBlocking.classPairs(classes, strict = true)
@@ -696,7 +696,7 @@ object RelationalQueries extends QuerySection {
   private def j19FuzzyBlocked(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.load(s, dir, "part")
     val scored = j19Scored(s, dir)
-      .localCheckpoint() // tiny (class grain); consumed by three subtrees
+      .transform(graft.plans.Pin.pin) // tiny (class grain); consumed by three subtrees
     val nPairs = scored.groupBy(col("block"), col("dist"))
       .agg(sum(col("n_cross")).as("n_pairs"))
     // per (block, dist, name): the largest partner max-key — the strict
@@ -1821,7 +1821,7 @@ object RelationalQueries extends QuerySection {
     val classes = ErBlocking.nameClasses(Tables.load(s, dir, "part"),
       split(col("p_name"), " ").getItem(0), col("p_name"),
       col("p_partkey"), keepSmallest = 4)
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     ErBlocking.requireBoundedBlocks(classes, 10000L, "j30_jw_linkage")
     ErBlocking.classPairs(classes, strict = false)
       .withColumn("jw", round(JaroWinkler(col("a_name"), col("b_name")), 6))
@@ -1831,7 +1831,7 @@ object RelationalQueries extends QuerySection {
   private def j30JwLinkage(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.ErBlocking
     val scored = j30Scored(s, dir)
-      .localCheckpoint() // class grain; feeds the count and the top-k
+      .transform(graft.plans.Pin.pin) // class grain; feeds the count and the top-k
     val nPairs = scored.groupBy(col("block"))
       .agg(sum(col("n_cross")).as("n_pairs"))
     val w = Window.partitionBy(col("block"))
@@ -1878,7 +1878,7 @@ object RelationalQueries extends QuerySection {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("cnt"), min(col("p_partkey")).as("ckey"))
       .withColumn("block", split(col("p_name"), " ").getItem(0))
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     ErBlocking.requireBoundedBlocks(
       classes.select(col("block"), col("p_name").as("name")),
       10000L, "j34_er_pipeline")
@@ -2493,7 +2493,7 @@ object RelationalQueries extends QuerySection {
       // localCheckpoint materializes once and is ContextCleaner-freed
       // when unreferenced — a persist() would outlive the query in the
       // CacheManager (nobody is left to unpersist a returned plan)
-      .localCheckpoint()
+      .transform(graft.plans.Pin.pin)
     // lower recency is BETTER: rank ascending so quintile 1 = freshest
     val rMap = graft.plans.Scale.globalNtile(
       base.select(col("o_custkey"), col("recency_days")),
