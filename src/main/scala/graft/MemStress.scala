@@ -42,6 +42,10 @@ object MemStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val heapMb = Runtime.getRuntime.maxMemory() / 1048576
+    // JVM/codegen warmup (Bench's protocol) so secs aren't JIT-noise;
+    // the spill numbers are unaffected either way
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
 
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
