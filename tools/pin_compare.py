@@ -3,10 +3,15 @@
 
 Encodes BASELINE.md's reading rules so no human judgment is involved:
 
-  1. CALIBRATION NORMALIZATION: comparable time = run time ×
-     (pin calibration median / run calibration median) — one CPU-probe
-     ratio scales all queries, removing the roughly-uniform inflation
-     machine interference causes.
+  1. CALIBRATION NORMALIZATION — CONDITIONAL, exactly as BASELINE.md
+     states it: machine interference inflates the probe AND the query
+     totals TOGETHER (r7: both ~1.3x), so the probe ratio is applied
+     only when it AGREES with the common-set total ratio (within 25%)
+     and both point the same way (>15% shift). A probe ratio that
+     diverges from the total ratio is probe noise (the CPU sentinel has
+     ~2x run-to-run variance on a quiet machine), and times are
+     compared RAW — normalizing unconditionally would manufacture
+     phantom regressions from a fast-probe run.
   2. BURST EXCLUSION: queries listed in either run's `burst_flagged`
      (bracketing probes > 2× the run-median probe in a majority of
      passes — computed by graft.Bench itself) are excluded from the
@@ -44,12 +49,19 @@ def main():
     pin, new = load(args.pin), load(args.new)
     cal_pin = statistics.median(pin.get("calibration", [1.0]))
     cal_new = statistics.median(new.get("calibration", [1.0]))
-    norm = cal_pin / cal_new if cal_new > 0 else 1.0
     excluded = set(pin.get("burst_flagged", [])) | set(
         new.get("burst_flagged", []))
 
     pq, nq = pin.get("queries", {}), new.get("queries", {})
     common = sorted(set(pq) & set(nq))
+    infl_probe = cal_new / cal_pin if cal_pin > 0 else 1.0
+    tot_pin = sum(pq[n] for n in common) or 1.0
+    tot_new = sum(nq[n] for n in common)
+    infl_total = tot_new / tot_pin
+    same_dir = (infl_probe > 1.15 and infl_total > 1.15) or \
+        (infl_probe < 0.87 and infl_total < 0.87)
+    agree = abs(infl_probe - infl_total) <= 0.25 * max(infl_probe, 1e-9)
+    norm = (1.0 / infl_probe) if (same_dir and agree) else 1.0
     regressions, improvements, skipped = [], [], []
     for name in common:
         if name in excluded:
@@ -61,8 +73,11 @@ def main():
         elif comparable < pq[name] / args.threshold - 0.2:
             improvements.append((name, pq[name], nq[name], comparable))
 
-    print(f"pin calibration median {cal_pin:.3f}s, "
-          f"run {cal_new:.3f}s -> normalization x{norm:.3f}")
+    print(f"pin calibration median {cal_pin:.3f}s, run {cal_new:.3f}s "
+          f"(probe ratio x{infl_probe:.3f}, total ratio x{infl_total:.3f})"
+          f" -> normalization x{norm:.3f}"
+          + ("" if norm != 1.0 else " (raw compare: probe and total "
+             "ratios disagree or no uniform shift)"))
     print(f"{len(common)} common queries; "
           f"{len(set(nq) - set(pq))} new, {len(set(pq) - set(nq))} gone; "
           f"{len(skipped)} burst-excluded: {sorted(skipped)}")
