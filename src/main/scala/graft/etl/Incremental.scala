@@ -78,6 +78,69 @@ object Incremental {
     graft.sinks.Sinks.writeSwap(spark, combined, path)
   }
 
+  /** EXACTLY-ONCE form of [[mergeMergeable]] for at-least-once callers
+    * (Structured Streaming's foreachBatch): additive folds are NOT
+    * idempotent — a crash between the fold and the checkpoint commit
+    * would double-count the batch on replay (found by the chaos
+    * suite). The applied-batch marker is an empty `_applied_batch_<id>` (no `=` in the name — Spark's hidden-file filter keeps underscore names containing `=`)
+    * file INSIDE the rollup directory, staged alongside the folded
+    * data and published by the SAME atomic swap — so marker and fold
+    * cannot diverge across any crash window: died before the swap →
+    * live table untouched, no marker, replay refolds from unchanged
+    * state; died inside the swap → heal finishes it with the marker
+    * already in place, replay skips. (A side ledger à la
+    * [[graft.sinks.Sinks.exactlyOnce]] cannot give this: its marker
+    * commits in a separate step from the effect, which is exactly the
+    * window that bites a non-idempotent fold.) Markers are one empty
+    * `_`-prefixed file per batch (Spark ignores them on read); prune
+    * ones older than the checkpoint horizon during compaction.
+    * Returns false when the batch was already applied. */
+  def mergeMergeableOnce(spark: SparkSession, path: String,
+      partial: DataFrame, keys: Seq[String],
+      merges: Seq[(String, String)], batchId: Long): Boolean = {
+    graft.sinks.Sinks.healSwap(path)
+    val markerName = f"_applied_batch_$batchId%d"
+    val live = Paths.get(path)
+    if (Files.exists(live.resolve(markerName))) return false
+    val mergeFn: Map[String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] =
+      Map("sum" -> sum _, "min" -> min _, "max" -> max _)
+    val bad = merges.collect { case (c, f) if !mergeFn.contains(f) => s"$c:$f" }
+    require(bad.isEmpty, s"unsupported merge fns: ${bad.mkString(",")}")
+    if (!Files.exists(live)) {
+      // first fold: stage + marker, then ONE atomic rename — a plain
+      // write-then-marker would leave a markerless table on a crash
+      // between the two, and the replay would fold the partial into
+      // itself. The `.__init__` suffix is deliberately unknown to
+      // healSwap so a half-staged init can never be auto-published.
+      val staged = Paths.get(path + ".__init__")
+      graft.index.IndexLifecycle.rmTree(staged)
+      partial.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      Files.createFile(staged.resolve(markerName))
+      Files.move(staged, live)
+      return true
+    }
+    val target = spark.read.parquet(path)
+    require(target.columns.sorted.sameElements(partial.columns.sorted),
+      s"rollup schema drift: table ${target.columns.mkString(",")} vs " +
+        s"partial ${partial.columns.mkString(",")}")
+    val aggs = merges.map { case (c, f) => mergeFn(f)(col(c)).as(c) }
+    val combined = target.unionByName(partial)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    graft.sinks.Sinks.writeSwapWith(spark, combined, path) { staged =>
+      // carry earlier batches' markers forward, then add this one —
+      // all before any destructive step
+      import scala.jdk.CollectionConverters._
+      Files.list(live).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_applied_batch_"))
+        .foreach(m => Files.createFile(staged.resolve(m.getFileName)))
+      Files.createFile(staged.resolve(markerName))
+      ()
+    }
+    true
+  }
+
   /** Backfill — the repair tool incremental maintenance needs: when a
     * range of days is wrong (a double-applied batch, a late source
     * correction), recompute exactly `[fromDay, toDay]` from source and

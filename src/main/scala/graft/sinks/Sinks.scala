@@ -406,10 +406,22 @@ object Sinks {
   /** Stage-then-swap table rewrite: readers racing the swap see the
     * old or the new complete table. Crash windows between the
     * failpoints are healed by [[healSwap]] on the next op. */
-  def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def writeSwap(spark: SparkSession, df: DataFrame, path: String): Unit =
+    writeSwapWith(spark, df, path)(_ => ())
+
+  /** [[writeSwap]] with a post-stage hook: `afterStage` runs on the
+    * COMPLETE staged directory before any destructive step, so sidecar
+    * files it adds (e.g. applied-batch markers — see
+    * `Incremental.mergeMergeableOnce`) publish ATOMICALLY with the
+    * data: a crash during the hook leaves the live table untouched
+    * (the stale staged dir is discarded on the next op), and once the
+    * swap starts the staged dir already carries everything. */
+  def writeSwapWith(spark: SparkSession, df: DataFrame, path: String)(
+      afterStage: java.nio.file.Path => Unit): Unit = {
     healSwap(path)
     val tmp = path + ".__tmp__"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    afterStage(Paths.get(tmp))
     graft.Failpoints.point("sinks.swap.staged")
     val p = Paths.get(path)
     val del = Paths.get(path + ".__old__")

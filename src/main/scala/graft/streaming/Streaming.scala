@@ -450,6 +450,7 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         scd2ApplyBatch(batch.sparkSession, historyPath, batch,
           key, ts, tie, attrs)
+        graft.Failpoints.point("stream.scd2.applied")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -495,15 +496,22 @@ object Streaming {
         val verdict =
           try audit(batch)
           catch { case e: Exception => Some(s"audit threw: ${e.getMessage}") }
+        // per-batch OVERWRITE dirs, not append: a replayed batch
+        // (crash between the landing and the checkpoint commit)
+        // rewrites exactly its own partition instead of duplicating
+        // rows — same exactly-once shape as nearDupStream's results
         verdict match {
           case None =>
-            batch.write.mode("append").parquet(targetPath)
+            batch.write.mode("overwrite")
+              .parquet(s"$targetPath/batch=$batchId")
           case Some(reason) =>
             batch
               .withColumn("_quarantine_reason", lit(reason))
               .withColumn("_batch_id", lit(batchId))
-              .write.mode("append").parquet(quarantinePath)
+              .write.mode("overwrite")
+              .parquet(s"$quarantinePath/batch=$batchId")
         }
+        graft.Failpoints.point("stream.audit.landed")
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -521,9 +529,14 @@ object Streaming {
       merges: Seq[(String, String)], checkpoint: String)
       : DataStreamWriter[Row] =
     changes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.etl.Incremental.mergeMergeable(batch.sparkSession,
-          rollupPath, partialOf(batch), keys, merges)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the EXACTLY-ONCE fold: additive merges are not idempotent,
+        // so the applied-batch marker publishes atomically with the
+        // folded data (see mergeMergeableOnce) and a replayed batch
+        // is a no-op instead of a double-count
+        graft.etl.Incremental.mergeMergeableOnce(batch.sparkSession,
+          rollupPath, partialOf(batch), keys, merges, batchId)
+        graft.Failpoints.point("stream.mv.merged")
         ()
       }
       .trigger(Trigger.AvailableNow())

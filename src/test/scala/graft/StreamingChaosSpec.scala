@@ -25,7 +25,10 @@ import graft.streaming.Streaming
   *
   * Covered streams: `stream_upsert` (lake CDC merge), `stream_near_dedup`
   * (MinHash index lifecycle), `stream_ann_ingest` (IVF increment log),
-  * `stream_jdbc_upsert` (live Derby CDC merge). Plus a seeded-random
+  * `stream_jdbc_upsert` (live Derby CDC merge), `stream_mv_merge` (the
+  * NON-idempotent additive fold — exactly-once via the atomic
+  * applied-batch marker), `stream_scd2` (history re-apply), and the
+  * audited-append gate (per-batch overwrite). Plus a seeded-random
   * multi-kill schedule over the richest window set (the lake swap). */
 class StreamingChaosSpec extends SparkSpec {
   import spark.implicits._
@@ -274,6 +277,147 @@ class StreamingChaosSpec extends SparkSpec {
     val dup = spark.read.parquet(s"$idx/increments")
       .groupBy(col("corpus_id")).count().filter(col("count") > 1).count()
     assert(dup === 0L)
+  }
+
+  // ── stream_mv_merge: the NON-idempotent fold, made exactly-once ────
+
+  test("stream_mv_merge converges through every swap window and the " +
+      "pre-checkpoint window (additive fold must never double-count)") {
+    def setup(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      upsertBatches.zipWithIndex.foreach { case (rows, i) =>
+        stage(rows.toDF("id", "v", "ts"),
+          stageDir.resolve(s"b$i.parquet"), 5000000L + i * 1000L)
+      }
+      stageDir
+    }
+    def mk(stageDir: Path, rollup: String, ckpt: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(upsertBatches.head.toDF("id", "v", "ts").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.mvMergeStream(stream, rollup,
+        b => b.groupBy(col("v")).agg(
+          count(lit(1)).as("n"), max(col("ts")).as("max_ts")),
+        keys = Seq("v"), merges = Seq(("n", "sum"), ("max_ts", "max")),
+        ckpt).start()
+    }
+    def state(rollup: String): Set[(String, Long, Long)] =
+      spark.read.parquet(rollup).as[(String, Long, Long)].collect().toSet
+
+    val clean = Files.createTempDirectory("graft_chaos_mv0")
+    val r0 = clean.resolve("rollup").toString
+    mk(setup(clean), r0, clean.resolve("ckpt").toString).awaitTermination()
+    val want = state(r0)
+    assert(want.toSeq.map(_._2).sum === upsertBatches.map(_.size).sum)
+
+    val tmp = Files.createTempDirectory("graft_chaos_mv1")
+    val stageDir = setup(tmp)
+    val rollup = tmp.resolve("rollup").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => mk(stageDir, rollup, ckpt), Seq(
+      ("stream.mv.merged", 1), // batch 0 FOLDED, checkpoint uncommitted:
+      // the replay must see the atomic applied-batch marker and skip —
+      // a plain refold would double batch 0's counts
+      ("sinks.swap.staged", 1), // batch 1's fold dies before the swap
+      ("sinks.swap.live_removed", 1), // rollup GONE mid-swap
+      ("stream.mv.merged", 1))) // batch 1 folded, checkpoint uncommitted
+    assert(state(rollup) === want)
+  }
+
+  // ── stream_scd2: history apply through the swap windows ────────────
+
+  test("stream_scd2 converges through the swap windows (idempotent " +
+      "history re-apply)") {
+    val scd2Batches = Seq(
+      Seq((1L, "2024-01-01 00:00:00", 0L, "a"),
+        (2L, "2024-01-01 00:00:00", 0L, "x")),
+      Seq((1L, "2024-01-02 00:00:00", 0L, "b"),
+        (2L, "2024-01-02 00:00:00", 0L, "x"),
+        (3L, "2024-01-02 00:00:00", 0L, "q")))
+    def scdDf(rows: Seq[(Long, String, Long, String)]) =
+      rows.toDF("id", "ts0", "tie", "attr")
+        .select(col("id"), col("ts0").cast("timestamp").as("ts"),
+          col("tie"), col("attr"))
+    def setup(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      scd2Batches.zipWithIndex.foreach { case (rows, i) =>
+        stage(scdDf(rows),
+          stageDir.resolve(s"b$i.parquet"), 6000000L + i * 1000L)
+      }
+      stageDir
+    }
+    def mk(stageDir: Path, hist: String, ckpt: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(scdDf(scd2Batches.head).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.scd2Stream(stream, hist, "id", "ts", "tie",
+        Seq("attr"), ckpt).start()
+    }
+    def state(hist: String): Set[Seq[Any]] =
+      spark.read.parquet(hist).collect().map(_.toSeq).toSet
+
+    val clean = Files.createTempDirectory("graft_chaos_sc0")
+    val h0 = clean.resolve("hist").toString
+    mk(setup(clean), h0, clean.resolve("ckpt").toString).awaitTermination()
+    val want = state(h0)
+    assert(want.nonEmpty)
+
+    val tmp = Files.createTempDirectory("graft_chaos_sc1")
+    val stageDir = setup(tmp)
+    val hist = tmp.resolve("hist").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => mk(stageDir, hist, ckpt), Seq(
+      ("sinks.swap.staged", 1),
+      ("sinks.swap.live_removed", 1),
+      ("stream.scd2.applied", 1))) // applied, checkpoint uncommitted
+    assert(state(hist) === want)
+  }
+
+  // ── stream_quality_gate: audited append through replay ─────────────
+
+  test("audited-append stream converges through a pre-checkpoint kill " +
+      "(per-batch overwrite: replay never duplicates rows)") {
+    def setup(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      // batch 0 clean, batch 1 dirty (negative ts => vetoed)
+      stage(Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "v", "ts"),
+        stageDir.resolve("b0.parquet"), 7000000L)
+      stage(Seq((3L, "c", -1L)).toDF("id", "v", "ts"),
+        stageDir.resolve("b1.parquet"), 7001000L)
+      stageDir
+    }
+    def mk(stageDir: Path, target: String, quarantine: String,
+        ckpt: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(Seq((1L, "a", 5L)).toDF("id", "v", "ts").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.auditedAppendStream(stream, target, quarantine,
+        b => if (b.filter(col("ts") < 0).count() > 0)
+          Some("negative ts") else None,
+        ckpt).start()
+    }
+    val clean = Files.createTempDirectory("graft_chaos_aa0")
+    val (t0, q0) = (clean.resolve("t").toString, clean.resolve("q").toString)
+    mk(setup(clean), t0, q0, clean.resolve("ckpt").toString)
+      .awaitTermination()
+    val wantT = spark.read.parquet(t0).select("id", "v", "ts")
+      .as[(Long, String, Long)].collect().toSet
+    val wantQn = spark.read.parquet(q0).count()
+    assert(wantT.size === 2 && wantQn === 1L)
+
+    val tmp = Files.createTempDirectory("graft_chaos_aa1")
+    val stageDir = setup(tmp)
+    val (target, quarantine) =
+      (tmp.resolve("t").toString, tmp.resolve("q").toString)
+    val ckpt = tmp.resolve("ckpt").toString
+    runKillSchedule(() => mk(stageDir, target, quarantine, ckpt), Seq(
+      ("stream.audit.landed", 1), // batch 0 landed, checkpoint not:
+      // replay must overwrite batch=0, not append a duplicate copy
+      ("stream.audit.landed", 2))) // ...and again for the dirty batch
+    val gotT = spark.read.parquet(target).select("id", "v", "ts")
+      .as[(Long, String, Long)].collect().toSet
+    assert(gotT === wantT)
+    assert(spark.read.parquet(quarantine).count() === wantQn)
   }
 
   // ── stream_jdbc_upsert: live-database CDC windows ──────────────────
