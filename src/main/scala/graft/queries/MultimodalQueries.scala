@@ -111,6 +111,42 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("media_id"), col("frame_no"), col("bucket"))
   }
 
+  /** CONTENT-grain video dedup through the REAL container path — the
+    * video analogue of `mm_audio_dedup`'s argument: a re-encoded copy
+    * carries the SAME frames in DIFFERENT bytes (here: planted copies
+    * of every 13th AVI gain a trailing junk byte the bounds-checked
+    * RIFF walk never reaches — md5(content) differs, decoded frames
+    * identical). Dedup therefore runs on the DECODED-frame-feature
+    * grain: each video reduces to an exact orderless fingerprint
+    * (row count + Σ share·(bucket+1)·(frame_no+1) — shares are /128
+    * dyadic, so sums are EXACT in double under any order and the
+    * formula oracle replays them bit-for-bit), and fingerprint groups
+    * spanning ≥ 2 media surface with their keeper. Frame decode
+    * happens inside the scan stage; only (id, frame, bucket, share)
+    * rows reach the exchange — container bytes never shuffle. */
+  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = SyntheticImages.aviTable(s, dir, n = 150)
+    val planted = base.filter(col("media_id") % 13 === 0)
+      .withColumn("media_id", col("media_id") + 1000000L)
+      .withColumn("content", concat(col("content"),
+        lit(Array(0x55.toByte))))
+    val frames = Multimodal.sampleVideoFrames(
+      base.unionByName(planted), everyN = 1, codec = ImageIoCodec)
+    val feats = Multimodal.extractFeatures(frames, codec = ImageIoCodec)
+      .select(col("media_id"), col("frame_no"),
+        posexplode(col("features")))
+      .select(col("media_id"), col("frame_no"), col("pos").as("bucket"),
+        col("col").cast("double").as("share"))
+    val fp = feats.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("share") * (col("bucket") + 1) * (col("frame_no") + 1))
+          .as("f1"))
+    fp.groupBy(col("f1"), col("n_rows"))
+      .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("keeper"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("keeper"))
+  }
+
   /** Byte-level content dedup audit: every 97th media item is planted
     * a second time under a new id (the re-crawled-identical-file case),
     * and the duplicate-content groups — digest, copy count, surviving
@@ -203,10 +239,44 @@ object MultimodalQueries extends QuerySection {
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
-    "mm_video" -> (mmVideo _)
+    "mm_video" -> (mmVideo _),
+    "mm_video_dedup" -> (mmVideoDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    // frame-feature-grain dedup oracle: planted trailing-byte copies
+    // decode to the ORIGINAL id's frames, so fid drives the formula;
+    // f1 terms are (cnt/128)·(bucket+1)·(f+1) — dyadic, order-exact
+    "mm_video_dedup" ->
+      """WITH ids0 AS (
+        |  SELECT doc_id AS media_id, doc_id AS fid FROM documents
+        |  WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id < 150 AND doc_id % 13 = 0),
+        |ids AS (SELECT media_id, fid,
+        |    CAST(fid % 3 + 2 AS INT) AS nf FROM ids0),
+        |fr AS (SELECT media_id, fid, CAST(f AS INT) AS f
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, nf - 1))
+        |    AS f) g),
+        |px AS (SELECT media_id, f,
+        |    CAST((x*5 + y*11 + fid*23 + f*47) % 256 AS INT) AS lum
+        |  FROM fr,
+        |    (SELECT unnest(generate_series(0, 15)) AS x) xs,
+        |    (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |hist AS (SELECT media_id, f, lum // 32 AS bucket,
+        |    count(*) AS cnt
+        |  FROM px GROUP BY 1, 2, 3),
+        |fp AS (SELECT h.media_id,
+        |    sum((h.cnt / 128.0) * (h.bucket + 1) * (h.f + 1)) AS f1
+        |  FROM hist h GROUP BY 1),
+        |fpn AS (SELECT i.media_id, CAST(8 * i.nf AS BIGINT) AS n_rows,
+        |    p.f1
+        |  FROM ids i JOIN fp p USING (media_id))
+        |SELECT f1, n_rows, CAST(count(*) AS BIGINT) AS n_media,
+        |  min(media_id) AS keeper
+        |FROM fpn GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY keeper""".stripMargin,
     // REAL-container oracle: the engine must walk actual RIFF/AVI bytes
     // and decode DIB rows; DuckDB replays the generator's per-frame
     // pixel formula. Kept frames are f ∈ {0,2} of (id%3)+2 total;
