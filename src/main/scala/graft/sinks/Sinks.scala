@@ -602,4 +602,21 @@ object Sinks {
     routePatterns.map { case (name, pat) =>
       Route(name, col("_source").rlike(pat), d => load(d, s"$base/$name"))
     } :+ Route("archive", lit(true), d => load(d, s"$base/archive"))
+
+  /** [[standardRoutes]] in its EXACTLY-ONCE per-batch form for
+    * at-least-once callers ([[graft.streaming.Streaming.routeStream]]):
+    * each route lands the batch as `<base>/<route>/batch=<id>` with
+    * OVERWRITE, so a replayed batch (crash between the route fan-out
+    * and the checkpoint commit) rewrites exactly its own partition
+    * directories instead of appending a duplicate copy of every row to
+    * every matching route — the same per-batch-overwrite shape as the
+    * near-dup results and the audited-append gate. Readers of
+    * `<base>/<route>` see `batch` as a partition column and ignore it
+    * by projecting their own columns. */
+  def standardRoutesOnce(base: String, batchId: Long): Seq[Route] =
+    routePatterns.map { case (name, pat) =>
+      Route(name, col("_source").rlike(pat),
+        d => load(d, s"$base/$name/batch=$batchId", ifExists = "replace"))
+    } :+ Route("archive", lit(true),
+      d => load(d, s"$base/archive/batch=$batchId", ifExists = "replace"))
 }

@@ -160,15 +160,20 @@ object Streaming {
   }
 
   /** Stream → routed lake load: every micro-batch goes through the same
-    * content-based routing fan-out as the batch path (K8), giving
-    * exactly-once-per-batch lake appends. */
+    * content-based routing fan-out as the batch path (K8). Routes land
+    * as per-batch OVERWRITE partitions ([[graft.sinks.Sinks
+    * .standardRoutesOnce]]) so a replayed batch rewrites exactly
+    * itself — a plain append would duplicate every row in every
+    * matching route when a crash lands between the fan-out and the
+    * checkpoint commit (the chaos suite's window). */
   def routeStream(events: DataFrame, base: String): DataStreamWriter[Row] = {
     val tagged = events.withColumn("_source",
       concat(lit("stream_"), col("event_type")))
     tagged.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sinks.Sinks.routeAndLoad(batch,
-          graft.sinks.Sinks.standardRoutes(base))
+          graft.sinks.Sinks.standardRoutesOnce(base, batchId))
+        graft.Failpoints.point("stream.route.landed")
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -420,6 +420,51 @@ class StreamingChaosSpec extends SparkSpec {
     assert(spark.read.parquet(quarantine).count() === wantQn)
   }
 
+  // ── stream_routing: routed fan-out through replay ──────────────────
+
+  test("routed stream converges through a pre-checkpoint kill (per-" +
+      "batch overwrite in every route: replay never duplicates)") {
+    def evDf(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("event_id", "event_type", "value")
+    def setup(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      stage(evDf(Seq((1L, "user_update", 1.0), (2L, "log_line", 2.0))),
+        stageDir.resolve("b0.parquet"), 8000000L)
+      stage(evDf(Seq((3L, "order_placed", 3.0), (4L, "user_update", 4.0))),
+        stageDir.resolve("b1.parquet"), 8001000L)
+      stageDir
+    }
+    def mk(stageDir: Path, base: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(evDf(Seq((1L, "x", 1.0))).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      graft.streaming.Streaming.routeStream(stream, base).start()
+    }
+    def archive(base: String): Set[(Long, String)] =
+      spark.read.parquet(s"$base/archive")
+        .select(col("event_id"), col("event_type"))
+        .as[(Long, String)].collect().toSet
+
+    val clean = Files.createTempDirectory("graft_chaos_rt0")
+    val b0 = clean.resolve("lake").toString
+    mk(setup(clean), b0).awaitTermination()
+    val want = archive(b0)
+    assert(want.size === 4)
+
+    val tmp = Files.createTempDirectory("graft_chaos_rt1")
+    val stageDir = setup(tmp)
+    val base = tmp.resolve("lake").toString
+    runKillSchedule(() => mk(stageDir, base), Seq(
+      ("stream.route.landed", 1), // batch 0 fanned out, checkpoint not:
+      // replay overwrites batch=0 in every route, never appends a copy
+      ("stream.route.landed", 2)))
+    assert(archive(base) === want)
+    // the user route saw both user_update rows exactly once
+    val users = spark.read.parquet(s"$base/user_data_wh")
+      .select(col("event_id")).as[Long].collect().toSet
+    assert(users === Set(1L, 4L))
+  }
+
   // ── stream_jdbc_upsert: live-database CDC windows ──────────────────
 
   test("stream_jdbc_upsert converges through mid-transaction, " +
