@@ -185,7 +185,15 @@ object Sinks {
     * by content), the observable result is exactly-once — the manual
     * form of what Delta's txn-log `txnAppId`/`txnVersion` records.
     * The ledger is one empty file per batch: no scan cost, prunable
-    * by retention. */
+    * by retention.
+    *
+    * LIMIT: the marker commits in a SEPARATE step from the effect, so
+    * a crash between them replays the write — fine for idempotent or
+    * per-batch-atomic writers (the combination above), WRONG for a
+    * non-idempotent accumulation like an additive fold, where that
+    * window double-counts. Those need the marker published atomically
+    * WITH the effect: see `etl.Incremental.mergeMergeableOnce`, which
+    * stages the applied-batch marker inside the swapped directory. */
   def exactlyOnce(ledgerDir: String)(
       write: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>

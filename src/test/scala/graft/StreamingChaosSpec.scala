@@ -28,8 +28,9 @@ import graft.streaming.Streaming
   * `stream_jdbc_upsert` (live Derby CDC merge), `stream_mv_merge` (the
   * NON-idempotent additive fold — exactly-once via the atomic
   * applied-batch marker), `stream_scd2` (history re-apply), and the
-  * audited-append gate (per-batch overwrite). Plus a seeded-random
-  * multi-kill schedule over the richest window set (the lake swap). */
+  * audited-append gate and routed fan-out (per-batch overwrite). Plus
+  * seeded-random multi-kill schedules over the two richest window
+  * sets (the lake swap and the exactly-once fold). */
 class StreamingChaosSpec extends SparkSpec {
   import spark.implicits._
 
@@ -322,6 +323,56 @@ class StreamingChaosSpec extends SparkSpec {
       ("sinks.swap.live_removed", 1), // rollup GONE mid-swap
       ("stream.mv.merged", 1))) // batch 1 folded, checkpoint uncommitted
     assert(state(rollup) === want)
+  }
+
+  test("stream_mv_merge converges under seeded-random multi-kill " +
+      "schedules (property form of the exactly-once fold)") {
+    val points = Seq("stream.mv.merged", "sinks.swap.staged",
+      "sinks.swap.live_removed", "sinks.swap.swapped")
+    def setup(tmp: Path): Path = {
+      val stageDir = Files.createDirectory(tmp.resolve("stage"))
+      upsertBatches.zipWithIndex.foreach { case (rows, i) =>
+        stage(rows.toDF("id", "v", "ts"),
+          stageDir.resolve(s"b$i.parquet"), 5500000L + i * 1000L)
+      }
+      stageDir
+    }
+    def mk(stageDir: Path, rollup: String, ckpt: String): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(upsertBatches.head.toDF("id", "v", "ts").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stageDir.toString)
+      Streaming.mvMergeStream(stream, rollup,
+        b => b.groupBy(col("v")).agg(
+          count(lit(1)).as("n"), max(col("ts")).as("max_ts")),
+        keys = Seq("v"), merges = Seq(("n", "sum"), ("max_ts", "max")),
+        ckpt).start()
+    }
+    def state(rollup: String): Set[(String, Long, Long)] =
+      spark.read.parquet(rollup).as[(String, Long, Long)].collect().toSet
+
+    val clean = Files.createTempDirectory("graft_chaos_mvr0")
+    val r0 = clean.resolve("rollup").toString
+    mk(setup(clean), r0, clean.resolve("ckpt").toString).awaitTermination()
+    val want = state(r0)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val schedule = Seq.fill(1 + rnd.nextInt(4))(
+        (points(rnd.nextInt(points.length)), 1 + rnd.nextInt(2)))
+      val tmp = Files.createTempDirectory(s"graft_chaos_mvr$seed")
+      val stageDir = setup(tmp)
+      val rollup = tmp.resolve("rollup").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      schedule.foreach { case (tag, nth) =>
+        val hits = new AtomicInteger(0)
+        try Failpoints.withHook(t =>
+          if (t == tag && hits.incrementAndGet() == nth)
+            throw new ChaosKill(tag)) {
+          mk(stageDir, rollup, ckpt).awaitTermination()
+        } catch { case e: Exception => assert(isChaos(e), e.toString) }
+      }
+      mk(stageDir, rollup, ckpt).awaitTermination()
+      assert(state(rollup) === want, s"seed=$seed $schedule")
+    }
   }
 
   // ── stream_scd2: history apply through the swap windows ────────────
