@@ -459,6 +459,11 @@ object Sinks {
     * refs; on plain parquet the staged directory plays the branch. */
   def writeAuditPublish(spark: SparkSession, df: DataFrame, path: String,
       audit: DataFrame => Option[String]): Either[String, Long] = {
+    // heal a prior crashed swap first (WAP's promote shares the
+    // .__old__ suffix with writeSwap): a stale .__old__ would make
+    // this promote's ATOMIC_MOVE throw, and a live table lost between
+    // a crashed promote's two moves must be restored before we stage
+    healSwap(path)
     val staging = path + ".__staging__"
     df.write.mode(SaveMode.Overwrite).parquet(staging)
     val staged = spark.read.parquet(staging)
