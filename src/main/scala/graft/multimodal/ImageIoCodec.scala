@@ -344,6 +344,46 @@ object SyntheticImages {
     }(enc)
   }
 
+  /** Procedural MP4 corpus for judging the REAL container-metadata
+    * path: one standards-shaped ISO-BMFF file per document id below
+    * `n`, parameterized so every grammar branch in
+    * [[Mp4Codec.parseMeta]] is exercised across the corpus —
+    * FullBox version `id mod 2` (32- vs 64-bit time layouts),
+    * timescale `600·(id mod 4 + 1)`, duration units
+    * `timescale·(id mod 7 + 1) + id mod 97` (so duration_ms exercises
+    * non-trivial floor division), dimensions `16·(id mod 5 + 1)` ×
+    * `16·(id mod 3 + 1)` (written 16.16 fixed-point), video codec
+    * fourcc cycling avc1/mp4v/hvc1, a second (audio, mp4a) track on
+    * odd ids, and — on every 5th id — an `mdat` in the 64-bit
+    * `largesize` escape form that the walker must skip to reach the
+    * trailing `moov`. Every parameter is a pure formula of `id`, so
+    * the formula IS the oracle: DuckDB recomputes the expected
+    * metadata with integer arithmetic while the engine must walk the
+    * actual bytes. Binaries are born on executors, never shuffled. */
+  def mp4Table(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < n)
+    val enc = ExpressionEncoder(
+      RowEncoder.encoderFor(Multimodal.mediaSchema))
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val ver = (id % 2).toInt
+        val timescale = 600L * (id % 4 + 1)
+        val duration = timescale * (id % 7 + 1) + id % 97
+        val w = (16 * (id % 5 + 1)).toInt
+        val h = (16 * (id % 3 + 1)).toInt
+        val vcodec = Seq("avc1", "mp4v", "hvc1")((id % 3).toInt)
+        val acodec = if (id % 2 == 1) Some("mp4a") else None
+        val bytes = Mp4Codec.mux("isom", ver, timescale, duration,
+          w, h, vcodec, acodec, largeSizeMdat = id % 5 == 0)
+        Row(id, "video", bytes, "mp4", w, h,
+          duration * 1000L / timescale)
+      }
+    }(enc)
+  }
+
   /** Procedural PNG corpus for judging the REAL decode path: one
     * `w`×`h` grayscale PNG per document id below `n`, pixel luminance
     * `(7x + 13y + 31·id) mod 256`. The formula IS the oracle — DuckDB

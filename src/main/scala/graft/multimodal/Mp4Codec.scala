@@ -1,0 +1,277 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Hand-rolled ISO-BMFF (MP4) container walker — the metadata half of
+  * the one modality the JDK cannot decode. The reference treats video
+  * as an opaque payload with typed metadata alongside
+  * (`config/settings.py` media types); H.264/AAC SAMPLE decode needs a
+  * deploy-time codec at the `MediaCodec` seam, but the CONTAINER
+  * grammar is pure byte arithmetic, and a 100 TB curation pass wants
+  * exactly this probe: duration / dimensions / codec fourcc / track
+  * layout read from the first few KB of each blob, no decoder, no
+  * shuffle of the binary itself.
+  *
+  * Grammar implemented (ISO/IEC 14496-12): `size(u32 BE) type(4cc)`
+  * box headers with the two escape forms — `size == 1` ⇒ 64-bit
+  * `largesize` follows the type; `size == 0` ⇒ box runs to end of
+  * enclosure — recursion into the container boxes on the metadata
+  * path (`moov`, `trak`, `mdia`, `minf`, `stbl`), and both version 0
+  * (32-bit times) and version 1 (64-bit times) layouts of the
+  * `mvhd`/`tkhd` FullBoxes. `tkhd` width/height are 16.16 fixed-point.
+  * Codec identity is the first sample-entry fourcc inside each
+  * track's `stsd`.
+  *
+  * Totality: corrupt/truncated containers yield whatever metadata
+  * parsed cleanly before the damage, never a throw — one bad blob
+  * must not kill a 100 TB stage. Every box is bounds-checked against
+  * its enclosure before recursion.
+  */
+object Mp4Codec {
+
+  /** Container-level metadata: everything a curation pass filters on
+    * without decoding a single sample. */
+  final case class Mp4Meta(
+      brand: String, // ftyp major_brand
+      timescale: Long, // mvhd movie timescale (units/second)
+      durationMs: Long, // mvhd duration, floor-converted to ms
+      nTracks: Int, // number of trak boxes
+      width: Int, // first video track, 16.16 → integer part
+      height: Int,
+      videoCodec: Option[String], // first video stsd entry fourcc
+      audioCodec: Option[String]) // first audio stsd entry fourcc
+
+  private def beU32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+      ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+  private def be64(b: Array[Byte], p: Int): Long =
+    (beU32(b, p) << 32) | beU32(b, p + 4)
+  private def fcc(b: Array[Byte], p: Int): String =
+    new String(b, p, 4, "US-ASCII")
+
+  /** An ISO-BMFF file begins with an `ftyp` box (size ≥ 16: header +
+    * major_brand + minor_version). */
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 16 && fcc(bytes, 4) == "ftyp"
+
+  // per-track accumulator while walking one `trak` subtree
+  private final class TrakState {
+    var handler: String = ""
+    var w: Int = 0
+    var h: Int = 0
+    var codec: String = ""
+  }
+
+  /** Walk the container and collect movie-level metadata. Returns
+    * `None` only when the bytes are not ISO-BMFF at all. */
+  def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    if (!isMp4(bytes)) return None
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var videoCodec: Option[String] = None
+    var audioCodec: Option[String] = None
+
+    // Containers the metadata path recurses into; everything else
+    // (mdat, free, udta…) is skipped by size — the whole point of a
+    // header probe: O(metadata), not O(payload).
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    def walk(start: Int, end: Int, trak: TrakState): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val size32 = beU32(bytes, p)
+        val typ = fcc(bytes, p + 4)
+        var hdr = 8
+        var size = size32
+        if (size32 == 1L) { // 64-bit largesize escape
+          if (p + 16 > end) return
+          size = be64(bytes, p + 8); hdr = 16
+        } else if (size32 == 0L) { // runs to end of enclosure
+          size = (end - p).toLong
+        }
+        if (size < hdr || p + size > end) return // truncated: stop
+        val q = p + hdr // payload start
+        val qEnd = (p + size).toInt
+        typ match {
+          case "ftyp" if q + 4 <= qEnd && brand.isEmpty =>
+            brand = fcc(bytes, q)
+          case "mvhd" if q + 4 <= qEnd =>
+            val v = bytes(q) & 0xFF // FullBox: version(1) flags(3)
+            if (v == 1 && q + 32 <= qEnd) {
+              timescale = beU32(bytes, q + 20) // after 8+8 byte times
+              duration = be64(bytes, q + 24)
+            } else if (v == 0 && q + 20 <= qEnd) {
+              timescale = beU32(bytes, q + 12) // after 4+4 byte times
+              duration = beU32(bytes, q + 16)
+            }
+          case "trak" =>
+            nTracks += 1
+            val t = new TrakState
+            walk(q, qEnd, t)
+            if (t.handler == "vide" && videoCodec.isEmpty) {
+              videoCodec = Some(t.codec).filter(_.nonEmpty)
+              width = t.w; height = t.h
+            } else if (t.handler == "soun" && audioCodec.isEmpty) {
+              audioCodec = Some(t.codec).filter(_.nonEmpty)
+            }
+          case "tkhd" if trak != null && q + 4 <= qEnd =>
+            val v = bytes(q) & 0xFF
+            // FullBox payload → width offset: verflags(4) + times/ids
+            // (v0: 4+4+4+4+4 = 20; v1: 8+8+4+4+8 = 32) + reserved(8) +
+            // layer/group/volume/reserved(8) + matrix(36)
+            val off = q + 4 + (if (v == 1) 32 else 20) + 8 + 8 + 36
+            if (off + 8 <= qEnd) {
+              trak.w = (beU32(bytes, off) >>> 16).toInt // 16.16 fixed
+              trak.h = (beU32(bytes, off + 4) >>> 16).toInt
+            }
+          case "hdlr" if trak != null && q + 12 <= qEnd =>
+            trak.handler = fcc(bytes, q + 8) // verflags(4) predefined(4)
+          case "stsd" if trak != null && q + 16 <= qEnd =>
+            // verflags(4) entry_count(4), then first sample entry:
+            // size(4) format(4cc) — the codec identity
+            if (beU32(bytes, q + 4) >= 1) trak.codec = fcc(bytes, q + 12)
+          case t0 if containers(t0) =>
+            walk(q, qEnd, trak)
+          case _ => () // mdat/free/…: skip by size
+        }
+        p = (p + size).toInt
+      }
+    }
+    try walk(0, bytes.length, null)
+    catch { case _: Exception => () } // corrupt grammar ⇒ what parsed
+    Some(Mp4Meta(brand, timescale,
+      if (timescale > 0) duration * 1000L / timescale else 0L,
+      nTracks, width, height, videoCodec, audioCodec))
+  }
+
+  // ---- writer (fixtures/specs: procedural corpora need a muxer) ----
+
+  private def be16b(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be32b(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64b(v: Long): Array[Byte] =
+    be32b(v >>> 32) ++ be32b(v & 0xFFFFFFFFL)
+
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32b(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private def fullBox(typ: String, version: Int,
+      parts: Array[Byte]*): Array[Byte] =
+    box(typ, (Array((version & 0xFF).toByte, 0.toByte, 0.toByte,
+      0.toByte) +: parts): _*)
+
+  /** `mdat` in the 64-bit `largesize` escape form — header probe must
+    * skip it correctly to reach a trailing `moov`. */
+  private def largeMdat(payload: Array[Byte]): Array[Byte] =
+    be32b(1L) ++ "mdat".getBytes("US-ASCII") ++
+      be64b(16L + payload.length) ++ payload
+
+  private def visualSampleEntry(codec: String, w: Int,
+      h: Int): Array[Byte] = {
+    // VisualSampleEntry (14496-12 §12.1.3): 6 reserved + data_ref(2) +
+    // pre_defined/reserved(16) + width(2) height(2) + 72dpi res(8) +
+    // reserved(4) + frame_count(2) + compressorname(32) + depth(2) +
+    // pre_defined(2)
+    box(codec,
+      new Array[Byte](6), be16b(1),
+      new Array[Byte](16),
+      be16b(w), be16b(h),
+      be32b(0x00480000L), be32b(0x00480000L),
+      be32b(0L), be16b(1),
+      new Array[Byte](32),
+      be16b(24), be16b(0xFFFF))
+  }
+  private def audioSampleEntry(codec: String,
+      sampleRate: Int): Array[Byte] =
+    // AudioSampleEntry: 6 reserved + data_ref(2) + reserved(8) +
+    // channelcount(2) + samplesize(2) + pre_defined(2) + reserved(2) +
+    // samplerate(16.16)
+    box(codec, new Array[Byte](6), be16b(1), new Array[Byte](8),
+      be16b(2), be16b(16), be16b(0), be16b(0),
+      be32b(sampleRate.toLong << 16))
+
+  private def trak(version: Int, trackId: Long, duration: Long,
+      handler: String, w: Int, h: Int,
+      sampleEntry: Array[Byte]): Array[Byte] = {
+    val tkhd =
+      if (version == 1)
+        fullBox("tkhd", 1, be64b(0L), be64b(0L), be32b(trackId),
+          be32b(0L), be64b(duration), new Array[Byte](8),
+          be16b(0), be16b(0), be16b(if (handler == "soun") 0x0100 else 0),
+          be16b(0), identityMatrix,
+          be32b(w.toLong << 16), be32b(h.toLong << 16))
+      else
+        fullBox("tkhd", 0, be32b(0L), be32b(0L), be32b(trackId),
+          be32b(0L), be32b(duration), new Array[Byte](8),
+          be16b(0), be16b(0), be16b(if (handler == "soun") 0x0100 else 0),
+          be16b(0), identityMatrix,
+          be32b(w.toLong << 16), be32b(h.toLong << 16))
+    val mdhd =
+      if (version == 1)
+        fullBox("mdhd", 1, be64b(0L), be64b(0L), be32b(600L),
+          be64b(duration), be16b(0x55C4), be16b(0)) // 'und' language
+      else
+        fullBox("mdhd", 0, be32b(0L), be32b(0L), be32b(600L),
+          be32b(duration), be16b(0x55C4), be16b(0))
+    val hdlr = fullBox("hdlr", 0, be32b(0L),
+      handler.getBytes("US-ASCII"), new Array[Byte](12),
+      Array(0.toByte)) // null-terminated empty name
+    val stsd = fullBox("stsd", 0, be32b(1L), sampleEntry)
+    val stbl = box("stbl", stsd)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    box("trak", tkhd, mdia)
+  }
+
+  private val identityMatrix: Array[Byte] =
+    be32b(0x00010000L) ++ be32b(0L) ++ be32b(0L) ++
+      be32b(0L) ++ be32b(0x00010000L) ++ be32b(0L) ++
+      be32b(0L) ++ be32b(0L) ++ be32b(0x40000000L)
+
+  /** Mux a minimal standards-shaped MP4: `ftyp` + `free` + `mdat`
+    * (optionally in the 64-bit largesize form — the probe must skip
+    * it to reach the TRAILING `moov`, the layout real muxers emit) +
+    * `moov` with `mvhd` and one or two `trak`s. `version` selects the
+    * 32- vs 64-bit FullBox time layouts end-to-end. */
+  def mux(brand: String, version: Int, timescale: Long, duration: Long,
+      w: Int, h: Int, videoCodec: String,
+      audioCodec: Option[String], largeSizeMdat: Boolean,
+      mdatBytes: Int = 64): Array[Byte] = {
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII"), be32b(512L),
+      "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
+    val free = box("free", new Array[Byte](12))
+    val payload = Array.tabulate[Byte](mdatBytes)(i => (i * 7).toByte)
+    val mdat =
+      if (largeSizeMdat) largeMdat(payload) else box("mdat", payload)
+    val mvhd =
+      if (version == 1)
+        fullBox("mvhd", 1, be64b(0L), be64b(0L), be32b(timescale),
+          be64b(duration), be32b(0x00010000L), be16b(0x0100),
+          new Array[Byte](10), identityMatrix, new Array[Byte](24),
+          be32b(3L)) // next_track_ID
+      else
+        fullBox("mvhd", 0, be32b(0L), be32b(0L), be32b(timescale),
+          be32b(duration), be32b(0x00010000L), be16b(0x0100),
+          new Array[Byte](10), identityMatrix, new Array[Byte](24),
+          be32b(3L))
+    val vtrak = trak(version, 1L, duration, "vide", w, h,
+      visualSampleEntry(videoCodec, w, h))
+    val traks = audioCodec match {
+      case Some(ac) =>
+        vtrak ++ trak(version, 2L, duration, "soun", 0, 0,
+          audioSampleEntry(ac, 8000))
+      case None => vtrak
+    }
+    val moov = box("moov", mvhd, traks)
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(free); out.write(mdat); out.write(moov)
+    out.toByteArray
+  }
+}

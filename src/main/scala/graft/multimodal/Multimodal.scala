@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * every format the JDK can parse: [[ImageIoCodec]] decodes PNG/BMP/GIF
   * images, RIFF/WAV PCM audio, animated-GIF frames, and AVI video
   * containers (uncompressed DIB + MJPEG, via the hand-rolled RIFF
-  * walker in [[AviCodec]]). [[StubCodec]] remains ONLY as the
-  * deterministic stand-in for codecs the JDK genuinely cannot parse
-  * (MP4/H.264, WebM, MP3/AAC — swap in JavaCV/ffmpeg at deploy time),
-  * and as the codec-INDEPENDENT byte-grain splitter the content-dedup
-  * queries deliberately use.
+  * walker in [[AviCodec]]); [[Mp4Codec]] walks the ISO-BMFF box
+  * grammar for real, so MP4 container METADATA (duration, dims, codec
+  * fourcc, track layout — the fields curation gates on) needs no
+  * decoder either. [[StubCodec]] remains ONLY as the deterministic
+  * stand-in for SAMPLE decode of codecs the JDK genuinely cannot
+  * parse (H.264, VP9, MP3/AAC — swap in JavaCV/ffmpeg at deploy
+  * time), and as the codec-INDEPENDENT byte-grain splitter the
+  * content-dedup queries deliberately use.
   *
   * Scale: binaries never pass through a shuffle here — every stage is a
   * map; metadata-only plans prune the binary column entirely (columnar
@@ -246,6 +249,41 @@ object Multimodal {
               Row.fromSeq(keep ++ Seq[Any](w, msq, zc))
             }
           }
+        }
+      }
+    }(enc)
+  }
+
+  /** Container-metadata probe over ISO-BMFF (MP4) payloads
+    * ([[Mp4Codec.parseMeta]]): duration, dimensions, codec fourccs and
+    * track layout read from the box grammar alone — no sample decode,
+    * so it works on the one modality the JDK has no codec for. This is
+    * the curation pass a 100 TB video corpus runs FIRST (drop
+    * sub-second clips, non-target codecs, absurd aspect ratios) before
+    * paying for any decoder: per row the probe touches only the header
+    * boxes, and only the narrow metadata rows ever reach an exchange —
+    * the binaries stay in the scan stage. Non-MP4 payloads yield no
+    * row (total, skip-don't-throw). */
+  def probeMp4Meta(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false),
+      StructField("n_tracks", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("video_codec", StringType, nullable = true),
+      StructField("audio_codec", StringType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val (ii, ci) = (idx("media_id"), idx("content"))
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        Mp4Codec.parseMeta(row.getAs[Array[Byte]](ci)).map { m =>
+          Row(row.getLong(ii), m.brand, m.timescale, m.durationMs,
+            m.nTracks, m.width, m.height,
+            m.videoCodec.orNull, m.audioCodec.orNull)
         }
       }
     }(enc)

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native HITS (Kleinberg hubs & authorities) — the
+  * centrality that PageRank structurally cannot express on a BIPARTITE
+  * lake graph: in a buyer→supplier (or query→document, crawler→host)
+  * graph, "matters as a consumer of good endpoints" and "matters as an
+  * endpoint good consumers pick" are two different scores, and the
+  * mutual-reinforcement recurrence `a = Eᵀh, h = E·a` is their fixed
+  * point. PageRank on the symmetrized graph collapses the two roles
+  * into one number; HITS keeps them apart — that's the operator's
+  * reason to exist next to `PageRank.pageRank`.
+  *
+  * Deterministic, oracle-replayable form: fixed iteration count, L1
+  * normalization (divide by the mass total) after every half-step,
+  * uniform start `h₀ = 1` on every source node. L1 (not the textbook
+  * L2) keeps the oracle's arithmetic to sums and one division — no
+  * sqrt — and yields the same ranking (normalization only rescales).
+  *
+  * Scale shape, per half-step: ONE broadcast-hash join of the score
+  * vector onto the pinned edge list and ONE aggregate on the far
+  * endpoint — identical to the PageRank superstep — plus a 1-row
+  * broadcast cross join for the normalizing total (the mass scalar
+  * never round-trips through the driver). Score vectors are (node,
+  * double) narrow; like [[PageRank.pageRank]] they broadcast up to
+  * ~10M nodes and fall back to a shuffle join past that. Each
+  * half-step result is pinned (`plans.Pin`) so iteration k's plan
+  * doesn't re-embed iterations 1..k−1 — the normalizing total reads
+  * the vector a second time, which without the pin would double the
+  * whole lineage per round.
+  */
+object Hits {
+
+  /** `edges`: directed (src, dst) hub→authority pairs, pre-deduped.
+    * Returns (node, hub, auth) for every node, where hub is non-zero
+    * only on sources and auth only on destinations (bipartite case);
+    * on a general digraph both can be non-zero.
+    *
+    * `pinEachRound = false` skips the per-half-step materialization —
+    * the normalization reads each vector twice, so an unpinned plan
+    * doubles per half-step (2^(2·iters) copies of the first join):
+    * only for tiny graphs / plan inspection. Leave it on at scale. */
+  def hits(edges: DataFrame, iters: Int = 2,
+      pinEachRound: Boolean = true): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e = edges.transform(graft.plans.Pin.pin)
+    val srcs = e.select(col("src").as("node")).distinct()
+      .transform(graft.plans.Pin.pin)
+    val dsts = e.select(col("dst").as("node")).distinct()
+      .transform(graft.plans.Pin.pin)
+    val nSrc = srcs.count() // scalar: only for the broadcast dispatch
+    require(nSrc > 0, "hits needs a non-empty edge list")
+    val hint: DataFrame => DataFrame =
+      if (nSrc <= 10_000_000L) broadcast else identity
+
+    // L1-normalize via a 1-row broadcast total — no driver round-trip
+    def l1(scores: DataFrame, c: String): DataFrame =
+      scores.crossJoin(broadcast(
+          scores.agg(sum(col(c)).as("__tot"))))
+        .select(col("node"), (col(c) / col("__tot")).as(c))
+
+    val maybePin: DataFrame => DataFrame =
+      if (pinEachRound) graft.plans.Pin.pin else identity
+    var hub = srcs.withColumn("hub", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hint(hub), col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+        .select(col("dst").as("node"), col("auth"))
+      auth = maybePin(l1(aRaw, "auth"))
+      val hRaw = e.join(hint(auth), col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+        .select(col("src").as("node"), col("hub"))
+      hub = maybePin(l1(hRaw, "hub"))
+    }
+    srcs.union(dsts).distinct()
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+  }
+}

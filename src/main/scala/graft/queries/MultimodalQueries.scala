@@ -230,7 +230,23 @@ object MultimodalQueries extends QuerySection {
       .orderBy(col("keeper"))
   }
 
+  /** REAL ISO-BMFF container walk, judged: procedural standards-shaped
+    * MP4s (`SyntheticImages.mp4Table` — every metadata field a pure
+    * formula of the id; FullBox v0 AND v1 time layouts, 16.16
+    * fixed-point dimensions, cycling sample-entry fourccs, a second
+    * audio track on odd ids, and a 64-bit-largesize `mdat` before the
+    * trailing `moov` on every 5th id) go through
+    * [[Multimodal.probeMp4Meta]], which must walk the actual box bytes
+    * ([[graft.multimodal.Mp4Codec]]) — the oracle recomputes every
+    * field from the generating formulas with integer arithmetic. This
+    * is the no-decoder curation probe (duration/dims/codec gates) a
+    * video corpus runs before paying for any sample decode. */
+  private def mmMp4Meta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.probeMp4Meta(SyntheticImages.mp4Table(s, dir, n = 200))
+      .orderBy(col("media_id"))
+
   def queries: Map[String, Q] = Map(
+    "mm_mp4_meta" -> (mmMp4Meta _),
     "mm_audio_dedup" -> (mmAudioDedup _),
     "mm_audio" -> (mmAudio _),
     "mm_frame_dedup" -> (mmFrameDedup _),
@@ -244,6 +260,24 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // formula oracle: every metadata field of the procedural MP4s is a
+    // pure integer function of the id — the engine must recover each
+    // from the real box bytes (duration_ms is floor division, exact in
+    // BIGINT on both sides)
+    "mm_mp4_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  600 * (doc_id % 4 + 1) AS timescale,
+        |  ((600 * (doc_id % 4 + 1)) * (doc_id % 7 + 1) + doc_id % 97)
+        |    * 1000 // (600 * (doc_id % 4 + 1)) AS duration_ms,
+        |  CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+        |  CAST(16 * (doc_id % 5 + 1) AS INT) AS width,
+        |  CAST(16 * (doc_id % 3 + 1) AS INT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4v'
+        |    ELSE 'hvc1' END AS video_codec,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE NULL END
+        |    AS audio_codec
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY media_id""".stripMargin,
     // frame-feature-grain dedup oracle: planted trailing-byte copies
     // decode to the ORIGINAL id's frames, so fid drives the formula;
     // f1 terms are (cnt/128)·(bucket+1)·(f+1) — dyadic, order-exact

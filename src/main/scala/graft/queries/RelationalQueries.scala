@@ -403,6 +403,70 @@ object RelationalQueries extends QuerySection {
       .limit(50)
   }
 
+  /** HITS hubs & authorities (`operators/Hits.scala`) on the DIRECTED
+    * bipartite trade graph (customer → supplier): the two-role
+    * centrality the symmetrized-PageRank query collapses — "customer
+    * whose orders reach the best suppliers" (hub) vs "supplier the
+    * best customers buy from" (authority) are judged as separate
+    * rankings, top-25 each. 2 mutual-reinforcement rounds with L1
+    * normalization, replayed by the oracle as an unrolled CTE. */
+  private def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val out = graft.operators.Hits.hits(edges, iters = 2)
+    val lbl = when(col("node") % 2 === 0,
+        concat(lit("c"), (col("node") / 2).cast("long")))
+      .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+    val auths = out.filter(col("node") % 2 =!= 0)
+      .select(lit("auth").as("role"), lbl.as("node"),
+        round(col("auth"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(25)
+    val hubs = out.filter(col("node") % 2 === 0)
+      .select(lit("hub").as("role"), lbl.as("node"),
+        round(col("hub"), 6).as("score"))
+      .orderBy(desc("score"), col("node")).limit(25)
+    auths.unionByName(hubs)
+      .orderBy(col("role"), desc("score"), col("node"))
+  }
+
+  /** Personalized PageRank (`PageRank.personalizedPageRank`): teleport
+    * mass returns to the nation-7 customer seed set, so ranks answer
+    * "which trade partners matter TO THESE customers" — the
+    * query-dependent centrality behind recommendation and seed
+    * expansion that the global `graph_pagerank` cannot express. Same
+    * symmetrized co-purchase graph and superstep shape; only the
+    * teleport vector differs. 3 rounds, oracle-unrolled. */
+  private def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cnode"),
+        (col("l_suppkey") * 2 + 1).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .union(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    val seeds = Tables.load(s, dir, "customer")
+      .filter(col("c_nationkey") === 7)
+      .select((col("c_custkey") * 2).as("node"))
+    graft.operators.PageRank.personalizedPageRank(edges, seeds, iters = 3)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2)
+          .cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        round(col("rank"), 6).as("rank"))
+      .orderBy(desc("rank"), col("node"))
+      .limit(50)
+  }
+
   /** Bounded-depth BFS reachability (`operators/Reachability.scala`):
     * hop distance from every nation-7 customer through the
     * high-volume (qty > 45) co-purchase graph, depth ≤ 3 — the
@@ -2828,6 +2892,8 @@ object RelationalQueries extends QuerySection {
     "j20_volume_shipping" -> (j20VolumeShipping _),
     "q_market_basket" -> (qMarketBasket _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_hits" -> (graphHits _),
+    "graph_ppr" -> (graphPpr _),
     "graph_triangles" -> (graphTriangles _),
     "graph_reachability" -> (graphReachability _),
     "graph_kcore" -> (graphKcore _),
@@ -4320,6 +4386,89 @@ object RelationalQueries extends QuerySection {
         |  FROM nodes LEFT JOIN (SELECT dst, sum(r2.rank * w) AS m
         |    FROM ce JOIN r2 ON ce.src = r2.node GROUP BY dst) s
         |  ON node = s.dst)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END AS node,
+        |  round(rank, 6) AS rank FROM r3
+        |ORDER BY round(rank, 6) DESC,
+        |  CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+        |    ELSE 's' || ((node - 1) // 2) END
+        |LIMIT 50""".stripMargin,
+    // 2 unrolled mutual-reinforcement rounds, L1-normalized per
+    // half-step exactly as Hits.hits does (sum + one division, no
+    // sqrt); round(,6) absorbs last-ulp summation-order divergence
+    "graph_hits" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT cnode AS node, 1.0 AS hub FROM pairs),
+        |a1r AS (SELECT snode AS node, sum(h0.hub) AS s
+        |  FROM pairs JOIN h0 ON cnode = h0.node GROUP BY snode),
+        |a1 AS (SELECT node, s / (SELECT sum(s) FROM a1r) AS auth
+        |  FROM a1r),
+        |h1r AS (SELECT cnode AS node, sum(a1.auth) AS s
+        |  FROM pairs JOIN a1 ON snode = a1.node GROUP BY cnode),
+        |h1 AS (SELECT node, s / (SELECT sum(s) FROM h1r) AS hub
+        |  FROM h1r),
+        |a2r AS (SELECT snode AS node, sum(h1.hub) AS s
+        |  FROM pairs JOIN h1 ON cnode = h1.node GROUP BY snode),
+        |a2 AS (SELECT node, s / (SELECT sum(s) FROM a2r) AS auth
+        |  FROM a2r),
+        |h2r AS (SELECT cnode AS node, sum(a2.auth) AS s
+        |  FROM pairs JOIN a2 ON snode = a2.node GROUP BY cnode),
+        |h2 AS (SELECT node, s / (SELECT sum(s) FROM h2r) AS hub
+        |  FROM h2r),
+        |top_a AS (
+        |  SELECT 'auth' AS role, 's' || ((node - 1) // 2) AS node,
+        |    round(auth, 6) AS score
+        |  FROM a2 ORDER BY round(auth, 6) DESC,
+        |    's' || ((node - 1) // 2) LIMIT 25),
+        |top_h AS (
+        |  SELECT 'hub' AS role, 'c' || (node // 2) AS node,
+        |    round(hub, 6) AS score
+        |  FROM h2 ORDER BY round(hub, 6) DESC,
+        |    'c' || (node // 2) LIMIT 25)
+        |SELECT role, node, score FROM
+        |  (SELECT * FROM top_a UNION ALL SELECT * FROM top_h)
+        |ORDER BY role, score DESC, node""".stripMargin,
+    // personalized teleport: (1.0-0.85)/|seeds| on nation-7 customer
+    // seeds, 0 elsewhere; r0 = tele/(1.0-0.85) — the same double ops
+    // the Spark loop executes, unrolled 3 rounds
+    "graph_ppr" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS cnode,
+        |    l_suppkey * 2 + 1 AS snode
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL SELECT snode, cnode FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |seeds AS (
+        |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+        |  WHERE c_nationkey = 7
+        |  INTERSECT SELECT node FROM nodes),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+        |tele AS (SELECT n0.node,
+        |    CASE WHEN s.node IS NOT NULL
+        |      THEN (1.0 - 0.85) / (SELECT n FROM ns) ELSE 0.0 END AS tele
+        |  FROM nodes n0 LEFT JOIN seeds s ON n0.node = s.node),
+        |ce AS (
+        |  SELECT src, dst, 1.0 / deg AS w
+        |  FROM edges JOIN (SELECT src, count(*) AS deg FROM edges
+        |    GROUP BY 1) d USING (src)),
+        |r0 AS (SELECT node, tele / (1.0 - 0.85) AS rank FROM tele),
+        |r1 AS (SELECT t.node, t.tele + 0.85 * coalesce(m, 0) AS rank
+        |  FROM tele t LEFT JOIN (SELECT dst, sum(r0.rank * w) AS m
+        |    FROM ce JOIN r0 ON ce.src = r0.node GROUP BY dst) s
+        |  ON t.node = s.dst),
+        |r2 AS (SELECT t.node, t.tele + 0.85 * coalesce(m, 0) AS rank
+        |  FROM tele t LEFT JOIN (SELECT dst, sum(r1.rank * w) AS m
+        |    FROM ce JOIN r1 ON ce.src = r1.node GROUP BY dst) s
+        |  ON t.node = s.dst),
+        |r3 AS (SELECT t.node, t.tele + 0.85 * coalesce(m, 0) AS rank
+        |  FROM tele t LEFT JOIN (SELECT dst, sum(r2.rank * w) AS m
+        |    FROM ce JOIN r2 ON ce.src = r2.node GROUP BY dst) s
+        |  ON t.node = s.dst)
         |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
         |    ELSE 's' || ((node - 1) // 2) END AS node,
         |  round(rank, 6) AS rank FROM r3
