@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.multimodal.Mp4Codec
+
+/** Property tests for the ISO-BMFF walker over generated containers:
+  * mux→parse round-trips every metadata field for ARBITRARY parameter
+  * combinations (both FullBox versions, any timescale/duration/dims,
+  * any codec fourccs, largesize or plain mdat of any payload size),
+  * and NO truncation point or mdat corruption of a valid container can
+  * make the walker throw — totality, the 100 TB one-bad-blob contract.
+  * Same direct-generator pattern as AviPropertySpec (the
+  * scalatest/scalacheck bridge isn't in the offline cache). */
+class Mp4PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 11L): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private case class Vid(ver: Int, timescale: Long, duration: Long,
+      w: Int, h: Int, vcodec: String, acodec: Option[String],
+      large: Boolean, mdatBytes: Int)
+
+  private val fourcc: Gen[String] =
+    Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+
+  private val vidGen: Gen[Vid] = for {
+    ver <- Gen.oneOf(0, 1)
+    timescale <- Gen.choose(1L, 1000000L)
+    // v0 stores duration in u32 — stay within it so both layouts agree
+    duration <- Gen.choose(0L, 0xFFFFFFFFL)
+    w <- Gen.choose(1, 0x7FFF) // 16.16 fixed: integer part is 16-bit
+    h <- Gen.choose(1, 0x7FFF)
+    vc <- fourcc
+    ac <- Gen.option(fourcc)
+    large <- Gen.oneOf(true, false)
+    mdatBytes <- Gen.choose(0, 512)
+  } yield Vid(ver, timescale, duration, w, h, vc, ac, large, mdatBytes)
+
+  private def mux(v: Vid): Array[Byte] =
+    Mp4Codec.mux("isom", v.ver, v.timescale, v.duration, v.w, v.h,
+      v.vcodec, v.acodec, largeSizeMdat = v.large,
+      mdatBytes = v.mdatBytes)
+
+  test("mux→parse round-trips every field for arbitrary parameters") {
+    for (v <- samples(vidGen, 60)) {
+      val m = Mp4Codec.parseMeta(mux(v)).get
+      val tag = s"v=$v"
+      assert(m.brand == "isom", tag)
+      assert(m.timescale == v.timescale, tag)
+      assert(m.durationMs == v.duration * 1000L / v.timescale, tag)
+      assert(m.nTracks == (if (v.acodec.isDefined) 2 else 1), tag)
+      assert(m.width == v.w && m.height == v.h, tag)
+      assert(m.videoCodec.contains(v.vcodec), tag)
+      assert(m.audioCodec == v.acodec, tag)
+    }
+  }
+
+  test("v0 and v1 layouts parse to the same metadata") {
+    for (v <- samples(vidGen, 25, seed = 23L)) {
+      val m0 = Mp4Codec.parseMeta(mux(v.copy(ver = 0)))
+      val m1 = Mp4Codec.parseMeta(mux(v.copy(ver = 1)))
+      assert(m0 == m1, s"v=$v")
+    }
+  }
+
+  test("totality: no truncation point throws; mdat corruption is " +
+    "metadata-invariant") {
+    for (v <- samples(vidGen, 12, seed = 41L)) {
+      val full = mux(v)
+      val m = Mp4Codec.parseMeta(full)
+      // every prefix parses without throwing
+      (0 until full.length by math.max(1, full.length / 64)).foreach {
+        n => Mp4Codec.parseMeta(java.util.Arrays.copyOf(full, n))
+      }
+      // flipping any byte strictly inside the mdat payload leaves the
+      // metadata untouched — the probe never reads payload bytes
+      if (v.mdatBytes > 0) {
+        val at = full.indexOfSlice("mdat".getBytes("US-ASCII")) + 4 +
+          (if (v.large) 8 else 0)
+        val dirty = full.clone()
+        dirty(at) = (dirty(at) ^ 0x5A).toByte
+        assert(Mp4Codec.parseMeta(dirty) == m, s"v=$v")
+      }
+    }
+  }
+}
