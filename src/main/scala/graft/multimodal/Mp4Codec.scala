@@ -80,7 +80,14 @@ object Mp4Codec {
     // header probe: O(metadata), not O(payload).
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
 
-    def walk(start: Int, end: Int, trak: TrakState): Unit = {
+    // depth cap: the metadata path nests ≤ 5 containers in a valid
+    // file (moov/trak/mdia/minf/stbl); a corrupt blob advertising
+    // thousands of nested containers would otherwise recurse to a
+    // StackOverflowError — an Error, NOT caught by the Exception
+    // handler below — and kill the task (the one-bad-blob failure
+    // this walker's totality contract forbids)
+    def walk(start: Int, end: Int, trak: TrakState, depth: Int): Unit = {
+      if (depth > 16) return
       var p = start
       while (p + 8 <= end) {
         val size32 = beU32(bytes, p)
@@ -111,7 +118,7 @@ object Mp4Codec {
           case "trak" =>
             nTracks += 1
             val t = new TrakState
-            walk(q, qEnd, t)
+            walk(q, qEnd, t, depth + 1)
             if (t.handler == "vide" && videoCodec.isEmpty) {
               videoCodec = Some(t.codec).filter(_.nonEmpty)
               width = t.w; height = t.h
@@ -135,16 +142,27 @@ object Mp4Codec {
             // size(4) format(4cc) — the codec identity
             if (beU32(bytes, q + 4) >= 1) trak.codec = fcc(bytes, q + 12)
           case t0 if containers(t0) =>
-            walk(q, qEnd, trak)
+            walk(q, qEnd, trak, depth + 1)
           case _ => () // mdat/free/…: skip by size
         }
         p = (p + size).toInt
       }
     }
-    try walk(0, bytes.length, null)
+    try walk(0, bytes.length, null, 0)
     catch { case _: Exception => () } // corrupt grammar ⇒ what parsed
-    Some(Mp4Meta(brand, timescale,
-      if (timescale > 0) duration * 1000L / timescale else 0L,
+    // saturating ms conversion: ISO durations are UNSIGNED 64-bit, so
+    // a corrupt v1 value can read negative here, and `duration * 1000`
+    // can wrap for anything ≥ 2^63/1000 — either way a curation gate
+    // would see a garbage negative. Saturate instead of wrapping
+    // (sub-ms precision is irrelevant at these magnitudes).
+    val durationMs =
+      if (timescale <= 0) 0L
+      else if (duration < 0) Long.MaxValue // ≥ 2^63 unsigned: garbage-huge
+      else if (duration > Long.MaxValue / 1000L) {
+        val q = duration / timescale
+        if (q > Long.MaxValue / 1000L) Long.MaxValue else q * 1000L
+      } else duration * 1000L / timescale
+    Some(Mp4Meta(brand, timescale, durationMs,
       nTracks, width, height, videoCodec, audioCodec))
   }
 

@@ -50,10 +50,15 @@ object Hits {
       .transform(graft.plans.Pin.pin)
     val dsts = e.select(col("dst").as("node")).distinct()
       .transform(graft.plans.Pin.pin)
-    val nSrc = srcs.count() // scalar: only for the broadcast dispatch
+    // broadcast dispatch must key on the LARGER side's cardinality:
+    // the hub vector is |srcs| rows but the auth vector is |dsts| —
+    // a 1M-source / 50M-destination fan-out graph would broadcast the
+    // 50M-row auth frame if only nSrc were consulted
+    val nSrc = srcs.count() // scalars: only for the broadcast dispatch
+    val nDst = dsts.count()
     require(nSrc > 0, "hits needs a non-empty edge list")
     val hint: DataFrame => DataFrame =
-      if (nSrc <= 10_000_000L) broadcast else identity
+      if (math.max(nSrc, nDst) <= 10_000_000L) broadcast else identity
 
     // L1-normalize via a 1-row broadcast total — no driver round-trip
     def l1(scores: DataFrame, c: String): DataFrame =

@@ -103,6 +103,10 @@ object PageRank {
     * `seeds`: one `node` column; ids outside the graph are ignored. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // r₀ divides by (1−d): damping = 1.0 would make every rank 0/0 =
+    // NaN and return silently-poisoned results instead of failing fast
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
     val e = edges.transform(graft.plans.Pin.pin)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -419,7 +419,11 @@ object RelationalQueries extends QuerySection {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val out = graft.operators.Hits.hits(edges, iters = 2)
+    // pin once: the hits() result frame is lazy (final assembly joins
+    // + last-round normalizations over the pinned half-steps), and the
+    // two role filters below would otherwise each re-execute it
+    val out = graft.plans.Pin.pin(
+      graft.operators.Hits.hits(edges, iters = 2))
     val lbl = when(col("node") % 2 === 0,
         concat(lit("c"), (col("node") / 2).cast("long")))
       .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))

@@ -77,6 +77,19 @@ class HitsPprSpec extends SparkSpec {
     pr.foreach { case (n, v) => assert(math.abs(ppr(n) - v) < 1e-12) }
   }
 
+  test("PPR rejects degenerate damping (1.0 would poison ranks " +
+    "with 0/0 NaN)") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edges, Seq("a").toDF("node"),
+        iters = 1, damping = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedPageRank(edges, Seq("a").toDF("node"),
+        iters = 1, damping = 0.0)
+    }
+  }
+
   test("superstep joins broadcast the score vector (plan shape)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"))
       .toDF("src", "dst")

@@ -69,6 +69,38 @@ class Mp4CodecSpec extends SparkSpec {
     assert(Mp4Codec.parseMeta(dirty).get == m)
   }
 
+  test("adversarial: 100k-deep container nesting cannot overflow the " +
+    "stack; huge/negative v1 durations saturate instead of wrapping") {
+    // hand-built blob: ftyp, then 100k nested 'moov' headers, each box
+    // claiming exactly the remaining bytes — without the depth cap the
+    // walker recursed once per level and died with StackOverflowError
+    // (an Error, invisible to the Exception catch)
+    def be32(v: Int): Array[Byte] = Array((v >> 24).toByte,
+      (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val n = 100000
+    val bos = new java.io.ByteArrayOutputStream(16 + 8 * n)
+    bos.write(be32(16)); bos.write("ftyp".getBytes("US-ASCII"))
+    bos.write("isom".getBytes("US-ASCII")); bos.write(be32(512))
+    (0 until n).foreach { i =>
+      bos.write(be32(8 * (n - i))); bos.write("moov".getBytes("US-ASCII"))
+    }
+    val m = Mp4Codec.parseMeta(bos.toByteArray) // must not throw
+    assert(m.isDefined && m.get.brand == "isom")
+    // v1 duration large enough that duration*1000 would wrap negative
+    val big = Mp4Codec.parseMeta(Mp4Codec.mux("isom", 1,
+      timescale = 1200L, duration = Long.MaxValue / 2, w = 8, h = 8,
+      videoCodec = "avc1", audioCodec = None,
+      largeSizeMdat = false)).get
+    assert(big.durationMs == Long.MaxValue / 2 / 1200L * 1000L)
+    assert(big.durationMs > 0)
+    // all-ones duration reads negative (>= 2^63 unsigned) → saturate
+    val neg = Mp4Codec.parseMeta(Mp4Codec.mux("isom", 1,
+      timescale = 1200L, duration = -1L, w = 8, h = 8,
+      videoCodec = "avc1", audioCodec = None,
+      largeSizeMdat = false)).get
+    assert(neg.durationMs == Long.MaxValue)
+  }
+
   test("non-MP4 bytes yield None, null yields None") {
     assert(Mp4Codec.parseMeta("RIFF....AVI LIST".getBytes).isEmpty)
     assert(Mp4Codec.parseMeta(Array.emptyByteArray).isEmpty)
