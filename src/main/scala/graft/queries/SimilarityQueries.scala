@@ -158,6 +158,26 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** FILTERED vector search ([[Ann.buildIvfIndex]] with an attribute
+    * payload → [[Ann.ivfIndexTopK]] with a `where` predicate): the
+    * vector-DB staple — "nearest neighbors among label < 3" — where
+    * the metadata gate lands on the pruned postings SCAN (Parquet
+    * pushdown inside the probed cells), not as a post-filter that can
+    * come back short of k. The oracle is the same IVF replica over the
+    * corpus restricted to the predicate: per-row cell assignment means
+    * a filter never moves a vector between cells, so pre-filtering
+    * within probed cells IS the exact semantic. */
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = graft.etl.Utils.scratchDir("graft_ivfflt") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("label"))
+    Ann.ivfIndexTopK(s, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", path, k = 5, nprobe = 3,
+        where = Some(col("label") < 3))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-bucketed top-k — oracle-checked: the codebook (first nlist
     * corpus vectors) reconstructs inside the SQL, assignments/probes
     * replicate the struct-max tie-break (higher dot, then higher cell
@@ -475,6 +495,7 @@ object SimilarityQueries extends QuerySection {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
+    "ann_filtered" -> (annFiltered _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_ivf_delete" -> (annIvfDelete _),
     "ann_pq" -> (annPq _),
@@ -862,6 +883,10 @@ object SimilarityQueries extends QuerySection {
     "ann_ndcg" -> ndcgOracle,
     "ann_ivf" -> ivfOracle,
     "ann_ivf_index" -> ivfOracle,
+    // filtered search ≡ the replica over the label-restricted corpus
+    // (per-row assignment: a filter never moves vectors between cells)
+    "ann_filtered" -> ivfOracleWith(
+      "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
     "ann_ivf_incremental" -> ivfOracle,
     "ann_ivf_delete" -> ivfOracleWith("e.vec_id % 7 <> 0"),
     "ann_knn_classify" ->

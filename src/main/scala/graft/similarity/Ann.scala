@@ -374,11 +374,18 @@ object Ann {
     * the same layout without touching history. */
   def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
       path: String, nlist: Int = 8,
-      codebook: Option[Array[Array[Double]]] = None): Unit = {
+      codebook: Option[Array[Array[Double]]] = None,
+      attrCols: Seq[String] = Nil): Unit = {
     val centroids = codebook.getOrElse(
       seedCodebook(corpus, vecCol, idCol, nlist))
-    corpus.select(col(idCol).as("corpus_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    // attrCols ride the postings as a filterable payload — the
+    // vector-DB "filtered search" shape: a metadata predicate at probe
+    // time gates candidates INSIDE the pruned cell scan, instead of
+    // rebuilding an index per predicate or post-filtering a top-k that
+    // may then come back short
+    corpus.select((col(idCol).as("corpus_id") +:
+        col(vecCol).cast("array<double>").as("cv") +:
+        attrCols.map(col)): _*)
       .withColumn("cell", bestCell(centroids, col("cv")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings")
@@ -417,7 +424,8 @@ object Ann {
     * not a full pass). */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, vecCol: String, idCol: String, path: String,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, nprobe: Int = 2,
+      where: Option[Column] = None): DataFrame = {
     val centroids = readCodebook(spark, path)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
@@ -427,13 +435,24 @@ object Ann {
     // a static partition-pruning predicate on the postings scan
     val cells = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
+    // FILTERED search (`where` over attrCols stored at build): the
+    // predicate lands on the postings SCAN — inside the cell pruning,
+    // before ranking — so Parquet pushdown sees it and a selective
+    // filter cheapens the probe instead of starving a post-filtered
+    // top-k. Semantics = brute force over the filtered corpus within
+    // the probed cells (assignment is per-row; a filter never moves a
+    // vector between cells). Under very selective predicates callers
+    // widen nprobe — the recall/selectivity trade every vector store
+    // documents — which here is just a parameter, not a rebuild.
+    val scan = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(cells: _*))
+    val filtered = where.map(scan.filter).getOrElse(scan)
     // tombstoned ids mask here too: EVERY probe over the stored layout
     // honors the "delete is visible immediately" contract, not just the
     // lifecycle-aware ivfLiveTopK — a caller mixing the two probe APIs
     // must never see takedown leakage
     val post = graft.index.IndexLifecycle.maskTombstoned(
-      spark.read.parquet(s"$path/postings")
-        .filter(col("cell").isin(cells: _*)),
+      filtered.select(col("cell"), col("corpus_id"), col("cv")),
       "corpus_id", s"$path/tombstones")
     rankCellCandidates(post, q, k)
   }
@@ -514,10 +533,16 @@ object Ann {
     healStaged(live, staged)
     val incrSnap = snapshotFiles(s"$path/increments")
     val tombSnap = snapshotFiles(s"$path/tombstones")
-    val keep = Seq("corpus_id", "cv", "cell").map(col)
-    var post = spark.read.parquet(live.toString).select(keep: _*)
+    // preserve the LIVE postings schema wholesale: an index built with
+    // an attribute payload (buildIvfIndex attrCols — filtered search)
+    // must not lose its filter columns to a maintenance rewrite.
+    // Increments appended by the streaming path carry no payload, so
+    // they fold in with null attributes (allowMissingColumns) — a
+    // filtered probe then simply never matches them, which is the
+    // honest semantic for rows whose metadata was never ingested.
+    var post = spark.read.parquet(live.toString)
     readSnapshot(spark, s"$path/increments", incrSnap).foreach(i =>
-      post = post.unionByName(i.select(keep: _*)))
+      post = post.unionByName(i, allowMissingColumns = true))
     post = post.dropDuplicates("corpus_id")
     readSnapshot(spark, s"$path/tombstones", tombSnap).foreach(t =>
       post = post.join(t.distinct(), Seq("corpus_id"), "left_anti"))
