@@ -178,6 +178,19 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** MMR diversity re-ranking ([[Ann.mmrTopK]]): greedy maximal
+    * marginal relevance over the exact top-20 candidates — the five
+    * selection steps (λ = 0.7, ties by corpus id, 6-dp-rounded
+    * relevance AND pairwise sims) unroll in the oracle as chained
+    * CTEs, so the judged rows prove the greedy recurrence itself, not
+    * just the candidate set. */
+  private def annMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.mmrTopK(e.filter(col("vec_id") < 8), e, "embedding", "vec_id",
+      k = 5, lambdaRel = 0.7, candK = 20)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-bucketed top-k — oracle-checked: the codebook (first nlist
     * corpus vectors) reconstructs inside the SQL, assignments/probes
     * replicate the struct-max tie-break (higher dot, then higher cell
@@ -496,6 +509,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
     "ann_filtered" -> (annFiltered _),
+    "ann_mmr" -> (annMmr _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_ivf_delete" -> (annIvfDelete _),
     "ann_pq" -> (annPq _),
@@ -887,6 +901,54 @@ object SimilarityQueries extends QuerySection {
     // (per-row assignment: a filter never moves vectors between cells)
     "ann_filtered" -> ivfOracleWith(
       "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
+    // the 5 greedy MMR steps unrolled: each step joins the remaining
+    // candidates against the cumulative selection, takes max pairwise
+    // sim (rounded 6dp, like rel), and argmaxes 0.7·rel − (1−0.7)·ms
+    // with ties by corpus_id — the same doubles Spark computes
+    "ann_mmr" -> {
+      def step(i: Int): String = {
+        val (r, sel, s) = (s"r${i - 1}", s"sel${i - 1}", s"s$i")
+        s"""m$i AS (SELECT r.query_id, r.corpus_id,
+           |    max(round(list_cosine_similarity(r.cv, s.cv), 6)) AS ms
+           |  FROM $r r JOIN $sel s ON r.query_id = s.query_id
+           |  GROUP BY 1, 2),
+           |$s AS (SELECT r.query_id, r.corpus_id, r.cos, r.cv,
+           |    $i AS rank
+           |  FROM $r r JOIN m$i m ON r.query_id = m.query_id
+           |    AND r.corpus_id = m.corpus_id
+           |  QUALIFY row_number() OVER (PARTITION BY r.query_id
+           |    ORDER BY 0.7 * r.cos - (1.0 - 0.7) * m.ms DESC,
+           |      r.corpus_id) = 1),
+           |sel$i AS (SELECT * FROM $sel UNION ALL SELECT * FROM $s),
+           |r$i AS (SELECT c.* FROM r${i - 1} c LEFT JOIN $s
+           |  ON c.query_id = $s.query_id AND c.corpus_id = $s.corpus_id
+           |  WHERE $s.corpus_id IS NULL)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id < 8),
+         |scored AS (SELECT query_id, e.vec_id AS corpus_id,
+         |    round(list_cosine_similarity(qv, e.v), 6) AS cos,
+         |    e.v AS cv
+         |  FROM q JOIN e ON e.vec_id <> query_id),
+         |cand AS (SELECT * FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, corpus_id) <= 20),
+         |s1 AS (SELECT query_id, corpus_id, cos, cv, 1 AS rank
+         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, corpus_id) = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |r1 AS (SELECT c.* FROM cand c LEFT JOIN s1
+         |  ON c.query_id = s1.query_id AND c.corpus_id = s1.corpus_id
+         |  WHERE s1.corpus_id IS NULL),
+         |${step(2)},
+         |${step(3)},
+         |${step(4)},
+         |${step(5)}
+         |SELECT query_id, corpus_id, cos, rank FROM sel5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "ann_ivf_incremental" -> ivfOracle,
     "ann_ivf_delete" -> ivfOracleWith("e.vec_id % 7 <> 0"),
     "ann_knn_classify" ->
