@@ -178,6 +178,28 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered search under a STARVING predicate — the k-guarantee
+    * ([[Ann.ivfIndexTopKEscalating]]) judged end-to-end. The attribute
+    * predicate (`vid < 4`, the id stored as a payload column at build)
+    * keeps at most 4 postings alive in the WHOLE index, so every
+    * query's first probe (nprobe = 1) comes back short of k = 5 and
+    * escalation widens cell coverage 1 → 2 → 4 → 8 (= nlist, every
+    * cell): the judged rows are therefore the EXACT filtered top-k
+    * over all cells — precisely the oracle's brute-force replica over
+    * the predicate-restricted corpus. Fewer matches than k exist
+    * anywhere, so no query can stop early: the escalation path is
+    * FORCED and the judged semantics are deterministic at every SF. */
+  private def annFilteredEscalate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = graft.etl.Utils.scratchDir("graft_ivfesc") + "/idx"
+    Ann.buildIvfIndex(e.withColumn("vid", col("vec_id")), "embedding",
+      "vec_id", path, nlist = 8, attrCols = Seq("vid"))
+    Ann.ivfIndexTopKEscalating(s, e.filter(col("vec_id") < 10),
+        "embedding", "vec_id", path, k = 5, nprobe = 1,
+        where = Some(col("vid") < 4))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** MMR diversity re-ranking ([[Ann.mmrTopK]]): greedy maximal
     * marginal relevance over the exact top-20 candidates — the five
     * selection steps (λ = 0.7, ties by corpus id, 6-dp-rounded
@@ -509,6 +531,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_escalate" -> (annFilteredEscalate _),
     "ann_mmr" -> (annMmr _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_ivf_delete" -> (annIvfDelete _),
@@ -901,6 +924,22 @@ object SimilarityQueries extends QuerySection {
     // (per-row assignment: a filter never moves vectors between cells)
     "ann_filtered" -> ivfOracleWith(
       "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
+    // forced full escalation (matches < k everywhere) ≡ exact filtered
+    // brute-force top-k over the predicate-restricted corpus
+    "ann_filtered_escalate" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos
+        |  FROM q JOIN c ON query_id <> corpus_id)
+        |SELECT query_id, corpus_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // the 5 greedy MMR steps unrolled: each step joins the remaining
     // candidates against the cumulative selection, takes max pairwise
     // sim (rounded 6dp, like rel), and argmaxes 0.7·rel − (1−0.7)·ms

@@ -154,10 +154,17 @@ object Ann {
             }
             j += 1
           }
-          picked(best) = true
-          selVecs += cs(best)._4
-          out += ((q, cs(best)._2, cs(best)._3, rank))
-          rank += 1
+          // every remaining candidate scored NaN (zero-norm vectors
+          // make cos6 0/0, and NaN fails both > and ==): stop the
+          // greedy loop short — skip, don't throw, the convention the
+          // probe and codec paths follow
+          if (best < 0) rank = kEff + 1
+          else {
+            picked(best) = true
+            selVecs += cs(best)._4
+            out += ((q, cs(best)._2, cs(best)._3, rank))
+            rank += 1
+          }
         }
         out.result().iterator
       }
@@ -540,6 +547,31 @@ object Ann {
     // documents — which here is just a parameter, not a rebuild.
     val scan = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isin(cells: _*))
+    // the predicate may reference ONLY the attribute payload stored at
+    // build time (buildIvfIndex attrCols) — validated by analyzing it
+    // against the attrs-only schema, so a predicate naming a column
+    // that exists for another reason (cell/corpus_id/cv, or a stray
+    // 'batch') fails HERE with the build-time vocabulary named, not
+    // later as an opaque AnalysisException (or worse, a silent filter
+    // over meaningless data)
+    where.foreach { p =>
+      // a DETACHED empty frame: analyzing against scan.drop(...) would
+      // let ResolveMissingReferences resolve dropped columns back
+      // through the lineage and accept a cell/corpus_id/cv predicate
+      val attrFields = scan.schema.fields.filterNot(f =>
+        Set("cell", "corpus_id", "cv", "batch").contains(f.name))
+      val attrsOnly = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(attrFields))
+      try { attrsOnly.filter(p); () }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            "filtered-search predicate must reference only attribute " +
+              s"columns stored via buildIvfIndex attrCols " +
+              s"(available: ${attrsOnly.columns.mkString(", ")})", e)
+      }
+    }
     val filtered = where.map(scan.filter).getOrElse(scan)
     // tombstoned ids mask here too: EVERY probe over the stored layout
     // honors the "delete is visible immediately" contract, not just the
@@ -549,6 +581,57 @@ object Ann {
       filtered.select(col("cell"), col("corpus_id"), col("cv")),
       "corpus_id", s"$path/tombstones")
     rankCellCandidates(post, q, k)
+  }
+
+  /** Filtered top-k with a K-GUARANTEE — the fix for the classic
+    * filtered-ANN failure mode: a highly selective predicate inside the
+    * `nprobe` probed cells can return FEWER than k results even when k
+    * matches exist in unprobed cells. This variant escalates PER QUERY:
+    * any query whose survivors fall short of k re-probes with a doubled
+    * nprobe (2·p, 4·p, …, capped at nlist — at nlist the probe covers
+    * every cell, i.e. an exact filtered scan of the index), while
+    * queries already satisfied keep the rows of the round that
+    * satisfied them (a neighbor's starvation must not perturb their
+    * results). Terminates after ≤ ⌈log₂(nlist/nprobe)⌉ + 1 rounds; a
+    * query with fewer than k matches in the ENTIRE index ends at the
+    * full scan with all its matches — the strongest guarantee possible.
+    *
+    * Scale shape: each round is one [[ivfIndexTopK]] over the still-
+    * starved queries only (broadcast-sized by contract), the per-round
+    * satisfaction check is a count over ≤ k·|queries| rows, and each
+    * round's survivors pin eagerly so the final union re-executes no
+    * probe. Escalation cost is paid ONLY by starved queries — the
+    * selective-predicate tail — never by the batch. */
+  def ivfIndexTopKEscalating(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, nprobe: Int = 2, where: Option[Column] = None): DataFrame = {
+    val nlist = readCodebook(spark, path).length
+    var probe = math.min(math.max(nprobe, 1), nlist)
+    var remaining = queries
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var exhausted = false
+    while (!exhausted) {
+      val res = graft.plans.Pin.pin(
+        ivfIndexTopK(spark, remaining, vecCol, idCol, path, k, probe,
+          where))
+      if (probe >= nlist) { rounds += res; exhausted = true }
+      else {
+        val satisfied = res.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
+          .select(col("query_id"))
+        val starved = remaining.select(col(idCol)).distinct()
+          .join(satisfied, col(idCol) === col("query_id"), "left_anti")
+          .collect().map(_.get(0))
+        if (starved.isEmpty) { rounds += res; exhausted = true }
+        else {
+          rounds += res.join(broadcast(satisfied), Seq("query_id"),
+            "left_semi")
+          remaining = remaining.filter(col(idCol).isin(starved: _*))
+          probe = math.min(probe * 2, nlist)
+        }
+      }
+    }
+    rounds.reduce(_ unionByName _)
   }
 
   /** Append a corpus increment to a stored IVF index as ONE batch
@@ -630,14 +713,42 @@ object Ann {
     // preserve the LIVE postings schema wholesale: an index built with
     // an attribute payload (buildIvfIndex attrCols — filtered search)
     // must not lose its filter columns to a maintenance rewrite.
-    // Increments appended by the streaming path carry no payload, so
-    // they fold in with null attributes (allowMissingColumns) — a
+    // Increments are projected DOWN to the live schema before the
+    // union — their 'batch' partition column must not leak into the
+    // postings schema (it would drift on every vacuum of a streamed
+    // index), and attrCols they never carried fold in as nulls — a
     // filtered probe then simply never matches them, which is the
     // honest semantic for rows whose metadata was never ingested.
-    var post = spark.read.parquet(live.toString)
+    val liveDf = spark.read.parquet(live.toString)
+    val liveCols = liveDf.columns.toSeq
+    def inLiveSchema(df: DataFrame, pri: Int): DataFrame = {
+      val cols = liveCols.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(liveDf.schema(c).dataType).as(c)
+      }
+      val batch = if (df.columns.contains("batch"))
+        col("batch").cast("long") else lit(-1L)
+      df.select(cols :+ lit(pri).as("__pri") :+ batch.as("__batch"): _*)
+    }
+    var post = inLiveSchema(liveDf, 0)
     readSnapshot(spark, s"$path/increments", incrSnap).foreach(i =>
-      post = post.unionByName(i, allowMissingColumns = true))
-    post = post.dropDuplicates("corpus_id")
+      post = post.unionByName(inLiveSchema(i, 1)))
+    // one-vector-per-id contract, resolved DETERMINISTICALLY: prefer
+    // the row with the most non-null attribute metadata (an increment
+    // folded with null attrs must never shadow the attribute-bearing
+    // live posting — a bare dropDuplicates could keep either row and
+    // permanently erase a vector's filter metadata), then live over
+    // increment, then the newest batch; final hash tie-break makes
+    // the survivor a pure function of the data.
+    val attrs = liveCols.filterNot(Set("cell", "corpus_id", "cv"))
+    val nullAttrs = attrs.map(c => when(col(c).isNull, 1).otherwise(0))
+      .reduceOption[Column](_ + _).getOrElse(lit(0))
+    val w = Window.partitionBy(col("corpus_id")).orderBy(
+      nullAttrs.asc, col("__pri").asc, col("__batch").desc,
+      col("cell"), hash(col("cv")))
+    post = post.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__pri", "__batch")
     readSnapshot(spark, s"$path/tombstones", tombSnap).foreach(t =>
       post = post.join(t.distinct(), Seq("corpus_id"), "left_anti"))
     swapStaged(live, staged) { dir =>

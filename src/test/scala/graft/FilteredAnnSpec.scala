@@ -82,6 +82,96 @@ class FilteredAnnSpec extends SparkSpec {
     assert(before.map(_.getLong(0)).toSet == after.map(_.getLong(0)).toSet)
   }
 
+  test("escalating probe guarantees min(k, matches) per query and " +
+    "equals the exact filtered top-k when escalation exhausts cells") {
+    val e = emb.withColumn("vid", col("vec_id"))
+    val path = graft.etl.Utils.scratchDir("graft_fltesc") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("vid"))
+    val q = e.filter(col("vec_id") < 10)
+    // only 4 matching postings exist in the whole index (< k = 5), so
+    // every query is forced through the full 1→2→4→8 escalation and
+    // the result must equal the brute-force filtered top-k
+    val got = Ann.ivfIndexTopKEscalating(spark, q, "embedding",
+        "vec_id", path, k = 5, nprobe = 1,
+        where = Some(col("vid") < 4))
+      .orderBy(col("query_id"), col("rank")).collect()
+    val ref = Ann.bruteTopK(q, emb.filter(col("vec_id") < 4),
+        "embedding", "vec_id", k = 5)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(got.map(_.toString).toSeq === ref.map(_.toString).toSeq)
+    // each query got every match the index holds: 3 for queries that
+    // are themselves in the filtered set (self excluded), 4 otherwise
+    val counts = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    (0L until 10L).foreach { qid =>
+      assert(counts(qid) == (if (qid < 4) 3 else 4), s"q=$qid")
+    }
+  }
+
+  test("escalating probe leaves satisfied queries untouched (equals " +
+    "the plain probe when no query starves)") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltnoesc") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("label"))
+    val q = e.filter(col("vec_id") < 6)
+    val pred = Some(col("label") >= 0) // matches everything
+    val esc = Ann.ivfIndexTopKEscalating(spark, q, "embedding",
+        "vec_id", path, k = 5, nprobe = 3, where = pred)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val plain = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path,
+        k = 5, nprobe = 3, where = pred)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(esc.map(_.toString).toSeq === plain.map(_.toString).toSeq)
+  }
+
+  test("predicate naming a non-attribute column fails fast with the " +
+    "attrCols vocabulary, not an opaque scan error") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltbadpred") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("label"))
+    val q = e.filter(col("vec_id") < 3)
+    val err = intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path, k = 5,
+        nprobe = 3, where = Some(col("no_such_attr") === 1))
+    }
+    assert(err.getMessage.contains("attrCols"))
+    assert(err.getMessage.contains("label"))
+    // internal layout columns are rejected too — a predicate on them
+    // would filter on meaningless data, never a judged semantic
+    intercept[IllegalArgumentException] {
+      Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path, k = 5,
+        nprobe = 3, where = Some(col("corpus_id") < 10))
+    }
+  }
+
+  test("vacuum keeps the attribute-bearing live posting when an " +
+    "increment re-ingests the same id without attributes, and the " +
+    "increment 'batch' column never leaks into the postings schema") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltdet") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("label"))
+    // streamed increment re-ingests ids 0..19 — appendIvfBatch carries
+    // no attribute payload and adds a 'batch' partition column
+    Ann.appendIvfBatch(spark, e.filter(col("vec_id") < 20), "embedding",
+      "vec_id", path, batchId = 7L)
+    Ann.vacuumIvfIndex(spark, path)
+    val post = spark.read.parquet(s"$path/postings")
+    assert(!post.columns.contains("batch"),
+      s"batch leaked: ${post.columns.mkString(",")}")
+    // deterministic survivor: the live attribute-bearing row wins, so
+    // every id still carries its label and filtered probes still see it
+    val nullLabels = post.filter(col("label").isNull).count()
+    assert(nullLabels == 0, s"$nullLabels ids lost their filter metadata")
+    assert(post.select(col("corpus_id")).distinct().count() == post.count())
+    val q = e.filter(col("vec_id") < 6)
+    val res = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path,
+      k = 5, nprobe = 3, where = Some(col("label") >= 0)).collect()
+    assert(res.nonEmpty)
+  }
+
   test("selective filters return short lists, never wrong neighbors") {
     val e = emb
     val path = graft.etl.Utils.scratchDir("graft_fltsel") + "/idx"

@@ -45,6 +45,22 @@ class MmrSpec extends SparkSpec {
     assert(mmr.map(_.toString).toSeq === brute.map(_.toString).toSeq)
   }
 
+  test("zero-norm vectors (NaN cosine everywhere) stop the greedy " +
+    "loop short instead of throwing") {
+    // all-zero vectors: cosine is 0/0 = NaN for every pair, so no
+    // candidate ever carries a finite score — the loop must emit
+    // nothing (skip, don't throw), not die on picked(-1)
+    val zeros = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mmrTopK(zeros.filter(col("vec_id") === 0), zeros,
+      "embedding", "vec_id", k = 2, lambdaRel = 0.5, candK = 2)
+      .collect()
+    assert(out.isEmpty || out.forall(!_.getDouble(2).isNaN))
+  }
+
   test("selection is a permutation of candidates: k distinct picks " +
     "per query, relevance scores preserved") {
     val e = graft.Tables.load(spark, sf001, "embeddings")
