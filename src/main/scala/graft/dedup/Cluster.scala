@@ -57,12 +57,12 @@ object Cluster {
     // checkpoint the raw pairs once: both paths re-read them, and the
     // upstream pair generation (an LSH/shingle join, the most expensive
     // stage of the whole dedup) must not re-execute per use
-    val oneWay = edges.select(col(srcCol).cast("long").as("node"),
-      col(dstCol).cast("long").as("nbr"))
-      .transform(graft.plans.Pin.pin)
+    val (oneWay, owBytes) = graft.plans.Pin.pinSized(
+      edges.select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("nbr")))
     val edgeCount = oneWay.count() // cheap: scans checkpoint blocks
     if (edgeCount <= smallGraphEdges) driverUnionFind(oneWay)
-    else distributedCC(oneWay, edgeCount, maxIter)._1
+    else distributedCC(oneWay, owBytes, edgeCount, maxIter)._1
   }
 
   /** [[connectedComponents]] forced onto the distributed path, also
@@ -71,10 +71,10 @@ object Cluster {
   private[graft] def connectedComponentsWithRounds(edges: DataFrame,
       srcCol: String, dstCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
-    val oneWay = edges.select(col(srcCol).cast("long").as("node"),
-      col(dstCol).cast("long").as("nbr"))
-      .transform(graft.plans.Pin.pin)
-    distributedCC(oneWay, oneWay.count(), maxIter)
+    val (oneWay, owBytes) = graft.plans.Pin.pinSized(
+      edges.select(col(srcCol).cast("long").as("node"),
+        col(dstCol).cast("long").as("nbr")))
+    distributedCC(oneWay, owBytes, oneWay.count(), maxIter)
   }
 
   /** Small-graph path: one collect + path-compressed union-find. */
@@ -102,8 +102,8 @@ object Cluster {
 
   /** Large-graph path: alternating large-star / small-star rounds.
     * Returns (components, rounds-to-fixpoint-detection). */
-  private def distributedCC(oneWay: DataFrame, edgeCount: Long,
-      maxIter: Int): (DataFrame, Int) = {
+  private def distributedCC(oneWay: DataFrame, owBytes: Long,
+      edgeCount: Long, maxIter: Int): (DataFrame, Int) = {
     // partitions sized to the graph, not to the corpus that produced it:
     // a handful of tasks for a small pair graph, thousands for billions
     // of edges (~1M edges ≈ 16 MB per partition)
@@ -122,7 +122,10 @@ object Cluster {
         least(col("node"), col("nbr")).as("v"))
       .distinct()
       .repartition(nParts, col("u"))
-      .transform(graft.plans.Pin.pin) // leaf lineage, same as every round below
+      // leaf lineage, same as every round below; contraction only ever
+      // SHRINKS the edge frame, so the measured root bytes price every
+      // round's pin in one shot
+      .transform(graft.plans.Pin.pinHinted(_, owBytes))
     var fingerprint = e.agg(count(lit(1)), sum(col("u")), sum(col("v")))
       .collect()(0).toSeq
     var converged = false
@@ -153,7 +156,7 @@ object Cluster {
       // plan ~16× per round and explode exponentially; the eager
       // checkpoint truncates to a leaf and doubles as the
       // fingerprint's materializing action
-      val next = next0.transform(graft.plans.Pin.pin)
+      val next = next0.transform(graft.plans.Pin.pinHinted(_, owBytes))
       // at the star fixpoint BOTH operations are identities and edge
       // endpoints only ever decrease, so an unchanged fingerprint is
       // the fixpoint, never a coincidence

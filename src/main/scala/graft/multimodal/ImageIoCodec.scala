@@ -376,8 +376,32 @@ object SyntheticImages {
         val h = (16 * (id % 3 + 1)).toInt
         val vcodec = Seq("avc1", "mp4v", "hvc1")((id % 3).toInt)
         val acodec = if (id % 2 == 1) Some("mp4a") else None
+        // SAMPLE TABLES, every field a pure id formula so DuckDB can
+        // replay per-track stats from the grammar the probe must walk:
+        // n samples with sizes 50 + (id·31 + i·17) mod 211, stts in
+        // TWO runs (first ⌊n/2⌋ at d1, rest at d1+50 — so fps is a
+        // real duration-weighted quotient, not samples/constant), and
+        // stss every (id mod 4 + 2)-th sample — ABSENT on id ≡ 0
+        // (mod 6), the all-sync branch. Audio (odd ids): 10 fixed
+        // 64-byte samples at delta 160, no stss, timescale 8000.
+        val n = (8 * (id % 5 + 1)).toInt
+        val d1 = (100 * (id % 3 + 1)).toInt
+        val s = (id % 4 + 2).toInt
+        val vTables = Mp4Codec.SampleTables(
+          sizes = (0 until n).map(i =>
+            (50 + (id * 31 + i * 17) % 211).toInt),
+          sttsRuns = Seq((n / 2, d1), (n - n / 2, d1 + 50)),
+          syncSamples = if (id % 6 == 0) None
+          else Some((1 to n by s).toSeq))
+        val aTables = Mp4Codec.SampleTables(
+          sizes = Seq.fill(10)(64),
+          sttsRuns = Seq((10, 160)),
+          syncSamples = None)
         val bytes = Mp4Codec.mux("isom", ver, timescale, duration,
-          w, h, vcodec, acodec, largeSizeMdat = id % 5 == 0)
+          w, h, vcodec, acodec, largeSizeMdat = id % 5 == 0,
+          videoTables = Some(vTables), audioTables = Some(aTables),
+          videoMediaTimescale = 600L * (id % 2 + 1),
+          audioMediaTimescale = 8000L)
         Row(id, "video", bytes, "mp4", w, h,
           duration * 1000L / timescale)
       }

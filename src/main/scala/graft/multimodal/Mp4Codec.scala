@@ -54,18 +54,55 @@ object Mp4Codec {
   def isMp4(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 16 && fcc(bytes, 4) == "ftyp"
 
+  /** Per-track SAMPLE-TABLE statistics — what a 100 TB video curation
+    * pass actually filters on (per-track fps, bitrate, keyframe
+    * density), still pure byte arithmetic over `stsz`/`stts`/`stss`,
+    * no codec anywhere. Integer facts only; the ratio columns (fps =
+    * samples·timescale/duration, bitrate = 8·bytes·timescale/duration,
+    * keyframe density) are derived downstream so both engines round
+    * the same doubles. Per 14496-12, an ABSENT `stss` means every
+    * sample is a sync sample — `nKeyframes` then equals `nSamples`
+    * and `hasStss` records the distinction. */
+  final case class TrackStats(
+      track: Int, // 1-based position of the trak box in file order
+      handler: String, // 'vide' / 'soun' / …
+      codec: String, // first stsd sample-entry fourcc
+      mediaTimescale: Long, // mdhd timescale (units/second)
+      nSamples: Long, // stsz sample_count
+      durationUnits: Long, // Σ stts count·delta, in mdhd units
+      totalBytes: Long, // Σ stsz sizes (fixed-size form: size·count)
+      nKeyframes: Long, // stss entry_count, or nSamples when absent
+      hasStss: Boolean)
+
   // per-track accumulator while walking one `trak` subtree
   private final class TrakState {
     var handler: String = ""
     var w: Int = 0
     var h: Int = 0
     var codec: String = ""
+    var mdhdTimescale: Long = 0L
+    var nSamples: Long = 0L
+    var durationUnits: Long = 0L
+    var totalBytes: Long = 0L
+    var stssCount: Long = 0L
+    var hasStss: Boolean = false
   }
 
   /** Walk the container and collect movie-level metadata. Returns
     * `None` only when the bytes are not ISO-BMFF at all. */
-  def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] = {
+  def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] =
+    parseAll(bytes).map(_._1)
+
+  /** Per-track sample-table statistics ([[TrackStats]]), in file
+    * order. Empty when the bytes are not ISO-BMFF (or carry no trak
+    * boxes) — total on corrupt input like [[parseMeta]]. */
+  def parseTracks(bytes: Array[Byte]): Seq[TrackStats] =
+    parseAll(bytes).map(_._2).getOrElse(Seq.empty)
+
+  private def parseAll(
+      bytes: Array[Byte]): Option[(Mp4Meta, Seq[TrackStats])] = {
     if (!isMp4(bytes)) return None
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackStats]
     var brand = ""
     var timescale = 0L
     var duration = 0L
@@ -125,6 +162,10 @@ object Mp4Codec {
             } else if (t.handler == "soun" && audioCodec.isEmpty) {
               audioCodec = Some(t.codec).filter(_.nonEmpty)
             }
+            tracks += TrackStats(nTracks, t.handler, t.codec,
+              t.mdhdTimescale, t.nSamples, t.durationUnits,
+              t.totalBytes,
+              if (t.hasStss) t.stssCount else t.nSamples, t.hasStss)
           case "tkhd" if trak != null && q + 4 <= qEnd =>
             val v = bytes(q) & 0xFF
             // FullBox payload → width offset: verflags(4) + times/ids
@@ -141,6 +182,47 @@ object Mp4Codec {
             // verflags(4) entry_count(4), then first sample entry:
             // size(4) format(4cc) — the codec identity
             if (beU32(bytes, q + 4) >= 1) trak.codec = fcc(bytes, q + 12)
+          case "mdhd" if trak != null && q + 4 <= qEnd =>
+            // media timescale: same v0/v1 time layouts as mvhd
+            val v = bytes(q) & 0xFF
+            if (v == 1 && q + 24 <= qEnd)
+              trak.mdhdTimescale = beU32(bytes, q + 20)
+            else if (v == 0 && q + 16 <= qEnd)
+              trak.mdhdTimescale = beU32(bytes, q + 12)
+          case "stsz" if trak != null && q + 12 <= qEnd =>
+            // verflags(4) sample_size(4) sample_count(4); size == 0 ⇒
+            // per-sample u32 table follows, else fixed-size form
+            val fixed = beU32(bytes, q + 4)
+            val cnt = beU32(bytes, q + 8)
+            trak.nSamples = cnt
+            if (fixed != 0L) trak.totalBytes = fixed * cnt
+            else {
+              var i = 0L
+              var tot = 0L
+              var o = q + 12
+              while (i < cnt && o + 4 <= qEnd) {
+                tot += beU32(bytes, o); o += 4; i += 1
+              }
+              trak.totalBytes = tot // truncated table: what parsed
+            }
+          case "stts" if trak != null && q + 8 <= qEnd =>
+            // verflags(4) entry_count(4), entries × (count, delta):
+            // duration = Σ count·delta in mdhd units
+            val entries = beU32(bytes, q + 4)
+            var i = 0L
+            var dur = 0L
+            var o = q + 8
+            while (i < entries && o + 8 <= qEnd) {
+              dur += beU32(bytes, o) * beU32(bytes, o + 4)
+              o += 8; i += 1
+            }
+            trak.durationUnits = dur
+          case "stss" if trak != null && q + 8 <= qEnd =>
+            // sync-sample table: only the entry COUNT matters for
+            // keyframe density; absence means all-sync (handled at
+            // the trak fold)
+            trak.hasStss = true
+            trak.stssCount = beU32(bytes, q + 4)
           case t0 if containers(t0) =>
             walk(q, qEnd, trak, depth + 1)
           case _ => () // mdat/free/…: skip by size
@@ -162,8 +244,8 @@ object Mp4Codec {
         val q = duration / timescale
         if (q > Long.MaxValue / 1000L) Long.MaxValue else q * 1000L
       } else duration * 1000L / timescale
-    Some(Mp4Meta(brand, timescale, durationMs,
-      nTracks, width, height, videoCodec, audioCodec))
+    Some((Mp4Meta(brand, timescale, durationMs,
+      nTracks, width, height, videoCodec, audioCodec), tracks.toSeq))
   }
 
   // ---- writer (fixtures/specs: procedural corpora need a muxer) ----
@@ -215,9 +297,33 @@ object Mp4Codec {
       be16b(2), be16b(16), be16b(0), be16b(0),
       be32b(sampleRate.toLong << 16))
 
+  /** Sample-table content for the muxer: per-sample sizes (`stsz`
+    * table form), time-to-sample runs (`stts` (count, delta) pairs),
+    * and optionally the sync-sample numbers (`stss`; None = box
+    * absent = every sample is sync). */
+  final case class SampleTables(sizes: Seq[Int],
+      sttsRuns: Seq[(Int, Int)], syncSamples: Option[Seq[Int]])
+
+  private def sampleBoxes(t: SampleTables): Array[Byte] = {
+    val stsz = fullBox("stsz", 0, be32b(0L),
+      be32b(t.sizes.length.toLong),
+      t.sizes.toArray.flatMap(s => be32b(s.toLong)))
+    val stts = fullBox("stts", 0, be32b(t.sttsRuns.length.toLong),
+      t.sttsRuns.toArray.flatMap { case (c, d) =>
+        be32b(c.toLong) ++ be32b(d.toLong)
+      })
+    val stss = t.syncSamples.map(ss => fullBox("stss", 0,
+      be32b(ss.length.toLong),
+      ss.toArray.flatMap(n => be32b(n.toLong))))
+      .getOrElse(Array.emptyByteArray)
+    stsz ++ stts ++ stss
+  }
+
   private def trak(version: Int, trackId: Long, duration: Long,
       handler: String, w: Int, h: Int,
-      sampleEntry: Array[Byte]): Array[Byte] = {
+      sampleEntry: Array[Byte],
+      mediaTimescale: Long = 600L,
+      samples: Option[SampleTables] = None): Array[Byte] = {
     val tkhd =
       if (version == 1)
         fullBox("tkhd", 1, be64b(0L), be64b(0L), be32b(trackId),
@@ -233,16 +339,17 @@ object Mp4Codec {
           be32b(w.toLong << 16), be32b(h.toLong << 16))
     val mdhd =
       if (version == 1)
-        fullBox("mdhd", 1, be64b(0L), be64b(0L), be32b(600L),
+        fullBox("mdhd", 1, be64b(0L), be64b(0L), be32b(mediaTimescale),
           be64b(duration), be16b(0x55C4), be16b(0)) // 'und' language
       else
-        fullBox("mdhd", 0, be32b(0L), be32b(0L), be32b(600L),
+        fullBox("mdhd", 0, be32b(0L), be32b(0L), be32b(mediaTimescale),
           be32b(duration), be16b(0x55C4), be16b(0))
     val hdlr = fullBox("hdlr", 0, be32b(0L),
       handler.getBytes("US-ASCII"), new Array[Byte](12),
       Array(0.toByte)) // null-terminated empty name
     val stsd = fullBox("stsd", 0, be32b(1L), sampleEntry)
-    val stbl = box("stbl", stsd)
+    val stbl = box("stbl",
+      stsd ++ samples.map(sampleBoxes).getOrElse(Array.emptyByteArray))
     val minf = box("minf", stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)
     box("trak", tkhd, mdia)
@@ -261,7 +368,11 @@ object Mp4Codec {
   def mux(brand: String, version: Int, timescale: Long, duration: Long,
       w: Int, h: Int, videoCodec: String,
       audioCodec: Option[String], largeSizeMdat: Boolean,
-      mdatBytes: Int = 64): Array[Byte] = {
+      mdatBytes: Int = 64,
+      videoTables: Option[SampleTables] = None,
+      audioTables: Option[SampleTables] = None,
+      videoMediaTimescale: Long = 600L,
+      audioMediaTimescale: Long = 600L): Array[Byte] = {
     val ftyp = box("ftyp", brand.getBytes("US-ASCII"), be32b(512L),
       "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
     val free = box("free", new Array[Byte](12))
@@ -280,11 +391,12 @@ object Mp4Codec {
           new Array[Byte](10), identityMatrix, new Array[Byte](24),
           be32b(3L))
     val vtrak = trak(version, 1L, duration, "vide", w, h,
-      visualSampleEntry(videoCodec, w, h))
+      visualSampleEntry(videoCodec, w, h), videoMediaTimescale,
+      videoTables)
     val traks = audioCodec match {
       case Some(ac) =>
         vtrak ++ trak(version, 2L, duration, "soun", 0, 0,
-          audioSampleEntry(ac, 8000))
+          audioSampleEntry(ac, 8000), audioMediaTimescale, audioTables)
       case None => vtrak
     }
     val moov = box("moov", mvhd, traks)

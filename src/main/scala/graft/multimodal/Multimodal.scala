@@ -289,6 +289,51 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-track SAMPLE-TABLE statistics over ISO-BMFF payloads
+    * ([[Mp4Codec.parseTracks]]): sample count, media-timescale
+    * duration, total sample bytes and sync-sample count from
+    * `stsz`/`stts`/`stss` — still pure byte arithmetic, no codec —
+    * plus the three derived ratios a video curation gate actually
+    * thresholds on: duration-weighted fps
+    * (samples·timescale/duration), average bitrate
+    * (8·bytes·timescale/duration) and keyframe density
+    * (keyframes/samples). The ratios are computed as COLUMN
+    * expressions over the probe's integer facts, so the oracle rounds
+    * the identical exact-integer-quotient doubles. One narrow row per
+    * (payload, track); binaries never leave the scan stage. */
+  def probeMp4Tracks(df: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track", IntegerType, nullable = false),
+      StructField("handler", StringType, nullable = true),
+      StructField("codec", StringType, nullable = true),
+      StructField("media_timescale", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_units", LongType, nullable = false),
+      StructField("total_bytes", LongType, nullable = false),
+      StructField("n_keyframes", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = df.schema.fieldNames.zipWithIndex.toMap
+    val (ii, ci) = (idx("media_id"), idx("content"))
+    val facts = df.mapPartitions { it =>
+      it.flatMap { row =>
+        Mp4Codec.parseTracks(row.getAs[Array[Byte]](ci)).map { t =>
+          Row(row.getLong(ii), t.track, t.handler, t.codec,
+            t.mediaTimescale, t.nSamples, t.durationUnits,
+            t.totalBytes, t.nKeyframes)
+        }
+      }
+    }(enc)
+    facts.withColumn("fps",
+        round((col("n_samples") * col("media_timescale"))
+          .cast("double") / col("duration_units"), 4))
+      .withColumn("bitrate_bps",
+        round((lit(8) * col("total_bytes") * col("media_timescale"))
+          .cast("double") / col("duration_units"), 2))
+      .withColumn("keyframe_density",
+        round(col("n_keyframes").cast("double") / col("n_samples"), 4))
+  }
+
   /** Metadata-only stats — proves binary pruning: the plan never reads
     * `content` (check ReadSchema in explain). */
   def mediaStats(df: DataFrame): DataFrame =

@@ -40,10 +40,14 @@ object CheapestPath {
   def cheapestPaths(edges: DataFrame, sources: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"),
-      col("w").cast("long").as("w")).transform(graft.plans.Pin.pin)
+    // measured root pin; relaxation frames are node-grained ⊆ the
+    // edge frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst"),
+        col("w").cast("long").as("w")))
     var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).transform(graft.plans.Pin.pin)
+      .withColumn("dist", lit(0L))
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
@@ -51,7 +55,7 @@ object CheapestPath {
         .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .unionByName(dist)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
       // converged iff nothing improved: relaxation is monotone
       // non-increasing per node and can only add nodes, so comparing
       // (rows, total mass) detects any change without a join

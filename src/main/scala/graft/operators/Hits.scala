@@ -45,11 +45,13 @@ object Hits {
   def hits(edges: DataFrame, iters: Int = 2,
       pinEachRound: Boolean = true): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
-    val e = edges.transform(graft.plans.Pin.pin)
+    // measured root pin; score vectors are node-grained ⊆ the edge
+    // frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(edges)
     val srcs = e.select(col("src").as("node")).distinct()
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val dsts = e.select(col("dst").as("node")).distinct()
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     // broadcast dispatch must key on the LARGER side's cardinality:
     // the hub vector is |srcs| rows but the auth vector is |dsts| —
     // a 1M-source / 50M-destination fan-out graph would broadcast the
@@ -67,7 +69,8 @@ object Hits {
         .select(col("node"), (col(c) / col("__tot")).as(c))
 
     val maybePin: DataFrame => DataFrame =
-      if (pinEachRound) graft.plans.Pin.pin else identity
+      if (pinEachRound) graft.plans.Pin.pinHinted(_, eBytes)
+      else identity
     var hub = srcs.withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {

@@ -42,7 +42,11 @@ object KCore {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
-    var e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
+    // measured root pin; every peel round's frame is ⊆ this edge
+    // frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e0, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst")))
+    var e = e0
     // the per-round edge count is the only driver-side value; it
     // doubles as the convergence test (peeling is monotone, so an
     // unchanged count means the fixed point is reached)
@@ -55,7 +59,7 @@ object KCore {
       val next = e
         .join(keep, e("src") === keep("node"), "left_semi")
         .join(keep, e("dst") === keep("node"), "left_semi")
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
       val n = next.count()
       if (n == nEdges) converged = true
       else { e = next; nEdges = n }

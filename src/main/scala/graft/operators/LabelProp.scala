@@ -37,10 +37,13 @@ object LabelProp {
     * edges, every node of the graph. */
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
+    // measured root pin; round frames are node-grained ⊆ the edge
+    // frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst")))
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     for (_ <- 1 to rounds) {
       val nbrMin = labels.join(e, labels("node") === e("src"))
         .groupBy(e("dst").as("nbr_node"))
@@ -50,7 +53,7 @@ object LabelProp {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
     }
     labels
   }

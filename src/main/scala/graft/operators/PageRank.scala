@@ -46,10 +46,13 @@ object PageRank {
     // the caller's edge-derivation subtree (a multi-table join +
     // distinct in `graph_pagerank`) — the derivation must run once,
     // not once per loop-invariant frame.
-    val e = edges.transform(graft.plans.Pin.pin)
+    // the ROOT pin is measured (SER-first); every dependent frame is
+    // ⊆ the edge frame, so its measured bytes price the rest of the
+    // operator in one-shot hinted pins — no per-frame re-measurement
+    val (e, eBytes) = graft.plans.Pin.pinSized(edges)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val n = nodes.count() // scalar: the only driver-side value
     require(n > 0, "pageRank needs a non-empty edge list")
     val teleport = (1.0 - damping) / n
@@ -57,7 +60,7 @@ object PageRank {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val contribEdges = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     // The superstep join's SMALL side is the rank vector — (node,
     // double), 16 bytes a row — while the edge list is the frame that
     // must never move. A checkpoint erases the edge frame's partitioning
@@ -107,28 +110,29 @@ object PageRank {
     // NaN and return silently-poisoned results instead of failing fast
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
-    val e = edges.transform(graft.plans.Pin.pin)
+    val (e, eBytes) = graft.plans.Pin.pinSized(edges)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val n = nodes.count()
     require(n > 0, "personalizedPageRank needs a non-empty edge list")
     // teleport vector: (1−d)/|S| on seeds, 0 elsewhere — one join,
     // pinned, ridden every iteration (and it doubles as the r₀ = π/(1−d)
     // start). Seeds outside the node set drop out in the inner join.
     val sd = seeds.select(col("node")).distinct()
-      .join(nodes, Seq("node")).transform(graft.plans.Pin.pin)
+      .join(nodes, Seq("node"))
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedPageRank needs ≥ 1 seed in-graph")
     val tele = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("__s").isNotNull, lit((1.0 - damping) / nSeeds))
           .otherwise(lit(0.0)).as("tele"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val contribEdges = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val hintRanks: DataFrame => DataFrame =
       if (n <= 10_000_000L) broadcast else identity
     var ranks = tele.select(col("node"),

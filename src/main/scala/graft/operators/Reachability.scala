@@ -36,9 +36,13 @@ object Reachability {
   def hopDistances(edges: DataFrame, sources: DataFrame,
       maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, s"need maxDepth >= 0, got $maxDepth")
-    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
+    // measured root pin; frontier/visited frames are node-grained ⊆
+    // the edge frame, so its bytes price the loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst")))
     var visited = sources.select(col("node")).distinct()
-      .withColumn("depth", lit(0)).transform(graft.plans.Pin.pin)
+      .withColumn("depth", lit(0))
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     var frontier = visited.select(col("node"))
     var d = 1
     var exhausted = frontier.isEmpty
@@ -46,12 +50,12 @@ object Reachability {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
       if (next.isEmpty) exhausted = true
       else {
         visited = visited
           .union(next.withColumn("depth", lit(d)))
-          .transform(graft.plans.Pin.pin)
+          .transform(graft.plans.Pin.pinHinted(_, eBytes))
         frontier = next
         d += 1
       }

@@ -55,11 +55,14 @@ object Scc {
     * in its color root's SCC (mutual ≤rounds-hop reachability). */
   def colorScc(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst")).transform(graft.plans.Pin.pin)
+    // measured root pin; every round frame is node-grained ⊆ the edge
+    // frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst")))
     var colors = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("color", col("node"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     for (_ <- 1 to rounds) {
       val inMin = colors.join(e, colors("node") === e("src"))
         .groupBy(e("dst").as("n2"))
@@ -69,12 +72,12 @@ object Scc {
         .select(col("node"),
           least(col("color"), coalesce(col("cmin"), col("color")))
             .as("color"))
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
     }
     var flags = colors
       .select(col("node"), col("color"),
         (col("node") === col("color")).as("in_scc"))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     for (_ <- 1 to rounds) {
       // flagged dst endpoints hand the flag to their in-edge srcs —
       // but only within the same color class (see scaladoc: lossless)
@@ -87,7 +90,7 @@ object Scc {
           flags("color") === toSrc("c2"), "left")
         .select(col("node"), col("color"),
           (col("in_scc") || col("n2").isNotNull).as("in_scc"))
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
     }
     flags
   }

@@ -38,11 +38,13 @@ object TemporalReach {
   def earliestArrival(edges: DataFrame, sources: DataFrame,
       startTs: Column, rounds: Int): DataFrame = {
     require(rounds >= 0, s"need rounds >= 0, got $rounds")
-    val e = edges.select(col("src"), col("dst"), col("ts"))
-      .transform(graft.plans.Pin.pin)
+    // measured root pin; arrival frames are node-grained ⊆ the edge
+    // frame, so its bytes price the whole loop (Pin.pinHinted)
+    val (e, eBytes) = graft.plans.Pin.pinSized(
+      edges.select(col("src"), col("dst"), col("ts")))
     var labels = sources.select(col("node")).distinct()
       .withColumn("arrival", startTs.cast(e.schema("ts").dataType))
-      .transform(graft.plans.Pin.pin)
+      .transform(graft.plans.Pin.pinHinted(_, eBytes))
     for (_ <- 1 to rounds) {
       val relax = labels
         .join(e, labels("node") === e("src") &&
@@ -57,7 +59,7 @@ object TemporalReach {
           // engines then agree on one-sided-null merges by construction
           least(coalesce(col("arrival"), col("arr2")),
             coalesce(col("arr2"), col("arrival"))).as("arrival"))
-        .transform(graft.plans.Pin.pin)
+        .transform(graft.plans.Pin.pinHinted(_, eBytes))
     }
     labels
   }

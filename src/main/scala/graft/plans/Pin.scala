@@ -1,9 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
-/** Spill-safe lineage pin for loop-invariant and per-round frames.
+/** Spill-safe lineage pin for loop-invariant and per-round frames,
+  * with a MEASURED storage-level tier.
   *
   * `df.localCheckpoint()` defaults to a DESERIALIZED storage level:
   * the memory store copies every `UnsafeRow` into on-heap objects, and
@@ -15,15 +17,81 @@ import org.apache.spark.storage.StorageLevel
   * was comfortable; the second scale decade exists to catch exactly
   * this). MEMORY_AND_DISK_SER stores the serialized bytes through the
   * byte-buffer unroll path instead — bounded build-up, spills to disk
-  * when memory runs out, never a row-object explosion — at a small
-  * deserialization cost per reuse that the iterative operators
-  * amortize over their supersteps.
+  * when memory runs out, never a row-object explosion — but it taxes
+  * every RE-READ with a deserialization pass, and the iterative graph
+  * operators re-read their pins once per superstep: measured 15–45%
+  * on the whole family at sf0.1 (`graph_pagerank` 3.55 → 5.05 s,
+  * `graph_kcore` 1.51 → 2.22 s, driver-to-driver under faster probes).
   *
-  * Every iterative operator (PageRank, CC, SCC, k-core, label-prop,
-  * Bellman–Ford, reachability, temporal reach) and every
+  * So the level is TIERED BY MEASURED SIZE, not guessed: every frame
+  * first pins serialized (always safe — the unroll path is bounded
+  * regardless of the frame's true size, which is unknowable before
+  * materialization; a Catalyst estimate would be a guess that joins
+  * inflate multiplicatively and compression deflates), then the ACTUAL
+  * cached bytes are read from the block manager's storage info. A
+  * frame under the small-frame budget re-pins DESERIALIZED from the
+  * serialized copy (one cheap in-memory pass — by construction only
+  * ever paid on small frames) and the serialized copy is dropped;
+  * supersteps then re-read row objects at zero decode cost. A frame
+  * over the budget stays serialized — the sf10 OOM fix intact.
+  *
+  * Budget: `spark.graft.pin.smallBytes` if set, else
+  * min(heap/32, 1 GiB) — at the bench's 32 GiB heap every sf0.1/sf1
+  * graph frame (≤ ~300 MB serialized) tiers deserialized while the
+  * sf10 117M-edge frame (multi-GB serialized) stays SER; at the
+  * 4 GiB MemStress heap the budget shrinks to 128 MB, so constrained
+  * heaps keep the spill-safe form for everything that matters.
+  *
+  * Every iterative operator (PageRank, HITS, CC, SCC, k-core,
+  * label-prop, Bellman–Ford, reachability, temporal reach) and every
   * boundary-pinning materialization in `plans.Scale` pins through
   * here, so the storage-level decision lives in one place. */
 object Pin {
-  def pin[T](df: Dataset[T]): Dataset[T] =
-    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  private def smallBytes(df: Dataset[_]): Long =
+    df.sparkSession.conf.getOption("spark.graft.pin.smallBytes")
+      .map(_.toLong)
+      .getOrElse(math.min(Runtime.getRuntime.maxMemory / 32, 1L << 30))
+
+  def pin[T](df: Dataset[T]): Dataset[T] = pinSized(df)._1
+
+  /** AUTO pin that also RETURNS the measured serialized footprint
+    * (Long.MaxValue when it could not be read — treated as big), so an
+    * operator can derive the level of its DEPENDENT pins from one
+    * measurement instead of paying the SER-first re-pin on every
+    * frame: an iterative operator measures its root edge frame once
+    * and pins every loop frame (⊆ the root by construction) through
+    * [[pinHinted]] in a single materialization. */
+  def pinSized[T](df: Dataset[T]): (Dataset[T], Long) = {
+    val ser = df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // the checkpointed Dataset's plan is a LogicalRDD over the cached
+    // RDD — its id keys the block manager's storage info, giving the
+    // frame's REAL footprint (mem + any spilled disk bytes)
+    val pinnedRdd = ser.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l.rdd
+    }
+    val bytes = pinnedRdd.flatMap { r =>
+      ser.sparkSession.sparkContext.getRDDStorageInfo
+        .find(_.id == r.id).map(i => i.memSize + i.diskSize)
+    }
+    if (bytes.exists(_ <= smallBytes(ser))) {
+      val deser = ser.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+      pinnedRdd.foreach(_.unpersist(blocking = false))
+      (deser, bytes.get)
+    } else (ser, bytes.getOrElse(Long.MaxValue))
+  }
+
+  /** ONE-SHOT pin at the level a frame of `hintBytes` serialized size
+    * warrants — no SER-first measurement pass. For frames BOUNDED by
+    * an already-measured sibling: every per-round frame of an
+    * iterative operator is at most nodes ⊆ edges, so the root edge
+    * frame's [[pinSized]] measurement prices the whole loop. The hint
+    * errs conservative at scale (a multi-GB edge frame keeps every
+    * loop frame serialized — the sf10-OOM-safe form); under the budget
+    * it recovers the zero-decode re-reads the superstep family lives
+    * on. */
+  def pinHinted[T](df: Dataset[T], hintBytes: Long): Dataset[T] =
+    df.localCheckpoint(true,
+      if (hintBytes <= smallBytes(df)) StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.MEMORY_AND_DISK_SER)
 }

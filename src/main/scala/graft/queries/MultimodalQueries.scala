@@ -245,7 +245,22 @@ object MultimodalQueries extends QuerySection {
     Multimodal.probeMp4Meta(SyntheticImages.mp4Table(s, dir, n = 200))
       .orderBy(col("media_id"))
 
+  /** Per-track MP4 SAMPLE-TABLE stats ([[Multimodal.probeMp4Tracks]]
+    * over the same procedural corpus as `mm_mp4_meta`): sample counts,
+    * duration-weighted fps, average bitrate and keyframe density read
+    * from the real `stsz`/`stts`/`stss` bytes — what a 100 TB video
+    * curation pass actually thresholds on, and all of it available
+    * WITHOUT a codec. The oracle recomputes every integer fact from
+    * the generating formulas (sample sizes summed via
+    * generate_series, the two-run stts duration, the every-s-th
+    * stss count, the all-sync branch on id ≡ 0 mod 6) and derives the
+    * same rounded ratios from the same exact-integer quotients. */
+  private def mmMp4Stats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.probeMp4Tracks(SyntheticImages.mp4Table(s, dir, n = 200))
+      .orderBy(col("media_id"), col("track"))
+
   def queries: Map[String, Q] = Map(
+    "mm_mp4_stats" -> (mmMp4Stats _),
     "mm_mp4_meta" -> (mmMp4Meta _),
     "mm_audio_dedup" -> (mmAudioDedup _),
     "mm_audio" -> (mmAudio _),
@@ -264,6 +279,52 @@ object MultimodalQueries extends QuerySection {
     // pure integer function of the id — the engine must recover each
     // from the real box bytes (duration_ms is floor division, exact in
     // BIGINT on both sides)
+    // per-track sample-table formulas replayed in pure integer
+    // arithmetic; the ratio columns divide the SAME exact integers and
+    // round identically on both engines
+    "mm_mp4_stats" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    8 * (doc_id % 5 + 1) AS n,
+        |    100 * (doc_id % 3 + 1) AS d1,
+        |    600 * (doc_id % 2 + 1) AS mts,
+        |    doc_id % 4 + 2 AS s,
+        |    doc_id % 6 <> 0 AS has_stss
+        |  FROM documents WHERE doc_id < 200),
+        |sz AS (SELECT media_id,
+        |    CAST(sum(50 + (media_id * 31 + i * 17) % 211) AS BIGINT)
+        |      AS total_bytes
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1))
+        |    AS i) g
+        |  GROUP BY media_id),
+        |v AS (SELECT p.media_id, 1 AS track, 'vide' AS handler,
+        |    CASE media_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4v'
+        |      ELSE 'hvc1' END AS codec,
+        |    CAST(mts AS BIGINT) AS media_timescale,
+        |    CAST(n AS BIGINT) AS n_samples,
+        |    CAST((n // 2) * d1 + (n - n // 2) * (d1 + 50) AS BIGINT)
+        |      AS duration_units,
+        |    sz.total_bytes,
+        |    CAST(CASE WHEN has_stss THEN 1 + (n - 1) // s ELSE n END
+        |      AS BIGINT) AS n_keyframes
+        |  FROM p JOIN sz USING (media_id)),
+        |a AS (SELECT media_id, 2 AS track, 'soun' AS handler,
+        |    'mp4a' AS codec, CAST(8000 AS BIGINT) AS media_timescale,
+        |    CAST(10 AS BIGINT) AS n_samples,
+        |    CAST(1600 AS BIGINT) AS duration_units,
+        |    CAST(640 AS BIGINT) AS total_bytes,
+        |    CAST(10 AS BIGINT) AS n_keyframes
+        |  FROM p WHERE media_id % 2 = 1),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM a)
+        |SELECT media_id, CAST(track AS INT) AS track, handler, codec,
+        |  media_timescale, n_samples, duration_units, total_bytes,
+        |  n_keyframes,
+        |  round(CAST(n_samples * media_timescale AS DOUBLE)
+        |    / duration_units, 4) AS fps,
+        |  round(CAST(8 * total_bytes * media_timescale AS DOUBLE)
+        |    / duration_units, 2) AS bitrate_bps,
+        |  round(CAST(n_keyframes AS DOUBLE) / n_samples, 4)
+        |    AS keyframe_density
+        |FROM u ORDER BY media_id, track""".stripMargin,
     "mm_mp4_meta" ->
       """SELECT doc_id AS media_id, 'isom' AS brand,
         |  600 * (doc_id % 4 + 1) AS timescale,

@@ -373,7 +373,36 @@ object SourceQueries extends QuerySection {
       .orderBy(col("pull"))
   }
 
+  /** S18 — Influx LINE PROTOCOL round trip
+    * ([[graft.sources.LineProtocol]]): every event row serializes to
+    * one line (`events,event_type=... event_id=0i,user_id=8i,
+    * value=6.55,props="{\"k\": 69}" <ns>`) — commas, spaces, quotes
+    * and braces in `props` exercise the escaping rules on REAL data —
+    * and parses back into a fully typed frame; the judged rows are the
+    * reconstruction, which must equal the source table column for
+    * column (oracle = a plain SELECT). Integer fields keep the `i`
+    * suffix, doubles round-trip via Double.toString/toDouble (exact by
+    * Java semantics), timestamps ride as nanoseconds (µs precision
+    * preserved exactly). Scale shape: a stateless per-row map out, a
+    * per-line flatMap back — no shuffle until the presentation sort. */
+  private def s18LineProtocol(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LineProtocol
+    val ev = Tables.load(s, dir, "events")
+    val lines = LineProtocol.serialize(ev, measurement = "events",
+      timeField = "ts", tagFields = Seq("event_type"))
+    LineProtocol.parse(lines)
+      .select(
+        col("fields_long")("event_id").as("event_id"),
+        col("time").as("ts"),
+        col("fields_long")("user_id").as("user_id"),
+        col("tags")("event_type").as("event_type"),
+        col("fields_double")("value").as("value"),
+        col("fields_str")("props").as("props"))
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s18_line_protocol" -> (s18LineProtocol _),
     "s16_jdbc_incremental" -> (s16JdbcIncremental _),
     "s15_jdbc_discovery" -> (s15JdbcDiscovery _),
     "s14_jdbc_live" -> (s14JdbcLive _),
@@ -394,6 +423,10 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // wire round trip ≡ identity on the source table
+    "s18_line_protocol" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     // the live catalog's answer for the two created tables: Derby
     // reports exactly these JDBC type names at these ordinals
     "s15_jdbc_discovery" ->

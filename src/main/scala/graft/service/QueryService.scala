@@ -152,6 +152,72 @@ final class QueryService(spark: SparkSession, sfDir: String) {
       val result = job.run(spark)
       ("success", result)
     }
+
+  // ---- vector / graph / multimodal entry points ---------------------
+  // The operator families the engine adds beyond the reference's API;
+  // same envelope + pool discipline as the canned endpoints, so a
+  // serving deployment exposes them as peers of /query/* rather than
+  // as library-only calls.
+
+  /** Vector search over a STORED IVF index
+    * ([[graft.similarity.Ann.buildIvfIndex]]) with optional attribute
+    * filtering and the k-guarantee escalation: a starved query widens
+    * its probe rather than silently returning short lists. */
+  def vectorSearch(queries: DataFrame, indexPath: String, k: Int = 10,
+      nprobe: Int = 2, where: Option[Column] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Response =
+    Response("success", indexPath,
+      graft.similarity.Ann.ivfIndexTopKEscalating(spark, queries,
+        vecCol, idCol, indexPath, k, nprobe, where))
+
+  /** MMR-diversified search ([[graft.similarity.Ann.mmrTopK]]): top-k
+    * balancing relevance against redundancy — the serving shape for
+    * retrieval-augmented sampling. */
+  def vectorSearchDiverse(queries: DataFrame, corpus: DataFrame,
+      k: Int = 10, lambdaRel: Double = 0.7, candK: Int = 50,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Response =
+    Response("success", "mmr",
+      graft.similarity.Ann.mmrTopK(queries, corpus, vecCol, idCol, k,
+        lambdaRel, candK))
+
+  /** HITS hub/authority centrality over an edge frame
+    * ([[graft.operators.Hits]]) — long-running: batch pool. */
+  def graphHits(edges: DataFrame, iters: Int = 2): Response =
+    inPool(QueryService.BatchPool) {
+      Response("success", "hits", graft.operators.Hits.hits(edges, iters),
+        QueryService.BatchPool)
+    }
+
+  /** Personalized PageRank from a seed set
+    * ([[graft.operators.PageRank.personalizedPageRank]]). */
+  def graphPersonalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3, damping: Double = 0.85): Response =
+    inPool(QueryService.BatchPool) {
+      Response("success", "ppr",
+        graft.operators.PageRank.personalizedPageRank(edges, seeds,
+          iters, damping), QueryService.BatchPool)
+    }
+
+  /** MP4 container metadata probe
+    * ([[graft.multimodal.Multimodal.probeMp4Meta]]): duration /
+    * dimensions / codecs from box bytes alone. */
+  def mp4Meta(media: DataFrame): Response =
+    Response("success", "mp4_meta",
+      graft.multimodal.Multimodal.probeMp4Meta(media))
+
+  /** Per-track MP4 sample-table stats
+    * ([[graft.multimodal.Multimodal.probeMp4Tracks]]): fps / bitrate /
+    * keyframe density, no codec. */
+  def mp4TrackStats(media: DataFrame): Response =
+    Response("success", "mp4_tracks",
+      graft.multimodal.Multimodal.probeMp4Tracks(media))
+
+  /** Influx line-protocol ingest ([[graft.sources.LineProtocol]]):
+    * text lines → typed point frame, malformed lines skipped. */
+  def ingestLineProtocol(lines: org.apache.spark.sql.Dataset[String])
+      : Response =
+    Response("success", "line_protocol",
+      graft.sources.LineProtocol.parse(lines))
 }
 
 object QueryService {

@@ -201,6 +201,67 @@ class ServiceSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("vector / graph / multimodal / line-protocol endpoints answer " +
+    "correctly under 24 concurrent mixed callers") {
+    // the r9/r10 operator families exposed through the service layer,
+    // exercised the same way as the canned endpoints: every concurrent
+    // answer must equal its single-threaded twin, and the per-class
+    // percentiles refresh BASELINE.md's concurrency evidence
+    import java.util.concurrent.{Executors, TimeUnit}
+    val e = Tables.load(spark, sf0001, "embeddings")
+    val idxPath = graft.etl.Utils.scratchDir("graft_svcidx") + "/idx"
+    graft.similarity.Ann.buildIvfIndex(e, "embedding", "vec_id",
+      idxPath, nlist = 4, attrCols = Seq("label"))
+    val queries = e.filter(col("vec_id") < 4)
+    val media = graft.multimodal.SyntheticImages.mp4Table(spark, sf0001,
+      n = 24).transform(graft.plans.Pin.pin)
+    val events = Tables.load(spark, sf0001, "events")
+    val lines = graft.sources.LineProtocol.serialize(events, "events",
+      "ts", Seq("event_type")).transform(ds => graft.plans.Pin.pin(ds))
+    // single-threaded ground truth
+    val wantSearch = svc.vectorSearch(queries, idxPath, k = 3,
+      nprobe = 2, where = Some(col("label") >= 0)).count
+    val wantTracks = svc.mp4TrackStats(media).count
+    val wantPoints = svc.ingestLineProtocol(lines).count
+    val wantHits = svc.graphHits(Seq(("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")).count
+    val pool = Executors.newFixedThreadPool(24)
+    try {
+      val futures = (0 until 24).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Long, Double)] {
+          def call(): (Int, Long, Double) = {
+            val t0 = System.nanoTime()
+            val n = (i % 3) match {
+              case 0 => svc.vectorSearch(queries, idxPath, k = 3,
+                nprobe = 2, where = Some(col("label") >= 0)).count
+              case 1 => svc.mp4TrackStats(media).count
+              case _ => svc.ingestLineProtocol(lines).count
+            }
+            (i % 3, n, (System.nanoTime() - t0) / 1e9)
+          }
+        })
+      }
+      val res = futures.map(_.get(300, TimeUnit.SECONDS))
+      res.foreach { case (kind, n, _) =>
+        val want = kind match {
+          case 0 => wantSearch
+          case 1 => wantTracks
+          case _ => wantPoints
+        }
+        assert(n == want, s"kind $kind: $n != $want")
+      }
+      assert(wantHits > 0)
+      def pct(vs: Seq[Double], p: Double): Double = {
+        val s = vs.sorted
+        s(math.min(s.length - 1, (p * s.length).toInt))
+      }
+      val lat = res.map(_._3)
+      println(f"[service-scale-r10] new-family endpoints 24 callers " +
+        f"p50=${pct(lat, 0.5)}%.3f p95=${pct(lat, 0.95)}%.3f " +
+        f"(vectorSearch/mp4TrackStats/ingestLineProtocol, sf0.001)")
+    } finally pool.shutdown()
+  }
+
   test("upload + etl trigger round-trip through the lake") {
     val dir = Files.createTempDirectory("graft_svc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

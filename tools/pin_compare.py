@@ -19,7 +19,14 @@ Encodes BASELINE.md's reading rules so no human judgment is involved:
 
 Usage:
     python3 tools/pin_compare.py PIN_BENCH_FULL.json NEW_BENCH_FULL.json \
-        [--threshold 1.5]
+        [--threshold 1.5] [--json PIN_COMPARE.json]
+
+With --json the compare writes its ENTIRE input and verdict — both
+runs' calibration probe sets, the probe/total ratios, the
+agree/disagree decision, the applied normalization factor, every
+per-query (pin, new, normalized) triple, and the burst exclusions —
+so the round's headline claim is re-derivable arithmetically from one
+committed artifact instead of citing numbers a reader cannot trace.
 
 Exit 1 if any non-excluded query regresses beyond threshold× the
 normalized pin time (+0.2 s floor so micro-queries can't trip on
@@ -44,6 +51,8 @@ def main():
     ap.add_argument("pin")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--json", default=None,
+                    help="write the full compare (inputs + verdict) here")
     args = ap.parse_args()
 
     pin, new = load(args.pin), load(args.new)
@@ -91,6 +100,43 @@ def main():
     total_new = sum(nq[n] for n in common) * norm
     print(f"common-set total: pin {total_pin:.1f}s, "
           f"normalized run {total_new:.1f}s (x{total_new / total_pin:.3f})")
+    if args.json:
+        artifact = {
+            "pin_file": args.pin,
+            "new_file": args.new,
+            "threshold": args.threshold,
+            "pin_calibration": pin.get("calibration", []),
+            "new_calibration": new.get("calibration", []),
+            "cal_pin_median": cal_pin,
+            "cal_new_median": cal_new,
+            "probe_ratio": infl_probe,
+            "total_ratio": infl_total,
+            "same_direction": same_dir,
+            "agree_within_25pct": agree,
+            "normalization_applied": norm,
+            "burst_excluded": sorted(skipped),
+            "n_common": len(common),
+            "new_queries": sorted(set(nq) - set(pq)),
+            "gone_queries": sorted(set(pq) - set(nq)),
+            "per_query": {
+                name: {"pin_s": pq[name], "new_s": nq[name],
+                       "normalized_s": round(nq[name] * norm, 4)}
+                for name in common},
+            "regressions": [
+                {"query": n0, "pin_s": p0, "new_s": n1,
+                 "normalized_s": round(c0, 4)}
+                for n0, p0, n1, c0 in regressions],
+            "improvements": [
+                {"query": n0, "pin_s": p0, "new_s": n1,
+                 "normalized_s": round(c0, 4)}
+                for n0, p0, n1, c0 in improvements],
+            "common_total_pin_s": round(total_pin, 3),
+            "common_total_normalized_s": round(total_new, 3),
+            "common_total_ratio": round(total_new / total_pin, 4),
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     if regressions:
         print(f"{len(regressions)} regressions")
         return 1
