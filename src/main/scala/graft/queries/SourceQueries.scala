@@ -401,7 +401,26 @@ object SourceQueries extends QuerySection {
       .orderBy(col("event_id"))
   }
 
+  /** S19 — MongoDB EXTENDED JSON round trip
+    * ([[graft.sources.ExtendedJson]], canonical v2): every event row
+    * serializes to one typed document (`$numberLong` integrals,
+    * `$numberDouble` doubles, `$date` millisecond timestamps — BSON's
+    * own fidelity) and parses back schema-driven; the judged rows are
+    * the reconstruction, equal to the source column for column with
+    * timestamps ms-TRUNCATED on both engines (a BSON date is int64
+    * millis — the documented fidelity of the wire, not a bug).
+    * Completes the Mongo seam the way line protocol completed Influx's:
+    * the QUERY artifact ([[graft.sources.MongoSource]] pipelines) and
+    * now the DATA artifact are both real public formats. */
+  private def s19ExtendedJson(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ExtendedJson
+    val ev = Tables.load(s, dir, "events")
+    ExtendedJson.parse(ExtendedJson.serialize(ev), ev.schema)
+      .orderBy(col("event_id"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "s19_extended_json" -> (s19ExtendedJson _),
     "s18_line_protocol" -> (s18LineProtocol _),
     "s16_jdbc_incremental" -> (s16JdbcIncremental _),
     "s15_jdbc_discovery" -> (s15JdbcDiscovery _),
@@ -423,6 +442,11 @@ object SourceQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // wire round trip ≡ identity with BSON's ms date fidelity
+    "s19_extended_json" ->
+      """SELECT event_id, date_trunc('milliseconds', ts) AS ts, user_id,
+        |  event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     // wire round trip ≡ identity on the source table
     "s18_line_protocol" ->
       """SELECT event_id, ts, user_id, event_type, value, props

@@ -557,6 +557,51 @@ object StreamingQueries extends QuerySection {
     * the oracle exploits: it replays the whole sketch batch-wise
     * blind, with the pair condition (history×new) ∪ (new×new ordered).
     */
+  /** STREAMING LINE-PROTOCOL INGEST judged: the events table
+    * serializes to Influx line-protocol TEXT
+    * ([[graft.sources.LineProtocol]]) staged as two micro-batch files;
+    * a text file stream parses each line back into a typed point
+    * frame (stateless per-line flatMap — the streaming form costs
+    * exactly the batch form per row) and lands it through the
+    * exactly-once streaming file sink; the reconstruction over the
+    * sunk points must equal the source table — the same identity
+    * contract as `s18_line_protocol`, now across the wire AND the
+    * micro-batch boundary. The tag column and every field survive
+    * with their types; timestamps ride as nanoseconds (µs exact). */
+  private def streamLineIngest(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.LineProtocol
+    val tmp = Files.createTempDirectory("graft_slp")
+    val ev = graft.Tables.load(s, dir, "events")
+    val stage = tmp.resolve("stage").toString
+    // two micro-batches of serialized lines (split by event id parity)
+    LineProtocol.serialize(ev.filter(col("event_id") % 2 === 0),
+      "events", "ts", Seq("event_type"))
+      .write.mode("append").text(stage)
+    LineProtocol.serialize(ev.filter(col("event_id") % 2 === 1),
+      "events", "ts", Seq("event_type"))
+      .write.mode("append").text(stage)
+    val lines = s.readStream.option("maxFilesPerTrigger", 1)
+      .text(stage).as(org.apache.spark.sql.Encoders.STRING)
+    val res = tmp.resolve("res").toString
+    val q = LineProtocol.parse(lines)
+      .writeStream.format("parquet")
+      .option("path", res)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(res)
+      .select(
+        col("fields_long")("event_id").as("event_id"),
+        col("time").as("ts"),
+        col("fields_long")("user_id").as("user_id"),
+        col("tags")("event_type").as("event_type"),
+        col("fields_double")("value").as("value"),
+        col("fields_str")("props").as("props"))
+      .orderBy(col("event_id"))
+  }
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_sndd")
@@ -972,6 +1017,7 @@ object StreamingQueries extends QuerySection {
     "stream_topk_users" -> (streamTopkUsers _),
     "stream_upsert" -> (streamUpsert _),
     "stream_near_dedup" -> (streamNearDedup _),
+    "stream_line_ingest" -> (streamLineIngest _),
     "stream_ann_ingest" -> (streamAnnIngest _),
     "stream_dsir_gate" -> (streamDsirGate _),
     "stream_jdbc_upsert" -> (streamJdbcUpsert _),
@@ -983,6 +1029,10 @@ object StreamingQueries extends QuerySection {
   def oracleSql: Map[String, String] = Map(
     // batch-split invariance makes the streamed set equal the one-shot
     // sketch replay: (history × new) ∪ (new × new, id-ordered)
+    // wire + micro-batch round trip ≡ identity on the source table
+    "stream_line_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_near_dedup" -> DedupQueries.minhashOracleWith(
       "((a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0) OR " +
         "(a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND a.doc_id < b.doc_id))"),

@@ -218,6 +218,14 @@ final class QueryService(spark: SparkSession, sfDir: String) {
       : Response =
     Response("success", "line_protocol",
       graft.sources.LineProtocol.parse(lines))
+
+  /** MongoDB Extended JSON ingest ([[graft.sources.ExtendedJson]]):
+    * one canonical-v2 document per line → `schema`-typed frame,
+    * malformed lines skipped. */
+  def ingestExtendedJson(lines: org.apache.spark.sql.Dataset[String],
+      schema: org.apache.spark.sql.types.StructType): Response =
+    Response("success", "extended_json",
+      graft.sources.ExtendedJson.parse(lines, schema))
 }
 
 object QueryService {
