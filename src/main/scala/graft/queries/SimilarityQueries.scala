@@ -178,6 +178,30 @@ object SimilarityQueries extends QuerySection {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Filtered search over a LIVE (streamed) index
+    * ([[Ann.appendIvfBatch]] with an attribute payload →
+    * [[Ann.ivfLiveTopK]] with a `where` predicate): the index is
+    * built from history (vec_id < 400 — contains the 8 seed vectors,
+    * so the codebook equals the full-corpus one), the rest arrives as
+    * an exactly-once increment batch CARRYING its metadata, and the
+    * filtered probe over base ∪ increments must equal the inline IVF
+    * route over the label-restricted FULL corpus — the same oracle as
+    * `ann_filtered`: a streamed index is exactly as filterable as a
+    * rebuilt one, which is the serving contract that makes metadata
+    * gates usable on continuously-fed corpora. */
+  private def annFilteredLive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = graft.etl.Utils.scratchDir("graft_ivffltlive") + "/idx"
+    Ann.buildIvfIndex(e.filter(col("vec_id") < 400), "embedding",
+      "vec_id", path, nlist = 8, attrCols = Seq("label"))
+    Ann.appendIvfBatch(s, e.filter(col("vec_id") >= 400), "embedding",
+      "vec_id", path, batchId = 0L, attrCols = Seq("label"))
+    Ann.ivfLiveTopK(s, e.filter(col("vec_id") < 10), "embedding",
+        "vec_id", path, k = 5, nprobe = 3,
+        where = Some(col("label") < 3))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Filtered search under a STARVING predicate — the k-guarantee
     * ([[Ann.ivfIndexTopKEscalating]]) judged end-to-end. The attribute
     * predicate (`vid < 4`, the id stored as a payload column at build)
@@ -531,6 +555,7 @@ object SimilarityQueries extends QuerySection {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_index" -> (annIvfIndex _),
     "ann_filtered" -> (annFiltered _),
+    "ann_filtered_live" -> (annFilteredLive _),
     "ann_filtered_escalate" -> (annFilteredEscalate _),
     "ann_mmr" -> (annMmr _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
@@ -923,6 +948,10 @@ object SimilarityQueries extends QuerySection {
     // filtered search ≡ the replica over the label-restricted corpus
     // (per-row assignment: a filter never moves vectors between cells)
     "ann_filtered" -> ivfOracleWith(
+      "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
+    // a streamed index is exactly as filterable as a rebuilt one:
+    // same replica, corpus restricted by the same predicate
+    "ann_filtered_live" -> ivfOracleWith(
       "e.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 3)"),
     // forced full escalation (matches < k everywhere) ≡ exact filtered
     // brute-force top-k over the predicate-restricted corpus

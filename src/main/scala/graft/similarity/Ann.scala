@@ -547,31 +547,7 @@ object Ann {
     // documents — which here is just a parameter, not a rebuild.
     val scan = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isin(cells: _*))
-    // the predicate may reference ONLY the attribute payload stored at
-    // build time (buildIvfIndex attrCols) — validated by analyzing it
-    // against the attrs-only schema, so a predicate naming a column
-    // that exists for another reason (cell/corpus_id/cv, or a stray
-    // 'batch') fails HERE with the build-time vocabulary named, not
-    // later as an opaque AnalysisException (or worse, a silent filter
-    // over meaningless data)
-    where.foreach { p =>
-      // a DETACHED empty frame: analyzing against scan.drop(...) would
-      // let ResolveMissingReferences resolve dropped columns back
-      // through the lineage and accept a cell/corpus_id/cv predicate
-      val attrFields = scan.schema.fields.filterNot(f =>
-        Set("cell", "corpus_id", "cv", "batch").contains(f.name))
-      val attrsOnly = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(attrFields))
-      try { attrsOnly.filter(p); () }
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            "filtered-search predicate must reference only attribute " +
-              s"columns stored via buildIvfIndex attrCols " +
-              s"(available: ${attrsOnly.columns.mkString(", ")})", e)
-      }
-    }
+    where.foreach(validateWhere(spark, scan.schema, _))
     val filtered = where.map(scan.filter).getOrElse(scan)
     // tombstoned ids mask here too: EVERY probe over the stored layout
     // honors the "delete is visible immediately" contract, not just the
@@ -581,6 +557,34 @@ object Ann {
       filtered.select(col("cell"), col("corpus_id"), col("cv")),
       "corpus_id", s"$path/tombstones")
     rankCellCandidates(post, q, k)
+  }
+
+  /** The filtered-search predicate may reference ONLY the attribute
+    * payload stored at build time (buildIvfIndex attrCols) — validated
+    * by analyzing it against the attrs-only schema, so a predicate
+    * naming a column that exists for another reason (cell/corpus_id/
+    * cv, or a stray 'batch') fails HERE with the build-time vocabulary
+    * named, not later as an opaque AnalysisException (or worse, a
+    * silent filter over meaningless data). A DETACHED empty frame is
+    * used because analyzing against scan.drop(...) would let
+    * ResolveMissingReferences resolve dropped columns back through the
+    * lineage and accept a cell/corpus_id/cv predicate. */
+  private def validateWhere(spark: org.apache.spark.sql.SparkSession,
+      scanSchema: org.apache.spark.sql.types.StructType,
+      p: Column): Unit = {
+    val attrFields = scanSchema.fields.filterNot(f =>
+      Set("cell", "corpus_id", "cv", "batch").contains(f.name))
+    val attrsOnly = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(attrFields))
+    try { attrsOnly.filter(p); () }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "filtered-search predicate must reference only attribute " +
+            s"columns stored via buildIvfIndex attrCols " +
+            s"(available: ${attrsOnly.columns.mkString(", ")})", e)
+    }
   }
 
   /** Filtered top-k with a K-GUARANTEE — the fix for the classic
@@ -646,10 +650,17 @@ object Ann {
     * partition column so probe-side pruning works unchanged. */
   def appendIvfBatch(spark: org.apache.spark.sql.SparkSession,
       increment: DataFrame, vecCol: String, idCol: String,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long,
+      attrCols: Seq[String] = Nil): Unit = {
     val centroids = readCodebook(spark, path)
-    increment.select(col(idCol).as("corpus_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    // attrCols ride each increment exactly as they ride the base
+    // postings (buildIvfIndex): a streamed index stays FILTERABLE —
+    // [[ivfLiveTopK]]'s `where` gates increment candidates too, and
+    // batches ingested WITHOUT metadata simply never match a filtered
+    // probe (the same honest semantic vacuum applies when folding)
+    increment.select((col(idCol).as("corpus_id") +:
+        col(vecCol).cast("array<double>").as("cv") +:
+        attrCols.map(col)): _*)
       .withColumn("batch", lit(batchId))
       .withColumn("cell", bestCell(centroids, col("cv")))
       .write.mode("overwrite")
@@ -768,7 +779,8 @@ object Ann {
     * [[ivfTopK]] over base ∪ increments with the same codebook. */
   def ivfLiveTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, vecCol: String, idCol: String, path: String,
-      k: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, nprobe: Int = 2,
+      where: Option[Column] = None): DataFrame = {
     val centroids = readCodebook(spark, path)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"),
@@ -776,19 +788,34 @@ object Ann {
           col(vecCol).cast("array<double>"))).as("cell")))
     val cells = q.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toSeq
-    val keep = Seq("corpus_id", "cv", "cell").map(col)
-    val base = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isin(cells: _*)).select(keep: _*)
+    val baseScan = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(cells: _*))
+    // FILTERED live search: the predicate is validated against the
+    // BASE postings' attribute vocabulary, then gates base AND
+    // increment candidates uniformly — both sides project to the base
+    // attr schema (an increment appended without a payload folds in
+    // with null attrs and simply never matches a filtered probe, the
+    // same honest semantic as vacuum's fold)
+    where.foreach(validateWhere(spark, baseScan.schema, _))
+    val attrs = baseScan.columns.toSeq
+      .filterNot(Set("cell", "corpus_id", "cv"))
+    def proj(df: DataFrame): DataFrame = df.select(
+      (Seq("corpus_id", "cv", "cell").map(col) ++ attrs.map(a =>
+        if (df.columns.contains(a)) col(a)
+        else lit(null).cast(baseScan.schema(a).dataType).as(a))): _*)
+    val base = proj(baseScan)
     val incrDir = new java.io.File(s"$path/increments")
     val post = if (incrDir.isDirectory)
-      base.unionByName(spark.read.parquet(s"$path/increments")
-        .filter(col("cell").isin(cells: _*)).select(keep: _*))
+      base.unionByName(proj(spark.read.parquet(s"$path/increments")
+        .filter(col("cell").isin(cells: _*))))
     else base
+    val filtered = where.map(post.filter).getOrElse(post)
+      .select(col("cell"), col("corpus_id"), col("cv"))
     // tombstoned ids ([[deleteFromIvfIndex]]) are masked at probe time;
     // a takedown-sized set anti-joins cheaply (AQE broadcasts it), a
     // purge-sized one is what [[vacuumIvfIndex]] is for
     val visible = graft.index.IndexLifecycle.maskTombstoned(
-      post, "corpus_id", s"$path/tombstones")
+      filtered, "corpus_id", s"$path/tombstones")
     rankCellCandidates(visible, q, k)
   }
 

@@ -172,6 +172,48 @@ class FilteredAnnSpec extends SparkSpec {
     assert(res.nonEmpty)
   }
 
+  test("live filtered probe: attribute-carrying increments are " +
+    "filterable; attr-less increments never match a filtered probe " +
+    "but still serve unfiltered ones") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltlive") + "/idx"
+    Ann.buildIvfIndex(e.filter(col("vec_id") < 300), "embedding",
+      "vec_id", path, nlist = 8, attrCols = Seq("label"))
+    // batch 0 carries its metadata; batch 1 does not
+    Ann.appendIvfBatch(spark, e.filter(col("vec_id") >= 300 &&
+      col("vec_id") < 400), "embedding", "vec_id", path, 0L,
+      attrCols = Seq("label"))
+    Ann.appendIvfBatch(spark, e.filter(col("vec_id") >= 400),
+      "embedding", "vec_id", path, 1L)
+    val q = e.filter(col("vec_id") < 6)
+    val pred = Some(col("label") >= 0) // matches every labeled vector
+    val filtered = Ann.ivfLiveTopK(spark, q, "embedding", "vec_id",
+      path, k = 400, nprobe = 8, where = pred).collect()
+    val unfiltered = Ann.ivfLiveTopK(spark, q, "embedding", "vec_id",
+      path, k = 400, nprobe = 8).collect()
+    val ids = filtered.map(_.getLong(1)).toSet
+    // metadata-less batch-1 vectors (vec_id >= 400) never match a
+    // filtered probe...
+    assert(ids.forall(_ < 400), ids.filter(_ >= 400).take(5))
+    // ...but the unfiltered probe sees the whole live index
+    assert(unfiltered.map(_.getLong(1)).exists(_ >= 400))
+    // and batch-0 (attr-carrying streamed) vectors ARE filterable
+    assert(ids.exists(id => id >= 300 && id < 400))
+    // filtered live probe over an attr-carrying stream ≡ inline IVF
+    // over the pre-filtered corpus slice with the same codebook
+    val seeded = e.filter(col("vec_id") < 300).orderBy(col("vec_id"))
+      .limit(8).select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val ref = Ann.ivfTopK(q, e.filter(col("vec_id") < 400)
+        .filter(col("label") >= 0), "embedding", "vec_id",
+        k = 400, nlist = 8, nprobe = 8, codebook = Some(seeded))
+      .orderBy(col("query_id"), col("rank")).collect()
+    val got = Ann.ivfLiveTopK(spark, q, "embedding", "vec_id", path,
+        k = 400, nprobe = 8, where = pred)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(got.map(_.toString).toSeq === ref.map(_.toString).toSeq)
+  }
+
   test("selective filters return short lists, never wrong neighbors") {
     val e = emb
     val path = graft.etl.Utils.scratchDir("graft_fltsel") + "/idx"
