@@ -66,6 +66,67 @@ class Mp4PropertySpec extends SparkSpec {
     }
   }
 
+  private case class Tables(sizes: Seq[Int], runs: Seq[(Int, Int)],
+      sync: Option[Seq[Int]], mts: Long)
+
+  private val tablesGen: Gen[Tables] = for {
+    n <- Gen.choose(1, 40)
+    sizes <- Gen.listOfN(n, Gen.choose(0, 100000))
+    nRuns <- Gen.choose(1, 4)
+    runs <- Gen.listOfN(nRuns,
+      Gen.zip(Gen.choose(1, 50), Gen.choose(1, 10000)))
+    sync <- Gen.option(Gen.choose(1, math.max(1, n))
+      .map(s => (1 to n by s).toSeq))
+    mts <- Gen.choose(1L, 100000L)
+  } yield Tables(sizes, runs, sync, mts)
+
+  test("sample tables: parseTracks recovers exact per-track sample " +
+    "count, byte total, stts duration, sync count and the absent-stss " +
+    "all-sync convention for arbitrary tables") {
+    for ((v, t) <- samples(vidGen, 30, seed = 67L)
+        .zip(samples(tablesGen, 30, seed = 91L))) {
+      val st = Mp4Codec.SampleTables(t.sizes, t.runs,
+        t.sync.map(_.toSeq))
+      val bytes = Mp4Codec.mux("isom", v.ver, v.timescale, v.duration,
+        v.w, v.h, v.vcodec, v.acodec, largeSizeMdat = v.large,
+        mdatBytes = v.mdatBytes, videoTables = Some(st),
+        videoMediaTimescale = t.mts)
+      val tracks = Mp4Codec.parseTracks(bytes)
+      assert(tracks.nonEmpty)
+      val vt = tracks.find(_.handler == "vide").get
+      val tag = s"t=$t"
+      assert(vt.track == 1, tag)
+      assert(vt.codec == v.vcodec, tag)
+      assert(vt.mediaTimescale == t.mts, tag)
+      assert(vt.nSamples == t.sizes.length.toLong, tag)
+      assert(vt.totalBytes == t.sizes.map(_.toLong).sum, tag)
+      assert(vt.durationUnits ==
+        t.runs.map { case (c, d) => c.toLong * d }.sum, tag)
+      assert(vt.hasStss == t.sync.isDefined, tag)
+      assert(vt.nKeyframes ==
+        t.sync.map(_.length.toLong).getOrElse(vt.nSamples), tag)
+      // audio track (when present) carries no tables: zero facts, and
+      // absent stss means all-sync (= nSamples = 0 here)
+      tracks.find(_.handler == "soun").foreach { at =>
+        assert(at.nSamples == 0 && !at.hasStss, tag)
+      }
+    }
+  }
+
+  test("sample tables: no truncation point of a table-carrying " +
+    "container throws — a cut table yields what parsed") {
+    val t = Tables(Seq.fill(20)(64), Seq((10, 100), (10, 150)),
+      Some((1 to 20 by 3).toSeq), 600L)
+    val st = Mp4Codec.SampleTables(t.sizes, t.runs, t.sync.map(_.toSeq))
+    val full = Mp4Codec.mux("isom", 0, 600, 1200, 16, 16, "avc1",
+      Some("mp4a"), largeSizeMdat = false, videoTables = Some(st),
+      audioTables = Some(st))
+    (0 until full.length).foreach { n =>
+      Mp4Codec.parseTracks(java.util.Arrays.copyOf(full, n)) // no throw
+    }
+    ()
+  }
+
   test("totality: no truncation point throws; mdat corruption is " +
     "metadata-invariant") {
     for (v <- samples(vidGen, 12, seed = 41L)) {
