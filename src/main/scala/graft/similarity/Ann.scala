@@ -601,8 +601,9 @@ object Ann {
     * full scan with all its matches — the strongest guarantee possible.
     *
     * Scale shape: each round is one [[ivfIndexTopK]] over the still-
-    * starved queries only (broadcast-sized by contract), the per-round
-    * satisfaction check is a count over ≤ k·|queries| rows, and each
+    * starved queries only, the starved set is derived as a broadcast
+    * LEFT-ANTI join (never a driver-collected literal list — a wide
+    * query batch must not inflate later rounds' plans), and each
     * round's survivors pin eagerly so the final union re-executes no
     * probe. Escalation cost is paid ONLY by starved queries — the
     * selective-predicate tail — never by the batch. */
@@ -623,14 +624,23 @@ object Ann {
         val satisfied = res.groupBy(col("query_id"))
           .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
           .select(col("query_id"))
+        // starved = queries minus satisfied, as a LEFT-ANTI join on
+        // the caller's id column NAME (Seq-form join: unambiguous even
+        // when idCol is literally "query_id", and never a driver-side
+        // literal list — a caller with 10⁶ queries must not build a
+        // 10⁶-literal isin predicate into every later round's plan)
+        val satAsIdCol = broadcast(
+          satisfied.withColumnRenamed("query_id", idCol))
         val starved = remaining.select(col(idCol)).distinct()
-          .join(satisfied, col(idCol) === col("query_id"), "left_anti")
-          .collect().map(_.get(0))
+          .join(satAsIdCol, Seq(idCol), "left_anti")
         if (starved.isEmpty) { rounds += res; exhausted = true }
         else {
           rounds += res.join(broadcast(satisfied), Seq("query_id"),
             "left_semi")
-          remaining = remaining.filter(col(idCol).isin(starved: _*))
+          // pin: truncates the growing anti-join lineage so round r's
+          // probe re-executes nothing of rounds 1..r-1
+          remaining = graft.plans.Pin.pin(
+            remaining.join(satAsIdCol, Seq(idCol), "left_anti"))
           probe = math.min(probe * 2, nlist)
         }
       }
@@ -748,14 +758,19 @@ object Ann {
     // the row with the most non-null attribute metadata (an increment
     // folded with null attrs must never shadow the attribute-bearing
     // live posting — a bare dropDuplicates could keep either row and
-    // permanently erase a vector's filter metadata), then live over
-    // increment, then the newest batch; final hash tie-break makes
-    // the survivor a pure function of the data.
+    // permanently erase a vector's filter metadata), then — on
+    // completeness TIES — the NEWEST batch before live (__batch desc
+    // before __pri: an increment that re-ingests a live id with
+    // equally-complete attributes, e.g. an updated embedding, must
+    // win, because ivfLiveTopK already serves that increment row
+    // pre-vacuum — results for updated vectors must not change across
+    // a vacuum); final hash tie-break makes the survivor a pure
+    // function of the data.
     val attrs = liveCols.filterNot(Set("cell", "corpus_id", "cv"))
     val nullAttrs = attrs.map(c => when(col(c).isNull, 1).otherwise(0))
       .reduceOption[Column](_ + _).getOrElse(lit(0))
     val w = Window.partitionBy(col("corpus_id")).orderBy(
-      nullAttrs.asc, col("__pri").asc, col("__batch").desc,
+      nullAttrs.asc, col("__batch").desc, col("__pri").asc,
       col("cell"), hash(col("cv")))
     post = post.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -44,6 +44,31 @@ object ExtendedJson {
 
   private val F = JsonNodeFactory.instance
 
+  /** Fail-fast schema gate, called once on the DRIVER by both
+    * [[serialize]] and [[parse]]. Without it an unsupported field type
+    * only surfaces per-row inside the executors, where parse's
+    * malformed-LINE catch would swallow it — a schema with (say) a
+    * MapType column would then round-trip to an EMPTY frame silently,
+    * which is total data loss dressed as success. (The per-row paths
+    * still keep their defensive throws; this guarantees they are
+    * unreachable for any schema that got past the entry point.) */
+  private def requireSupported(schema: StructType): Unit = {
+    def check(dt: DataType, path: String): Unit = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | StringType | TimestampType |
+          BinaryType | _: DecimalType => ()
+      case ArrayType(et, _) => check(et, s"$path[]")
+      case st: StructType =>
+        st.fields.foreach(f => check(f.dataType, s"$path.${f.name}"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"extended JSON: unsupported Spark type $other at '$path' — " +
+            "supported: integral/floating/decimal/boolean/string/" +
+            "timestamp/binary/array/struct")
+    }
+    schema.fields.foreach(f => check(f.dataType, f.name))
+  }
+
   // ---- serialize -----------------------------------------------------
 
   private def valueToNode(v: Any, dt: DataType): JsonNode = {
@@ -101,6 +126,7 @@ object ExtendedJson {
   /** One canonical Extended JSON document per row. */
   def serialize(df: DataFrame): Dataset[String] = {
     val schema = df.schema
+    requireSupported(schema)
     import df.sparkSession.implicits._
     df.mapPartitions { it =>
       val mapper = new ObjectMapper()
@@ -123,6 +149,8 @@ object ExtendedJson {
         else if (n.isNumber) n.asLong() // relaxed spelling
         else throw new NumberFormatException(n.toString)
       case IntegerType => nodeToValue(n, LongType).asInstanceOf[Long].toInt
+      case ShortType => nodeToValue(n, LongType).asInstanceOf[Long].toShort
+      case ByteType => nodeToValue(n, LongType).asInstanceOf[Long].toByte
       case DoubleType =>
         if (n.isObject && n.has("$numberDouble"))
           n.get("$numberDouble").asText match {
@@ -173,8 +201,12 @@ object ExtendedJson {
       nodeToValue(n.get(f.name), f.dataType)))
   }
 
-  /** Row-level kernel, exposed for property tests: None on malformed. */
+  /** Row-level kernel, exposed for property tests: None on malformed.
+    * Schema-LEVEL errors still throw (outside the malformed-line
+    * catch): an unsupported field type is a caller bug, not a bad
+    * record. */
   def parseDoc(line: String, schema: StructType): Option[Row] = {
+    requireSupported(schema)
     if (line == null || line.isEmpty) return None
     try {
       val mapper = new ObjectMapper()
@@ -186,6 +218,7 @@ object ExtendedJson {
     * rows; malformed lines are skipped (quarantine the complement
     * upstream if they must be kept). */
   def parse(lines: Dataset[String], schema: StructType): DataFrame = {
+    requireSupported(schema)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
     lines.mapPartitions { it =>
       val mapper = new ObjectMapper()

@@ -51,8 +51,11 @@ object LineProtocol {
       fields_str: Map[String, String],
       time: Timestamp)
 
+  private def hasNewline(s: String): Boolean =
+    s != null && s.exists(c => c == '\n' || c == '\r')
+
   private def rejectNewline(kind: String, s: String): Unit =
-    require(!s.exists(c => c == '\n' || c == '\r'),
+    require(!hasNewline(s),
       s"$kind cannot contain a newline (breaks line framing): $s")
 
   /** Escape for bare positions. `forMeasurement` skips `=` (legal bare
@@ -102,14 +105,30 @@ object LineProtocol {
       Math.floorMod(ns, 1000000000L)))
 
   /** Serialize one point from already-typed parts. Rows with no
-    * non-null field yield None (a point must carry ≥ 1 field). Tags
-    * with null values are omitted; tag/field ordering is sorted-by-key
-    * so the artifact is deterministic. */
+    * non-null field yield None (a point must carry ≥ 1 field), and so
+    * do rows carrying a NEWLINE anywhere a line-framed wire cannot
+    * hold one (measurement, tag keys/values, field keys, string field
+    * values) — the module's one-bad-record skip-don't-throw contract;
+    * a single such row must not fail the whole serialize job. (The
+    * explicitly-called escape helpers keep their throwing check.)
+    * Tags with null values are omitted; tag/field ordering is
+    * sorted-by-key so the artifact is deterministic. */
   def serializePoint(measurement: String,
       tags: Seq[(String, String)], fields: Seq[(String, Any)],
       time: Option[Timestamp]): Option[String] = {
     val live = fields.filter(_._2 != null)
     if (live.isEmpty || measurement == null) return None
+    if (hasNewline(measurement) ||
+      tags.exists { case (k, v) =>
+        v != null && (hasNewline(k) || hasNewline(v)) } ||
+      live.exists { case (k, v) =>
+        hasNewline(k) || (v match {
+          case s: String => hasNewline(s)
+          case _: Long | _: Int | _: Short | _: Byte | _: Double |
+              _: Float | _: Boolean => false
+          case other => hasNewline(other.toString)
+        })
+      }) return None
     val sb = new StringBuilder
     sb ++= escMeasurement(measurement)
     tags.filter(_._2 != null).sortBy(_._1).foreach { case (k, v) =>
@@ -127,7 +146,7 @@ object LineProtocol {
         case f: Float => f.toDouble.toString
         case d: java.math.BigDecimal => d.doubleValue.toString
         case b: Boolean => b.toString
-        case s: String => quoteFieldValue({ rejectNewline("field value", s); s })
+        case s: String => quoteFieldValue(s) // newline-free (pre-checked)
         case other => quoteFieldValue(other.toString)
       }
       s"${escKey(k)}=$value"

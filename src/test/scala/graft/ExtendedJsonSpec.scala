@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -112,5 +114,42 @@ class ExtendedJsonSpec extends SparkSpec {
     assert(back.collect().map(_.toString).toSeq ===
       want.collect().map(_.toString).toSeq)
     assert(back.count() == ev.count())
+  }
+
+  test("short/byte columns round-trip — NOT a silent empty frame " +
+    "(serialize emits $numberLong; parse must narrow it back)") {
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("sh", ShortType), StructField("by", ByteType)))
+    val rows = Seq(Row(1L, 123.toShort, 7.toByte),
+      Row(2L, (-456).toShort, (-8).toByte), Row(3L, null, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), sch)
+    val back = ExtendedJson.parse(ExtendedJson.serialize(df), sch)
+      .orderBy(col("id")).collect()
+    assert(back.length == 3) // the bug: this came back EMPTY
+    assert(back(0).getShort(1) == 123.toShort &&
+      back(0).getByte(2) == 7.toByte)
+    assert(back(1).getShort(1) == (-456).toShort &&
+      back(1).getByte(2) == (-8).toByte)
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+  }
+
+  test("unsupported schema fails FAST at the driver with the type " +
+    "named — never a silent empty frame from swallowed per-row errors") {
+    val bad = StructType(Seq(StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    import spark.implicits._
+    val lines = Seq("""{"id": {"$numberLong": "1"}, "m": {}}""").toDS()
+    val e1 = intercept[IllegalArgumentException](
+      ExtendedJson.parse(lines, bad))
+    assert(e1.getMessage.contains("MapType") && e1.getMessage.contains("'m'"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](), bad)
+    val e2 = intercept[IllegalArgumentException](
+      ExtendedJson.serialize(df))
+    assert(e2.getMessage.contains("MapType"))
+    val e3 = intercept[IllegalArgumentException](
+      ExtendedJson.parseDoc("""{"id": 1}""", bad))
+    assert(e3.getMessage.contains("MapType"))
   }
 }

@@ -226,4 +226,63 @@ class FilteredAnnSpec extends SparkSpec {
       where = Some(col("label") === 999)).collect()
     assert(none.isEmpty)
   }
+
+  test("vacuum keeps the UPDATED vector when an increment re-ingests " +
+    "a live id with equally-complete attributes — results for updated " +
+    "vectors must not change across a vacuum") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltupd") + "/idx"
+    Ann.buildIvfIndex(e, "embedding", "vec_id", path, nlist = 8,
+      attrCols = Seq("label"))
+    // the update: id 42 re-ingests with a NEW vector (negated) and the
+    // SAME attribute completeness (label rides along)
+    val upd = e.filter(col("vec_id") === 42)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x.cast("double")))
+    Ann.appendIvfBatch(spark, upd, "embedding", "vec_id", path,
+      batchId = 3L, attrCols = Seq("label"))
+    // query under a FRESH id (probes exclude corpus_id == query_id)
+    val q = upd.select((col("vec_id") + 900000L).as("vec_id"),
+      col("embedding"))
+    // pre-vacuum the live view serves the increment row...
+    val before = Ann.ivfLiveTopK(spark, q, "embedding", "vec_id", path,
+        k = 3, nprobe = 8).orderBy(col("rank")).collect()
+    Ann.vacuumIvfIndex(spark, path)
+    // ...and post-vacuum the stored index must serve the SAME rows
+    // (newest-batch-wins on completeness ties; the stale live posting
+    // must not resurrect)
+    val after = Ann.ivfIndexTopK(spark, q, "embedding", "vec_id", path,
+        k = 3, nprobe = 8).orderBy(col("rank")).collect()
+    assert(before.map(_.toString).toSeq === after.map(_.toString).toSeq)
+    // the updated vector matches itself exactly at rank 1
+    assert(after.head.getLong(1) == 42L, after.head.toString)
+  }
+
+  test("escalating probe with a WIDE query set and idCol literally " +
+    "'query_id': no ambiguous-reference error, no driver literal-list " +
+    "plan bloat, min(k, matches) per query") {
+    val e = emb
+    val path = graft.etl.Utils.scratchDir("graft_fltwide") + "/idx"
+    Ann.buildIvfIndex(e.withColumn("vid", col("vec_id")), "embedding",
+      "vec_id", path, nlist = 8, attrCols = Seq("vid"))
+    // 200 queries, all starved (only 4 postings match the predicate),
+    // under the caller-column name that used to collide with the
+    // internal result column
+    val q = e.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val res = Ann.ivfIndexTopKEscalating(spark, q, "embedding",
+      "query_id", path, k = 5, nprobe = 1, where = Some(col("vid") < 4))
+    // the starved-set plumbing must be a JOIN, not a collected literal
+    // list: no optimized-plan line may carry a hundreds-long IN (...)
+    val plan = res.queryExecution.optimizedPlan.toString
+    val bloated = plan.linesIterator.exists(l =>
+      l.contains(" IN (") && l.count(_ == ',') > 100)
+    assert(!bloated, "driver literal-list leaked into the plan")
+    val counts = res.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.length).toMap
+    assert(counts.size == 200)
+    (0L until 200L).foreach { qid =>
+      assert(counts(qid) == (if (qid < 4) 3 else 4), s"q=$qid")
+    }
+  }
 }

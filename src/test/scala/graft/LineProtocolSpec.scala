@@ -140,4 +140,37 @@ class LineProtocolSpec extends SparkSpec {
       want.collect().map(_.toString).toSeq)
     assert(back.count() == ev.count())
   }
+
+  test("a newline-bearing value skips THAT row, never the job — the " +
+    "one-bad-record contract holds on the serialize side too") {
+    // row-level kernel: None (not a throw) for a newline anywhere a
+    // line-framed wire cannot hold one
+    assert(LineProtocol.serializePoint("m", Nil,
+      Seq("f" -> "bad\nvalue"), None).isEmpty)
+    assert(LineProtocol.serializePoint("m\r", Nil,
+      Seq("f" -> 1L), None).isEmpty)
+    assert(LineProtocol.serializePoint("m", Seq("t" -> "a\nb"),
+      Seq("f" -> 1L), None).isEmpty)
+    assert(LineProtocol.serializePoint("m", Nil,
+      Seq("k\ney" -> 1L), None).isEmpty)
+    // a null tag value is OMITTED, so a newline in its key is moot
+    assert(LineProtocol.serializePoint("m", Seq("t\nx" -> null),
+      Seq("f" -> 1L), None).isDefined)
+    // frame level: one poisoned row among good ones must not fail the
+    // job (the old require threw inside the executor-side map)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "ok", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "poison\npill", 2.5,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+      (3L, "fine", 3.5,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:03")))
+      .toDF("id", "s", "v", "ts")
+    val lines = LineProtocol.serialize(df, "m", "ts", Seq.empty).collect()
+    assert(lines.length == 2, lines.mkString("|"))
+    val ids = LineProtocol.parse(spark.createDataset(lines.toSeq))
+      .select(col("fields_long")("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
 }
