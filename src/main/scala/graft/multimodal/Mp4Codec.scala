@@ -54,6 +54,19 @@ object Mp4Codec {
   def isMp4(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 16 && fcc(bytes, 4) == "ftyp"
 
+  // Saturating arithmetic for sample-table accumulation: the operands
+  // are unsigned-32 reads (each up to ~4.3e9), so products like
+  // stsz fixed·count or stts count·delta can exceed Long.MaxValue on
+  // adversarial input and wrap NEGATIVE — a parser documented as total
+  // over corrupt input must clamp, not emit garbage-negative
+  // total_bytes/duration that flips downstream bitrate/fps signs.
+  private def satMul(a: Long, b: Long): Long =
+    try Math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+  private def satAdd(a: Long, b: Long): Long =
+    try Math.addExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
   /** Per-track SAMPLE-TABLE statistics — what a 100 TB video curation
     * pass actually filters on (per-track fps, bitrate, keyframe
     * density), still pure byte arithmetic over `stsz`/`stts`/`stss`,
@@ -86,7 +99,24 @@ object Mp4Codec {
     var totalBytes: Long = 0L
     var stssCount: Long = 0L
     var hasStss: Boolean = false
+    // sample-LOCATION tables (stsz sizes + stsc runs + stco/co64
+    // offsets): everything [[sampleRanges]] needs to resolve each
+    // sample to its exact `mdat` byte range. All buffers are bounded
+    // by the enclosing box's byte length (the parse loops stop at
+    // qEnd), so adversarial entry counts cannot balloon memory.
+    var stszFixed: Long = 0L
+    val sampleSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stscRuns = // (first_chunk, samples_per_chunk), 1-based chunks
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val chunkOffs = scala.collection.mutable.ArrayBuffer.empty[Long]
   }
+
+  /** Everything needed to resolve one track's samples into file byte
+    * ranges, captured verbatim from its tables. */
+  private final case class RawTrack(track: Int, handler: String,
+      codec: String, fixedSize: Long, nSamples: Long,
+      sizes: IndexedSeq[Long], stsc: IndexedSeq[(Long, Long)],
+      offsets: IndexedSeq[Long])
 
   /** Walk the container and collect movie-level metadata. Returns
     * `None` only when the bytes are not ISO-BMFF at all. */
@@ -99,10 +129,85 @@ object Mp4Codec {
   def parseTracks(bytes: Array[Byte]): Seq[TrackStats] =
     parseAll(bytes).map(_._2).getOrElse(Seq.empty)
 
-  private def parseAll(
-      bytes: Array[Byte]): Option[(Mp4Meta, Seq[TrackStats])] = {
+  /** One track's resolved per-sample byte ranges: `(offset, size)`
+    * into the ORIGINAL file bytes, in sample order. */
+  final case class TrackRanges(track: Int, handler: String,
+      codec: String, ranges: Seq[(Long, Int)])
+
+  /** Resolve every track's samples to exact file byte ranges via
+    * `stsz` (sizes) + `stsc` (sample→chunk runs) + `stco`/`co64`
+    * (chunk offsets) — the last leg of the container grammar: with it
+    * the walker can hand a codec the exact embedded sample payloads
+    * (MJPEG-in-MP4: each video sample IS a complete JPEG). Total on
+    * corrupt input: a range that escapes the file bounds ends that
+    * track's resolution at the samples that resolved cleanly. */
+  def sampleRanges(bytes: Array[Byte]): Seq[TrackRanges] =
+    parseAll(bytes).map(_._3.map(r => TrackRanges(r.track, r.handler,
+      r.codec, resolveRanges(r, bytes.length.toLong))))
+      .getOrElse(Seq.empty)
+
+  /** The first video track's codec fourcc and its EXTRACTED sample
+    * payloads, in sample order — the MJPEG-in-MP4 decode path hands
+    * each payload to the JPEG reader exactly as [[AviCodec]] hands
+    * `##dc` chunk bytes to it. Empty for non-MP4 bytes or a video
+    * track without location tables. */
+  def videoSamplePayloads(
+      bytes: Array[Byte]): (Option[String], Seq[Array[Byte]]) =
+    sampleRanges(bytes)
+      .find(t => t.handler == "vide" && t.ranges.nonEmpty) match {
+      case None => (None, Seq.empty)
+      case Some(t) =>
+        (Some(t.codec).filter(_.nonEmpty),
+          t.ranges.map { case (off, len) =>
+            java.util.Arrays.copyOfRange(bytes, off.toInt,
+              off.toInt + len)
+          })
+    }
+
+  /** Walk `stsc` runs against `stco` chunk offsets, laying samples
+    * head-to-tail within each chunk per their `stsz` sizes (ISO/IEC
+    * 14496-12 §8.7.4-5). Bounds-checked per sample: the first range
+    * that escapes the file ends the resolution with the clean prefix
+    * (totality — one corrupt blob must not kill a 100 TB stage). */
+  private def resolveRanges(r: RawTrack,
+      fileLen: Long): Seq[(Long, Int)] = {
+    if (r.offsets.isEmpty || r.stsc.isEmpty) return Seq.empty
+    val runs = r.stsc.filter(t => t._1 >= 1L && t._2 >= 1L)
+      .sortBy(_._1)
+    if (runs.isEmpty) return Seq.empty
+    val nSized =
+      if (r.fixedSize != 0L) r.nSamples
+      else math.min(r.nSamples, r.sizes.length.toLong)
+    val out = Seq.newBuilder[(Long, Int)]
+    var s = 0L // next sample index
+    var runIdx = 0
+    var c = 0 // chunk index (0-based over stco entries)
+    while (c < r.offsets.length && s < nSized) {
+      val chunkNo = c + 1L
+      while (runIdx + 1 < runs.length && runs(runIdx + 1)._1 <= chunkNo)
+        runIdx += 1
+      val spc =
+        if (runs(runIdx)._1 <= chunkNo) runs(runIdx)._2 else 0L
+      var off = r.offsets(c)
+      var j = 0L
+      while (j < spc && s < nSized) {
+        val size =
+          if (r.fixedSize != 0L) r.fixedSize else r.sizes(s.toInt)
+        if (off < 0 || size < 0 || size > Int.MaxValue.toLong ||
+          off + size > fileLen) return out.result() // corrupt: prefix
+        out += ((off, size.toInt))
+        off += size; s += 1; j += 1
+      }
+      c += 1
+    }
+    out.result()
+  }
+
+  private def parseAll(bytes: Array[Byte])
+      : Option[(Mp4Meta, Seq[TrackStats], Seq[RawTrack])] = {
     if (!isMp4(bytes)) return None
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackStats]
+    val rawTracks = scala.collection.mutable.ArrayBuffer.empty[RawTrack]
     var brand = ""
     var timescale = 0L
     var duration = 0L
@@ -166,6 +271,9 @@ object Mp4Codec {
               t.mdhdTimescale, t.nSamples, t.durationUnits,
               t.totalBytes,
               if (t.hasStss) t.stssCount else t.nSamples, t.hasStss)
+            rawTracks += RawTrack(nTracks, t.handler, t.codec,
+              t.stszFixed, t.nSamples, t.sampleSizes.toIndexedSeq,
+              t.stscRuns.toIndexedSeq, t.chunkOffs.toIndexedSeq)
           case "tkhd" if trak != null && q + 4 <= qEnd =>
             val v = bytes(q) & 0xFF
             // FullBox payload → width offset: verflags(4) + times/ids
@@ -195,13 +303,17 @@ object Mp4Codec {
             val fixed = beU32(bytes, q + 4)
             val cnt = beU32(bytes, q + 8)
             trak.nSamples = cnt
-            if (fixed != 0L) trak.totalBytes = fixed * cnt
+            trak.stszFixed = fixed
+            if (fixed != 0L) trak.totalBytes = satMul(fixed, cnt)
             else {
               var i = 0L
               var tot = 0L
               var o = q + 12
               while (i < cnt && o + 4 <= qEnd) {
-                tot += beU32(bytes, o); o += 4; i += 1
+                val sz = beU32(bytes, o)
+                tot = satAdd(tot, sz)
+                trak.sampleSizes += sz
+                o += 4; i += 1
               }
               trak.totalBytes = tot // truncated table: what parsed
             }
@@ -213,10 +325,37 @@ object Mp4Codec {
             var dur = 0L
             var o = q + 8
             while (i < entries && o + 8 <= qEnd) {
-              dur += beU32(bytes, o) * beU32(bytes, o + 4)
+              dur = satAdd(dur, satMul(beU32(bytes, o), beU32(bytes, o + 4)))
               o += 8; i += 1
             }
             trak.durationUnits = dur
+          case "stsc" if trak != null && q + 8 <= qEnd =>
+            // sample-to-chunk runs: verflags(4) entry_count(4),
+            // entries × (first_chunk, samples_per_chunk, sdi) — sdi
+            // (sample description index) is irrelevant to ranges
+            val entries = beU32(bytes, q + 4)
+            var i = 0L
+            var o = q + 8
+            while (i < entries && o + 12 <= qEnd) {
+              trak.stscRuns += ((beU32(bytes, o), beU32(bytes, o + 4)))
+              o += 12; i += 1
+            }
+          case "stco" if trak != null && q + 8 <= qEnd =>
+            // 32-bit chunk offsets (absolute file positions)
+            val entries = beU32(bytes, q + 4)
+            var i = 0L
+            var o = q + 8
+            while (i < entries && o + 4 <= qEnd) {
+              trak.chunkOffs += beU32(bytes, o); o += 4; i += 1
+            }
+          case "co64" if trak != null && q + 8 <= qEnd =>
+            // 64-bit chunk offsets — the > 4 GiB file form
+            val entries = beU32(bytes, q + 4)
+            var i = 0L
+            var o = q + 8
+            while (i < entries && o + 8 <= qEnd) {
+              trak.chunkOffs += be64(bytes, o); o += 8; i += 1
+            }
           case "stss" if trak != null && q + 8 <= qEnd =>
             // sync-sample table: only the entry COUNT matters for
             // keyframe density; absence means all-sync (handled at
@@ -245,7 +384,8 @@ object Mp4Codec {
         if (q > Long.MaxValue / 1000L) Long.MaxValue else q * 1000L
       } else duration * 1000L / timescale
     Some((Mp4Meta(brand, timescale, durationMs,
-      nTracks, width, height, videoCodec, audioCodec), tracks.toSeq))
+      nTracks, width, height, videoCodec, audioCodec), tracks.toSeq,
+      rawTracks.toSeq))
   }
 
   // ---- writer (fixtures/specs: procedural corpora need a muxer) ----
@@ -323,7 +463,8 @@ object Mp4Codec {
       handler: String, w: Int, h: Int,
       sampleEntry: Array[Byte],
       mediaTimescale: Long = 600L,
-      samples: Option[SampleTables] = None): Array[Byte] = {
+      samples: Option[SampleTables] = None,
+      chunkBoxes: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val tkhd =
       if (version == 1)
         fullBox("tkhd", 1, be64b(0L), be64b(0L), be32b(trackId),
@@ -349,7 +490,8 @@ object Mp4Codec {
       Array(0.toByte)) // null-terminated empty name
     val stsd = fullBox("stsd", 0, be32b(1L), sampleEntry)
     val stbl = box("stbl",
-      stsd ++ samples.map(sampleBoxes).getOrElse(Array.emptyByteArray))
+      stsd ++ samples.map(sampleBoxes).getOrElse(Array.emptyByteArray)
+        ++ chunkBoxes)
     val minf = box("minf", stbl)
     val mdia = box("mdia", mdhd, hdlr, minf)
     box("trak", tkhd, mdia)
@@ -364,7 +506,16 @@ object Mp4Codec {
     * (optionally in the 64-bit largesize form — the probe must skip
     * it to reach the TRAILING `moov`, the layout real muxers emit) +
     * `moov` with `mvhd` and one or two `trak`s. `version` selects the
-    * 32- vs 64-bit FullBox time layouts end-to-end. */
+    * 32- vs 64-bit FullBox time layouts end-to-end.
+    *
+    * `videoPayloads` turns the mux into a REAL media writer: the
+    * payloads become the `mdat` body (after `mdatJunkPrefix` junk
+    * bytes — offsets must point past them), laid out in chunks of
+    * `videoChunkSizes` samples each (default: one chunk), with the
+    * video track gaining the location tables — `stsz` sizes from the
+    * payload lengths, `stsc` runs RLE-compressed from the chunk
+    * layout, and chunk offsets as `co64` when `useCo64` else `stco`.
+    * [[sampleRanges]] must resolve them back to the exact bytes. */
   def mux(brand: String, version: Int, timescale: Long, duration: Long,
       w: Int, h: Int, videoCodec: String,
       audioCodec: Option[String], largeSizeMdat: Boolean,
@@ -372,13 +523,67 @@ object Mp4Codec {
       videoTables: Option[SampleTables] = None,
       audioTables: Option[SampleTables] = None,
       videoMediaTimescale: Long = 600L,
-      audioMediaTimescale: Long = 600L): Array[Byte] = {
+      audioMediaTimescale: Long = 600L,
+      videoPayloads: Option[Seq[Array[Byte]]] = None,
+      videoChunkSizes: Seq[Int] = Nil,
+      useCo64: Boolean = false,
+      mdatJunkPrefix: Int = 0): Array[Byte] = {
     val ftyp = box("ftyp", brand.getBytes("US-ASCII"), be32b(512L),
       "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
     val free = box("free", new Array[Byte](12))
-    val payload = Array.tabulate[Byte](mdatBytes)(i => (i * 7).toByte)
+    val junk = Array.tabulate[Byte](
+      if (videoPayloads.isDefined) mdatJunkPrefix else 0)(i =>
+      (i * 3 + 1).toByte)
+    val payload = videoPayloads match {
+      case Some(pls) =>
+        junk ++ pls.foldLeft(Array.emptyByteArray)(_ ++ _)
+      case None => Array.tabulate[Byte](mdatBytes)(i => (i * 7).toByte)
+    }
     val mdat =
       if (largeSizeMdat) largeMdat(payload) else box("mdat", payload)
+    // the video track's location boxes (stsc + stco/co64) — offsets
+    // are ABSOLUTE file positions, known here because mdat precedes
+    // the trailing moov
+    val (vChunkBoxes, vSizedTables) = videoPayloads match {
+      case None => (Array.emptyByteArray, videoTables)
+      case Some(pls) =>
+        val chunkSizes =
+          if (videoChunkSizes.nonEmpty) videoChunkSizes
+          else Seq(pls.length)
+        require(chunkSizes.sum == pls.length && chunkSizes.forall(_ > 0),
+          s"chunk layout ${chunkSizes.mkString(",")} must partition " +
+            s"${pls.length} samples")
+        val base = ftyp.length.toLong + free.length +
+          (if (largeSizeMdat) 16 else 8) + junk.length
+        val offsets = chunkSizes.scanLeft((base, 0)) {
+          case ((off, idx), cs) =>
+            (off + pls.slice(idx, idx + cs).map(_.length.toLong).sum,
+              idx + cs)
+        }.map(_._1).dropRight(1)
+        // RLE-compress equal consecutive samples-per-chunk into stsc
+        // runs (first_chunk, samples_per_chunk, sdi=1)
+        val runs = chunkSizes.zipWithIndex.foldLeft(
+          List.empty[(Int, Int)]) { case (acc, (cs, i)) =>
+          acc match {
+            case (_, prev) :: _ if prev == cs => acc
+            case _ => (i + 1, cs) :: acc
+          }
+        }.reverse
+        val stsc = fullBox("stsc", 0, be32b(runs.length.toLong),
+          runs.toArray.flatMap { case (first, spc) =>
+            be32b(first.toLong) ++ be32b(spc.toLong) ++ be32b(1L)
+          })
+        val cBox =
+          if (useCo64) fullBox("co64", 0, be32b(offsets.length.toLong),
+            offsets.toArray.flatMap(be64b))
+          else fullBox("stco", 0, be32b(offsets.length.toLong),
+            offsets.toArray.flatMap(be32b))
+        val sized = videoTables
+          .map(t => t.copy(sizes = pls.map(_.length)))
+          .orElse(Some(SampleTables(pls.map(_.length),
+            Seq((pls.length, 100)), None)))
+        (stsc ++ cBox, sized)
+    }
     val mvhd =
       if (version == 1)
         fullBox("mvhd", 1, be64b(0L), be64b(0L), be32b(timescale),
@@ -392,7 +597,7 @@ object Mp4Codec {
           be32b(3L))
     val vtrak = trak(version, 1L, duration, "vide", w, h,
       visualSampleEntry(videoCodec, w, h), videoMediaTimescale,
-      videoTables)
+      vSizedTables, vChunkBoxes)
     val traks = audioCodec match {
       case Some(ac) =>
         vtrak ++ trak(version, 2L, duration, "soun", 0, 0,

@@ -259,7 +259,51 @@ object MultimodalQueries extends QuerySection {
     Multimodal.probeMp4Tracks(SyntheticImages.mp4Table(s, dir, n = 200))
       .orderBy(col("media_id"), col("track"))
 
+  /** Byte-exact MP4 SAMPLE extraction, judged: the procedural
+    * formula-ASCII corpus (`SyntheticImages.mp4AsciiTable` — samples
+    * in chunks of `(id mod 3)+1` with a trailing partial chunk,
+    * `co64` vs `stco`, largesize `mdat`, junk prefix bytes) goes
+    * through [[Multimodal.probeMp4Samples]], which must resolve
+    * `stsz`/`stsc`/`stco`/`co64` into exact `mdat` byte ranges. The
+    * oracle replays each payload STRING from the generating formula —
+    * a hash-strict compare of the extracted bytes themselves. */
+  private def mmMp4Samples(s: SparkSession, dir: String): DataFrame =
+    Multimodal.probeMp4Samples(
+        SyntheticImages.mp4AsciiTable(s, dir, n = 180))
+      .orderBy(col("media_id"), col("sample_no"))
+
+  /** MJPEG-in-MP4 REAL sample decode, judged at the GROUP-STRUCTURE
+    * grain (`SyntheticImages.mjpegMp4Table`): every 11th file is
+    * planted again under a new id with COM-injected (byte-different,
+    * pixel-identical) JPEG samples and a DIFFERENT chunk layout +
+    * offset form — so the copy matches its original only if sample
+    * ranges resolve correctly under BOTH layouts and the extracted
+    * JPEGs really decode (byte-grain dedup cannot match them). Each
+    * decoded frame reduces to md5 of its re-encoded pixels; digest
+    * groups spanning ≥ 2 media surface with keeper and counts, which
+    * the generating formula predicts exactly — the same
+    * dedup-as-oracle argument as `mm_video_dedup`, applied to the one
+    * standards-real MP4 video form the JDK can decode. */
+  private def mmMp4Frames(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleVideoFrames(
+      SyntheticImages.mjpegMp4Table(s, dir, n = 150), everyN = 1,
+      codec = ImageIoCodec)
+    frames.select(md5(col("content")).as("px"), col("media_id"),
+        col("frame_no"))
+      .groupBy(col("px"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_frames"),
+        min(col("media_id")).as("keeper"),
+        min(col("frame_no")).as("frame_no"))
+      .filter(col("n_media") >= 2)
+      .select(col("keeper"), col("frame_no"), col("n_media"),
+        col("n_frames"))
+      .orderBy(col("keeper"), col("frame_no"))
+  }
+
   def queries: Map[String, Q] = Map(
+    "mm_mp4_samples" -> (mmMp4Samples _),
+    "mm_mp4_frames" -> (mmMp4Frames _),
     "mm_mp4_stats" -> (mmMp4Stats _),
     "mm_mp4_meta" -> (mmMp4Meta _),
     "mm_audio_dedup" -> (mmAudioDedup _),
@@ -275,6 +319,36 @@ object MultimodalQueries extends QuerySection {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // byte-exact extraction oracle: the engine resolves real
+    // stsz/stsc/stco/co64 tables into mdat ranges; DuckDB replays the
+    // formula-ASCII payload strings directly
+    "mm_mp4_samples" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 4 + 3 AS INT) AS n
+        |  FROM documents WHERE doc_id < 180),
+        |s AS (SELECT media_id, CAST(i AS INT) AS sample_no,
+        |    'S' || CAST(media_id AS VARCHAR) || ':' ||
+        |      CAST(i AS VARCHAR) || ':' ||
+        |      repeat(chr(CAST(97 + (media_id + i) % 26 AS INT)),
+        |        CAST(10 + (media_id * 7 + i * 13) % 37 AS INT))
+        |      AS payload
+        |  FROM ids, LATERAL (SELECT unnest(generate_series(0, n - 1))
+        |    AS i) g)
+        |SELECT media_id, sample_no, payload,
+        |  CAST(length(payload) AS BIGINT) AS n_bytes
+        |FROM s ORDER BY media_id, sample_no""".stripMargin,
+    // group-structure oracle: each planted (id ≡ 0 mod 11) file pairs
+    // with its byte-different copy frame-for-frame — 2 media, 2
+    // frames per group, keeper = the original id
+    "mm_mp4_frames" ->
+      """WITH ids AS (SELECT doc_id AS fid,
+        |    CAST(doc_id % 3 + 2 AS INT) AS nf
+        |  FROM documents WHERE doc_id < 150 AND doc_id % 11 = 0)
+        |SELECT fid AS keeper, CAST(f AS INT) AS frame_no,
+        |  CAST(2 AS BIGINT) AS n_media, CAST(2 AS BIGINT) AS n_frames
+        |FROM ids, LATERAL (SELECT unnest(generate_series(0, nf - 1))
+        |  AS f) g
+        |ORDER BY keeper, frame_no""".stripMargin,
     // formula oracle: every metadata field of the procedural MP4s is a
     // pure integer function of the id — the engine must recover each
     // from the real box bytes (duration_ms is floor division, exact in

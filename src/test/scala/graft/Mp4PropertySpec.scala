@@ -147,4 +147,38 @@ class Mp4PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("adversarial sample tables saturate, never wrap negative: " +
+    "u32·u32 products in stsz fixed-size and stts runs clamp to " +
+    "Long.MaxValue") {
+    // hand-rolled boxes: the muxer (correctly) can't emit these values
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    val u32max = 0xFFFFFFFFL
+    // stsz fixed-size form: fixed = cnt = 2^32-1 → product ~1.8e19·…
+    val stsz = box("stsz", be32(0L), be32(u32max), be32(u32max))
+    // stts: two runs of count·delta = (2^32-1)² each — product AND
+    // accumulation must both clamp
+    val stts = box("stts", be32(0L), be32(2L),
+      be32(u32max), be32(u32max), be32(u32max), be32(u32max))
+    val hdlr = box("hdlr", be32(0L), be32(0L),
+      "vide".getBytes("US-ASCII"), new Array[Byte](13))
+    val trak = box("trak", box("mdia", hdlr,
+      box("minf", box("stbl", stsz, stts))))
+    val file = box("ftyp", "isom".getBytes("US-ASCII"), be32(0L),
+      "isom".getBytes("US-ASCII")) ++ box("moov", trak)
+    val tracks = Mp4Codec.parseTracks(file)
+    assert(tracks.length == 1)
+    val t = tracks.head
+    assert(t.nSamples == u32max)
+    assert(t.totalBytes == Long.MaxValue, s"wrapped: ${t.totalBytes}")
+    assert(t.durationUnits == Long.MaxValue,
+      s"wrapped: ${t.durationUnits}")
+    assert(t.totalBytes >= 0 && t.durationUnits >= 0)
+  }
 }
