@@ -64,6 +64,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // PIN HYGIENE: every run overwrites BENCH_FULL.json, so a noisy or
+    // subset run would silently destroy the committed pin's
+    // working-tree twin (observed round 10: the driver's contended
+    // boundary run clobbered the builder's clean 3-pass pin). Snapshot
+    // the existing artifact aside ONCE per run before the first
+    // overwrite — pin_compare and the next round always have the
+    // previous artifact to re-derive from.
+    locally {
+      val full = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (java.nio.file.Files.exists(full)) {
+        java.nio.file.Files.copy(full,
+          java.nio.file.Paths.get("BENCH_PIN_PREV.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

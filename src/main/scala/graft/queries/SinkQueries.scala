@@ -340,6 +340,48 @@ object SinkQueries extends QuerySection {
     )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
   }
 
+  /** O2 over the DATA WIRE (the round-10/11 codecs as first-class ETL
+    * sources, not just service endpoints): events serialize to
+    * canonical Extended JSON text, and the ETL job's source is the
+    * config-driven `Sources.file(..., "extendedjson", schema)` wire
+    * scan — so extraction itself exercises the typed BSON-wire parse —
+    * then the same clean → validate → route pipeline as `o2_etl_job`.
+    * Counts must match the source table exactly: the wire leg loses
+    * no rows and the parsed `value` column stays numerically intact
+    * through the validation predicate. */
+  private def o8WireEtl(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.EtlJob
+    import graft.sources.{ExtendedJson, Sources}
+    import graft.transform.{FieldRule, Stamp}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_w")
+    val ev = Tables.load(s, dir, "events")
+    val stage = tmp.resolve("stage").toString
+    ExtendedJson.serialize(ev).write.text(stage)
+    val out = tmp.resolve("out").toString
+    val job = EtlJob(
+      source = sp => Sources.file(sp, stage, Some("extendedjson"),
+        Some(ev.schema)).withColumn("_source", lit("events_wire")),
+      transformations = Seq("cleaning", "validation"),
+      validationRules =
+        Map("value" -> FieldRule(min = Some(5), max = Some(80))),
+      routes = Seq(
+        Sinks.Route("valid", col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/valid")),
+        Sinks.Route("invalid", !col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/invalid")),
+        Sinks.Route("archive", lit(true),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/archive"))),
+      stamp = Stamp.off)
+    val r = job.run(s)
+    import s.implicits._
+    Seq((
+      r.loadResults("valid").count,
+      r.loadResults("invalid").count,
+      r.loadResults("archive").count,
+      r.stageErrors.size.toLong
+    )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
+  }
+
   /** K7: multi-target load — same events scan fanned to a parquet and a
     * json sink (one persist, two writes); judged output is the
     * per-target result map. */
@@ -714,6 +756,7 @@ object SinkQueries extends QuerySection {
     "k_dpp_join" -> (kDppJoin _),
     "k_bucketed_join" -> (kBucketedJoin _),
     "o2_etl_job" -> (o2EtlJob _),
+    "o8_wire_etl" -> (o8WireEtl _),
     "k7_multi_target" -> (k7MultiTarget _),
     "k4_upsert_merge" -> (k4UpsertMerge _),
     "k5_points_long" -> (k5PointsLong _),
@@ -841,6 +884,17 @@ object SinkQueries extends QuerySection {
         |SELECT 'parquet_copy', 'success', count(*) FROM events
         |ORDER BY target""".stripMargin,
     "o2_etl_job" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN NOT (value >= 5 AND value <= 80) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_invalid,
+        |  count(*) AS n_archived,
+        |  CAST(0 AS BIGINT) AS n_stage_errors
+        |FROM events""".stripMargin,
+    // the wire leg must lose no rows and keep `value` exact: counts
+    // equal the direct-table job's
+    "o8_wire_etl" ->
       """SELECT
         |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_valid,

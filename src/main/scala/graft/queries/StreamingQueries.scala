@@ -602,6 +602,41 @@ object StreamingQueries extends QuerySection {
       .orderBy(col("event_id"))
   }
 
+  /** STREAMING EXTENDED-JSON INGEST judged — the Mongo wire's
+    * streaming twin, as `stream_line_ingest` is the Influx wire's:
+    * the events table serializes to canonical Extended JSON
+    * ([[graft.sources.ExtendedJson]]) staged as two micro-batch text
+    * files; a text file stream parses each document back into the
+    * typed frame (stateless per-line Jackson pass — the streaming
+    * form costs exactly the batch form per row) and lands through the
+    * exactly-once streaming file sink. The reconstruction must equal
+    * the source table at BSON's ms date fidelity — `s19_extended_json`'s
+    * identity contract, now across the wire AND the micro-batch
+    * boundary. */
+  private def streamEjsonIngest(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import graft.sources.ExtendedJson
+    val tmp = Files.createTempDirectory("graft_sej")
+    val ev = graft.Tables.load(s, dir, "events")
+    val stage = tmp.resolve("stage").toString
+    // two micro-batches of serialized documents (split by id parity)
+    ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 0))
+      .write.mode("append").text(stage)
+    ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 1))
+      .write.mode("append").text(stage)
+    val lines = s.readStream.option("maxFilesPerTrigger", 1)
+      .text(stage).as(org.apache.spark.sql.Encoders.STRING)
+    val res = tmp.resolve("res").toString
+    val q = ExtendedJson.parse(lines, ev.schema)
+      .writeStream.format("parquet")
+      .option("path", res)
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(res).orderBy(col("event_id"))
+  }
+
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_sndd")
@@ -1018,6 +1053,7 @@ object StreamingQueries extends QuerySection {
     "stream_upsert" -> (streamUpsert _),
     "stream_near_dedup" -> (streamNearDedup _),
     "stream_line_ingest" -> (streamLineIngest _),
+    "stream_ejson_ingest" -> (streamEjsonIngest _),
     "stream_ann_ingest" -> (streamAnnIngest _),
     "stream_dsir_gate" -> (streamDsirGate _),
     "stream_jdbc_upsert" -> (streamJdbcUpsert _),
@@ -1032,6 +1068,12 @@ object StreamingQueries extends QuerySection {
     // wire + micro-batch round trip ≡ identity on the source table
     "stream_line_ingest" ->
       """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // wire + micro-batch round trip ≡ identity at BSON's ms date
+    // fidelity (the streaming twin of s19_extended_json)
+    "stream_ejson_ingest" ->
+      """SELECT event_id, date_trunc('milliseconds', ts) AS ts, user_id,
+        |  event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_near_dedup" -> DedupQueries.minhashOracleWith(
       "((a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0) OR " +

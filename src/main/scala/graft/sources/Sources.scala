@@ -107,9 +107,19 @@ object Sources {
 
   /** S4/S5 — file scan: csv (header, NaN→null), json (array or object),
     * jsonl/ndjson, parquet (`base_extractors.py:195-230`,
-    * `common_utils.py:103-138`). */
+    * `common_utils.py:103-138`) — plus the two DATA-WIRE text formats
+    * the production connectors speak (`influx_connector.py:82-111`,
+    * `mongo_connector.py:95-116`): `lineprotocol` parses Influx line
+    * protocol into the typed point frame ([[LineProtocol.parse]]) and
+    * `extendedjson` parses canonical Extended JSON documents into
+    * `schema` ([[ExtendedJson.parse]] — BSON wire types are
+    * schema-driven, so the schema is REQUIRED there). This makes the
+    * wire codecs first-class extraction sources for the config-driven
+    * ETL runner, not just service endpoints. */
   def file(spark: SparkSession, path: String,
-      format: Option[String] = None): DataFrame = {
+      format: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
     fmt match {
       case "csv" =>
@@ -121,6 +131,13 @@ object Sources {
       case "parquet" => spark.read.parquet(path)
       case "yaml" | "yml" => yaml(spark, path)
       case "xml" => xml(spark, path)
+      case "lineprotocol" | "lp" =>
+        LineProtocol.parse(spark.read.textFile(path))
+      case "extendedjson" | "ejson" =>
+        ExtendedJson.parse(spark.read.textFile(path),
+          schema.getOrElse(throw new IllegalArgumentException(
+            "extendedjson scan needs an explicit schema: BSON wire " +
+              "types ($numberLong/$date/...) are schema-driven")))
       case other => throw new IllegalArgumentException(
         s"Unsupported file type: $other")
     }

@@ -261,4 +261,46 @@ class EtlJobSpec extends SparkSpec {
       graft.etl.Incremental.mergeJoinMv(full, a, b, a, b, Seq.empty)
     }
   }
+
+  test("wire-codec ETL sources: a lineprotocol file scan extracts the " +
+    "typed point frame through the same config-driven Sources.file " +
+    "the runner uses; extendedjson demands its schema") {
+    import graft.sources.{LineProtocol, Sources}
+    val tmp = Files.createTempDirectory("graft_etl_lp")
+    val src = Seq(
+      (1L, "click", 1.5, java.sql.Timestamp.valueOf("2024-03-01 00:00:01")),
+      (2L, "view", 0.5, java.sql.Timestamp.valueOf("2024-03-01 00:00:02")),
+      (3L, "click", 9.5, java.sql.Timestamp.valueOf("2024-03-01 00:00:03")))
+      .toDF("id", "kind", "v", "ts")
+    val stage = tmp.resolve("stage").toString
+    LineProtocol.serialize(src, "m", "ts", Seq("kind"))
+      .write.text(stage)
+    val out = tmp.resolve("out").toString
+    val job = EtlJob(
+      // the wire scan IS the extraction; flatten the typed point maps
+      // into validation-ready columns inside the source stage
+      source = sp => Sources.file(sp, stage, Some("lineprotocol"))
+        .select(col("fields_long")("id").as("id"),
+          col("tags")("kind").as("kind"),
+          col("fields_double")("v").as("v"),
+          col("time").as("ts"))
+        .withColumn("_source", lit("points")),
+      transformations = Seq("validation"),
+      validationRules = Map("v" -> FieldRule(min = Some(1))),
+      routes = Seq(Sinks.Route("valid", col("_is_valid"),
+        d => Sinks.load(d.drop("_validation_errors"), s"$out/valid"))),
+      stamp = Stamp.off)
+    val r = job.run(spark)
+    assert(r.stageErrors.isEmpty)
+    assert(r.loadResults("valid").count == 2) // v=0.5 fails the rule
+    val ids = spark.read.parquet(s"$out/valid").select(col("id"))
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+    // the BSON wire is schema-driven: scanning without one is a
+    // config error named at the source, not a downstream mystery
+    val e = intercept[IllegalArgumentException] {
+      Sources.file(spark, stage, Some("extendedjson"))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
 }

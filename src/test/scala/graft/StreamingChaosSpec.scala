@@ -578,4 +578,56 @@ class StreamingChaosSpec extends SparkSpec {
       ("stream.jdbc.upserted", 1))) // all durable, checkpoint not
     assert(tableState("chaos_kill") === want)
   }
+
+  // ── wire-ingest streams: restart boundary, no duplicated batch ─────
+
+  test("wire-ingest streams (line protocol + Extended JSON) converge " +
+    "across a restart boundary: a batch landed before the crash is " +
+    "never duplicated, a batch staged after it still lands") {
+    import graft.sources.{ExtendedJson, LineProtocol}
+    val rows = Seq(
+      (1L, "alpha", 1.5, java.sql.Timestamp.valueOf("2024-02-01 00:00:01")),
+      (2L, "beta", 2.5, java.sql.Timestamp.valueOf("2024-02-01 00:00:02")),
+      (3L, "gamma", 3.5, java.sql.Timestamp.valueOf("2024-02-01 00:00:03")),
+      (4L, "delta", 4.5, java.sql.Timestamp.valueOf("2024-02-01 00:00:04")))
+    val df = rows.toDF("id", "s", "v", "ts")
+    def lineWire(d: DataFrame) = LineProtocol.serialize(d, "m", "ts", Nil)
+    def ejsonWire(d: DataFrame) = ExtendedJson.serialize(d)
+    for ((name, wire, parse) <- Seq[(String,
+        DataFrame => org.apache.spark.sql.Dataset[String],
+        org.apache.spark.sql.Dataset[String] => DataFrame)](
+      ("line", lineWire _, (l: org.apache.spark.sql.Dataset[String]) =>
+        LineProtocol.parse(l)
+          .select(col("fields_long")("id").as("id"))),
+      ("ejson", ejsonWire _, (l: org.apache.spark.sql.Dataset[String]) =>
+        ExtendedJson.parse(l, df.schema).select(col("id"))))) {
+      val tmp = Files.createTempDirectory(s"graft_chaos_wire_$name")
+      val stageDir = tmp.resolve("stage").toString
+      val res = tmp.resolve("res").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      def run(): Unit = {
+        val lines = spark.readStream.option("maxFilesPerTrigger", 1)
+          .text(stageDir)
+          .as(org.apache.spark.sql.Encoders.STRING)
+        parse(lines).writeStream.format("parquet")
+          .option("path", res).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
+      // batch 0 lands, then the process "dies" (stream fully stops)
+      wire(df.filter(col("id") <= 2)).write.mode("append").text(stageDir)
+      run()
+      assert(spark.read.parquet(res).count() === 2L, name)
+      // restart from the same checkpoint with a new batch staged: the
+      // replayed source must NOT re-land batch 0, and batch 1 must land
+      wire(df.filter(col("id") > 2)).write.mode("append").text(stageDir)
+      run()
+      val got = spark.read.parquet(res).select(col("id"))
+        .as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L), name)
+      // a third restart with nothing new is a no-op (idempotent)
+      run()
+      assert(spark.read.parquet(res).count() === 4L, name)
+    }
+  }
 }
