@@ -212,6 +212,14 @@ final class QueryService(spark: SparkSession, sfDir: String) {
     Response("success", "mp4_tracks",
       graft.multimodal.Multimodal.probeMp4Tracks(media))
 
+  /** MP4 video-sample extraction
+    * ([[graft.multimodal.Multimodal.probeMp4Samples]]):
+    * `stsz`/`stsc`/`stco`/`co64` resolved into exact payload bytes —
+    * the codec-free sample grain below [[mp4TrackStats]]. */
+  def mp4Samples(media: DataFrame): Response =
+    Response("success", "mp4_samples",
+      graft.multimodal.Multimodal.probeMp4Samples(media))
+
   /** Influx line-protocol ingest ([[graft.sources.LineProtocol]]):
     * text lines → typed point frame, malformed lines skipped. */
   def ingestLineProtocol(lines: org.apache.spark.sql.Dataset[String])

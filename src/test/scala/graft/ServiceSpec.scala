@@ -262,6 +262,48 @@ class ServiceSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("r11 endpoints (mp4Samples / ingestExtendedJson) answer " +
+    "correctly under 24 concurrent mixed callers") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val media = graft.multimodal.SyntheticImages
+      .mp4AsciiTable(spark, sf0001, n = 24)
+      .transform(graft.plans.Pin.pin)
+    val events = Tables.load(spark, sf0001, "events")
+    val docs = graft.sources.ExtendedJson.serialize(events)
+      .transform(ds => graft.plans.Pin.pin(ds))
+    val wantSamples = svc.mp4Samples(media).count
+    val wantDocs = svc.ingestExtendedJson(docs, events.schema).count
+    assert(wantSamples > 0 && wantDocs == events.count())
+    val pool = Executors.newFixedThreadPool(24)
+    try {
+      val futures = (0 until 24).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Long, Double)] {
+          def call(): (Int, Long, Double) = {
+            val t0 = System.nanoTime()
+            val n = (i % 2) match {
+              case 0 => svc.mp4Samples(media).count
+              case _ => svc.ingestExtendedJson(docs, events.schema).count
+            }
+            (i % 2, n, (System.nanoTime() - t0) / 1e9)
+          }
+        })
+      }
+      val res = futures.map(_.get(300, TimeUnit.SECONDS))
+      res.foreach { case (kind, n, _) =>
+        assert(n == (if (kind == 0) wantSamples else wantDocs),
+          s"kind $kind: $n")
+      }
+      def pct(vs: Seq[Double], p: Double): Double = {
+        val s = vs.sorted
+        s(math.min(s.length - 1, (p * s.length).toInt))
+      }
+      val lat = res.map(_._3)
+      println(f"[service-scale-r11] new-family endpoints 24 callers " +
+        f"p50=${pct(lat, 0.5)}%.3f p95=${pct(lat, 0.95)}%.3f " +
+        f"(mp4Samples/ingestExtendedJson, sf0.001)")
+    } finally pool.shutdown()
+  }
+
   test("upload + etl trigger round-trip through the lake") {
     val dir = Files.createTempDirectory("graft_svc").toString
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
