@@ -132,6 +132,26 @@ object ImageIoCodec extends MediaCodec {
   override def audioWindows(bytes: Array[Byte],
       windowSize: Int = 256): Seq[(Double, Long)] = {
     if (bytes == null || bytes.isEmpty || windowSize <= 0) return Seq.empty
+    if (Mp4Codec.isMp4(bytes)) {
+      // PCM-in-MP4 — the one standards-real MP4 AUDIO form the JDK
+      // can decode (QuickTime/ISO uncompressed sample entries:
+      // 'sowt' little-endian, 'twos' big-endian 16-bit): the audio
+      // track's samples resolve through the same range machinery as
+      // the MJPEG path, and their concatenation IS the raw PCM
+      // stream — integer byte arithmetic, bit-exact on any JVM.
+      // Compressed entries (mp4a/AAC) still need a deploy-time codec
+      // at this seam: no windows (total), like any undecodable blob.
+      val (info, payloads) = Mp4Codec.audioSamplePayloads(bytes)
+      return info match {
+        case Some(i) if (i.codec == "sowt" || i.codec == "twos") &&
+            i.bits == 16 && i.channels == 1 =>
+          val bos = new ByteArrayOutputStream()
+          payloads.foreach(bos.write)
+          pcmWindows(bos.toByteArray, big = i.codec == "twos",
+            windowSize)
+        case _ => Seq.empty
+      }
+    }
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
@@ -142,31 +162,38 @@ object ImageIoCodec extends MediaCodec {
         fmt.getEncoding !=
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
         return Seq.empty // only uncompressed 16-bit mono PCM here
-      val data = in.readAllBytes()
-      val n = data.length / 2
-      val big = fmt.isBigEndian
-      def sample(i: Int): Int = {
-        val (b0, b1) = (data(2 * i), data(2 * i + 1))
-        if (big) (b0.toInt << 8) | (b1 & 0xFF)
-        else (b1.toInt << 8) | (b0 & 0xFF)
-      }
-      (0 until n / windowSize).map { w =>
-        var sumSq = 0L
-        var zc = 0L
-        var j = w * windowSize
-        var prev = 0
-        val end = (w + 1) * windowSize
-        while (j < end) {
-          val s = sample(j)
-          sumSq += s.toLong * s
-          if (j > w * windowSize && prev * s < 0) zc += 1
-          prev = s
-          j += 1
-        }
-        (sumSq.toDouble / windowSize, zc)
-      }
+      pcmWindows(in.readAllBytes(), fmt.isBigEndian, windowSize)
     } catch { case _: Exception => Seq.empty }
     finally in.close()
+  }
+
+  /** Window a raw 16-bit mono PCM byte stream into
+    * (mean-square energy, zero-crossing count) per FULL window —
+    * shared by the RIFF/WAV path (javax.sound hands us the stream)
+    * and the PCM-in-MP4 path (the sample extractor does). */
+  private def pcmWindows(data: Array[Byte], big: Boolean,
+      windowSize: Int): Seq[(Double, Long)] = {
+    val n = data.length / 2
+    def sample(i: Int): Int = {
+      val (b0, b1) = (data(2 * i), data(2 * i + 1))
+      if (big) (b0.toInt << 8) | (b1 & 0xFF)
+      else (b1.toInt << 8) | (b0 & 0xFF)
+    }
+    (0 until n / windowSize).map { w =>
+      var sumSq = 0L
+      var zc = 0L
+      var j = w * windowSize
+      var prev = 0
+      val end = (w + 1) * windowSize
+      while (j < end) {
+        val s = sample(j)
+        sumSq += s.toLong * s
+        if (j > w * windowSize && prev * s < 0) zc += 1
+        prev = s
+        j += 1
+      }
+      (sumSq.toDouble / windowSize, zc)
+    }
   }
 
   /** REAL frame extraction: a RIFF/AVI payload walks the hand-rolled
@@ -469,6 +496,61 @@ object SyntheticImages {
           useCo64 = id % 4 == 0,
           mdatJunkPrefix = (id % 7).toInt)
         Row(id, "video", bytes, "mp4", 16, 16, ns * 40L)
+      }
+    }(enc)
+  }
+
+  /** Procedural PCM-in-MP4 corpus — the one standards-real MP4 AUDIO
+    * form the JDK can decode, the audio twin of [[mjpegMp4Table]]:
+    * one MP4 per document id below `n` whose audio track carries
+    * `512 + (id mod 3)·256` 16-bit mono PCM frames (sample formula
+    * `((i·37 + id·101) mod 2003) − 1001` — the SAME formula as
+    * [[wavTable]], so the SAME integer-arithmetic oracle judges both
+    * routes) split into MP4 samples of `100 + (id mod 7)·30` frames
+    * (trailing partial sample), laid out in chunks of `(id mod 2)+1`
+    * samples, `co64` on id ≡ 0 (mod 4), largesize `mdat` on id ≡ 0
+    * (mod 6), junk-prefixed `mdat` (id mod 5 bytes). Endianness
+    * alternates by parity — 'sowt' (little) on even ids, 'twos' (big)
+    * on odd — so the decode must honor the sample-entry fourcc, not
+    * assume one byte order. */
+  def pcmMp4Table(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+      .filter(col("media_id") < n)
+    val enc = ExpressionEncoder(
+      RowEncoder.encoderFor(Multimodal.mediaSchema))
+    ids.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val nPcm = (512 + (id % 3) * 256).toInt
+        val big = id % 2 == 1
+        val codec = if (big) "twos" else "sowt"
+        val pcm = new Array[Byte](nPcm * 2)
+        var i = 0
+        while (i < nPcm) {
+          val s = ((i.toLong * 37 + id * 101) % 2003 - 1001).toShort
+          if (big) {
+            pcm(2 * i) = (s >> 8).toByte
+            pcm(2 * i + 1) = (s & 0xFF).toByte
+          } else {
+            pcm(2 * i) = (s & 0xFF).toByte
+            pcm(2 * i + 1) = (s >> 8).toByte
+          }
+          i += 1
+        }
+        val framesPerSample = (100 + (id % 7) * 30).toInt
+        val payloads = pcm.grouped(framesPerSample * 2).toSeq
+        val spc = (id % 2 + 1).toInt
+        val ns = payloads.length
+        val chunkSizes = Seq.fill(ns / spc)(spc) ++
+          (if (ns % spc != 0) Seq(ns % spc) else Nil)
+        val mp4 = Mp4Codec.mux("isom", 0, 600L, nPcm.toLong, 16, 8,
+          "mp4v", Some(codec), largeSizeMdat = id % 6 == 0,
+          useCo64 = id % 4 == 0, mdatJunkPrefix = (id % 5).toInt,
+          audioPayloads = Some(payloads), audioChunkSizes = chunkSizes,
+          audioChannels = 1, audioSampleRate = 8000)
+        Row(id, "audio", mp4, "mp4", null, null, nPcm * 1000L / 8000)
       }
     }(enc)
   }

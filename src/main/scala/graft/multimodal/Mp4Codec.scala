@@ -109,6 +109,10 @@ object Mp4Codec {
     val stscRuns = // (first_chunk, samples_per_chunk), 1-based chunks
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val chunkOffs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // AudioSampleEntry fields (soun tracks): what a PCM decode needs
+    var entryChannels: Int = 0
+    var entryBits: Int = 0
+    var entrySampleRate: Long = 0L
   }
 
   /** Everything needed to resolve one track's samples into file byte
@@ -116,7 +120,8 @@ object Mp4Codec {
   private final case class RawTrack(track: Int, handler: String,
       codec: String, fixedSize: Long, nSamples: Long,
       sizes: IndexedSeq[Long], stsc: IndexedSeq[(Long, Long)],
-      offsets: IndexedSeq[Long])
+      offsets: IndexedSeq[Long], channels: Int, bits: Int,
+      sampleRate: Long)
 
   /** Walk the container and collect movie-level metadata. Returns
     * `None` only when the bytes are not ISO-BMFF at all. */
@@ -163,6 +168,39 @@ object Mp4Codec {
               off.toInt + len)
           })
     }
+
+  /** First audio track's sample-entry PCM facts (channels / bits /
+    * sample rate from the AudioSampleEntry) — what the PCM-in-MP4
+    * ('sowt' little-endian / 'twos' big-endian) decode path needs. */
+  final case class PcmInfo(codec: String, channels: Int, bits: Int,
+      sampleRate: Long)
+
+  /** The first audio ('soun') track's codec + PCM facts + extracted
+    * sample payloads — the audio twin of [[videoSamplePayloads]]:
+    * for the uncompressed sample entries ('sowt'/'twos') the
+    * concatenated payloads ARE the raw PCM stream, decodable with
+    * integer byte arithmetic and no codec library. */
+  def audioSamplePayloads(
+      bytes: Array[Byte]): (Option[PcmInfo], Seq[Array[Byte]]) = {
+    parseAll(bytes) match {
+      case None => (None, Seq.empty)
+      case Some((_, _, raws)) =>
+        raws.find(r => r.handler == "soun" && r.offsets.nonEmpty &&
+          r.stsc.nonEmpty) match {
+          case None => (None, Seq.empty)
+          case Some(r) =>
+            val ranges = resolveRanges(r, bytes.length.toLong)
+            if (ranges.isEmpty) (None, Seq.empty)
+            else (Some(PcmInfo(r.codec, r.channels, r.bits,
+              r.sampleRate)),
+              ranges.map { case (off, len) =>
+                java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  off.toInt + len)
+              })
+        }
+    }
+  }
+
 
   /** Walk `stsc` runs against `stco` chunk offsets, laying samples
     * head-to-tail within each chunk per their `stsz` sizes (ISO/IEC
@@ -273,7 +311,8 @@ object Mp4Codec {
               if (t.hasStss) t.stssCount else t.nSamples, t.hasStss)
             rawTracks += RawTrack(nTracks, t.handler, t.codec,
               t.stszFixed, t.nSamples, t.sampleSizes.toIndexedSeq,
-              t.stscRuns.toIndexedSeq, t.chunkOffs.toIndexedSeq)
+              t.stscRuns.toIndexedSeq, t.chunkOffs.toIndexedSeq,
+              t.entryChannels, t.entryBits, t.entrySampleRate)
           case "tkhd" if trak != null && q + 4 <= qEnd =>
             val v = bytes(q) & 0xFF
             // FullBox payload → width offset: verflags(4) + times/ids
@@ -289,7 +328,25 @@ object Mp4Codec {
           case "stsd" if trak != null && q + 16 <= qEnd =>
             // verflags(4) entry_count(4), then first sample entry:
             // size(4) format(4cc) — the codec identity
-            if (beU32(bytes, q + 4) >= 1) trak.codec = fcc(bytes, q + 12)
+            if (beU32(bytes, q + 4) >= 1) {
+              trak.codec = fcc(bytes, q + 12)
+              // AudioSampleEntry layout (14496-12 §12.2.3), offsets
+              // within the entry: reserved(6)+dref(2)+reserved(8) →
+              // channelcount@24(2) samplesize@26(2) pre/res(4) →
+              // samplerate@32 (16.16). Read when present — a PCM
+              // ('sowt'/'twos') decode needs all three; harmless for
+              // video entries (overwritten semantics never used).
+              val e = q + 8 // first sample entry start
+              if (e + 36 <= qEnd) {
+                trak.entryChannels =
+                  (((bytes(e + 24) & 0xFF) << 8) |
+                    (bytes(e + 25) & 0xFF))
+                trak.entryBits =
+                  (((bytes(e + 26) & 0xFF) << 8) |
+                    (bytes(e + 27) & 0xFF))
+                trak.entrySampleRate = beU32(bytes, e + 32) >>> 16
+              }
+            }
           case "mdhd" if trak != null && q + 4 <= qEnd =>
             // media timescale: same v0/v1 time layouts as mvhd
             val v = bytes(q) & 0xFF
@@ -428,13 +485,13 @@ object Mp4Codec {
       new Array[Byte](32),
       be16b(24), be16b(0xFFFF))
   }
-  private def audioSampleEntry(codec: String,
-      sampleRate: Int): Array[Byte] =
+  private def audioSampleEntry(codec: String, sampleRate: Int,
+      channels: Int = 2): Array[Byte] =
     // AudioSampleEntry: 6 reserved + data_ref(2) + reserved(8) +
     // channelcount(2) + samplesize(2) + pre_defined(2) + reserved(2) +
     // samplerate(16.16)
     box(codec, new Array[Byte](6), be16b(1), new Array[Byte](8),
-      be16b(2), be16b(16), be16b(0), be16b(0),
+      be16b(channels), be16b(16), be16b(0), be16b(0),
       be32b(sampleRate.toLong << 16))
 
   /** Sample-table content for the muxer: per-sample sizes (`stsz`
@@ -527,63 +584,76 @@ object Mp4Codec {
       videoPayloads: Option[Seq[Array[Byte]]] = None,
       videoChunkSizes: Seq[Int] = Nil,
       useCo64: Boolean = false,
-      mdatJunkPrefix: Int = 0): Array[Byte] = {
+      mdatJunkPrefix: Int = 0,
+      audioPayloads: Option[Seq[Array[Byte]]] = None,
+      audioChunkSizes: Seq[Int] = Nil,
+      audioChannels: Int = 2,
+      audioSampleRate: Int = 8000): Array[Byte] = {
     val ftyp = box("ftyp", brand.getBytes("US-ASCII"), be32b(512L),
       "isom".getBytes("US-ASCII"), "mp42".getBytes("US-ASCII"))
     val free = box("free", new Array[Byte](12))
+    val anyPayloads = videoPayloads.isDefined || audioPayloads.isDefined
     val junk = Array.tabulate[Byte](
-      if (videoPayloads.isDefined) mdatJunkPrefix else 0)(i =>
-      (i * 3 + 1).toByte)
-    val payload = videoPayloads match {
-      case Some(pls) =>
-        junk ++ pls.foldLeft(Array.emptyByteArray)(_ ++ _)
-      case None => Array.tabulate[Byte](mdatBytes)(i => (i * 7).toByte)
-    }
+      if (anyPayloads) mdatJunkPrefix else 0)(i => (i * 3 + 1).toByte)
+    val vPls = videoPayloads.getOrElse(Seq.empty)
+    val aPls = audioPayloads.getOrElse(Seq.empty)
+    val payload =
+      if (anyPayloads)
+        junk ++ (vPls ++ aPls).foldLeft(Array.emptyByteArray)(_ ++ _)
+      else Array.tabulate[Byte](mdatBytes)(i => (i * 7).toByte)
     val mdat =
       if (largeSizeMdat) largeMdat(payload) else box("mdat", payload)
-    // the video track's location boxes (stsc + stco/co64) — offsets
-    // are ABSOLUTE file positions, known here because mdat precedes
-    // the trailing moov
-    val (vChunkBoxes, vSizedTables) = videoPayloads match {
-      case None => (Array.emptyByteArray, videoTables)
-      case Some(pls) =>
-        val chunkSizes =
-          if (videoChunkSizes.nonEmpty) videoChunkSizes
-          else Seq(pls.length)
-        require(chunkSizes.sum == pls.length && chunkSizes.forall(_ > 0),
-          s"chunk layout ${chunkSizes.mkString(",")} must partition " +
-            s"${pls.length} samples")
-        val base = ftyp.length.toLong + free.length +
-          (if (largeSizeMdat) 16 else 8) + junk.length
-        val offsets = chunkSizes.scanLeft((base, 0)) {
-          case ((off, idx), cs) =>
-            (off + pls.slice(idx, idx + cs).map(_.length.toLong).sum,
-              idx + cs)
-        }.map(_._1).dropRight(1)
-        // RLE-compress equal consecutive samples-per-chunk into stsc
-        // runs (first_chunk, samples_per_chunk, sdi=1)
-        val runs = chunkSizes.zipWithIndex.foldLeft(
-          List.empty[(Int, Int)]) { case (acc, (cs, i)) =>
-          acc match {
-            case (_, prev) :: _ if prev == cs => acc
-            case _ => (i + 1, cs) :: acc
-          }
-        }.reverse
-        val stsc = fullBox("stsc", 0, be32b(runs.length.toLong),
-          runs.toArray.flatMap { case (first, spc) =>
-            be32b(first.toLong) ++ be32b(spc.toLong) ++ be32b(1L)
-          })
-        val cBox =
-          if (useCo64) fullBox("co64", 0, be32b(offsets.length.toLong),
-            offsets.toArray.flatMap(be64b))
-          else fullBox("stco", 0, be32b(offsets.length.toLong),
-            offsets.toArray.flatMap(be32b))
-        val sized = videoTables
-          .map(t => t.copy(sizes = pls.map(_.length)))
-          .orElse(Some(SampleTables(pls.map(_.length),
-            Seq((pls.length, 100)), None)))
-        (stsc ++ cBox, sized)
+    // per-track location boxes (stsc + stco/co64) — offsets are
+    // ABSOLUTE file positions, known here because mdat precedes the
+    // trailing moov; audio samples are laid out AFTER the video block
+    def locBoxes(pls: Seq[Array[Byte]], wantChunks: Seq[Int],
+        base: Long, tables: Option[SampleTables])
+        : (Array[Byte], Option[SampleTables]) = {
+      val chunkSizes =
+        if (wantChunks.nonEmpty) wantChunks else Seq(pls.length)
+      require(chunkSizes.sum == pls.length && chunkSizes.forall(_ > 0),
+        s"chunk layout ${chunkSizes.mkString(",")} must partition " +
+          s"${pls.length} samples")
+      val offsets = chunkSizes.scanLeft((base, 0)) {
+        case ((off, idx), cs) =>
+          (off + pls.slice(idx, idx + cs).map(_.length.toLong).sum,
+            idx + cs)
+      }.map(_._1).dropRight(1)
+      // RLE-compress equal consecutive samples-per-chunk into stsc
+      // runs (first_chunk, samples_per_chunk, sdi=1)
+      val runs = chunkSizes.zipWithIndex.foldLeft(
+        List.empty[(Int, Int)]) { case (acc, (cs, i)) =>
+        acc match {
+          case (_, prev) :: _ if prev == cs => acc
+          case _ => (i + 1, cs) :: acc
+        }
+      }.reverse
+      val stsc = fullBox("stsc", 0, be32b(runs.length.toLong),
+        runs.toArray.flatMap { case (first, spc) =>
+          be32b(first.toLong) ++ be32b(spc.toLong) ++ be32b(1L)
+        })
+      val cBox =
+        if (useCo64) fullBox("co64", 0, be32b(offsets.length.toLong),
+          offsets.toArray.flatMap(be64b))
+        else fullBox("stco", 0, be32b(offsets.length.toLong),
+          offsets.toArray.flatMap(be32b))
+      val sized = tables
+        .map(t => t.copy(sizes = pls.map(_.length)))
+        .orElse(Some(SampleTables(pls.map(_.length),
+          Seq((pls.length, 100)), None)))
+      (stsc ++ cBox, sized)
     }
+    val mdatBase = ftyp.length.toLong + free.length +
+      (if (largeSizeMdat) 16 else 8) + junk.length
+    val (vChunkBoxes, vSizedTables) =
+      if (videoPayloads.isDefined)
+        locBoxes(vPls, videoChunkSizes, mdatBase, videoTables)
+      else (Array.emptyByteArray, videoTables)
+    val (aChunkBoxes, aSizedTables) =
+      if (audioPayloads.isDefined)
+        locBoxes(aPls, audioChunkSizes,
+          mdatBase + vPls.map(_.length.toLong).sum, audioTables)
+      else (Array.emptyByteArray, audioTables)
     val mvhd =
       if (version == 1)
         fullBox("mvhd", 1, be64b(0L), be64b(0L), be32b(timescale),
@@ -601,7 +671,8 @@ object Mp4Codec {
     val traks = audioCodec match {
       case Some(ac) =>
         vtrak ++ trak(version, 2L, duration, "soun", 0, 0,
-          audioSampleEntry(ac, 8000), audioMediaTimescale, audioTables)
+          audioSampleEntry(ac, audioSampleRate, audioChannels),
+          audioMediaTimescale, aSizedTables, aChunkBoxes)
       case None => vtrak
     }
     val moov = box("moov", mvhd, traks)
