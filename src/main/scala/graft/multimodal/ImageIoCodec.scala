@@ -254,6 +254,12 @@ object ImageIoCodec extends MediaCodec {
 }
 
 object SyntheticImages {
+  /** Partition `n` samples into chunks of `spc` each plus a trailing
+    * partial chunk — the layout shape shared by every MP4 corpus here
+    * (the partial chunk is deliberate: it forces a multi-run stsc). */
+  private def chunkLayout(n: Int, spc: Int): Seq[Int] =
+    Seq.fill(n / spc)(spc) ++ (if (n % spc != 0) Seq(n % spc) else Nil)
+
   /** Procedural WAV corpus for judging the REAL audio path: one
     * 16-bit mono PCM WAV per document id below `n`, with
     * `512 + (id mod 3)·256` samples (always whole 256-windows) and
@@ -483,9 +489,7 @@ object SyntheticImages {
           val rep = (10 + (id * 7 + i * 13) % 37).toInt
           (s"S$id:$i:" + ch.toString * rep).getBytes("US-ASCII")
         }
-        val spc = (id % 3 + 1).toInt
-        val chunkSizes = Seq.fill(ns / spc)(spc) ++
-          (if (ns % spc != 0) Seq(ns % spc) else Nil)
+        val chunkSizes = chunkLayout(ns, (id % 3 + 1).toInt)
         val bytes = Mp4Codec.mux("isom", (id % 2).toInt, 600L,
           600L * ns, 16, 16, "mp4v", None,
           largeSizeMdat = id % 5 == 0,
@@ -541,10 +545,7 @@ object SyntheticImages {
         }
         val framesPerSample = (100 + (id % 7) * 30).toInt
         val payloads = pcm.grouped(framesPerSample * 2).toSeq
-        val spc = (id % 2 + 1).toInt
-        val ns = payloads.length
-        val chunkSizes = Seq.fill(ns / spc)(spc) ++
-          (if (ns % spc != 0) Seq(ns % spc) else Nil)
+        val chunkSizes = chunkLayout(payloads.length, (id % 2 + 1).toInt)
         val mp4 = Mp4Codec.mux("isom", 0, 600L, nPcm.toLong, 16, 8,
           "mp4v", Some(codec), largeSizeMdat = id % 6 == 0,
           useCo64 = id % 4 == 0, mdatJunkPrefix = (id % 5).toInt,
@@ -616,8 +617,7 @@ object SyntheticImages {
         }
         def mk(pls: Seq[Array[Byte]], spc: Int,
             co64: Boolean): Array[Byte] = {
-          val chunkSizes = Seq.fill(nf / spc)(spc) ++
-            (if (nf % spc != 0) Seq(nf % spc) else Nil)
+          val chunkSizes = chunkLayout(nf, spc)
           Mp4Codec.mux("isom", 0, 600L, nf * 100L, w, h, "jpeg", None,
             largeSizeMdat = false,
             videoTables = Some(Mp4Codec.SampleTables(Nil,

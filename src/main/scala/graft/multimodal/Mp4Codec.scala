@@ -158,15 +158,24 @@ object Mp4Codec {
     * track without location tables. */
   def videoSamplePayloads(
       bytes: Array[Byte]): (Option[String], Seq[Array[Byte]]) =
-    sampleRanges(bytes)
-      .find(t => t.handler == "vide" && t.ranges.nonEmpty) match {
+    parseAll(bytes) match {
       case None => (None, Seq.empty)
-      case Some(t) =>
-        (Some(t.codec).filter(_.nonEmpty),
-          t.ranges.map { case (off, len) =>
-            java.util.Arrays.copyOfRange(bytes, off.toInt,
-              off.toInt + len)
-          })
+      case Some((_, _, raws)) =>
+        // resolve ONLY the selected track: a sibling audio track's
+        // (possibly huge) location tables must not be walked just to
+        // be discarded
+        raws.find(r => r.handler == "vide" && r.offsets.nonEmpty &&
+          r.stsc.nonEmpty) match {
+          case None => (None, Seq.empty)
+          case Some(r) =>
+            val ranges = resolveRanges(r, bytes.length.toLong)
+            if (ranges.isEmpty) (None, Seq.empty)
+            else (Some(r.codec).filter(_.nonEmpty),
+              ranges.map { case (off, len) =>
+                java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  off.toInt + len)
+              })
+        }
     }
 
   /** First audio track's sample-entry PCM facts (channels / bits /
@@ -213,8 +222,15 @@ object Mp4Codec {
     val runs = r.stsc.filter(t => t._1 >= 1L && t._2 >= 1L)
       .sortBy(_._1)
     if (runs.isEmpty) return Seq.empty
+    // emitted-range bound: the table form is capped by the parsed
+    // sizes (≤ box bytes / 4); the FIXED-size form's count is a bare
+    // u32 a corrupt file can set to 4.29e9 with overlapping chunk
+    // offsets, so cap it at fileLen — a valid layout cannot hold more
+    // ≥1-byte samples than the file has bytes, and the builder then
+    // stays proportional to the input instead of OOMing an executor
+    // off a 1 MB blob
     val nSized =
-      if (r.fixedSize != 0L) r.nSamples
+      if (r.fixedSize != 0L) math.min(r.nSamples, fileLen)
       else math.min(r.nSamples, r.sizes.length.toLong)
     val out = Seq.newBuilder[(Long, Int)]
     var s = 0L // next sample index
@@ -231,8 +247,12 @@ object Mp4Codec {
       while (j < spc && s < nSized) {
         val size =
           if (r.fixedSize != 0L) r.fixedSize else r.sizes(s.toInt)
+        // subtraction form: `off + size > fileLen` overflows Long for
+        // a corrupt co64 offset near Long.MaxValue and would let the
+        // wrapped-negative sum pass the guard straight into
+        // copyOfRange — size ≤ Int.MaxValue makes fileLen - size safe
         if (off < 0 || size < 0 || size > Int.MaxValue.toLong ||
-          off + size > fileLen) return out.result() // corrupt: prefix
+          off > fileLen - size) return out.result() // corrupt: prefix
         out += ((off, size.toInt))
         off += size; s += 1; j += 1
       }

@@ -628,19 +628,20 @@ object Ann {
         // the caller's id column NAME (Seq-form join: unambiguous even
         // when idCol is literally "query_id", and never a driver-side
         // literal list — a caller with 10⁶ queries must not build a
-        // 10⁶-literal isin predicate into every later round's plan)
+        // 10⁶-literal isin predicate into every later round's plan).
+        // Pinned BEFORE the emptiness probe: one execution serves
+        // both the termination check and the next round's input, and
+        // the pin truncates the growing anti-join lineage so round
+        // r's probe re-executes nothing of rounds 1..r-1.
         val satAsIdCol = broadcast(
           satisfied.withColumnRenamed("query_id", idCol))
-        val starved = remaining.select(col(idCol)).distinct()
-          .join(satAsIdCol, Seq(idCol), "left_anti")
-        if (starved.isEmpty) { rounds += res; exhausted = true }
+        val next = graft.plans.Pin.pin(
+          remaining.join(satAsIdCol, Seq(idCol), "left_anti"))
+        if (next.isEmpty) { rounds += res; exhausted = true }
         else {
           rounds += res.join(broadcast(satisfied), Seq("query_id"),
             "left_semi")
-          // pin: truncates the growing anti-join lineage so round r's
-          // probe re-executes nothing of rounds 1..r-1
-          remaining = graft.plans.Pin.pin(
-            remaining.join(satAsIdCol, Seq(idCol), "left_anti"))
+          remaining = next
           probe = math.min(probe * 2, nlist)
         }
       }

@@ -246,6 +246,55 @@ class Mp4SampleSpec extends SparkSpec {
     assert(ImageIoCodec.audioWindows(stereo).isEmpty)
   }
 
+  test("adversarial location tables stay total and bounded: a co64 " +
+    "offset near Long.MaxValue cannot wrap the bounds check, and a " +
+    "u32-max fixed-size stsz with overlapping chunks caps at fileLen " +
+    "ranges") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    val hdlr = box("hdlr", be32(0L), be32(0L),
+      "vide".getBytes("US-ASCII"), new Array[Byte](13))
+    // (a) co64 offset at Long.MaxValue - 6 with sample size 20: the
+    // additive form of the bounds check would wrap negative and pass
+    val stsz1 = box("stsz", be32(0L), be32(20L), be32(1L))
+    val stsc1 = box("stsc", be32(0L), be32(1L), be32(1L), be32(1L),
+      be32(1L))
+    val co64 = box("co64", be32(0L), be32(1L),
+      be64(Long.MaxValue - 6L))
+    val trak1 = box("trak", box("mdia", hdlr,
+      box("minf", box("stbl", stsz1, stsc1, co64))))
+    val f1 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0L),
+      "isom".getBytes("US-ASCII")) ++ box("moov", trak1)
+    val (_, pls1) = Mp4Codec.videoSamplePayloads(f1) // must not throw
+    assert(pls1.isEmpty)
+    Mp4Codec.sampleRanges(f1).foreach(t =>
+      t.ranges.foreach { case (off, len) =>
+        assert(off >= 0 && len >= 0 && off + len <= f1.length)
+      })
+    // (b) fixed-size form claiming 2^32-1 one-byte samples over
+    // overlapping chunks: the range builder must cap at fileLen, not
+    // accumulate billions of tuples
+    val stsz2 = box("stsz", be32(0L), be32(1L), be32(0xFFFFFFFFL))
+    val stsc2 = box("stsc", be32(0L), be32(1L), be32(1L),
+      be32(1000000L), be32(1L))
+    val stco2 = box("stco", be32(0L), be32(64L),
+      (0 until 64).toArray.flatMap(_ => be32(0L)))
+    val trak2 = box("trak", box("mdia", hdlr,
+      box("minf", box("stbl", stsz2, stsc2, stco2))))
+    val f2 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0L),
+      "isom".getBytes("US-ASCII")) ++ box("moov", trak2)
+    val ranges = Mp4Codec.sampleRanges(f2)
+      .find(_.handler == "vide").map(_.ranges).getOrElse(Seq.empty)
+    assert(ranges.length <= f2.length,
+      s"${ranges.length} ranges from a ${f2.length}-byte file")
+  }
+
   test("Spark probe stage: formula-ASCII corpus extracts the exact " +
     "strings (the judged mm_mp4_samples shape)") {
     import org.apache.spark.sql.functions.col
