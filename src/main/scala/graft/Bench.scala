@@ -91,6 +91,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // DOCUMENTED LOG FILTER (VERDICT r11 #6): WindowExec's "No
+    // Partition Defined … moving all data to a single partition"
+    // warning is demoted to ERROR for THIS benchmark JVM only. Every
+    // remaining empty-partition window in the tree is a by-design-tiny
+    // frame — Scale.prefixSum/rankedPrefixSum/globalNtile offset
+    // windows over ≤ shuffle-partition-count rows, and the
+    // aggregate-cardinality windows in q_cumulative_distinct/q_skyline
+    // — and the warning was drowning real signals in the bench tail.
+    // The PLANS are deliberately unchanged: a constant partitionBy
+    // (lit(0) is folded away by EliminateWindowPartitions; a
+    // non-foldable pmod(hash, 1) survives) was measured to ADD a hash
+    // exchange + a follow-on range exchange on 4 judged plans
+    // (PlanGate: shuffles 2→4 on q_cumulative_distinct), which is the
+    // wrong trade for silencing a cosmetic log line. Real global-
+    // window regressions stay caught by graft.Audit (flags global
+    // windows over non-aggregate cardinality) and graft.PlanGate
+    // (flags window/shuffle-count growth per query).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // JVM/codegen warmup on the smallest SF so per-query timings measure
     // the plan, not first-call JIT + classloading.

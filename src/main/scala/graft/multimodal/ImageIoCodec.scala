@@ -223,7 +223,11 @@ object ImageIoCodec extends MediaCodec {
       // (total), exactly like an AVI with an unknown compression.
       val (codec, payloads) = Mp4Codec.videoSamplePayloads(bytes)
       return codec match {
-        case Some(c) if c == "jpeg" || c == "mjpa" || c == "mjpb" =>
+        // 'mjpb' (Motion JPEG B) is deliberately NOT accepted: its
+        // samples carry no standard JPEG interchange markers, so
+        // ImageIO.read can never decode one — listing it would only
+        // promise frames the undecodable contract must return empty
+        case Some(c) if c == "jpeg" || c == "mjpa" =>
           payloads.zipWithIndex.collect {
             case (p, i) if i % everyN == 0 =>
               try Option(ImageIO.read(new ByteArrayInputStream(p)))

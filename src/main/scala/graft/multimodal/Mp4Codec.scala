@@ -124,15 +124,19 @@ object Mp4Codec {
       sampleRate: Long)
 
   /** Walk the container and collect movie-level metadata. Returns
-    * `None` only when the bytes are not ISO-BMFF at all. */
+    * `None` only when the bytes are not ISO-BMFF at all. Location
+    * tables are NOT buffered on this path (`needRanges = false`): a
+    * metadata probe over a real MP4 with millions of samples stays an
+    * O(1)-memory walk. */
   def parseMeta(bytes: Array[Byte]): Option[Mp4Meta] =
-    parseAll(bytes).map(_._1)
+    parseAll(bytes, needRanges = false).map(_._1)
 
   /** Per-track sample-table statistics ([[TrackStats]]), in file
     * order. Empty when the bytes are not ISO-BMFF (or carry no trak
-    * boxes) — total on corrupt input like [[parseMeta]]. */
+    * boxes) — total on corrupt input like [[parseMeta]], and like it
+    * an O(1)-memory walk (stats need sums, never per-sample tables). */
   def parseTracks(bytes: Array[Byte]): Seq[TrackStats] =
-    parseAll(bytes).map(_._2).getOrElse(Seq.empty)
+    parseAll(bytes, needRanges = false).map(_._2).getOrElse(Seq.empty)
 
   /** One track's resolved per-sample byte ranges: `(offset, size)`
     * into the ORIGINAL file bytes, in sample order. */
@@ -147,8 +151,9 @@ object Mp4Codec {
     * corrupt input: a range that escapes the file bounds ends that
     * track's resolution at the samples that resolved cleanly. */
   def sampleRanges(bytes: Array[Byte]): Seq[TrackRanges] =
-    parseAll(bytes).map(_._3.map(r => TrackRanges(r.track, r.handler,
-      r.codec, resolveRanges(r, bytes.length.toLong))))
+    parseAll(bytes, needRanges = true)
+      .map(_._3.map(r => TrackRanges(r.track, r.handler,
+        r.codec, resolveRanges(r, bytes.length.toLong))))
       .getOrElse(Seq.empty)
 
   /** The first video track's codec fourcc and its EXTRACTED sample
@@ -158,7 +163,7 @@ object Mp4Codec {
     * track without location tables. */
   def videoSamplePayloads(
       bytes: Array[Byte]): (Option[String], Seq[Array[Byte]]) =
-    parseAll(bytes) match {
+    parseAll(bytes, needRanges = true) match {
       case None => (None, Seq.empty)
       case Some((_, _, raws)) =>
         // resolve ONLY the selected track: a sibling audio track's
@@ -191,7 +196,7 @@ object Mp4Codec {
     * integer byte arithmetic and no codec library. */
   def audioSamplePayloads(
       bytes: Array[Byte]): (Option[PcmInfo], Seq[Array[Byte]]) = {
-    parseAll(bytes) match {
+    parseAll(bytes, needRanges = true) match {
       case None => (None, Seq.empty)
       case Some((_, _, raws)) =>
         raws.find(r => r.handler == "soun" && r.offsets.nonEmpty &&
@@ -233,6 +238,13 @@ object Mp4Codec {
       if (r.fixedSize != 0L) math.min(r.nSamples, fileLen)
       else math.min(r.nSamples, r.sizes.length.toLong)
     val out = Seq.newBuilder[(Long, Int)]
+    // cumulative-payload budget: overlapping chunk offsets in a
+    // corrupt table can make every individual range pass the bounds
+    // check while their TOTAL dwarfs the file (each emitted tuple is
+    // ~40 boxed bytes, a ~40× amplification over the input). A valid
+    // non-overlapping layout's payload sum cannot exceed fileLen, so
+    // stop at the clean prefix once the emitted bytes would.
+    var emitted = 0L
     var s = 0L // next sample index
     var runIdx = 0
     var c = 0 // chunk index (0-based over stco entries)
@@ -253,6 +265,8 @@ object Mp4Codec {
         // copyOfRange — size ≤ Int.MaxValue makes fileLen - size safe
         if (off < 0 || size < 0 || size > Int.MaxValue.toLong ||
           off > fileLen - size) return out.result() // corrupt: prefix
+        emitted += size
+        if (emitted > fileLen) return out.result() // overlap: prefix
         out += ((off, size.toInt))
         off += size; s += 1; j += 1
       }
@@ -261,7 +275,12 @@ object Mp4Codec {
     out.result()
   }
 
-  private def parseAll(bytes: Array[Byte])
+  /** `needRanges` gates the per-sample LOCATION buffers (stsz table
+    * sizes, stsc runs, stco/co64 offsets): the stats/meta probes pass
+    * false and keep the old O(1)-memory walk — a real MP4 with
+    * millions of samples must not pay millions of boxed appends per
+    * row on paths that never resolve ranges. */
+  private def parseAll(bytes: Array[Byte], needRanges: Boolean)
       : Option[(Mp4Meta, Seq[TrackStats], Seq[RawTrack])] = {
     if (!isMp4(bytes)) return None
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackStats]
@@ -389,7 +408,7 @@ object Mp4Codec {
               while (i < cnt && o + 4 <= qEnd) {
                 val sz = beU32(bytes, o)
                 tot = satAdd(tot, sz)
-                trak.sampleSizes += sz
+                if (needRanges) trak.sampleSizes += sz
                 o += 4; i += 1
               }
               trak.totalBytes = tot // truncated table: what parsed
@@ -413,7 +432,7 @@ object Mp4Codec {
             val entries = beU32(bytes, q + 4)
             var i = 0L
             var o = q + 8
-            while (i < entries && o + 12 <= qEnd) {
+            while (needRanges && i < entries && o + 12 <= qEnd) {
               trak.stscRuns += ((beU32(bytes, o), beU32(bytes, o + 4)))
               o += 12; i += 1
             }
@@ -422,7 +441,7 @@ object Mp4Codec {
             val entries = beU32(bytes, q + 4)
             var i = 0L
             var o = q + 8
-            while (i < entries && o + 4 <= qEnd) {
+            while (needRanges && i < entries && o + 4 <= qEnd) {
               trak.chunkOffs += beU32(bytes, o); o += 4; i += 1
             }
           case "co64" if trak != null && q + 8 <= qEnd =>
@@ -430,7 +449,7 @@ object Mp4Codec {
             val entries = beU32(bytes, q + 4)
             var i = 0L
             var o = q + 8
-            while (i < entries && o + 8 <= qEnd) {
+            while (needRanges && i < entries && o + 8 <= qEnd) {
               trak.chunkOffs += be64(bytes, o); o += 8; i += 1
             }
           case "stss" if trak != null && q + 8 <= qEnd =>

@@ -382,6 +382,58 @@ object SinkQueries extends QuerySection {
     )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
   }
 
+  /** O2 over the OTHER data wire — the Influx line-protocol twin of
+    * [[o8WireEtl]], closing the wire-ETL symmetry (VERDICT r11 #4):
+    * events serialize to line-protocol text (`event_type` rides as a
+    * tag, the rest as typed fields, `ts` as the nanosecond timestamp),
+    * and the ETL job's source is the config-driven
+    * `Sources.file(..., "lineprotocol")` wire scan — the typed
+    * [[graft.sources.LineProtocol.Point]] frame projected back to the
+    * flat event shape — then the same clean → validate → route
+    * pipeline as `o2_etl_job`/`o8_wire_etl`. Counts must match the
+    * source table exactly: the wire leg loses no rows and `value`
+    * survives the double round-trip bit-exactly (shortest-repr
+    * serialize ↔ parse). */
+  private def o9WireEtlLp(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.EtlJob
+    import graft.sources.{LineProtocol, Sources}
+    import graft.transform.{FieldRule, Stamp}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_lp")
+    val ev = Tables.load(s, dir, "events")
+    val stage = tmp.resolve("stage").toString
+    LineProtocol.serialize(ev, "events", timeField = "ts",
+      tagFields = Seq("event_type")).write.text(stage)
+    val out = tmp.resolve("out").toString
+    val job = EtlJob(
+      source = sp => Sources.file(sp, stage, Some("lineprotocol"))
+        .select(col("fields_long")("event_id").as("event_id"),
+          col("time").as("ts"),
+          col("fields_long")("user_id").as("user_id"),
+          col("tags")("event_type").as("event_type"),
+          col("fields_double")("value").as("value"),
+          col("fields_str")("props").as("props"))
+        .withColumn("_source", lit("events_wire_lp")),
+      transformations = Seq("cleaning", "validation"),
+      validationRules =
+        Map("value" -> FieldRule(min = Some(5), max = Some(80))),
+      routes = Seq(
+        Sinks.Route("valid", col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/valid")),
+        Sinks.Route("invalid", !col("_is_valid"),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/invalid")),
+        Sinks.Route("archive", lit(true),
+          d => Sinks.load(d.drop("_validation_errors"), s"$out/archive"))),
+      stamp = Stamp.off)
+    val r = job.run(s)
+    import s.implicits._
+    Seq((
+      r.loadResults("valid").count,
+      r.loadResults("invalid").count,
+      r.loadResults("archive").count,
+      r.stageErrors.size.toLong
+    )).toDF("n_valid", "n_invalid", "n_archived", "n_stage_errors")
+  }
+
   /** K7: multi-target load — same events scan fanned to a parquet and a
     * json sink (one persist, two writes); judged output is the
     * per-target result map. */
@@ -757,6 +809,7 @@ object SinkQueries extends QuerySection {
     "k_bucketed_join" -> (kBucketedJoin _),
     "o2_etl_job" -> (o2EtlJob _),
     "o8_wire_etl" -> (o8WireEtl _),
+    "o9_wire_etl_lp" -> (o9WireEtlLp _),
     "k7_multi_target" -> (k7MultiTarget _),
     "k4_upsert_merge" -> (k4UpsertMerge _),
     "k5_points_long" -> (k5PointsLong _),
@@ -895,6 +948,19 @@ object SinkQueries extends QuerySection {
     // the wire leg must lose no rows and keep `value` exact: counts
     // equal the direct-table job's
     "o8_wire_etl" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN NOT (value >= 5 AND value <= 80) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_invalid,
+        |  count(*) AS n_archived,
+        |  CAST(0 AS BIGINT) AS n_stage_errors
+        |FROM events""".stripMargin,
+    // the line-protocol leg makes the same promise as o8's extended-
+    // JSON leg: no rows lost, `value` numerically intact through the
+    // validation predicate — so the oracle is the same direct-table
+    // count
+    "o9_wire_etl_lp" ->
       """SELECT
         |  CAST(sum(CASE WHEN value >= 5 AND value <= 80 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_valid,

@@ -78,6 +78,20 @@ object TextQueries extends QuerySection {
       .orderBy(desc("cnt"), col("pair"))
       .limit(20)
 
+  /** Full BPE TRAINING loop ([[graft.text.TextAnalysis.bpeTrain]]):
+    * `BpeTrainMerges` merges learned to fixpoint over the corpus
+    * vocabulary with greedy left-to-right merge semantics and the
+    * deterministic (max count, min pair) tie-break. The oracle replays
+    * the identical training loop as an unrolled CTE chain in DuckDB —
+    * per stage: pair counts, 1-row argmax, and the greedy rewrite via
+    * the even-offset-within-match-chain rule (provably equal to the
+    * engine's (out, pending) fold: for left ≠ right matches never
+    * overlap, for left = right a run of k merges ⌊k/2⌋ pairs at even
+    * offsets). Partitioning-invariance of the merge sequence is
+    * property-tested in BpeTrainSpec. */
+  private def textBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(docs(s, dir), "text", TextQueries.BpeTrainMerges)
+
   /** Heuristic quality signals (stopword/punct/digit ratios, composite
     * score); raw + lowercase token arrays materialized once per doc. */
   private def textQuality(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +445,7 @@ object TextQueries extends QuerySection {
     "text_vocab_coverage" -> (textVocabCoverage _),
     "text_stats" -> (textStats _),
     "text_bpe_step" -> (textBpeStep _),
+    "text_bpe_train" -> (textBpeTrain _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -446,6 +461,74 @@ object TextQueries extends QuerySection {
 
   private val tokensSql = "string_split_regex(trim(text), '\\s+')"
 
+  /** Merges learned by `text_bpe_train` — the oracle unrolls one CTE
+    * stage per merge, so this stays a small constant. */
+  val BpeTrainMerges = 10
+
+  /** Oracle generator for `text_bpe_train`: the IDENTICAL training
+    * loop as an unrolled CTE chain (DuckDB cannot loop) — stage k
+    * computes pair counts over vocab v(k-1), the deterministic argmax
+    * m(k), and the greedily-merged vocab v(k). The greedy rewrite uses
+    * the even-offset-within-match-chain rule (gaps-and-islands over
+    * match positions), which equals the engine's (out, pending) fold;
+    * consumed positions (previous position merged) drop via the
+    * self-join on j-1. `AS MATERIALIZED` on every re-referenced CTE —
+    * DuckDB re-inlines by default and each v(k) is read twice. */
+  private def bpeTrainOracle(n: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """v0 AS MATERIALIZED (
+      |  SELECT w, count(*) AS f, string_split(w, '') AS syms
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+      |      '\s+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY w)""".stripMargin
+    for (k <- 1 to n) {
+      val p = k - 1
+      parts += s"""p$k AS MATERIALIZED (
+        |  SELECT syms[j] AS l, syms[j+1] AS r, sum(f) AS cnt
+        |  FROM v$p, LATERAL (SELECT unnest(generate_series(1,
+        |      len(syms) - 1)) AS j) g
+        |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""m$k AS MATERIALIZED (
+        |  SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)"""
+        .stripMargin
+      if (k < n) {
+        parts += s"""e$k AS MATERIALIZED (
+          |  SELECT w, f, j, syms[j] AS s,
+          |    CASE WHEN j < len(syms) THEN syms[j+1] END AS nx
+          |  FROM v$p, LATERAL (SELECT unnest(generate_series(1,
+          |      len(syms))) AS j) g)""".stripMargin
+        parts += s"""h$k AS (
+          |  SELECT w, j, row_number() OVER (PARTITION BY w ORDER BY j)
+          |    AS rn
+          |  FROM e$k
+          |  WHERE coalesce(s = (SELECT l FROM m$k)
+          |    AND nx = (SELECT r FROM m$k), false))""".stripMargin
+        parts += s"""mm$k AS MATERIALIZED (
+          |  SELECT w, j FROM (
+          |    SELECT w, j, row_number() OVER (PARTITION BY w, j - rn
+          |      ORDER BY j) AS rno
+          |    FROM h$k)
+          |  WHERE rno % 2 = 1)""".stripMargin
+        parts += s"""v$k AS MATERIALIZED (
+          |  SELECT e.w, e.f,
+          |    list(CASE WHEN mm.j IS NOT NULL THEN e.s || e.nx
+          |      ELSE e.s END ORDER BY e.j) AS syms
+          |  FROM e$k e
+          |  LEFT JOIN mm$k mm ON mm.w = e.w AND mm.j = e.j
+          |  LEFT JOIN mm$k pv ON pv.w = e.w AND pv.j = e.j - 1
+          |  WHERE pv.j IS NULL
+          |  GROUP BY e.w, e.f)""".stripMargin
+      }
+    }
+    val sel = (1 to n).map(k =>
+      s"SELECT CAST($k AS INT) AS merge_no, l AS left_sym, " +
+        s"r AS right_sym, CAST(cnt AS BIGINT) AS cnt FROM m$k")
+      .mkString("\nUNION ALL\n")
+    "WITH " + parts.result().mkString(",\n") + "\n" + sel +
+      "\nORDER BY merge_no"
+  }
+
   private def markerListSql(lang: String): String =
     LangMarkers.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -454,6 +537,7 @@ object TextQueries extends QuerySection {
       s"x -> list_contains(${markerListSql(lang)}, x)))"
 
   def oracleSql: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainOracle(BpeTrainMerges),
     "text_search" ->
       s"""WITH tok AS (
         |  SELECT doc_id, unnest($tokensSql) AS t FROM documents),

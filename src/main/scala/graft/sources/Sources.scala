@@ -121,18 +121,28 @@ object Sources {
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     val fmt = format.getOrElse(path.replaceAll(".*\\.", "")).toLowerCase
+    // a supplied schema must either be HONORED or REJECTED — silently
+    // ignoring it would mask a config error (a schema-expecting scan
+    // quietly falling back to inference)
+    def noSchema(): Unit = require(schema.isEmpty,
+      s"format '$fmt' derives its own schema; the supplied schema " +
+        "would be ignored — drop it or use csv/json/jsonl/parquet")
     fmt match {
       case "csv" =>
-        spark.read.option("header", "true").option("inferSchema", "true")
-          .option("nanValue", "NaN").option("nullValue", "").csv(path)
+        val r = spark.read.option("header", "true")
+          .option("nanValue", "NaN").option("nullValue", "")
+        schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
       case "json" => // whole-file JSON array/object, like json.load
-        spark.read.option("multiLine", "true").json(path)
-      case "jsonl" | "ndjson" => spark.read.json(path)
-      case "parquet" => spark.read.parquet(path)
-      case "yaml" | "yml" => yaml(spark, path)
-      case "xml" => xml(spark, path)
-      case "lineprotocol" | "lp" =>
-        LineProtocol.parse(spark.read.textFile(path))
+        val r = spark.read.option("multiLine", "true")
+        schema.fold(r)(r.schema).json(path)
+      case "jsonl" | "ndjson" =>
+        schema.fold(spark.read)(spark.read.schema).json(path)
+      case "parquet" =>
+        schema.fold(spark.read)(spark.read.schema).parquet(path)
+      case "yaml" | "yml" => noSchema(); yaml(spark, path)
+      case "xml" => noSchema(); xml(spark, path)
+      case "lineprotocol" | "lp" => // typed Point frame, schema fixed
+        noSchema(); LineProtocol.parse(spark.read.textFile(path))
       case "extendedjson" | "ejson" =>
         ExtendedJson.parse(spark.read.textFile(path),
           schema.getOrElse(throw new IllegalArgumentException(

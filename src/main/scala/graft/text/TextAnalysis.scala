@@ -453,6 +453,90 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
 
+  /** BPE training to a FIXPOINT of `nMerges` merges (Sennrich et al.,
+    * ACL'16) — the full tokenizer-induction loop that
+    * [[bpePairCounts]] is one step of. Returns the learned merge
+    * sequence `(merge_no, left_sym, right_sym, cnt)`: at each step the
+    * argmax adjacent-symbol pair (tie-break: max count, then
+    * lexicographically smallest (left, right) — deterministic on any
+    * engine) merges GREEDY LEFT-TO-RIGHT inside every vocabulary
+    * word, exactly the reference BPE semantics (a run of k identical
+    * overlapping matches merges at even offsets: "aaa" + (a,a) →
+    * [aa, a], never [a, aa]).
+    *
+    * Scale shape: the corpus collapses ONCE to the word-frequency
+    * vocabulary (one explode + aggregate — the only corpus-sized
+    * work); every iteration then touches the BOUNDED vocab table
+    * only: pair counts are an alphabet²-sized aggregate, the argmax
+    * is a 1-row collect, and the merge rewrite is a pure codegen
+    * fold (`functions.aggregate` with an (out, pending) accumulator —
+    * the pending slot IS the greedy lookahead, no UDF). Each
+    * iteration re-pins the vocab ([[graft.plans.Pin.pin]]) so lineage
+    * stays flat across merges. This is why corpus-scale BPE trainers
+    * operate on word-frequency tables: 100 TB of text costs one
+    * tokenize pass, the loop costs |vocab| per merge. */
+  def bpeTrain(df: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val spark = df.sparkSession
+    // (word, freq, symbol array) — single-char words carry no pairs
+    // and can never merge; dropping them mirrors bpePairCounts
+    var vocab = df
+      .select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .withColumn("syms", transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .transform(graft.plans.Pin.pin)
+    def st(out: Column, pend: Column): Column =
+      struct(out.as("out"), pend.cast("string").as("pend"))
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var dry = false
+    while (it <= nMerges && !dry) {
+      val top = vocab
+        // fully-merged words carry no pairs — and sequence(1, 0)
+        // DESCENDS, so they must not reach the pair explode at all
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), (i + 1).cast("int")).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect() // 1-row argmax: the merge decision itself
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, a, b, cnt))
+        // old pins release via the ContextCleaner as the previous
+        // frame goes unreferenced (Pin's localCheckpoint contract)
+        vocab = vocab.withColumn("syms",
+          aggregate(col("syms"),
+            st(typedLit(Seq.empty[String]), lit(null)),
+            (acc, x) =>
+              when(acc.getField("pend").isNull,
+                st(acc.getField("out"), x))
+                .when(acc.getField("pend") === lit(a) && x === lit(b),
+                  st(concat(acc.getField("out"), array(lit(a + b))),
+                    lit(null)))
+                .otherwise(st(concat(acc.getField("out"),
+                  array(acc.getField("pend"))), x)),
+            acc => when(acc.getField("pend").isNull, acc.getField("out"))
+              .otherwise(concat(acc.getField("out"),
+                array(acc.getField("pend"))))))
+          .transform(graft.plans.Pin.pin)
+        it += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_no", "left_sym", "right_sym", "cnt")
+  }
+
   /** The hashing trick (feature hashing, Weinberger et al. '09): map
     * each token to one of `nBuckets` feature slots by keyed hash and
     * count per (doc, slot) — fixed-width sparse vectorization with NO

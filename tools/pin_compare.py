@@ -16,6 +16,13 @@ Encodes BASELINE.md's reading rules so no human judgment is involved:
      (bracketing probes > 2× the run-median probe in a majority of
      passes — computed by graft.Bench itself) are excluded from the
      regression verdict and reported separately.
+  3. SPLICE PROVENANCE: queries listed in either run's
+     `spliced_queries` (medians merged in from a dedicated clean
+     subset run rather than measured in the main passes — always
+     disclosed alongside in `spliced_note`/BASELINE.md) are still
+     compared, but carry a `spliced` flag in the JSON artifact and a
+     [spliced] tag in the text output, so a reader sees the
+     provenance without cross-referencing prose.
 
 Usage:
     python3 tools/pin_compare.py PIN_BENCH_FULL.json NEW_BENCH_FULL.json \
@@ -60,6 +67,10 @@ def main():
     cal_new = statistics.median(new.get("calibration", [1.0]))
     excluded = set(pin.get("burst_flagged", [])) | set(
         new.get("burst_flagged", []))
+    spliced = {n: [src for src, run in (("pin", pin), ("new", new))
+                   if n in set(run.get("spliced_queries", []))]
+               for run_ in (pin, new)
+               for n in run_.get("spliced_queries", [])}
 
     pq, nq = pin.get("queries", {}), new.get("queries", {})
     common = sorted(set(pq) & set(nq))
@@ -90,11 +101,18 @@ def main():
     print(f"{len(common)} common queries; "
           f"{len(set(nq) - set(pq))} new, {len(set(pq) - set(nq))} gone; "
           f"{len(skipped)} burst-excluded: {sorted(skipped)}")
+    if spliced:
+        print(f"{len(spliced)} spliced (subset-run medians, disclosed): "
+              + ", ".join(f"{n}[{'+'.join(srcs)}]"
+                          for n, srcs in sorted(spliced.items())))
+
+    def tag(name):
+        return " [spliced]" if name in spliced else ""
     for name, p, n, c in sorted(improvements, key=lambda t: t[3] - t[1]):
-        print(f"FASTER {name}: pin {p:.3f}s -> {n:.3f}s "
+        print(f"FASTER {name}{tag(name)}: pin {p:.3f}s -> {n:.3f}s "
               f"(normalized {c:.3f}s)")
     for name, p, n, c in sorted(regressions, key=lambda t: t[1] - t[3]):
-        print(f"REGRESSION {name}: pin {p:.3f}s -> {n:.3f}s "
+        print(f"REGRESSION {name}{tag(name)}: pin {p:.3f}s -> {n:.3f}s "
               f"(normalized {c:.3f}s > {args.threshold}x + 0.2s)")
     total_pin = sum(pq[n] for n in common)
     total_new = sum(nq[n] for n in common) * norm
@@ -118,9 +136,13 @@ def main():
             "n_common": len(common),
             "new_queries": sorted(set(nq) - set(pq)),
             "gone_queries": sorted(set(pq) - set(nq)),
+            "spliced": {n: srcs for n, srcs in sorted(spliced.items())},
             "per_query": {
-                name: {"pin_s": pq[name], "new_s": nq[name],
-                       "normalized_s": round(nq[name] * norm, 4)}
+                name: dict(
+                    {"pin_s": pq[name], "new_s": nq[name],
+                     "normalized_s": round(nq[name] * norm, 4)},
+                    **({"spliced": spliced[name]}
+                       if name in spliced else {}))
                 for name in common},
             "regressions": [
                 {"query": n0, "pin_s": p0, "new_s": n1,
