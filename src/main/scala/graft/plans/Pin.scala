@@ -42,6 +42,14 @@ import org.apache.spark.storage.StorageLevel
   * 4 GiB MemStress heap the budget shrinks to 128 MB, so constrained
   * heaps keep the spill-safe form for everything that matters.
   *
+  * A THIRD tier (round 12) covers the memory-HOSTILE end: frames
+  * whose serialized footprint exceeds `spark.graft.pin.diskOnlyBytes`
+  * (default heap/8) re-pin DISK_ONLY, because the SER form's
+  * disk-spilled blocks are re-INFLATED wholesale on every re-read
+  * (`maybeCacheDiskBytesInMemory`) and 32 concurrent readers of a
+  * multi-GB pin OOM a constrained heap — see [[diskOnlyBytes]] for
+  * the measured failure.
+  *
   * Every iterative operator (PageRank, HITS, CC, SCC, k-core,
   * label-prop, Bellman–Ford, reachability, temporal reach) and every
   * boundary-pinning materialization in `plans.Scale` pins through
@@ -52,6 +60,27 @@ object Pin {
     df.sparkSession.conf.getOption("spark.graft.pin.smallBytes")
       .map(_.toLong)
       .getOrElse(math.min(Runtime.getRuntime.maxMemory / 32, 1L << 30))
+
+  /** Threshold above which a pin drops the MEMORY half entirely
+    * (DISK_ONLY). Measured failure mode (round 12, sf10 under an
+    * 8 GiB heap): a MEMORY_AND_DISK_SER block that spilled to disk is
+    * RE-INFLATED on every re-read — `BlockManager.
+    * maybeCacheDiskBytesInMemory` materializes the whole serialized
+    * partition as one ChunkedByteBuffer per reading task before the
+    * memory store accepts or rejects it, so 32 concurrent tasks
+    * re-reading a multi-GB pin allocate 32 × partition-bytes of
+    * transient heap on top of execution memory → task
+    * `OutOfMemoryError` (graph_pagerank died exactly there; stack:
+    * DiskBlockData.toChunkedByteBuffer ← maybeCacheDiskBytesInMemory
+    * ← getLocalValues). A DISK_ONLY level never re-caches — re-reads
+    * STREAM from disk with bounded buffers — so a frame big enough
+    * to have spilled anyway (> heap/8 serialized) serves strictly
+    * safer from disk, at sequential-read cost the superstep loop
+    * already paid once per round under SER. */
+  private def diskOnlyBytes(df: Dataset[_]): Long =
+    df.sparkSession.conf.getOption("spark.graft.pin.diskOnlyBytes")
+      .map(_.toLong)
+      .getOrElse(Runtime.getRuntime.maxMemory / 8)
 
   def pin[T](df: Dataset[T]): Dataset[T] = pinSized(df)._1
 
@@ -78,6 +107,13 @@ object Pin {
       val deser = ser.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
       pinnedRdd.foreach(_.unpersist(blocking = false))
       (deser, bytes.get)
+    } else if (bytes.getOrElse(Long.MaxValue) >= diskOnlyBytes(ser)) {
+      // memory-hostile frame: one more serialize pass re-pins it
+      // DISK_ONLY (see diskOnlyBytes — the SER form's disk-spill
+      // re-inflation OOMs constrained heaps on re-read)
+      val disk = ser.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      pinnedRdd.foreach(_.unpersist(blocking = false))
+      (disk, bytes.getOrElse(Long.MaxValue))
     } else (ser, bytes.getOrElse(Long.MaxValue))
   }
 
@@ -93,5 +129,6 @@ object Pin {
   def pinHinted[T](df: Dataset[T], hintBytes: Long): Dataset[T] =
     df.localCheckpoint(true,
       if (hintBytes <= smallBytes(df)) StorageLevel.MEMORY_AND_DISK
+      else if (hintBytes >= diskOnlyBytes(df)) StorageLevel.DISK_ONLY
       else StorageLevel.MEMORY_AND_DISK_SER)
 }
