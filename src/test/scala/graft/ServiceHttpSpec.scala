@@ -158,6 +158,33 @@ class ServiceHttpSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$out/t").count() == n)
   }
 
+  test("dashboard serves HTML wired to the live endpoints; stats route counts") {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/dashboard")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200)
+    assert(resp.headers().firstValue("Content-Type").orElse("")
+      .startsWith("text/html"))
+    val html = resp.body()
+    // the page's fetch targets are real routes of THIS server
+    for (route <- Seq("/health", "/api/v1/databases/health",
+      "/api/v1/stats/etl", "/api/v1/sql"))
+      assert(html.contains(route), route)
+    assert(html.contains("status-grid"))
+    // the stats route the reference's dashboard calls but its API never
+    // implemented (404s there): live counters here
+    val (c1, s1) = get("/api/v1/stats/etl")
+    assert(c1 == 200 && s1.get("requests_served").asLong() >= 1L)
+    val before = s1.get("uploads_run").asLong()
+    val out = Files.createTempDirectory("graft_http_stats").toString
+    val (c2, _) = post("/api/v1/data/upload",
+      s"""{"data": [{"id": 9}], "target_type": "file",
+         | "target_config": {"path": "$out/t"}}""".stripMargin)
+    assert(c2 == 200)
+    val (_, s2) = get("/api/v1/stats/etl")
+    assert(s2.get("uploads_run").asLong() == before + 1)
+  }
+
   test("error envelope: FastAPI shapes for 404 / 422 / 500") {
     val (c404, j404) = get("/api/v1/no/such/route")
     assert(c404 == 404 && j404.get("detail").asText() == "Not Found")
