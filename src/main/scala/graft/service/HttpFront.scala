@@ -135,6 +135,15 @@ final class HttpFront(spark: SparkSession, sfDir: String,
 
   private def need(p: Map[String, String], k: String): String =
     p.getOrElse(k, throw BadRequest(s"missing required parameter '$k'"))
+  /** FastAPI types its query params: a non-integer `limit` is a 422
+    * request-validation error there, so here too — not a 500. */
+  private def intParam(p: Map[String, String], k: String,
+      dflt: Int): Int =
+    p.get(k).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw BadRequest(s"parameter '$k' must be an integer, got '$v'") }
+    }.getOrElse(dflt)
   private def needB(b: Map[String, Any], k: String): Any =
     b.getOrElse(k, throw BadRequest(s"missing required field '$k'"))
 
@@ -254,13 +263,13 @@ final class HttpFront(spark: SparkSession, sfDir: String,
         val p = params(ex)
         val r = service.query(need(p, "table"),
           p.get("where").filter(_.nonEmpty),
-          p.get("limit").map(_.toInt).getOrElse(100))
+          intParam(p, "limit", 100))
         (200, envelope(r, "table"))
       case "/api/v1/query/mongodb" if get =>
         val p = params(ex)
         val r = service.queryCollectionJson(need(p, "collection"),
           p.getOrElse("filter", "{}"),
-          p.get("limit").map(_.toInt).getOrElse(100))
+          intParam(p, "limit", 100))
         (200, envelope(r, "collection"))
       case "/api/v1/query/influxdb" if get =>
         val p = params(ex)
