@@ -258,6 +258,25 @@ object ImageIoCodec extends MediaCodec {
 }
 
 object SyntheticImages {
+  /** Corpus id selection for the MP4 fixture families. `modDen == 0`:
+    * first-n prefix (`media_id < n`) — the spec-sized corpora.
+    * `modDen > 0`: MODULAR selection (`media_id % modDen < n`), an
+    * n/modDen fraction drawn uniformly across the id DOMAIN — the
+    * judged-query mode, because key-shifted scale-ups
+    * (tools/build_sf1.py offsets each copy's ids by i·1e8/1e10) leave
+    * 9/10 of the ids outside any `< n` prefix: a prefix bound caps
+    * fixture growth at the base copy (measured r12: the sf0.1→sf1
+    * "decade" grew the corpus only 2.5×), while the modular fraction
+    * grows exactly with the table at EVERY decade. The oracle twin is
+    * the same `doc_id % modDen < n` predicate. */
+  private def mp4Ids(spark: SparkSession, sfDir: String, n: Int,
+      modDen: Int): DataFrame = {
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("media_id"))
+    if (modDen == 0) ids.filter(col("media_id") < n)
+    else ids.filter(pmod(col("media_id"), lit(modDen)) < n)
+  }
+
   /** Partition `n` samples into chunks of `spc` each plus a trailing
     * partial chunk — the layout shape shared by every MP4 corpus here
     * (the partial chunk is deliberate: it forces a multi-run stsc). */
@@ -416,10 +435,9 @@ object SyntheticImages {
     * the formula IS the oracle: DuckDB recomputes the expected
     * metadata with integer arithmetic while the engine must walk the
     * actual bytes. Binaries are born on executors, never shuffled. */
-  def mp4Table(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
-    val ids = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").as("media_id"))
-      .filter(col("media_id") < n)
+  def mp4Table(spark: SparkSession, sfDir: String, n: Int,
+      modDen: Int = 0): DataFrame = {
+    val ids = mp4Ids(spark, sfDir, n, modDen)
     val enc = ExpressionEncoder(
       RowEncoder.encoderFor(Multimodal.mediaSchema))
     ids.mapPartitions { it =>
@@ -478,10 +496,8 @@ object SyntheticImages {
     * payload STRINGS from the formula — a hash-strict oracle over the
     * extracted bytes themselves. */
   def mp4AsciiTable(spark: SparkSession, sfDir: String,
-      n: Int): DataFrame = {
-    val ids = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").as("media_id"))
-      .filter(col("media_id") < n)
+      n: Int, modDen: Int = 0): DataFrame = {
+    val ids = mp4Ids(spark, sfDir, n, modDen)
     val enc = ExpressionEncoder(
       RowEncoder.encoderFor(Multimodal.mediaSchema))
     ids.mapPartitions { it =>
@@ -522,10 +538,8 @@ object SyntheticImages {
     * on odd — so the decode must honor the sample-entry fourcc, not
     * assume one byte order. */
   def pcmMp4Table(spark: SparkSession, sfDir: String,
-      n: Int): DataFrame = {
-    val ids = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").as("media_id"))
-      .filter(col("media_id") < n)
+      n: Int, modDen: Int = 0): DataFrame = {
+    val ids = mp4Ids(spark, sfDir, n, modDen)
     val enc = ExpressionEncoder(
       RowEncoder.encoderFor(Multimodal.mediaSchema))
     ids.mapPartitions { it =>
@@ -591,10 +605,8 @@ object SyntheticImages {
     * only the GROUP STRUCTURE (which (id, frame) pairs decode equal),
     * which the generating formula predicts exactly. */
   def mjpegMp4Table(spark: SparkSession, sfDir: String, n: Int,
-      w: Int = 64, h: Int = 32): DataFrame = {
-    val ids = graft.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id").as("media_id"))
-      .filter(col("media_id") < n)
+      w: Int = 64, h: Int = 32, modDen: Int = 0): DataFrame = {
+    val ids = mp4Ids(spark, sfDir, n, modDen)
     val enc = ExpressionEncoder(
       RowEncoder.encoderFor(Multimodal.mediaSchema))
     ids.mapPartitions { it =>

@@ -21,19 +21,6 @@ import graft.multimodal.{ImageIoCodec, Multimodal, SyntheticImages}
 object MultimodalQueries extends QuerySection {
   import Catalog.Q
 
-  /** SF-PROPORTIONAL fixture size: `num/den` of the documents-table
-    * row count (a metadata-only parquet count, one cheap job). The
-    * MP4-family corpora scale with the lake so their decade slopes
-    * measure the DECODE OPERATORS, not fixture SF-invariance — the
-    * round-11 disclosure this retires (VERDICT r11 #2). The oracle
-    * twin derives the same bound as
-    * `(SELECT count(*) * num // den FROM documents)`; both sides floor
-    * the same integer quotient. At the driver SFs: 500 docs → the
-    * historical fixed sizes (180/150/200), 5 000 docs → 10×. */
-  private def sfN(s: SparkSession, dir: String, num: Int,
-      den: Int): Int =
-    (graft.Tables.load(s, dir, "documents").count() * num / den).toInt
-
   /** Metadata-only rollup over the media table: proves the plan prunes
     * the binary column (ReadSchema excludes `content`). */
   private def mmStats(s: SparkSession, dir: String): DataFrame =
@@ -254,7 +241,7 @@ object MultimodalQueries extends QuerySection {
     * (`mm_audio`) judges this one, proving route equivalence. */
   private def mmMp4Audio(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractAudioWindows(
-        SyntheticImages.pcmMp4Table(s, dir, n = sfN(s, dir, 2, 5)),
+        SyntheticImages.pcmMp4Table(s, dir, n = 2, modDen = 5),
         codec = ImageIoCodec)
       .select(col("media_id"), col("window_no"), col("mean_square"),
         col("zero_crossings"))
@@ -272,7 +259,7 @@ object MultimodalQueries extends QuerySection {
     * is the no-decoder curation probe (duration/dims/codec gates) a
     * video corpus runs before paying for any sample decode. */
   private def mmMp4Meta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.probeMp4Meta(SyntheticImages.mp4Table(s, dir, n = sfN(s, dir, 2, 5)))
+    Multimodal.probeMp4Meta(SyntheticImages.mp4Table(s, dir, n = 2, modDen = 5))
       .orderBy(col("media_id"))
 
   /** Per-track MP4 SAMPLE-TABLE stats ([[Multimodal.probeMp4Tracks]]
@@ -286,7 +273,7 @@ object MultimodalQueries extends QuerySection {
     * stss count, the all-sync branch on id ≡ 0 mod 6) and derives the
     * same rounded ratios from the same exact-integer quotients. */
   private def mmMp4Stats(s: SparkSession, dir: String): DataFrame =
-    Multimodal.probeMp4Tracks(SyntheticImages.mp4Table(s, dir, n = sfN(s, dir, 2, 5)))
+    Multimodal.probeMp4Tracks(SyntheticImages.mp4Table(s, dir, n = 2, modDen = 5))
       .orderBy(col("media_id"), col("track"))
 
   /** Byte-exact MP4 SAMPLE extraction, judged: the procedural
@@ -299,7 +286,7 @@ object MultimodalQueries extends QuerySection {
     * a hash-strict compare of the extracted bytes themselves. */
   private def mmMp4Samples(s: SparkSession, dir: String): DataFrame =
     Multimodal.probeMp4Samples(
-        SyntheticImages.mp4AsciiTable(s, dir, n = sfN(s, dir, 9, 25)))
+        SyntheticImages.mp4AsciiTable(s, dir, n = 9, modDen = 25))
       .orderBy(col("media_id"), col("sample_no"))
 
   /** MJPEG-in-MP4 REAL sample decode, judged at the GROUP-STRUCTURE
@@ -316,7 +303,7 @@ object MultimodalQueries extends QuerySection {
     * standards-real MP4 video form the JDK can decode. */
   private def mmMp4Frames(s: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.sampleVideoFrames(
-      SyntheticImages.mjpegMp4Table(s, dir, n = sfN(s, dir, 3, 10)), everyN = 1,
+      SyntheticImages.mjpegMp4Table(s, dir, n = 3, modDen = 10), everyN = 1,
       codec = ImageIoCodec)
     frames.select(md5(col("content")).as("px"), col("media_id"),
         col("frame_no"))
@@ -356,7 +343,7 @@ object MultimodalQueries extends QuerySection {
     "mm_mp4_samples" ->
       """WITH ids AS (SELECT doc_id AS media_id,
         |    CAST(doc_id % 4 + 3 AS INT) AS n
-        |  FROM documents WHERE doc_id < (SELECT count(*) * 9 // 25 FROM documents)),
+        |  FROM documents WHERE doc_id % 25 < 9),
         |s AS (SELECT media_id, CAST(i AS INT) AS sample_no,
         |    'S' || CAST(media_id AS VARCHAR) || ':' ||
         |      CAST(i AS VARCHAR) || ':' ||
@@ -375,7 +362,7 @@ object MultimodalQueries extends QuerySection {
       """WITH ids AS (SELECT doc_id AS fid,
         |    CAST(doc_id % 3 + 2 AS INT) AS nf
         |  FROM documents
-        |  WHERE doc_id < (SELECT count(*) * 3 // 10 FROM documents) AND doc_id % 11 = 0)
+        |  WHERE doc_id % 10 < 3 AND doc_id % 11 = 0)
         |SELECT fid AS keeper, CAST(f AS INT) AS frame_no,
         |  CAST(2 AS BIGINT) AS n_media, CAST(2 AS BIGINT) AS n_frames
         |FROM ids, LATERAL (SELECT unnest(generate_series(0, nf - 1))
@@ -395,7 +382,7 @@ object MultimodalQueries extends QuerySection {
         |    600 * (doc_id % 2 + 1) AS mts,
         |    doc_id % 4 + 2 AS s,
         |    doc_id % 6 <> 0 AS has_stss
-        |  FROM documents WHERE doc_id < (SELECT count(*) * 2 // 5 FROM documents)),
+        |  FROM documents WHERE doc_id % 5 < 2),
         |sz AS (SELECT media_id,
         |    CAST(sum(50 + (media_id * 31 + i * 17) % 211) AS BIGINT)
         |      AS total_bytes
@@ -443,7 +430,7 @@ object MultimodalQueries extends QuerySection {
         |    ELSE 'hvc1' END AS video_codec,
         |  CASE WHEN doc_id % 2 = 1 THEN 'mp4a' ELSE NULL END
         |    AS audio_codec
-        |FROM documents WHERE doc_id < (SELECT count(*) * 2 // 5 FROM documents)
+        |FROM documents WHERE doc_id % 5 < 2
         |ORDER BY media_id""".stripMargin,
     // frame-feature-grain dedup oracle: planted trailing-byte copies
     // decode to the ORIGINAL id's frames, so fid drives the formula;
@@ -543,7 +530,7 @@ object MultimodalQueries extends QuerySection {
     "mm_mp4_audio" ->
       """WITH ids AS (SELECT doc_id AS media_id,
         |    CAST(512 + (doc_id % 3) * 256 AS INT) AS ns
-        |  FROM documents WHERE doc_id < (SELECT count(*) * 2 // 5 FROM documents)),
+        |  FROM documents WHERE doc_id % 5 < 2),
         |smp AS (SELECT media_id, i,
         |    (i * 37 + media_id * 101) % 2003 - 1001 AS s
         |  FROM ids, LATERAL (SELECT unnest(generate_series(0, ns - 1))
