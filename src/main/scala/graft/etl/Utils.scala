@@ -95,12 +95,47 @@ object Utils {
   }
 
   /** One process-wide scratch root, removed recursively by a SINGLE
-    * shutdown hook (registered on first use). */
+    * shutdown hook (registered on first use).
+    *
+    * PLACEMENT (optimization guide §6, I/O and file layout): everything
+    * under this root is per-invocation scratch — staged micro-batch
+    * files, streaming checkpoints + state stores, per-query sink
+    * outputs, index build dirs — i.e. fsync-heavy SMALL-file I/O whose
+    * durability ends when the query returns. That traffic belongs on
+    * the fastest local volume, not on the lake's disk: Structured
+    * Streaming's HDFSBackedStateStore commits one delta file per state
+    * partition per micro-batch, and this host's /tmp sits on a shared
+    * ext4 disk whose sync latency is the documented interference source
+    * (see Bench.calibrateIo). Resolution order: `SPARK_GRAFT_SCRATCH`
+    * (production: point it at node-local NVMe) → RAM-backed `/dev/shm`
+    * when writable (Linux default here) → `java.io.tmpdir`. Results are
+    * unchanged — scratch holds only intermediates recomputed from the
+    * parquet inputs on every invocation; nothing is reused across runs
+    * (every tempDir/scratchDir call returns a fresh or wiped dir). */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val root = Files.createTempDirectory("graft-scratch-")
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm)
+        else None
+      }
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir")))
+    Files.createDirectories(base)
+    val root = Files.createTempDirectory(base, "graft-scratch-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root.toFile)))
     root
   }
+
+  /** Fresh, unique scratch directory on the fast volume (see
+    * [[scratchRoot]]). Unlike [[scratchDir]], every call returns a NEW
+    * sibling — the drop-in replacement for the query surface's
+    * `Files.createTempDirectory(prefix)` calls, whose default
+    * `java.io.tmpdir` placement put every stream checkpoint, staged
+    * file and sink output on the slow disk. */
+  def tempDir(prefix: String): java.nio.file.Path =
+    Files.createTempDirectory(scratchRoot, prefix)
 
   /** Scratch directory for queries that materialize per-prefix
     * artifacts (e.g. the IVF index's corpus-sized postings). Calls with

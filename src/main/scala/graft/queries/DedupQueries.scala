@@ -87,7 +87,7 @@ object DedupQueries extends QuerySection {
     val d = docs(s, dir).filter(col("doc_id") < 200)
     val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val fresh = d.filter(col("doc_id") % 5 === 0)
-    val idx = java.nio.file.Files.createTempDirectory("graft_mhidx")
+    val idx = graft.etl.Utils.tempDir("graft_mhidx")
       .toString
     Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
       n = 1, numHashes = 32, bands = 8, portableHash = true)
@@ -109,7 +109,7 @@ object DedupQueries extends QuerySection {
     val d = docs(s, dir).filter(col("doc_id") < 200)
     val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val fresh = d.filter(col("doc_id") % 5 === 0)
-    val idx = java.nio.file.Files.createTempDirectory("graft_mhdel")
+    val idx = graft.etl.Utils.tempDir("graft_mhdel")
       .toString
     Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
       n = 1, numHashes = 32, bands = 8, portableHash = true)
@@ -222,7 +222,7 @@ object DedupQueries extends QuerySection {
     val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val f1 = d.filter(col("doc_id") % 5 === 0 && col("doc_id") < 100)
     val f2 = d.filter(col("doc_id") % 5 === 0 && col("doc_id") >= 100)
-    val idx = java.nio.file.Files.createTempDirectory("graft_mhcmp")
+    val idx = graft.etl.Utils.tempDir("graft_mhcmp")
       .toString
     Dedup.buildMinhashIndex(corpus, "text", "doc_id", idx,
       n = 1, numHashes = 32, bands = 8, portableHash = true)

@@ -80,7 +80,7 @@ object SinkQueries extends QuerySection {
     * prove every historical version is reproduced exactly — the
     * "corpus exactly as sampled last month" guarantee. */
   private def kVersionedTt(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_vtt").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_vtt").toString + "/t"
     val base = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") < 100)
       .select(col("c_custkey"), col("c_acctbal"))
@@ -104,7 +104,7 @@ object SinkQueries extends QuerySection {
     * `Versioned.diff` classifies every key, judged against the same
     * classification computed directly from the source table. */
   private def kVersionedDiff(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_vdiff")
+    val path = graft.etl.Utils.tempDir("graft_vdiff")
       .toString + "/t"
     val base = Tables.load(s, dir, "customer")
       .filter(col("c_custkey") < 100)
@@ -127,7 +127,7 @@ object SinkQueries extends QuerySection {
     * judge what the REWRITTEN table contains (plus the writer's own
     * deleted-count) against the anti-join oracle. */
   private def k9bDeleteKeys(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_delk").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_delk").toString + "/t"
     val ev = Tables.load(s, dir, "events")
     ev.write.parquet(path)
     val erasure = ev.filter(col("user_id") % 13 === 0)
@@ -148,7 +148,7 @@ object SinkQueries extends QuerySection {
     * The read-back per-batch counts match single delivery — the replay
     * was skipped by the marker, not deduplicated by luck. */
   private def kLedger(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_ledger").toString
+    val root = graft.etl.Utils.tempDir("graft_ledger").toString
     val out = s"$root/out"
     val ev = Tables.load(s, dir, "events")
     def batch(b: Int): DataFrame =
@@ -178,8 +178,7 @@ object SinkQueries extends QuerySection {
     * replace that leaked old files or an append that clobbered would
     * hash-mismatch. */
   private def k1AppendReplace(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_k1").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_k1").toString + "/t"
     val part = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
     // snapshots collect EAGERLY: each read-back must see the table as
@@ -214,8 +213,7 @@ object SinkQueries extends QuerySection {
     * reproduce values EXACTLY, not approximately; all three formats
     * must agree with DuckDB reading the original table. */
   private def k6FileRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files
-      .createTempDirectory("graft_k6").toString
+    val base = graft.etl.Utils.tempDir("graft_k6").toString
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val out = Seq("parquet", "json", "csv").map { fmt =>
@@ -233,7 +231,7 @@ object SinkQueries extends QuerySection {
   }
 
   private def kCompaction(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_cmp").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_cmp").toString + "/t"
     val ev = Tables.load(s, dir, "events")
     ev.repartition(64).write.parquet(path)
     val cols = ev.columns.toSeq
@@ -260,7 +258,7 @@ object SinkQueries extends QuerySection {
     * difference between listing 50k files and opening 1k. */
   private def kStatsPrune(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.StatsSkipping
-    val path = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_skip").toString + "/t"
     val li = Tables.load(s, dir, "lineitem")
     StatsSkipping.writeClustered(li, path, "l_shipdate", nFiles = 16,
       manifestCols = Seq("l_shipdate"))
@@ -290,8 +288,7 @@ object SinkQueries extends QuerySection {
     * 100 TB this is the difference between rewriting 2 partitions and
     * rewriting the lake. */
   private def kDynOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_dyno").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_dyno").toString + "/t"
     val ev = Tables.load(s, dir, "events")
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     ev.write.partitionBy("day").parquet(path)
@@ -316,7 +313,7 @@ object SinkQueries extends QuerySection {
   private def o2EtlJob(s: SparkSession, dir: String): DataFrame = {
     import graft.etl.EtlJob
     import graft.transform.{FieldRule, Stamp}
-    val out = java.nio.file.Files.createTempDirectory("graft_etl_q").toString
+    val out = graft.etl.Utils.tempDir("graft_etl_q").toString
     val job = EtlJob(
       source = sp => Tables.load(sp, dir, "events")
         .withColumn("_source", lit("events")),
@@ -353,7 +350,7 @@ object SinkQueries extends QuerySection {
     import graft.etl.EtlJob
     import graft.sources.{ExtendedJson, Sources}
     import graft.transform.{FieldRule, Stamp}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_w")
+    val tmp = graft.etl.Utils.tempDir("graft_etl_w")
     val ev = Tables.load(s, dir, "events")
     val stage = tmp.resolve("stage").toString
     ExtendedJson.serialize(ev).write.text(stage)
@@ -398,7 +395,7 @@ object SinkQueries extends QuerySection {
     import graft.etl.EtlJob
     import graft.sources.{LineProtocol, Sources}
     import graft.transform.{FieldRule, Stamp}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_lp")
+    val tmp = graft.etl.Utils.tempDir("graft_etl_lp")
     val ev = Tables.load(s, dir, "events")
     val stage = tmp.resolve("stage").toString
     LineProtocol.serialize(ev, "events", timeField = "ts",
@@ -438,7 +435,7 @@ object SinkQueries extends QuerySection {
     * json sink (one persist, two writes); judged output is the
     * per-target result map. */
   private def k7MultiTarget(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_k7").toString
+    val out = graft.etl.Utils.tempDir("graft_k7").toString
     val results = Sinks.multiTarget(
       Tables.load(s, dir, "events"),
       Seq(
@@ -459,7 +456,7 @@ object SinkQueries extends QuerySection {
     * plan's answer. */
   private def kBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Bucketing
-    val out = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val out = graft.etl.Utils.tempDir("graft_bkt").toString
     Bucketing.writeBucketed(
       Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice")),
@@ -489,7 +486,7 @@ object SinkQueries extends QuerySection {
     * instead of all of them — the difference between scanning 3 months
     * and scanning 7 years. */
   private def kDppJoin(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val out = graft.etl.Utils.tempDir("graft_dpp").toString
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
@@ -542,7 +539,7 @@ object SinkQueries extends QuerySection {
     * the box) is asserted in ZOrderSpec. On the 100 TB table this
     * layout lets Parquet footer stats prune both dimensions at once. */
   private def kZorderBox(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_zq").toString
+    val out = graft.etl.Utils.tempDir("graft_zq").toString
     graft.sinks.ZOrder.write(
       Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -573,7 +570,7 @@ object SinkQueries extends QuerySection {
     * event is double-counted (bookmark is strict) and none is skipped,
     * without ever rescanning history. */
   private def o3IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_incr")
+    val out = graft.etl.Utils.tempDir("graft_incr")
       .toString + "/rollup"
     val events = Tables.load(s, dir, "events")
     val bm1 = graft.etl.Incremental.dailyEventRollup(s,
@@ -591,7 +588,7 @@ object SinkQueries extends QuerySection {
     * from source. Judged against the one-shot aggregate: the repair
     * must restore every corrupted day and must not touch any other. */
   private def o4BackfillRepair(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_bf")
+    val out = graft.etl.Utils.tempDir("graft_bf")
       .toString + "/rollup"
     val events = Tables.load(s, dir, "events")
     graft.etl.Incremental.dailyEventRollup(s, events, out, bookmark = None)
@@ -620,7 +617,7 @@ object SinkQueries extends QuerySection {
     * (pre-veto) publish of the base frame must have survived the
     * failed attempt in between. */
   private def kWap(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft_wap")
+    val path = graft.etl.Utils.tempDir("graft_wap")
       .toString + "/events_clean"
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -681,7 +678,7 @@ object SinkQueries extends QuerySection {
   }
 
   private def o5MvMerge(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_mvm")
+    val out = graft.etl.Utils.tempDir("graft_mvm")
       .toString + "/rollup"
     val orders = Tables.load(s, dir, "orders")
     def partial(from: String, until: String): DataFrame = orders
@@ -720,7 +717,7 @@ object SinkQueries extends QuerySection {
     * -scan substitution on every matching dashboard rollup. */
   private def mvRewrite(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.MvRegistry
-    val out = java.nio.file.Files.createTempDirectory("graft_mv").toString
+    val out = graft.etl.Utils.tempDir("graft_mv").toString
     MvRegistry.clear()
     val base = Tables.load(s, dir, "events")
     MvRegistry.buildSummary(base, s"$out/by_type_user",
@@ -747,7 +744,7 @@ object SinkQueries extends QuerySection {
     * exactness. */
   private def mvRewriteFiltered(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftx.MvRegistry
-    val out = java.nio.file.Files.createTempDirectory("graft_mvf").toString
+    val out = graft.etl.Utils.tempDir("graft_mvf").toString
     MvRegistry.clear()
     val base = Tables.load(s, dir, "events")
     MvRegistry.buildSummary(base, s"$out/by_type_user",

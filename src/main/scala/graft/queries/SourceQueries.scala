@@ -106,7 +106,7 @@ object SourceQueries extends QuerySection {
     * inferSchema), judged against the original parquet table. Comment
     * column dropped: the config-scale CSV writer doesn't quote. */
   private def s4FileRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+    val tmp = graft.etl.Utils.tempDir("graft_s4").toString
     val path = s"$tmp/nation.csv"
     graft.etl.Utils.writeSingleFile(
       Tables.load(s, dir, "nation").select(col("n_nationkey"),
@@ -126,7 +126,7 @@ object SourceQueries extends QuerySection {
     * the parquet side — exactly what a format round-trip must
     * reproduce. */
   private def s12OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s12").toString
+    val tmp = graft.etl.Utils.tempDir("graft_s12").toString
     Tables.load(s, dir, "customer")
       .write.mode("overwrite").orc(s"$tmp/customer_orc")
     s.read.orc(s"$tmp/customer_orc")
@@ -147,7 +147,7 @@ object SourceQueries extends QuerySection {
     * adds over csv (`&`, `<`, quotes in s_name survive via entity
     * encoding — XmlSourceSpec plants them). */
   private def s17XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s17").toString
+    val tmp = graft.etl.Utils.tempDir("graft_s17").toString
     Tables.load(s, dir, "supplier")
       .write.mode("overwrite").format("xml")
       .option("rootTag", "suppliers").option("rowTag", "row")
@@ -162,7 +162,7 @@ object SourceQueries extends QuerySection {
   /** S5: YAML round-trip — region through the YAML writer and the
     * driver-side YAML reader (strings in, cast out). */
   private def s5YamlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+    val tmp = graft.etl.Utils.tempDir("graft_s5").toString
     val path = s"$tmp/region.yaml"
     graft.etl.Utils.writeSingleFile(
       Tables.load(s, dir, "region").select(col("r_regionkey"), col("r_name"))
@@ -181,7 +181,7 @@ object SourceQueries extends QuerySection {
     * cost is footer-only (no data pass), which is why additive columns
     * are the one evolution a plain-Parquet lake supports safely. */
   private def s10SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val out = graft.etl.Utils.tempDir("graft_evo").toString
     val orders = Tables.load(s, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -208,7 +208,7 @@ object SourceQueries extends QuerySection {
     * write-order-independent. */
   private def s11Quarantine(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s11").toString
+    val tmp = graft.etl.Utils.tempDir("graft_s11").toString
     val ev = graft.Tables.load(s, dir, "events")
       .filter(col("event_id") < 2000)
       .select(col("event_id"), col("user_id"), col("event_type"),

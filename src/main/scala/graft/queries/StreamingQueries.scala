@@ -47,7 +47,7 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
-    val gen = Files.createTempDirectory("graft_stage_gen")
+    val gen = graft.etl.Utils.tempDir("graft_stage_gen")
     df.coalesce(1).write.mode("overwrite").parquet(gen.toString)
     val part = Files.list(gen).iterator().asScala
       .find(_.toString.endsWith(".parquet")).get
@@ -70,7 +70,7 @@ object StreamingQueries extends QuerySection {
     // the file source wants a directory; symlink the single events file
     // into a temp dir instead of rewriting ~all event rows to staging
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_sq")
+    val tmp = graft.etl.Utils.tempDir("graft_sq")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val agg = Streaming.windowedCounts(
@@ -97,7 +97,7 @@ object StreamingQueries extends QuerySection {
     * oracle needs no sketch replay. */
   private def streamApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_sad")
+    val tmp = graft.etl.Utils.tempDir("graft_sad")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val approx = Streaming.readEventsAuto(s, tmp.toString)
@@ -133,7 +133,7 @@ object StreamingQueries extends QuerySection {
   private def streamTopkUsers(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.graftx.SpaceSavingTopK
-    val tmp = Files.createTempDirectory("graft_stk")
+    val tmp = graft.etl.Utils.tempDir("graft_stk")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val top = Streaming.readEventsAuto(s, tmp.toString)
@@ -164,7 +164,7 @@ object StreamingQueries extends QuerySection {
     * comparison proves the stateful dedup, not just the window math. */
   private def streamDedupCounts(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_sdd")
+    val tmp = graft.etl.Utils.tempDir("graft_sdd")
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
     Files.createSymbolicLink(tmp.resolve("copy_a.parquet"), src)
     Files.createSymbolicLink(tmp.resolve("copy_b.parquet"), src)
@@ -195,7 +195,7 @@ object StreamingQueries extends QuerySection {
     * would double. */
   private def streamLateDrop(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_late")
+    val tmp = graft.etl.Utils.tempDir("graft_late")
     val ev = graft.Tables.load(s, dir, "events")
     val (mn, mx) = eventTimeBounds(s, dir)
     // batch 1: the full events table
@@ -234,7 +234,7 @@ object StreamingQueries extends QuerySection {
     * joins emit exactly the batch result once the input is exhausted. */
   private def streamStreamAttribution(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_ssj")
+    val tmp = graft.etl.Utils.tempDir("graft_ssj")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val events = Streaming.readEventsAuto(s, tmp.toString)
@@ -264,7 +264,7 @@ object StreamingQueries extends QuerySection {
     * sentinel needed. */
   private def streamSemiAttribution(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_ssjs")
+    val tmp = graft.etl.Utils.tempDir("graft_ssjs")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val events = Streaming.readEventsAuto(s, tmp.toString)
@@ -296,7 +296,7 @@ object StreamingQueries extends QuerySection {
     * — proving no row was stranded and no null-row emitted twice. */
   private def streamAttributionOuter(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_ssjo")
+    val tmp = graft.etl.Utils.tempDir("graft_ssjo")
     val ev = graft.Tables.load(s, dir, "events")
     val (_, mx) = eventTimeBounds(s, dir)
     stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
@@ -342,7 +342,7 @@ object StreamingQueries extends QuerySection {
     * condition. */
   private def streamAttributionFull(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_ssjf")
+    val tmp = graft.etl.Utils.tempDir("graft_ssjf")
     val ev = graft.Tables.load(s, dir, "events")
     val (_, mx) = eventTimeBounds(s, dir)
     stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
@@ -394,7 +394,7 @@ object StreamingQueries extends QuerySection {
     * their negative user ids regardless. */
   private def streamStatefulSessions(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_fmgws")
+    val tmp = graft.etl.Utils.tempDir("graft_fmgws")
     val ev = graft.Tables.load(s, dir, "events")
     val (_, mx) = eventTimeBounds(s, dir)
     stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
@@ -435,7 +435,7 @@ object StreamingQueries extends QuerySection {
     * join exactly. */
   private def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_ssd")
+    val tmp = graft.etl.Utils.tempDir("graft_ssd")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val events = Streaming.readEventsAuto(s, tmp.toString)
@@ -467,7 +467,7 @@ object StreamingQueries extends QuerySection {
     * event_type) counts/sums vs the batch replay. */
   private def streamPitEnrich(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_spit")
+    val tmp = graft.etl.Utils.tempDir("graft_spit")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val events = Streaming.readEventsAuto(s, tmp.toString)
@@ -505,14 +505,14 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
-    val tmp = Files.createTempDirectory("graft_cdc")
+    val tmp = graft.etl.Utils.tempDir("graft_cdc")
     val stage = Files.createDirectory(tmp.resolve("changes"))
     val ev = graft.Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     def stageFile(cond: org.apache.spark.sql.Column, name: String,
         mtime: Long): Unit = {
-      val gen = Files.createTempDirectory("graft_cdc_gen")
+      val gen = graft.etl.Utils.tempDir("graft_cdc_gen")
       ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(gen.toString)
       val part = Files.list(gen).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
@@ -571,7 +571,7 @@ object StreamingQueries extends QuerySection {
   private def streamLineIngest(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.LineProtocol
-    val tmp = Files.createTempDirectory("graft_slp")
+    val tmp = graft.etl.Utils.tempDir("graft_slp")
     val ev = graft.Tables.load(s, dir, "events")
     val stage = tmp.resolve("stage").toString
     // two micro-batches of serialized lines (split by event id parity)
@@ -616,7 +616,7 @@ object StreamingQueries extends QuerySection {
   private def streamEjsonIngest(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     import graft.sources.ExtendedJson
-    val tmp = Files.createTempDirectory("graft_sej")
+    val tmp = graft.etl.Utils.tempDir("graft_sej")
     val ev = graft.Tables.load(s, dir, "events")
     val stage = tmp.resolve("stage").toString
     // two micro-batches of serialized documents (split by id parity)
@@ -639,7 +639,7 @@ object StreamingQueries extends QuerySection {
 
   private def streamNearDedup(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_sndd")
+    val tmp = graft.etl.Utils.tempDir("graft_sndd")
     val d = graft.Tables.load(s, dir, "documents")
       .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
@@ -684,7 +684,7 @@ object StreamingQueries extends QuerySection {
     * posting set the one-shot build writes. */
   private def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_sann")
+    val tmp = graft.etl.Utils.tempDir("graft_sann")
     val e = graft.Tables.load(s, dir, "embeddings")
     val idx = tmp.resolve("idx").toString
     graft.similarity.Ann.buildIvfIndex(e.filter(col("vec_id") < 300),
@@ -719,7 +719,7 @@ object StreamingQueries extends QuerySection {
     * scoring, unseen buckets resolving to the pure smoothing ratio). */
   private def streamDsirGate(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_sdsir")
+    val tmp = graft.etl.Utils.tempDir("graft_sdsir")
     val d = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     val tablePath = tmp.resolve("table").toString
@@ -757,14 +757,14 @@ object StreamingQueries extends QuerySection {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val url = "jdbc:derby:memory:graft_stream;create=true"
     val drv = "org.apache.derby.jdbc.EmbeddedDriver"
-    val tmp = Files.createTempDirectory("graft_jdbc_cdc")
+    val tmp = graft.etl.Utils.tempDir("graft_jdbc_cdc")
     val stage = Files.createDirectory(tmp.resolve("changes"))
     val ev = graft.Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     def stageFile(cond: org.apache.spark.sql.Column, name: String,
         mtime: Long): Unit = {
-      val gen = Files.createTempDirectory("graft_jdbc_cdc_gen")
+      val gen = graft.etl.Utils.tempDir("graft_jdbc_cdc_gen")
       ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(gen.toString)
       val part = Files.list(gen).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
@@ -814,7 +814,7 @@ object StreamingQueries extends QuerySection {
     * rebuild must produce byte-identical history. */
   private def streamScd2(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_sscd")
+    val tmp = graft.etl.Utils.tempDir("graft_sscd")
     val stage = Files.createDirectory(tmp.resolve("changes"))
     val ev = graft.Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -848,7 +848,7 @@ object StreamingQueries extends QuerySection {
     * dirty landed. */
   private def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_sqg")
+    val tmp = graft.etl.Utils.tempDir("graft_sqg")
     val stage = Files.createDirectory(tmp.resolve("changes"))
     val ev = graft.Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -895,7 +895,7 @@ object StreamingQueries extends QuerySection {
     * `o5_mv_merge`). */
   private def streamMvMerge(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_smvm")
+    val tmp = graft.etl.Utils.tempDir("graft_smvm")
     val stage = Files.createDirectory(tmp.resolve("changes"))
     val ev = graft.Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -934,7 +934,7 @@ object StreamingQueries extends QuerySection {
     * group-by over the same events. */
   private def streamUserTotals(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_sut")
+    val tmp = graft.etl.Utils.tempDir("graft_sut")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val totals = Streaming.statefulUserTotals(
@@ -958,7 +958,7 @@ object StreamingQueries extends QuerySection {
     * same emission cutoff. */
   private def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_sws")
+    val tmp = graft.etl.Utils.tempDir("graft_sws")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     val sess = Streaming.sessionize(
@@ -992,7 +992,7 @@ object StreamingQueries extends QuerySection {
     * emission cutoff (session end ≤ final watermark). */
   private def streamSessionsDynamic(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_swd")
+    val tmp = graft.etl.Utils.tempDir("graft_swd")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
     // interval STRINGS, not INTERVAL literals: the dynamic-gap overload
@@ -1020,10 +1020,10 @@ object StreamingQueries extends QuerySection {
     * the batch aggregate over the source events. */
   private def streamRouting(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft_srt")
+    val tmp = graft.etl.Utils.tempDir("graft_srt")
     Files.createSymbolicLink(tmp.resolve("events.parquet"),
       Paths.get(dir, "events.parquet").toAbsolutePath)
-    val base = Files.createTempDirectory("graft_srt_lake").toString
+    val base = graft.etl.Utils.tempDir("graft_srt_lake").toString
     val q = Streaming.routeStream(
       Streaming.readEventsAuto(s, tmp.toString), base).start()
     q.awaitTermination()

@@ -114,8 +114,7 @@ object ValidationQueries extends QuerySection {
     * feeds into monitoring. */
   private def v7DriftVersions(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Sinks
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_vdrift").toString + "/t"
+    val path = graft.etl.Utils.tempDir("graft_vdrift").toString + "/t"
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     Sinks.Versioned.write(ev.filter(col("ts") < lit("2024-01-16")), path)

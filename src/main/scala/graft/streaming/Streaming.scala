@@ -548,11 +548,22 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
 
   /** Run a streaming DataFrame to completion against currently-available
-    * input (the hourly-DAG equivalent) into an in-memory table. */
+    * input (the hourly-DAG equivalent) into an in-memory table.
+    *
+    * The checkpoint is placed EXPLICITLY on the fast scratch volume
+    * ([[graft.etl.Utils.tempDir]]): without the option, Spark allocates
+    * its implicit temp checkpoint under `java.io.tmpdir` — the slow
+    * shared disk — and every micro-batch then pays per-state-partition
+    * delta-file commits plus offset/commit-log fsyncs there
+    * (optimization guide §6). A FRESH dir per call keeps runs
+    * independent: no offsets or state ever survive into the next
+    * invocation, so every run still computes from its staged inputs. */
   def runAvailableNow(df: DataFrame, queryName: String,
       outputMode: String = "append"): StreamingQuery = {
     val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(queryName)
+      .option("checkpointLocation",
+        graft.etl.Utils.tempDir("graft_ckpt").toString)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     q
