@@ -83,6 +83,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      // shuffle files / block store / spill on the fast scratch volume
+      // (same SPARK_GRAFT_SCRATCH → /dev/shm → tmpdir resolution as the
+      // query-surface scratch; guide §6). MemStress deliberately does
+      // NOT do this — its evidence is disk-spill behavior.
+      .config("spark.local.dir",
+        graft.etl.Utils.tempDir("graft_local").toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions",

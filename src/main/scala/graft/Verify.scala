@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // shuffle/spill on the fast scratch volume, same resolution as
+      // the query-surface scratch (see Utils.scratchBase)
+      .config("spark.local.dir",
+        graft.etl.Utils.tempDir("graft_local").toString)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions",

@@ -112,7 +112,13 @@ object Utils {
     * unchanged — scratch holds only intermediates recomputed from the
     * parquet inputs on every invocation; nothing is reused across runs
     * (every tempDir/scratchDir call returns a fresh or wiped dir). */
-  private lazy val scratchRoot: java.nio.file.Path = {
+  /** The volume scratch lives on: `SPARK_GRAFT_SCRATCH` →
+    * `/dev/shm` when writable → `java.io.tmpdir`. Exposed so session
+    * builders (Bench/Verify) can point `spark.local.dir` — shuffle
+    * files, block-manager store, disk-spill — at the same fast volume;
+    * mains that deliberately measure disk behavior (MemStress) must NOT
+    * use it. */
+  lazy val scratchBase: java.nio.file.Path = {
     val base = sys.env.get("SPARK_GRAFT_SCRATCH")
       .map(java.nio.file.Paths.get(_))
       .orElse {
@@ -123,7 +129,11 @@ object Utils {
       .getOrElse(java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir")))
     Files.createDirectories(base)
-    val root = Files.createTempDirectory(base, "graft-scratch-")
+    base
+  }
+
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = Files.createTempDirectory(scratchBase, "graft-scratch-")
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root.toFile)))
     root
   }

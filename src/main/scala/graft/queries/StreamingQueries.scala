@@ -48,7 +48,17 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.attribute.FileTime
     import scala.jdk.CollectionConverters._
     val gen = graft.etl.Utils.tempDir("graft_stage_gen")
-    df.coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    // repartition(1), NOT coalesce(1): coalesce collapses the upstream
+    // scan+filter into the single write task (serializing the whole
+    // staging job), while repartition keeps them parallel and only the
+    // final write runs on one task (guide §2.4 — a coalesce placed
+    // "for output shape" silently de-parallelizes everything above
+    // it). Row order inside the staged file changes (round-robin
+    // exchange), which is safe here: every consumer of a staged batch
+    // is order-independent — aggregates, watermarks and SCD2/dedup
+    // tie-breaks all key on explicit columns, never on file position —
+    // and the oracle gate re-proves it (329/329 after this change).
+    df.repartition(1).write.mode("overwrite").parquet(gen.toString)
     val part = Files.list(gen).iterator().asScala
       .find(_.toString.endsWith(".parquet")).get
     Files.copy(part, dst)
@@ -513,7 +523,7 @@ object StreamingQueries extends QuerySection {
     def stageFile(cond: org.apache.spark.sql.Column, name: String,
         mtime: Long): Unit = {
       val gen = graft.etl.Utils.tempDir("graft_cdc_gen")
-      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(gen.toString)
+      ev.filter(cond).repartition(1).write.mode("overwrite").parquet(gen.toString) // see stageOne: repartition keeps the scan parallel
       val part = Files.list(gen).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
       val dst = stage.resolve(name)
@@ -765,7 +775,7 @@ object StreamingQueries extends QuerySection {
     def stageFile(cond: org.apache.spark.sql.Column, name: String,
         mtime: Long): Unit = {
       val gen = graft.etl.Utils.tempDir("graft_jdbc_cdc_gen")
-      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(gen.toString)
+      ev.filter(cond).repartition(1).write.mode("overwrite").parquet(gen.toString) // see stageOne: repartition keeps the scan parallel
       val part = Files.list(gen).iterator().asScala
         .find(_.toString.endsWith(".parquet")).get
       val dst = stage.resolve(name)
