@@ -214,18 +214,36 @@ object Dedup {
       .filter(col("jaccard") >= verifyThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** One MinHash sketch of a document frame: (band buckets, token
+    * sets). The probe / in-batch-pair / index-append steps of a
+    * streaming micro-batch all consume exactly these two frames, so a
+    * caller that runs more than one step should compute the sketch
+    * ONCE (and persist it) and use the `…FromSketch` variants — the
+    * convenience wrappers each re-shingle and re-hash the input
+    * (guide §1.2: don't compute the same thing three times). */
+  def minhashSketch(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      portableHash: Boolean = false): (DataFrame, DataFrame) =
+    (lshBucketRows(df, textCol, idCol, n, numHashes, bands, portableHash),
+      tokenSets(df, textCol, idCol))
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       verifyThreshold: Double = 0.5,
       portableHash: Boolean = false): DataFrame = {
-    val buckets = lshBucketRows(df, textCol, idCol, n, numHashes, bands,
-      portableHash)
+    val (buckets, texts) = minhashSketch(df, textCol, idCol, n,
+      numHashes, bands, portableHash)
+    minhashLshPairsFromSketch(buckets, texts, verifyThreshold)
+  }
+
+  /** [[minhashLshPairs]] over a precomputed sketch. */
+  def minhashLshPairsFromSketch(buckets: DataFrame, texts: DataFrame,
+      verifyThreshold: Double): DataFrame = {
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val texts = tokenSets(df, textCol, idCol)
     verifyJaccard(candidates, texts, texts, verifyThreshold)
   }
 
@@ -258,11 +276,17 @@ object Dedup {
   def appendToMinhashIndex(df: DataFrame, textCol: String, idCol: String,
       path: String, n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       portableHash: Boolean = false): Unit = {
-    lshBucketRows(df, textCol, idCol, n, numHashes, bands, portableHash)
-      .write.mode("append").parquet(s"$path/buckets")
+    val (buckets, toks) = minhashSketch(df, textCol, idCol, n, numHashes,
+      bands, portableHash)
+    appendSketchToMinhashIndex(buckets, toks, path)
+  }
+
+  /** [[appendToMinhashIndex]] over a precomputed sketch. */
+  def appendSketchToMinhashIndex(buckets: DataFrame, toks: DataFrame,
+      path: String): Unit = {
+    buckets.write.mode("append").parquet(s"$path/buckets")
     graft.Failpoints.point("minhash.append.buckets_done")
-    tokenSets(df, textCol, idCol)
-      .write.mode("append").parquet(s"$path/tokens")
+    toks.write.mode("append").parquet(s"$path/tokens")
   }
 
   /** Tombstone-DELETE documents from a stored MinHash index — the
@@ -346,8 +370,17 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       verifyThreshold: Double = 0.5,
       portableHash: Boolean = false): DataFrame = {
-    val newBuckets = lshBucketRows(newDf, textCol, idCol, n, numHashes,
-      bands, portableHash)
+    val (buckets, toks) = minhashSketch(newDf, textCol, idCol, n,
+      numHashes, bands, portableHash)
+    incrementalDupesFromSketch(spark, buckets, toks, indexPath,
+      verifyThreshold)
+  }
+
+  /** [[incrementalDupes]] over the increment's precomputed sketch. */
+  def incrementalDupesFromSketch(spark: org.apache.spark.sql.SparkSession,
+      buckets: DataFrame, newToks: DataFrame, indexPath: String,
+      verifyThreshold: Double): DataFrame = {
+    val newBuckets = buckets
       .select(col("band"), col("h"), col("id").as("id_b"))
     // tombstoned docs ([[deleteFromMinhashIndex]]) are masked at probe
     // time (O(ids) anti-join); their bytes leave the index at the next
@@ -367,7 +400,6 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val corpusToks = spark.read.parquet(s"$indexPath/tokens")
-    val newToks = tokenSets(newDf, textCol, idCol)
     verifyJaccard(candidates, corpusToks, newToks, verifyThreshold)
   }
 

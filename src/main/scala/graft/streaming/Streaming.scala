@@ -337,20 +337,25 @@ object Streaming {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val b = batch.persist() // sketched 3x below — scan once
+        // The probe (2), in-batch pairs (3), and index append (5) all
+        // consume the batch's SKETCH (band buckets + token sets).
+        // Sketch once and pin the two sketch frames — the wrapper
+        // forms would re-shingle and re-hash the batch three times
+        // (guide §1.2). Same plans downstream of the pin, same pairs.
+        val (buckets, toks) = graft.dedup.Dedup.minhashSketch(batch,
+          textCol, idCol, n, numHashes, bands, portableHash)
+        val bk = buckets.persist(); val tk = toks.persist()
         try {
-          val incr = graft.dedup.Dedup.incrementalDupes(spark, b,
-            textCol, idCol, indexPath, n, numHashes, bands,
-            verifyThreshold, portableHash)
-          val inBatch = graft.dedup.Dedup.minhashLshPairs(b, textCol,
-            idCol, n, numHashes, bands, verifyThreshold, portableHash)
+          val incr = graft.dedup.Dedup.incrementalDupesFromSketch(spark,
+            bk, tk, indexPath, verifyThreshold)
+          val inBatch = graft.dedup.Dedup.minhashLshPairsFromSketch(bk,
+            tk, verifyThreshold)
           incr.unionByName(inBatch).write.mode("overwrite")
             .parquet(s"$resultPath/batch=$batchId")
           graft.Failpoints.point("stream.neardup.results_written")
-          graft.dedup.Dedup.appendToMinhashIndex(b, textCol, idCol,
-            indexPath, n, numHashes, bands, portableHash)
+          graft.dedup.Dedup.appendSketchToMinhashIndex(bk, tk, indexPath)
           graft.Failpoints.point("stream.neardup.appended")
-        } finally { b.unpersist(); () }
+        } finally { bk.unpersist(); tk.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
