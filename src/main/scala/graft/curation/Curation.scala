@@ -301,8 +301,11 @@ object Curation {
     * corpus-side stays a shuffle-free scan + partial-agg on id. */
   def contaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // per-doc set semantics computed row-local: a global .distinct()
+    // here would exchange every corpus shingle string only to drop
+    // within-doc repeats (ids are unique per doc)
     val corpusSh = graft.text.TextAnalysis
-      .shingleRows(corpus, idCol, textCol, n).distinct()
+      .distinctShingleRows(corpus, idCol, textCol, n)
     val benchSh = graft.text.TextAnalysis
       .shingleRows(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()
@@ -323,8 +326,9 @@ object Curation {
     * with no shingles (< n tokens) have no denominator and drop. */
   def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // row-local per-doc dedupe, same reasoning as [[contaminated]]
     val corpusSh = graft.text.TextAnalysis
-      .shingleRows(corpus, idCol, textCol, n).distinct()
+      .distinctShingleRows(corpus, idCol, textCol, n)
     val benchSh = graft.text.TextAnalysis
       .shingleRows(bench, idCol, textCol, n)
       .select(col("shingle")).distinct()

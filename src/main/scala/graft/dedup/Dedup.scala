@@ -78,8 +78,11 @@ object Dedup {
     * list, which the cap bounds. */
   private def sizedPairCounts(df: DataFrame, textCol: String, idCol: String,
       n: Int, maxShingleFreq: Long): DataFrame = {
-    val sh = graft.text.TextAnalysis.shingleRows(df, idCol, textCol, n)
-      .distinct()
+    // per-doc distinct computed row-local (ids unique per doc): a
+    // global .distinct() would pay a full shingle-string exchange
+    // before the postings shuffle this operator actually needs
+    val sh = graft.text.TextAnalysis
+      .distinctShingleRows(df, idCol, textCol, n)
     // stopword-shingle guard as a broadcast anti-join: the over-frequent
     // set is tiny by construction (few shingles appear in >cap docs), and
     // the groupBy gets map-side partial aggregation — a count window over

@@ -341,9 +341,16 @@ object TextQueries extends QuerySection {
     * bigram and drop from both engines identically. */
   private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis
-    val d = docs(s, dir)
-    val bg = TextAnalysis.shingleRows(d, "doc_id", "text", 2)
-    val uni = TextAnalysis.shingleRows(d, "doc_id", "text", 1)
+    // tokenize ONCE into an attribute and derive both grains from it
+    // (the textPmi pattern): bg/uni as separate shingleRows calls
+    // would each re-split the text
+    val tk = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("__toks"))
+    val bg = tk.select(col("doc_id").as("id"),
+      explode(TextAnalysis.shinglesOfTokens(col("__toks"), 2))
+        .as("shingle"))
+    val uni = tk.select(col("doc_id").as("id"),
+      explode(col("__toks")).as("shingle"))
     val cAb = bg.groupBy(col("shingle")).agg(count(lit(1)).as("c_ab"))
     val cA = uni.select(col("shingle").as("a"))
       .groupBy(col("a")).agg(count(lit(1)).as("c_a"))

@@ -355,24 +355,43 @@ object TextAnalysis {
   // downstream join/group needs the exploded rows anyway.
 
   /** One row per word n-gram: (id, shingle). Duplicates retained (use
-    * `.distinct()` for set semantics). */
+    * [[distinctShingleRows]] for per-doc set semantics). Row order
+    * within a doc is NOT part of the contract — every consumer is a
+    * distinct/aggregate/join.
+    *
+    * Built per-row: tokens materialized once per doc (attribute, so
+    * the HOF lambda doesn't re-tokenize per shingle), shingle array
+    * over that attribute, explode. An n-gram needs only its own doc's
+    * neighbor tokens, so a window (`lead` over an id-partitioned sort)
+    * would pay a full per-TOKEN exchange + sort for context the row
+    * already holds — at corpus scale that shuffle is the whole cost. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    // n=1 needs no neighbor context: plain explode, no window exchange/sort
+    // n=1 needs no neighbor context at all: plain explode
     if (n == 1)
       return df.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("shingle"))
-    val w = Window.partitionBy(col("__sid")).orderBy(col("__pos"))
-    val toks = df.select(col(idCol).as("__sid"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__tok")))
-      .filter(length(col("__tok")) > 0)
-    val leads = (1 until n).map(i => lead(col("__tok"), i).over(w))
-    toks.select(col("__sid").as("id"),
-        concat_ws(" ", (col("__tok") +: leads): _*).as("shingle"),
-        (lit(n) === 1 || lead(col("__tok"), n - 1).over(w).isNotNull)
-          .as("__full"))
-      .filter(col("__full")).drop("__full")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        explode(shinglesOfTokens(col("__toks"), n)).as("shingle"))
   }
+
+  /** [[shingleRows]] with per-document SET semantics: one row per
+    * distinct (id, shingle). Equivalent to `shingleRows(...).distinct()`
+    * when `idCol` is unique per input row (the corpus contract) — but
+    * the dedupe runs row-local (`array_distinct` before the explode)
+    * instead of paying a full exchange of every shingle string just to
+    * remove within-doc repeats. */
+  def distinctShingleRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    if (n == 1)
+      df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("shingle"))
+    else
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+        .select(col("id"),
+          explode(array_distinct(shinglesOfTokens(col("__toks"), n)))
+            .as("shingle"))
 
   /** [[fingerprint]] as a table op: (id, fp) for every input row, empty
     * array when the document has fewer than n tokens. */
@@ -408,8 +427,9 @@ object TextAnalysis {
     * to another document. */
   def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minFrac: Double = 0.2): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n)
-      .distinct() // set semantics: one vote per (doc, shingle)
+    // set semantics (one vote per (doc, shingle)) computed row-local —
+    // doc ids are unique, so no cross-row exchange is needed for it
+    val sh = distinctShingleRows(df, idCol, textCol, n)
     val src = df.select(col(idCol).as("id"), col(groupCol))
     val totals = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"))
