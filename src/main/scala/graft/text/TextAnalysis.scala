@@ -225,15 +225,20 @@ object TextAnalysis {
     *
     * Scale shape: span generation is columnar (one `transform` over
     * the token array — no per-span shuffle rows until the explode),
-    * then ONE exchange on the span string serves the distinct-doc
-    * count, the surviving (doc, offset) pairs shuffle back on the doc
-    * id, and the rebuild is a projection over the token array with a
-    * bounded `exists` per position (spans-per-doc is small once the
-    * frequent set is rare, the regime dedup targets). Token arrays
-    * themselves move through exactly one join. No all-pairs anywhere:
-    * cost is Θ(total spans), the same bound the suffix-array
-    * formulation pays, in exchange for exact k-grain instead of
-    * arbitrary-length matches.
+    * and the span STRING never leaves its row: what crosses the wire
+    * is its 64-bit hash — a k-token span is ~k words of payload whose
+    * only downstream use is equality, the textbook shuffle-a-proxy
+    * case. ONE hash-keyed exchange serves the distinct-doc count, the
+    * surviving (doc, offset) pairs shuffle back on the doc id, and the
+    * rebuild is a projection over the token array with a bounded
+    * `exists` per position (spans-per-doc is small once the frequent
+    * set is rare, the regime dedup targets). Token arrays themselves
+    * move through exactly one join. No all-pairs anywhere: cost is
+    * Θ(total spans), the same bound the suffix-array formulation pays,
+    * in exchange for exact k-grain instead of arbitrary-length
+    * matches. Hash collisions (two distinct spans sharing an xxhash64
+    * value could over-delete) are the same 2^-64-per-pair trade the
+    * engine's feature hashing and MinHash banding already accept.
     *
     * Returns (idCol, n_tokens, n_removed, clean_text). */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
@@ -243,12 +248,13 @@ object TextAnalysis {
       s"every token), got $minDocs")
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
     val occ = toks.select(col(idCol),
-      posexplode(shinglesOfTokens(col("__t"), k)).as(Seq("__off", "__gram")))
-    val freq = occ.groupBy(col("__gram"))
+        posexplode(shinglesOfTokens(col("__t"), k)).as(Seq("__off", "__gram")))
+      .select(col(idCol), col("__off"), xxhash64(col("__gram")).as("__g"))
+    val freq = occ.groupBy(col("__g"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__gram"))
-    val starts = occ.join(freq, "__gram")
+      .select(col("__g"))
+    val starts = occ.join(freq, "__g")
       .groupBy(col(idCol)).agg(collect_set(col("__off")).as("__starts"))
     toks.join(starts, Seq(idCol), "left")
       .withColumn("__starts",

@@ -252,4 +252,54 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L) === ((9L, "tail1")))
     assert(out(2L) === ((9L, "tail2")))
   }
+
+  test("distinctShingleRows equals shingleRows().distinct(), n=1 and n>1") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // within-doc repeats (doc 5), cross-doc identical text (0/1),
+    // multi-space + leading/trailing whitespace
+    val docs = corpus.unionByName(
+      Seq((6L, "  padded   spaces  padded   spaces ")).toDF("doc_id", "text"))
+    for (n <- Seq(1, 2, 3)) {
+      val viaDistinct = TextAnalysis.shingleRows(docs, "doc_id", "text", n)
+        .distinct().orderBy($"id", $"shingle").collect().toSeq
+      val rowLocal = TextAnalysis
+        .distinctShingleRows(docs, "doc_id", "text", n)
+        .orderBy($"id", $"shingle").collect().toSeq
+      assert(rowLocal === viaDistinct, s"n=$n")
+    }
+  }
+
+  test("spanDedup hash-keyed frequency equals a span-string replay") {
+    import spark.implicits._
+    import graft.text.TextAnalysis
+    // reference form: same algorithm keyed on the raw 8-gram STRING —
+    // pins that shuffling the xxhash64 proxy changes nothing
+    val span = "q w e r t y u i"
+    val docs = Seq(
+      (1L, s"alpha $span beta"), (2L, s"$span gamma delta"),
+      (3L, "solo text with no shared span here at all"),
+      (4L, s"prefix words then $span again shared thrice"),
+      (5L, "x y x y x y x y x y x y")).toDF("doc_id", "text")
+    val k = 8
+    val toks = docs.select($"doc_id", TextAnalysis.tokens($"text").as("__t"))
+    val occ = toks.select($"doc_id",
+      posexplode(TextAnalysis.shinglesOfTokens($"__t", k))
+        .as(Seq("__off", "__gram")))
+    val freq = occ.groupBy($"__gram")
+      .agg(countDistinct($"doc_id").as("__df"))
+      .filter($"__df" >= 2).select($"__gram")
+    val expectStarts = occ.join(freq, "__gram")
+      .groupBy($"doc_id").agg(sort_array(collect_set($"__off")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got = TextAnalysis.spanDedup(docs, "text", "doc_id", k, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // docs with replayed duplicated starts lose exactly those spans
+    for ((id, starts) <- expectStarts) {
+      val removed = starts.flatMap(s => s until s + k).distinct.size
+      assert(got(id)._1 === removed.toLong, s"doc $id")
+    }
+    // docs absent from the replay lose nothing
+    for (id <- Seq(3L, 5L)) assert(got(id)._1 === 0L)
+  }
 }
