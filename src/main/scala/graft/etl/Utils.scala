@@ -164,6 +164,32 @@ object Utils {
     p.toString
   }
 
+  /** Run INDEPENDENT Spark actions concurrently from driver threads
+    * (optimization guide §2.6: overlap independent jobs — the scheduler
+    * happily runs several jobs at once; actions are only sequential
+    * because driver code calls them sequentially). For setup jobs whose
+    * serialized sum leaves most cores idle: staged micro-batch writes,
+    * bounds probes, index builds. Each call gets a private pool sized
+    * to its task count, so nesting can't starve a shared pool; the
+    * first failing task rethrows its ORIGINAL exception on the caller's
+    * thread. Only pass tasks with no ordering contract between them
+    * (never two writes a Failpoint or crash-recovery contract orders). */
+  def inParallel[A](tasks: (() => A)*): Seq[A] = {
+    if (tasks.sizeIs <= 1) return tasks.map(t => t())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try
+      tasks.map(t => pool.submit(new java.util.concurrent.Callable[A] {
+        def call(): A = t()
+      })).map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    finally { pool.shutdownNow(); () }
+  }
+
   /** `ConfigUtils.merge_configs` (common_utils.py:354-365): deep merge,
     * later maps win, nested maps merge recursively. */
   def mergeConfigs(configs: Map[String, Any]*): Map[String, Any] =

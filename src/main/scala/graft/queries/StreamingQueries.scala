@@ -66,6 +66,31 @@ object StreamingQueries extends QuerySection {
     ()
   }
 
+  /** [[stageOne]]'s TEXT twin: stage a serialized-wire Dataset[String]
+    * as `stage/<name>-NNN.txt` file(s) with pinned mtimes. Writing into
+    * a private gen dir and copying (instead of `.mode("append")` into
+    * the live stage dir) is what makes concurrent stagings safe — two
+    * write jobs appending to ONE output path race on the committer's
+    * shared `_temporary` dir — and the pinned mtimes make the
+    * micro-batch order deterministic, where back-to-back appends could
+    * tie within the filesystem's mtime resolution. */
+  private def stageText(half: org.apache.spark.sql.Dataset[String],
+      stage: java.nio.file.Path, name: String, mtime: Long): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val gen = graft.etl.Utils.tempDir("graft_stage_txt")
+    half.write.mode("overwrite").text(gen.toString) // tempDir pre-creates gen
+    Files.list(gen).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.toString).zipWithIndex
+      .foreach { case (p, i) =>
+        val dst = stage.resolve(f"$name-$i%03d.txt")
+        Files.copy(p, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime + i)): Unit
+      }
+  }
+
   /** (min, max) event time of the normalized events table — replay
     * cutoffs and flush sentinels derive from these two scalars, so the
     * harnesses track whatever time range the testdata generator used. */
@@ -207,22 +232,30 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     val tmp = graft.etl.Utils.tempDir("graft_late")
     val ev = graft.Tables.load(s, dir, "events")
-    val (mn, mx) = eventTimeBounds(s, dir)
-    // batch 1: the full events table
-    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
-    // batch 2: final-window rows only (tumbling 6h windows are epoch-
-    // aligned, so the last window starts at max(ts) floored to the 6h
-    // grid; that window never emits, making the duplication invisible)
-    // — advances the late-event watermark one batch
-    val sixH = 6L * 3600 * 1000
-    val tailStart = new java.sql.Timestamp(mx.getTime / sixH * sixH)
-    stageOne(ev.filter(col("ts") >= lit(tailStart)),
-      tmp.resolve("b_tail.parquet"), 2000000L)
-    // batch 3: the pure-late replay that must vanish — the first day's
-    // events, far below the late-event watermark (max(ts) − 1 minute)
-    val dayOne = new java.sql.Timestamp(mn.getTime + 24L * 3600 * 1000)
-    stageOne(ev.filter(col("ts") < lit(dayOne)),
-      tmp.resolve("c_late.parquet"), 3000000L)
+    // The staging jobs are data-independent (only batches 2/3 need the
+    // bounds scalar) and mtimes are pinned, so staging ORDER is free:
+    // overlap them from driver threads instead of serializing three
+    // mostly-idle write tails (guide §2.6).
+    graft.etl.Utils.inParallel(
+      // batch 1: the full events table
+      () => stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L),
+      () => {
+        val (mn, mx) = eventTimeBounds(s, dir)
+        // batch 2: final-window rows only (tumbling 6h windows are epoch-
+        // aligned, so the last window starts at max(ts) floored to the 6h
+        // grid; that window never emits, making the duplication invisible)
+        // — advances the late-event watermark one batch
+        val sixH = 6L * 3600 * 1000
+        val tailStart = new java.sql.Timestamp(mx.getTime / sixH * sixH)
+        // batch 3: the pure-late replay that must vanish — the first day's
+        // events, far below the late-event watermark (max(ts) − 1 minute)
+        val dayOne = new java.sql.Timestamp(mn.getTime + 24L * 3600 * 1000)
+        graft.etl.Utils.inParallel(
+          () => stageOne(ev.filter(col("ts") >= lit(tailStart)),
+            tmp.resolve("b_tail.parquet"), 2000000L),
+          () => stageOne(ev.filter(col("ts") < lit(dayOne)),
+            tmp.resolve("c_late.parquet"), 3000000L))
+      })
 
     val agg = Streaming.windowedCounts(
       Streaming.readEventsAuto(s, tmp.toString, maxFilesPerTrigger = Some(1)),
@@ -308,18 +341,24 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     val tmp = graft.etl.Utils.tempDir("graft_ssjo")
     val ev = graft.Tables.load(s, dir, "events")
-    val (_, mx) = eventTimeBounds(s, dir)
-    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
-    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
-    val flush = s.range(2).select(
-        (col("id") * -1 - 1).as("event_id"), // negative: outside real ids
-        lit(flushTs).as("ts"),
-        (col("id") * -1 - 1).as("user_id"), // -1 and -2: match nothing
-        when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
-          .as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .select(ev.columns.map(col): _*) // exact source column order
-    stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
+    // full-table staging is independent of the bounds probe + sentinel
+    // staging (mtimes pinned ⇒ staging order free): overlap (guide §2.6)
+    graft.etl.Utils.inParallel(
+      () => stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L),
+      () => {
+        val (_, mx) = eventTimeBounds(s, dir)
+        val flushTs =
+          new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+        val flush = s.range(2).select(
+            (col("id") * -1 - 1).as("event_id"), // negative: outside real ids
+            lit(flushTs).as("ts"),
+            (col("id") * -1 - 1).as("user_id"), // -1 and -2: match nothing
+            when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+              .as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .select(ev.columns.map(col): _*) // exact source column order
+        stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
+      })
 
     val events = Streaming.readEventsAuto(s, tmp.toString,
       maxFilesPerTrigger = Some(1))
@@ -354,18 +393,23 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     val tmp = graft.etl.Utils.tempDir("graft_ssjf")
     val ev = graft.Tables.load(s, dir, "events")
-    val (_, mx) = eventTimeBounds(s, dir)
-    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
-    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
-    val flush = s.range(2).select(
-        (col("id") * -1 - 1).as("event_id"),
-        lit(flushTs).as("ts"),
-        (col("id") * -1 - 1).as("user_id"), // -1, -2: match nothing
-        when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
-          .as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props"))
-      .select(ev.columns.map(col): _*)
-    stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
+    // same overlap as stream_attribution_outer (guide §2.6)
+    graft.etl.Utils.inParallel(
+      () => stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L),
+      () => {
+        val (_, mx) = eventTimeBounds(s, dir)
+        val flushTs =
+          new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+        val flush = s.range(2).select(
+            (col("id") * -1 - 1).as("event_id"),
+            lit(flushTs).as("ts"),
+            (col("id") * -1 - 1).as("user_id"), // -1, -2: match nothing
+            when(col("id") === 0, lit("view")).otherwise(lit("purchase"))
+              .as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .select(ev.columns.map(col): _*)
+        stageOne(flush, tmp.resolve("b_flush.parquet"), 2000000L)
+      })
 
     val events = Streaming.readEventsAuto(s, tmp.toString,
       maxFilesPerTrigger = Some(1))
@@ -406,19 +450,26 @@ object StreamingQueries extends QuerySection {
     import java.nio.file.Files
     val tmp = graft.etl.Utils.tempDir("graft_fmgws")
     val ev = graft.Tables.load(s, dir, "events")
-    val (_, mx) = eventTimeBounds(s, dir)
-    stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L)
-    val flushTs = new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
-    def sentinelFile(user: Long, name: String, mtime: Long): Unit =
-      stageOne(
-        s.range(1).select(
-            lit(-user).as("event_id"), lit(flushTs).as("ts"),
-            lit(user).as("user_id"), lit("view").as("event_type"),
-            lit(0.0).as("value"), lit("{}").as("props"))
-          .select(ev.columns.map(col): _*),
-        tmp.resolve(name), mtime)
-    sentinelFile(-1L, "b_flush1.parquet", 2000000L)
-    sentinelFile(-2L, "c_flush2.parquet", 3000000L)
+    // full-table staging ∥ (bounds probe → both sentinel files):
+    // mtimes pinned ⇒ staging order free (guide §2.6)
+    graft.etl.Utils.inParallel(
+      () => stageOne(ev, tmp.resolve("a_full.parquet"), 1000000L),
+      () => {
+        val (_, mx) = eventTimeBounds(s, dir)
+        val flushTs =
+          new java.sql.Timestamp(mx.getTime + 3L * 24 * 3600 * 1000)
+        def sentinelFile(user: Long, name: String, mtime: Long): Unit =
+          stageOne(
+            s.range(1).select(
+                lit(-user).as("event_id"), lit(flushTs).as("ts"),
+                lit(user).as("user_id"), lit("view").as("event_type"),
+                lit(0.0).as("value"), lit("{}").as("props"))
+              .select(ev.columns.map(col): _*),
+            tmp.resolve(name), mtime)
+        graft.etl.Utils.inParallel(
+          () => sentinelFile(-1L, "b_flush1.parquet", 2000000L),
+          () => sentinelFile(-2L, "c_flush2.parquet", 3000000L))
+      })
 
     val sessions = Streaming.statefulSessions(
       Streaming.readEventsAuto(s, tmp.toString,
@@ -531,8 +582,9 @@ object StreamingQueries extends QuerySection {
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
     }
     val mid = "2024-01-16 00:00:00"
-    stageFile(col("ts") < lit(mid), "b0_early.parquet", 1000000L)
-    stageFile(col("ts") >= lit(mid), "b1_late.parquet", 2000000L)
+    graft.etl.Utils.inParallel( // independent halves; mtimes pinned (§2.6)
+      () => stageFile(col("ts") < lit(mid), "b0_early.parquet", 1000000L),
+      () => stageFile(col("ts") >= lit(mid), "b1_late.parquet", 2000000L))
     val target = tmp.resolve("target").toString
     val q = Streaming.upsertStream(
       Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
@@ -583,16 +635,22 @@ object StreamingQueries extends QuerySection {
     import graft.sources.LineProtocol
     val tmp = graft.etl.Utils.tempDir("graft_slp")
     val ev = graft.Tables.load(s, dir, "events")
-    val stage = tmp.resolve("stage").toString
-    // two micro-batches of serialized lines (split by event id parity)
-    LineProtocol.serialize(ev.filter(col("event_id") % 2 === 0),
-      "events", "ts", Seq("event_type"))
-      .write.mode("append").text(stage)
-    LineProtocol.serialize(ev.filter(col("event_id") % 2 === 1),
-      "events", "ts", Seq("event_type"))
-      .write.mode("append").text(stage)
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    // two micro-batches of serialized lines (split by event id parity),
+    // staged concurrently — the halves are independent scan+serialize
+    // jobs (guide §2.6) and stageText's gen-dir copy makes the overlap
+    // committer-safe
+    graft.etl.Utils.inParallel(
+      () => stageText(LineProtocol.serialize(
+          ev.filter(col("event_id") % 2 === 0),
+          "events", "ts", Seq("event_type")),
+        stage, "b0", 1000000L),
+      () => stageText(LineProtocol.serialize(
+          ev.filter(col("event_id") % 2 === 1),
+          "events", "ts", Seq("event_type")),
+        stage, "b1", 2000000L))
     val lines = s.readStream.option("maxFilesPerTrigger", 1)
-      .text(stage).as(org.apache.spark.sql.Encoders.STRING)
+      .text(stage.toString).as(org.apache.spark.sql.Encoders.STRING)
     val res = tmp.resolve("res").toString
     val q = LineProtocol.parse(lines)
       .writeStream.format("parquet")
@@ -628,14 +686,18 @@ object StreamingQueries extends QuerySection {
     import graft.sources.ExtendedJson
     val tmp = graft.etl.Utils.tempDir("graft_sej")
     val ev = graft.Tables.load(s, dir, "events")
-    val stage = tmp.resolve("stage").toString
-    // two micro-batches of serialized documents (split by id parity)
-    ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 0))
-      .write.mode("append").text(stage)
-    ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 1))
-      .write.mode("append").text(stage)
+    val stage = Files.createDirectory(tmp.resolve("stage"))
+    // two micro-batches of serialized documents (split by id parity),
+    // staged concurrently (guide §2.6; see stream_line_ingest)
+    graft.etl.Utils.inParallel(
+      () => stageText(
+        ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 0)),
+        stage, "b0", 1000000L),
+      () => stageText(
+        ExtendedJson.serialize(ev.filter(col("event_id") % 2 === 1)),
+        stage, "b1", 2000000L))
     val lines = s.readStream.option("maxFilesPerTrigger", 1)
-      .text(stage).as(org.apache.spark.sql.Encoders.STRING)
+      .text(stage.toString).as(org.apache.spark.sql.Encoders.STRING)
     val res = tmp.resolve("res").toString
     val q = ExtendedJson.parse(lines, ev.schema)
       .writeStream.format("parquet")
@@ -656,13 +718,19 @@ object StreamingQueries extends QuerySection {
     val hist = d.filter(col("doc_id") % 5 =!= 0)
     val fresh = d.filter(col("doc_id") % 5 === 0)
     val idx = tmp.resolve("idx").toString
-    graft.dedup.Dedup.buildMinhashIndex(hist, "text", "doc_id", idx,
-      n = 1, numHashes = 32, bands = 8, portableHash = true)
     val stage = Files.createDirectory(tmp.resolve("stage"))
-    stageOne(fresh.filter(col("doc_id") < 100),
-      stage.resolve("b0.parquet"), 1000000L)
-    stageOne(fresh.filter(col("doc_id") >= 100),
-      stage.resolve("b1.parquet"), 2000000L)
+    // history index build ∥ the two fresh-batch stagings: all three
+    // are independent jobs (the stream only starts afterwards), and
+    // the index build keeps its INTERNAL buckets→tokens write order
+    // (guide §2.6; the crash-ordering contract is within the build,
+    // never between build and staging)
+    graft.etl.Utils.inParallel(
+      () => graft.dedup.Dedup.buildMinhashIndex(hist, "text", "doc_id",
+        idx, n = 1, numHashes = 32, bands = 8, portableHash = true),
+      () => stageOne(fresh.filter(col("doc_id") < 100),
+        stage.resolve("b0.parquet"), 1000000L),
+      () => stageOne(fresh.filter(col("doc_id") >= 100),
+        stage.resolve("b1.parquet"), 2000000L))
     val stream = s.readStream
       .schema(fresh.schema)
       .option("maxFilesPerTrigger", 1)
@@ -697,15 +765,19 @@ object StreamingQueries extends QuerySection {
     val tmp = graft.etl.Utils.tempDir("graft_sann")
     val e = graft.Tables.load(s, dir, "embeddings")
     val idx = tmp.resolve("idx").toString
-    graft.similarity.Ann.buildIvfIndex(e.filter(col("vec_id") < 300),
-      "embedding", "vec_id", idx, nlist = 8)
     val fresh = e.filter(col("vec_id") >= 300)
       .select(col("vec_id"), col("embedding"))
     val stage = Files.createDirectory(tmp.resolve("stage"))
-    stageOne(fresh.filter(col("vec_id") < 400),
-      stage.resolve("b0.parquet"), 1000000L)
-    stageOne(fresh.filter(col("vec_id") >= 400),
-      stage.resolve("b1.parquet"), 2000000L)
+    // base-index build ∥ the two increment stagings (guide §2.6) — the
+    // stream consumes both only after all three land
+    graft.etl.Utils.inParallel(
+      () => graft.similarity.Ann.buildIvfIndex(
+        e.filter(col("vec_id") < 300), "embedding", "vec_id", idx,
+        nlist = 8),
+      () => stageOne(fresh.filter(col("vec_id") < 400),
+        stage.resolve("b0.parquet"), 1000000L),
+      () => stageOne(fresh.filter(col("vec_id") >= 400),
+        stage.resolve("b1.parquet"), 2000000L))
     val stream = s.readStream
       .schema(fresh.schema)
       .option("maxFilesPerTrigger", 1)
@@ -733,16 +805,19 @@ object StreamingQueries extends QuerySection {
     val d = graft.Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"))
     val tablePath = tmp.resolve("table").toString
-    graft.curation.Curation.dsirTable(d.filter(col("doc_id") < 250),
-        "doc_id", "text", col("lang") === "en")
-      .write.mode("overwrite").parquet(tablePath)
     val fresh = d.filter(col("doc_id") >= 250)
       .select(col("doc_id"), col("text"))
     val stage = Files.createDirectory(tmp.resolve("stage"))
-    stageOne(fresh.filter(col("doc_id") < 375),
-      stage.resolve("b0.parquet"), 1000000L)
-    stageOne(fresh.filter(col("doc_id") >= 375),
-      stage.resolve("b1.parquet"), 2000000L)
+    // artifact train+freeze ∥ the two fresh-batch stagings (guide §2.6)
+    graft.etl.Utils.inParallel(
+      () => graft.curation.Curation.dsirTable(
+          d.filter(col("doc_id") < 250), "doc_id", "text",
+          col("lang") === "en")
+        .write.mode("overwrite").parquet(tablePath),
+      () => stageOne(fresh.filter(col("doc_id") < 375),
+        stage.resolve("b0.parquet"), 1000000L),
+      () => stageOne(fresh.filter(col("doc_id") >= 375),
+        stage.resolve("b1.parquet"), 2000000L))
     val stream = s.readStream
       .schema(fresh.schema)
       .option("maxFilesPerTrigger", 1)
@@ -783,8 +858,9 @@ object StreamingQueries extends QuerySection {
       Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime)): Unit
     }
     val mid = "2024-01-16 00:00:00"
-    stageFile(col("ts") < lit(mid), "b0_early.parquet", 1000000L)
-    stageFile(col("ts") >= lit(mid), "b1_late.parquet", 2000000L)
+    graft.etl.Utils.inParallel( // independent halves; mtimes pinned (§2.6)
+      () => stageFile(col("ts") < lit(mid), "b0_early.parquet", 1000000L),
+      () => stageFile(col("ts") >= lit(mid), "b1_late.parquet", 2000000L))
     val table = "EVENTS_STATE"
     val stateSchema = StructType(Seq(
       StructField("USER_ID", LongType),
@@ -830,10 +906,11 @@ object StreamingQueries extends QuerySection {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     val mid = "2024-01-16 00:00:00"
-    stageOne(ev.filter(col("ts") < lit(mid)),
-      stage.resolve("b0_early.parquet"), 1000000L)
-    stageOne(ev.filter(col("ts") >= lit(mid)),
-      stage.resolve("b1_late.parquet"), 2000000L)
+    graft.etl.Utils.inParallel( // independent halves; mtimes pinned (§2.6)
+      () => stageOne(ev.filter(col("ts") < lit(mid)),
+        stage.resolve("b0_early.parquet"), 1000000L),
+      () => stageOne(ev.filter(col("ts") >= lit(mid)),
+        stage.resolve("b1_late.parquet"), 2000000L))
     val hist = tmp.resolve("history").toString
     val q = Streaming.scd2Stream(
       Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),
@@ -865,14 +942,15 @@ object StreamingQueries extends QuerySection {
         col("event_type"), col("value"), col("props"))
     val cut1 = "2024-01-11 00:00:00"
     val cut2 = "2024-01-21 00:00:00"
-    stageOne(ev.filter(col("ts") < lit(cut1)),
-      stage.resolve("b0_clean.parquet"), 1000000L)
-    stageOne(
-      ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2))
-        .withColumn("value", -abs(col("value")) - lit(1.0)),
-      stage.resolve("b1_bad.parquet"), 2000000L)
-    stageOne(ev.filter(col("ts") >= lit(cut2)),
-      stage.resolve("b2_clean.parquet"), 3000000L)
+    graft.etl.Utils.inParallel( // independent slices; mtimes pinned (§2.6)
+      () => stageOne(ev.filter(col("ts") < lit(cut1)),
+        stage.resolve("b0_clean.parquet"), 1000000L),
+      () => stageOne(
+        ev.filter(col("ts") >= lit(cut1) && col("ts") < lit(cut2))
+          .withColumn("value", -abs(col("value")) - lit(1.0)),
+        stage.resolve("b1_bad.parquet"), 2000000L),
+      () => stageOne(ev.filter(col("ts") >= lit(cut2)),
+        stage.resolve("b2_clean.parquet"), 3000000L))
     val target = tmp.resolve("target").toString
     val quarantine = tmp.resolve("quarantine").toString
     def audit(batch: DataFrame): Option[String] = {
@@ -911,10 +989,11 @@ object StreamingQueries extends QuerySection {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
     val mid = "2024-01-16 00:00:00"
-    stageOne(ev.filter(col("ts") < lit(mid)),
-      stage.resolve("b0_early.parquet"), 1000000L)
-    stageOne(ev.filter(col("ts") >= lit(mid)),
-      stage.resolve("b1_late.parquet"), 2000000L)
+    graft.etl.Utils.inParallel( // independent halves; mtimes pinned (§2.6)
+      () => stageOne(ev.filter(col("ts") < lit(mid)),
+        stage.resolve("b0_early.parquet"), 1000000L),
+      () => stageOne(ev.filter(col("ts") >= lit(mid)),
+        stage.resolve("b1_late.parquet"), 2000000L))
     val rollup = tmp.resolve("rollup").toString
     val q = Streaming.mvMergeStream(
       Streaming.readEvents(s, stage.toString, maxFilesPerTrigger = Some(1)),

@@ -349,16 +349,31 @@ object TextQueries extends QuerySection {
     val bg = tk.select(col("doc_id").as("id"),
       explode(TextAnalysis.shinglesOfTokens(col("__toks"), 2))
         .as("shingle"))
-    val uni = tk.select(col("doc_id").as("id"),
-      explode(col("__toks")).as("shingle"))
-    val cAb = bg.groupBy(col("shingle")).agg(count(lit(1)).as("c_ab"))
-    val cA = uni.select(col("shingle").as("a"))
-      .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    // ONE tokenize pass feeds BOTH count tables and the vocab size:
+    // unigram and bigram grains explode together and aggregate to
+    // vocabulary/bigram cardinality, and the tiny result is pinned so
+    // its three consumers (c_ab, c_a, V) share the single derivation —
+    // as separate subplans each reference re-tokenized the corpus
+    // (guide §1.2: 4 full passes for a query that needs 2). The grains
+    // can't collide in one groupBy: tokens split on whitespace so a
+    // unigram never contains a space, a 2-shingle always does.
+    val cnt = graft.plans.Pin.pin(
+      tk.select(explode(concat(col("__toks"),
+          TextAnalysis.shinglesOfTokens(col("__toks"), 2))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    val cAb = cnt.filter(col("g").contains(" "))
+      .select(col("g").as("shingle"), col("c").as("c_ab"))
+    val cA = cnt.filter(!col("g").contains(" "))
+      .select(col("g").as("a"), col("c").as("c_a"))
     val v = cA.count().toDouble // vocabulary size: the one driver scalar
     val k = 0.5
-    bg.join(cAb, Seq("shingle"))
+    // count tables are vocabulary-bounded, the occurrence frame is
+    // corpus-bounded: broadcast the bounded side (the
+    // textUnigramLogprob / textSearch precedent) so the per-occurrence
+    // bigram rows never exchange
+    bg.join(broadcast(cAb), Seq("shingle"))
       .withColumn("a", split(col("shingle"), " ").getItem(0))
-      .join(cA, Seq("a"))
+      .join(broadcast(cA), Seq("a"))
       .groupBy(col("id").as("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(log((col("c_ab") + lit(k)) /
