@@ -58,6 +58,11 @@ import org.apache.spark.sql.SparkSession
   * automatically (`tools/pin_compare.py`). Per-pass detail is in
   * `burst_pass_counts`. This encodes the timeline reading rule that
   * was previously applied by hand (BASELINE.md "burst adjudication").
+  * THREE probe kinds bracket each query — CPU (codegen'd sum), fsync
+  * WRITE (8 forced small files), and page-cache READ (32 MB re-read
+  * from the lake's volume, see `calibrateRead`) — because this host's
+  * interference comes in all three flavors and each is invisible to
+  * the other two probes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -165,9 +170,49 @@ object Bench {
       java.nio.file.Files.delete(dir)
       dt
     }
-    calibrate() // first-touch warmup of the sentinel itself
+    // READ sentinel: the CPU and fsync-WRITE probes cannot see
+    // PAGE-CACHE EVICTION + disk-READ contention (measured round 12: a
+    // ~35 s interference window inflated the documents-scanning family
+    // 4-5× across two consecutive passes while the bracketing CPU
+    // probes read a flat ~0.2 s and the write probes ~0.02 s — the
+    // burst discounting was blind to it). This probe re-reads a fixed
+    // 32 MB file created once on java.io.tmpdir — the LAKE's volume,
+    // NOT the /dev/shm scratch: on a quiet machine the file stays
+    // page-cached (~ms read); interference heavy enough to evict the
+    // cache and contend the disk turns the next probe into a real
+    // contended read (0.1 s+), which is exactly the burst class the
+    // per-query bracketing must catch. Probing re-warms the file, so
+    // a flagged probe means the machine evicted it SINCE the previous
+    // probe — the right granularity for per-query attribution.
+    val readProbePath = {
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_readprobe.bin")
+      if (!java.nio.file.Files.exists(p) ||
+          java.nio.file.Files.size(p) != (32L << 20)) {
+        val chunk = Array.tabulate(1 << 20)(i => (i * 31 + 7).toByte)
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try (0 until 32).foreach { _ =>
+          ch.write(java.nio.ByteBuffer.wrap(chunk)); ()
+        } finally ch.close()
+      }
+      p
+    }
+    def calibrateRead(): Double = {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(readProbePath,
+        java.nio.file.StandardOpenOption.READ)
+      try { while (ch.read(buf) > 0) buf.clear() } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // first-touch warmup of the sentinels themselves
     calibrateIo()
+    calibrateRead()
     val calMainIo = scala.collection.mutable.ListBuffer.empty[Double]
+    val calMainRead = scala.collection.mutable.ListBuffer.empty[Double]
     val calMain = scala.collection.mutable.ListBuffer.empty[Double]
     val calSlope = scala.collection.mutable.ListBuffer.empty[Double]
     val calSf1 = scala.collection.mutable.ListBuffer.empty[Double]
@@ -180,9 +225,9 @@ object Bench {
     // probes, so a per-query blow-up is attributable: probes flat ->
     // engine regression; probes spiked -> machine burst.
     val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL_EVERY", "25").toInt
-    // timeline entries: (pass, query_index, cpu_secs, io_secs)
-    val calTimeline =
-      scala.collection.mutable.ListBuffer.empty[(Int, Int, Double, Double)]
+    // timeline entries: (pass, query_index, cpu_secs, io_secs, read_secs)
+    val calTimeline = scala.collection.mutable.ListBuffer
+      .empty[(Int, Int, Double, Double, Double)]
     def calJson(vs: Seq[Double]): String =
       vs.map(v => f"$v%.3f").mkString("[", ",", "]")
 
@@ -202,21 +247,25 @@ object Bench {
         : (Map[String, Int], Seq[String]) = {
       val cpuProbes = calMain.toSeq ++ calTimeline.map(_._3)
       val ioProbes = calMainIo.toSeq ++ calTimeline.map(_._4)
+      val readProbes = calMainRead.toSeq ++ calTimeline.map(_._5)
       if (cpuProbes.isEmpty || calMain.isEmpty)
         return (Map.empty, Seq.empty)
       def med(vs: Seq[Double]) = { val s = vs.sorted; s(s.length / 2) }
-      val (cpuMed, ioMed) = (med(cpuProbes), med(ioProbes))
+      val (cpuMed, ioMed, readMed) =
+        (med(cpuProbes), med(ioProbes), med(readProbes))
       val passes = calMain.length
       val counts = scala.collection.mutable.Map.empty[String, Int]
       for (p <- 1 to passes) {
-        val probes = ((0, calMain(p - 1), calMainIo(p - 1)) +:
-          calTimeline.filter(_._1 == p).map(t => (t._2, t._3, t._4)))
+        val probes = ((0, calMain(p - 1), calMainIo(p - 1),
+            calMainRead(p - 1)) +:
+          calTimeline.filter(_._1 == p).map(t => (t._2, t._3, t._4, t._5)))
           .sortBy(_._1)
         for ((name, qi) <- names.zipWithIndex) {
           val brackets = probes.filter(_._1 <= qi).lastOption.toSeq ++
             probes.find(_._1 > qi).toSeq
           if (brackets.exists(pr =>
-            pr._2 > 2 * cpuMed + 0.1 || pr._3 > 2 * ioMed + 0.1))
+            pr._2 > 2 * cpuMed + 0.1 || pr._3 > 2 * ioMed + 0.1 ||
+              pr._4 > 2 * readMed + 0.1))
             counts(name) = counts.getOrElse(name, 0) + 1
         }
       }
@@ -288,8 +337,10 @@ object Bench {
           f""""shuffle_write_total_mb":$shuffleTotalMb%.1f,""" +
           f""""calibration":${calJson(calMain.toSeq)},""" +
           f""""calibration_io":${calJson(calMainIo.toSeq)},""" +
+          f""""calibration_read":${calJson(calMainRead.toSeq)},""" +
           f""""calibration_timeline":${calTimeline.toSeq
-            .map { case (p, i, s, io) => f"[$p,$i,$s%.3f,$io%.3f]" }
+            .map { case (p, i, s, io, rd) =>
+              f"[$p,$i,$s%.3f,$io%.3f,$rd%.3f]" }
             .mkString("[", ",", "]")},""" +
           f""""burst_flagged":$burstJson,""" +
           f""""burst_pass_counts":$burstCountJson,""" +
@@ -318,9 +369,11 @@ object Bench {
     for (pass <- 1 to reps) {
       calMain += calibrate()
       calMainIo += calibrateIo()
+      calMainRead += calibrateRead()
       for (((name, fn), qi) <- names.zipWithIndex) {
         if (calEvery > 0 && qi > 0 && qi % calEvery == 0)
-          calTimeline += ((pass, qi, calibrate(), calibrateIo()))
+          calTimeline += ((pass, qi, calibrate(), calibrateIo(),
+            calibrateRead()))
         val before =
           if (pass == 1) Some(org.apache.spark.graftx.StageMetrics
             .totals(spark.sparkContext, ioAcc))
@@ -350,7 +403,8 @@ object Bench {
       }
       // pass-END probe: the last timeline segment must be bracketed too,
       // or the tail queries of a pass would be un-adjudicable
-      calTimeline += ((pass, names.length, calibrate(), calibrateIo()))
+      calTimeline += ((pass, names.length, calibrate(), calibrateIo(),
+        calibrateRead()))
       emit(pass)
     }
 
