@@ -48,16 +48,25 @@ object Hits {
     // measured root pin; score vectors are node-grained ⊆ the edge
     // frame, so its bytes price the whole loop (Pin.pinHinted)
     val (e, eBytes) = graft.plans.Pin.pinSized(edges)
-    val srcs = e.select(col("src").as("node")).distinct()
-      .transform(graft.plans.Pin.pinHinted(_, eBytes))
-    val dsts = e.select(col("dst").as("node")).distinct()
+    // ONE role-flagged node pass replaces the former srcs/dsts pair of
+    // distinct+pin chains and their two count() jobs (4 serialized
+    // driver actions → 2): `roles` is distinct on node with is-source /
+    // is-destination flags, and a single 1-row aggregate serves both
+    // broadcast-dispatch cardinalities. Same sets, same counts.
+    val roles = e.select(col("src").as("node"),
+        lit(1).as("__s"), lit(0).as("__d"))
+      .union(e.select(col("dst").as("node"),
+        lit(0).as("__s"), lit(1).as("__d")))
+      .groupBy(col("node"))
+      .agg(max(col("__s")).as("__s"), max(col("__d")).as("__d"))
       .transform(graft.plans.Pin.pinHinted(_, eBytes))
     // broadcast dispatch must key on the LARGER side's cardinality:
     // the hub vector is |srcs| rows but the auth vector is |dsts| —
     // a 1M-source / 50M-destination fan-out graph would broadcast the
     // 50M-row auth frame if only nSrc were consulted
-    val nSrc = srcs.count() // scalars: only for the broadcast dispatch
-    val nDst = dsts.count()
+    val cnts = roles
+      .agg(sum(col("__s")).as("ns"), sum(col("__d")).as("nd")).collect()(0)
+    val (nSrc, nDst) = (cnts.getLong(0), cnts.getLong(1))
     require(nSrc > 0, "hits needs a non-empty edge list")
     val hint: DataFrame => DataFrame =
       if (math.max(nSrc, nDst) <= 10_000_000L) broadcast else identity
@@ -71,7 +80,8 @@ object Hits {
     val maybePin: DataFrame => DataFrame =
       if (pinEachRound) graft.plans.Pin.pinHinted(_, eBytes)
       else identity
-    var hub = srcs.withColumn("hub", lit(1.0))
+    var hub = roles.filter(col("__s") === 1)
+      .select(col("node"), lit(1.0).as("hub"))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       // pin the RAW half-step, not the normalized form: l1 reads its
@@ -90,7 +100,7 @@ object Hits {
         .select(col("src").as("node"), col("hub")))
       hub = l1(hRaw, "hub")
     }
-    srcs.union(dsts).distinct()
+    roles.select(col("node")) // = srcs ∪ dsts, already distinct
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
