@@ -116,19 +116,25 @@ object PageRank {
       .transform(graft.plans.Pin.pinHinted(_, eBytes))
     val n = nodes.count()
     require(n > 0, "personalizedPageRank needs a non-empty edge list")
-    // teleport vector: (1−d)/|S| on seeds, 0 elsewhere — one join,
-    // pinned, ridden every iteration (and it doubles as the r₀ = π/(1−d)
-    // start). Seeds outside the node set drop out in the inner join.
-    val sd = seeds.select(col("node")).distinct()
-      .join(nodes, Seq("node"))
+    // teleport vector in ONE pinned pass: the former sd-pin → count →
+    // tele-pin chain serialized three driver actions where the
+    // seed-flagged node frame needs one pin plus a 1-row aggregate
+    // (the Hits roles consolidation, same reasoning). Seeds outside
+    // the node set never appear (left join FROM nodes), matching the
+    // old inner join's drop semantics; the flagged frame doubles as
+    // the r₀ = π/(1−d) start below.
+    val flagged = nodes.join(
+        seeds.select(col("node")).distinct().withColumn("__s", lit(1)),
+        Seq("node"), "left")
       .transform(graft.plans.Pin.pinHinted(_, eBytes))
-    val nSeeds = sd.count()
+    val nSeeds = flagged.agg(sum(col("__s"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
     require(nSeeds > 0, "personalizedPageRank needs ≥ 1 seed in-graph")
-    val tele = nodes.join(sd.withColumn("__s", lit(1)), Seq("node"), "left")
-      .select(col("node"),
-        when(col("__s").isNotNull, lit((1.0 - damping) / nSeeds))
-          .otherwise(lit(0.0)).as("tele"))
-      .transform(graft.plans.Pin.pinHinted(_, eBytes))
+    val tele = flagged.select(col("node"),
+      when(col("__s").isNotNull, lit((1.0 - damping) / nSeeds))
+        .otherwise(lit(0.0)).as("tele"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val contribEdges = e.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
