@@ -457,16 +457,19 @@ object SinkQueries extends QuerySection {
   private def kBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Bucketing
     val out = graft.etl.Utils.tempDir("graft_bkt").toString
-    Bucketing.writeBucketed(
-      Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice")),
-      "graft_b_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
-      path = Some(s"$out/orders"))
-    Bucketing.writeBucketed(
-      Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
-      "graft_b_lineitem", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
-      path = Some(s"$out/lineitem"))
+    // the two bucketed table writes are independent (distinct catalog
+    // names, distinct paths): overlap them (guide §2.6)
+    graft.etl.Utils.inParallel(
+      () => Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "graft_b_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$out/orders")),
+      () => Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "graft_b_lineitem", "o_orderkey", 8, sortCols = Seq("o_orderkey"),
+        path = Some(s"$out/lineitem")))
     Bucketing.bucketedJoin(s, "graft_b_orders", "graft_b_lineitem",
         "o_orderkey")
       .groupBy(col("o_orderkey"))
