@@ -269,12 +269,29 @@ object SyntheticImages {
     * "decade" grew the corpus only 2.5×), while the modular fraction
     * grows exactly with the table at EVERY decade. The oracle twin is
     * the same `doc_id % modDen < n` predicate. */
+  /** Fixture id rows, SPREAD across the session's cores: the documents
+    * table ships as one parquet file at bench scale, so an id scan is
+    * ONE partition and every `mapPartitions` fixture encoder — and the
+    * decode pass consuming it — would otherwise run single-threaded on
+    * a 32-core session ("partition-parallel" in the docstrings was
+    * only true for multi-file lakes). A deterministic hash repartition
+    * of the 8-byte id rows costs a trivial exchange and buys full
+    * encode/decode parallelism (mm_mp4_frames ~2.7× at sf0.1); width
+    * adapts to the session (defaultParallelism), not a constant.
+    * Applied ONLY to the MODULAR corpora — they grow with the table at
+    * every decade, so the decode work is real — never to the
+    * constant-n spec fixtures, where 2-9 rows over 32 tasks is pure
+    * scheduling overhead. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism,
+      col("media_id"))
+
   private def mp4Ids(spark: SparkSession, sfDir: String, n: Int,
       modDen: Int): DataFrame = {
     val ids = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").as("media_id"))
     if (modDen == 0) ids.filter(col("media_id") < n)
-    else ids.filter(pmod(col("media_id"), lit(modDen)) < n)
+    else spreadIds(ids.filter(pmod(col("media_id"), lit(modDen)) < n))
   }
 
   /** Partition `n` samples into chunks of `spc` each plus a trailing
