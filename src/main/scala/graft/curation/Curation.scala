@@ -213,7 +213,11 @@ object Curation {
     * the md5 bridge, all narrow inside the scan stage. */
   private def tokenBuckets(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int): DataFrame =
-    df.select(col(idCol).as("id"), targetPred.as("__tgt"),
+    // widened input (no-op at production scan parallelism): the
+    // per-token md5 bucketing is the DSIR family's expensive stage,
+    // and the local one-row-group lake file scans as ONE partition
+    graft.plans.Scale.widen(df)
+      .select(col(idCol).as("id"), targetPred.as("__tgt"),
         explode(graft.text.TextAnalysis.tokens(col(textCol))).as("__t"))
       .select(col("id"), col("__tgt"),
         pmod(conv(substring(md5(col("__t")), 1, 7), 16, 10).cast("long"),
@@ -303,7 +307,11 @@ object Curation {
       textCol: String, n: Int): DataFrame = {
     // per-doc set semantics computed row-local: a global .distinct()
     // here would exchange every corpus shingle string only to drop
-    // within-doc repeats (ids are unique per doc)
+    // within-doc repeats (ids are unique per doc). Callers whose corpus
+    // is a raw narrow scan should pass it through Scale.widen — the
+    // probe is NOT taken here because corpus may arrive as a complex
+    // derived frame (cur_pipeline's deduped chain), where the
+    // partition-count probe re-plans the subtree for nothing.
     val corpusSh = graft.text.TextAnalysis
       .distinctShingleRows(corpus, idCol, textCol, n)
     val benchSh = graft.text.TextAnalysis
@@ -327,6 +335,7 @@ object Curation {
   def contaminationScore(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     // row-local per-doc dedupe, same reasoning as [[contaminated]]
+    // (incl. the caller-side widen contract)
     val corpusSh = graft.text.TextAnalysis
       .distinctShingleRows(corpus, idCol, textCol, n)
     val benchSh = graft.text.TextAnalysis

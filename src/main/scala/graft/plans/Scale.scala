@@ -10,6 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Widen a NARROW input before expensive per-row work (tokenize /
+    * shingle / hash / decode chains): the local lake ships one
+    * single-row-group parquet file per table, so a scan is ONE
+    * partition and everything until the first exchange runs
+    * single-threaded on a 32-core session — `maxPartitionBytes` can't
+    * help, because a parquet reader only parallelizes across row
+    * groups. SCALE-ADAPTIVE, not a local constant: a no-op whenever
+    * the input already carries at least half the session's default
+    * parallelism (any production multi-file scan), and a round-robin
+    * exchange of the raw input rows — a few MB here — only when the
+    * scan is genuinely narrower than the machine. Callers must be
+    * row-order-independent (aggregates / joins / per-row projections
+    * under a final sort), the contract every consumer in this engine
+    * already honors. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   /** Two-phase salted aggregation for heavily-skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `saltBuckets`
     * reducers — phase 2 merges the partials per key. Only ever needed

@@ -49,7 +49,10 @@ object CurationQueries extends QuerySection {
   private def curDecontam(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val bench = d.filter(col("doc_id") % 97 === 0)
-    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    // corpus widened (no-op at production scan parallelism): the
+    // tokenize+shingle stage over the local one-partition lake scan is
+    // the query's cost (Scale.widen)
+    val corpus = graft.plans.Scale.widen(d.filter(col("doc_id") % 97 =!= 0))
     Curation.contaminated(corpus, bench, "doc_id", "text", n = 3)
       .select(col("id").as("doc_id"), col("n_shared"))
       .orderBy(col("doc_id"))
@@ -73,7 +76,8 @@ object CurationQueries extends QuerySection {
   private def curOverlap(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val bench = d.filter(col("doc_id") % 97 === 0)
-    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    // corpus widened — see curDecontam
+    val corpus = graft.plans.Scale.widen(d.filter(col("doc_id") % 97 =!= 0))
     Curation.contaminationScore(corpus, bench, "doc_id", "text", n = 3)
       .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
         col("overlap"))

@@ -434,8 +434,12 @@ object TextAnalysis {
   def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 2, minFrac: Double = 0.2): DataFrame = {
     // set semantics (one vote per (doc, shingle)) computed row-local —
-    // doc ids are unique, so no cross-row exchange is needed for it
-    val sh = distinctShingleRows(df, idCol, textCol, n)
+    // doc ids are unique, so no cross-row exchange is needed for it.
+    // Corpus widened first (no-op at production scan parallelism): the
+    // shingle build is the expensive stage over a one-partition local
+    // scan (Scale.widen).
+    val sh = distinctShingleRows(graft.plans.Scale.widen(df), idCol,
+      textCol, n)
     val src = df.select(col(idCol).as("id"), col(groupCol))
     val totals = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_total"))
