@@ -903,7 +903,13 @@ object Ann {
     // output (once per corpus×query pair; measured ~6× slower). The
     // expansion lives only in the stage pipeline — storage and any
     // shuffle still carry m-byte codes.
-    val coded = pqEncode(corpus, vecCol, books)
+    // corpus widened (no-op at production scan parallelism): PQ encode
+    // + per-row reconstruction are the heavy stages, and the local
+    // one-row-group lake file scans as ONE partition (Scale.widen).
+    // The cheap-cosine search ops (bruteTopK/ivfTopK) deliberately do
+    // NOT widen: measured, the vector exchange costs more than their
+    // light per-row math saves.
+    val coded = pqEncode(graft.plans.Scale.widen(corpus), vecCol, books)
       .select(col(idCol).as("corpus_id"),
         pqReconstruct(col("pq_codes"), books).as("__recon"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
@@ -933,7 +939,7 @@ object Ann {
           array(c.map(lit): _*)).as("d"), lit(i).as("i"))
       }: _*)
     // as in pqTopK: reconstruct once per corpus row, below the join
-    val c = pqEncode(corpus, vecCol, books)
+    val c = pqEncode(graft.plans.Scale.widen(corpus), vecCol, books)
       .select(col(idCol).as("corpus_id"),
         pqReconstruct(col("pq_codes"), books).as("__recon"),
         array_max(cellStructs(col(vecCol).cast("array<double>")))
