@@ -387,7 +387,10 @@ object SourceQueries extends QuerySection {
     * per-line flatMap back — no shuffle until the presentation sort. */
   private def s18LineProtocol(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.LineProtocol
-    val ev = Tables.load(s, dir, "events")
+    // widened head (no-op at production scan parallelism): serialize +
+    // parse fuse into one stage, single-threaded over the local
+    // one-partition lake scan without it (Scale.widen)
+    val ev = graft.plans.Scale.widen(Tables.load(s, dir, "events"))
     val lines = LineProtocol.serialize(ev, measurement = "events",
       timeField = "ts", tagFields = Seq("event_type"))
     LineProtocol.parse(lines)
@@ -415,7 +418,9 @@ object SourceQueries extends QuerySection {
   private def s19ExtendedJson(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ExtendedJson
     val ev = Tables.load(s, dir, "events")
-    ExtendedJson.parse(ExtendedJson.serialize(ev), ev.schema)
+    // widened head — see s18LineProtocol
+    ExtendedJson.parse(
+        ExtendedJson.serialize(graft.plans.Scale.widen(ev)), ev.schema)
       .orderBy(col("event_id"))
   }
 
