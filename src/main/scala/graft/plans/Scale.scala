@@ -30,16 +30,6 @@ object Scale {
     else df.repartition(target)
   }
 
-  /** [[widen]] for text-line datasets (the wire-codec scan shape):
-    * same adaptive rule, same no-op at production multi-file
-    * parallelism. */
-  def widenLines(ds: org.apache.spark.sql.Dataset[String])
-      : org.apache.spark.sql.Dataset[String] = {
-    val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions * 2 >= target) ds
-    else ds.repartition(target)
-  }
-
   /** Two-phase salted aggregation for heavily-skewed group keys: phase 1
     * aggregates on (key, salt) — spreading one hot key over `saltBuckets`
     * reducers — phase 2 merges the partials per key. Only ever needed

@@ -141,12 +141,12 @@ object Sources {
         schema.fold(spark.read)(spark.read.schema).parquet(path)
       case "yaml" | "yml" => noSchema(); yaml(spark, path)
       case "xml" => noSchema(); xml(spark, path)
-      // deliberately NOT widened (Scale.widenLines was measured here
-      // and reverted): the ETL consumers persist the parsed frame, so
-      // the per-line parse runs once and amortizes — the widen
-      // exchange was pure overhead (o8_wire_etl ×1.25). Callers whose
-      // whole query IS the codec round trip widen at their own head
-      // (s18/s19).
+      // deliberately NOT widened (a Scale.widen of the line dataset
+      // was measured here and reverted): the ETL consumers persist the
+      // parsed frame, so the per-line parse runs once and amortizes —
+      // the widen exchange was pure overhead (o8_wire_etl ×1.25).
+      // Callers whose whole query IS the codec round trip widen at
+      // their own head (s18/s19).
       case "lineprotocol" | "lp" => // typed Point frame, schema fixed
         noSchema(); LineProtocol.parse(spark.read.textFile(path))
       case "extendedjson" | "ejson" =>
